@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column functions over `ArrayType(FloatType/DoubleType)`
+  * embedding columns. Pure Spark SQL higher-order functions — codegen'd,
+  * no UDFs, no shuffle. Elements are cast to double before arithmetic so
+  * results are bit-identical to any IEEE-754 engine folding left-to-right.
+  */
+object VectorFunctions {
+
+  /** Dot product of two equal-length array columns (sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic random hyperplanes for sign-LSH, seeded so plans are
+    * reproducible across runs and executors (values live in the plan as
+    * literals, broadcast for free with the task binary). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: nPlanes-bit signature of sign(v · plane_i).
+    * Vectors with high cosine similarity land in the same bucket with
+    * high probability; used to prune ANN candidate pairs at scale. */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Document deduplication operators for training-data pipelines.
+  *
+  * All variants are expressed as declarative Spark plans: the only shuffles
+  * are the group-bys on hash/bucket keys, which partition-prune naturally
+  * and scale horizontally. No driver-side materialization anywhere — at
+  * 100 TB the candidate-pair generation stays bounded because pairs are
+  * only formed *within* LSH buckets (band join), never globally.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical text hash.
+    * One shuffle on a 128-bit hash key — uniformly distributed, no skew. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep"), count(lit(1)).as("n"))
+
+  /** Survivors of exact dedup (the canonical rows themselves). */
+  def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exact(df, textCol, idCol).select(col("keep").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * shingle → k-MinHash signature → split into `bands` bands of `rows`
+    * hashes → explode one row per (band, bandHash) → self-join on the
+    * band key. Only same-bucket docs ever meet, so the join is an
+    * equi-join on a high-cardinality key (shuffle-partitionable); the
+    * quadratic blow-up is confined to per-bucket groups. Pairs are then
+    * scored by signature agreement and filtered by `threshold`.
+    */
+  def minHashLsh(df: DataFrame, textCol: String, idCol: String,
+                 bands: Int = 8, rows: Int = 4,
+                 threshold: Double = 0.5,
+                 shingleSize: Int = 3): DataFrame = {
+    val k = bands * rows
+    val sig = df.select(col(idCol).as("id"),
+        minHash(wordShingles(col(textCol), shingleSize), k).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+          .as(Seq("band", "bh")))
+      .select(col("id"), col("sig"), col("band"), col("bh"))
+    val a = banded.select(col("band"), col("bh"), col("id").as("a_id"),
+      col("sig").as("a_sig"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("b_id"),
+      col("sig").as("b_sig"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        minHashSimilarity(col("a_sig"), col("b_sig")).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash signatures (64-bit, as hex) per document. Near-dup pairs =
+    * signatures within a small Hamming distance; candidate generation
+    * joins on 16-bit signature quarters (any pair within distance 3 must
+    * agree on at least one quarter — pigeonhole). */
+  def simHashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simHashSignatures(df, textCol, idCol)
+    val quarters = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          q => substring(lpad(col("sig"), 16, "0"), q * 4 + 1, lit(4)))))
+      .toDF("id", "sig", "q", "qh")
+    val a = quarters.select(col("q"), col("qh"), col("id").as("a_id"),
+      col("sig").as("a_sig"))
+    val b = quarters.select(col("q"), col("qh"), col("id").as("b_id"),
+      col("sig").as("b_sig"))
+    a.join(b, Seq("q", "qh"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        hammingHex(col("a_sig"), col("b_sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs constrained by a
+    * blocking predicate (at scale, blocking comes from LSH buckets; the
+    * predicate variant is for within-partition comparisons). */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, blocking: (Column, Column) => Column,
+                        threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(charShingles(col(textCol), n)).as("sh"))
+    val a = sh.select(col("id").as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col("id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, blocking(col("a_id"), col("b_id")) && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("a_sh"), col("b_sh")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** Embedding near-duplicates: cosine ≥ threshold among pairs sharing a
+    * sign-LSH bucket. Same banded-join shape as MinHash LSH. */
+  def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
+                        nPlanes: Int = 12, threshold: Double = 0.95): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val dim = 64
+    val planes = hyperplanes(nPlanes, dim)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("a_id"), col("v").as("a_v"))
+    val b = bucketed.select(col("bucket"), col("id").as("b_id"), col("v").as("b_v"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Training-data text-pipeline queries over the `documents` table:
+  * dedup (exact + MinHash/SimHash/n-gram near-dup), quality scoring,
+  * language ID, token stats, fingerprinting, multimodal binary plumbing.
+  * Oracle-expressible ops carry DuckDB SQL in [[oracles]]; signature-based
+  * ops (MinHash/SimHash — hash functions differ per engine) get the
+  * driver's rows-only check.
+  */
+object TextQueries {
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val enStop = Seq("the", "a", "of", "and", "to")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- exact dedup via content hash ---
+    "d1_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir), "text", "doc_id").orderBy(col("h"))
+    }),
+
+    // --- token statistics per language ---
+    "d2_token_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(sum(tokenCount(col("text"))).as("n_tokens"),
+          count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // --- per-document quality scores ---
+    "d3_quality" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          distinctTokenRatio(col("text")).as("uniq_ratio"),
+          meanTokenLength(col("text")).as("mean_tok_len"),
+          stopwordRatio(col("text"), enStop).as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- heuristic language ID (stopword argmax) ---
+    "d4_langid" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          hitCount(col("text"), LangStopwords.toMap.apply("en")).as("hits_en"),
+          hitCount(col("text"), LangStopwords.toMap.apply("de")).as("hits_de"),
+          langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- content fingerprints (md5 prefix; xxhash64 in the library) ---
+    "d5_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- MinHash + LSH near-dup candidate pairs (rows-only check) ---
+    "d6_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLsh(docs(s, dir), "text", "doc_id",
+          bands = 8, rows = 4, threshold = 0.2)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // --- SimHash signatures (rows-only check) ---
+    "d7_simhash" -> ((s, dir) => {
+      Dedup.simHashSignatures(docs(s, dir), "text", "doc_id")
+        .orderBy(col("id"))
+    }),
+
+    // --- exact n-gram Jaccard on blocked pairs ---
+    "d8_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 100)
+      Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3,
+          blocking = (a, b) => b - a <= 10, threshold = 0.3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // --- multimodal: opaque binary payload + typed metadata. The payload
+    // here is utf-8 text bytes standing in for image/audio bytes (decoders
+    // aren't in this container — see graft.multimodal for the stubbed
+    // decode plumbing); hashing/size/metadata handling is real. ---
+    "m1_multimodal_meta" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
+          col("source"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("bigint").as("n_bytes"),
+          sha2(col("payload"), 256).as("payload_sha"),
+          col("source"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> """
+      SELECT md5(text) AS h, MIN(doc_id) AS keep, COUNT(*) AS n
+      FROM documents GROUP BY md5(text) ORDER BY h""",
+    "d2_token_stats" -> """
+      SELECT lang,
+        CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+        COUNT(*) AS n_docs,
+        MIN(n_chars) AS min_chars,
+        MAX(n_chars) AS max_chars
+      FROM documents GROUP BY lang ORDER BY lang""",
+    "d3_quality" -> """
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS uniq_ratio,
+        CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
+        CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE) AS stop_ratio
+      FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents) x
+      ORDER BY doc_id""",
+    "d4_langid" -> """
+      WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents),
+      h AS (SELECT doc_id,
+        CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','is','in'))) AS BIGINT) AS hits_en,
+        CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS hits_de,
+        CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','est','une'))) AS BIGINT) AS hits_fr,
+        CAST(len(list_filter(toks, t -> t IN ('el','los','las','y','es','una'))) AS BIGINT) AS hits_es
+        FROM t)
+      SELECT doc_id, hits_en, hits_de,
+        CASE
+          WHEN hits_en > 0 AND hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+          WHEN hits_de > 0 AND hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+          WHEN hits_fr > 0 AND hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+          WHEN hits_es > 0 AND hits_es = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'es'
+          ELSE 'unk' END AS lang_guess
+      FROM h ORDER BY doc_id""",
+    "d5_fingerprint" -> """
+      SELECT doc_id, substring(md5(lower(trim(text))), 1, 16) AS fp
+      FROM documents ORDER BY doc_id""",
+    "d8_ngram_jaccard" -> """
+      WITH sh AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN length(text) >= 3
+            THEN list_transform(range(1, length(text) - 1),
+                                i -> substr(text, i, 3))
+            ELSE [text] END) AS sh
+        FROM documents WHERE doc_id < 100)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+          / CAST(len(a.sh) + len(b.sh)
+                 - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jac
+      FROM sh a JOIN sh b
+        ON b.doc_id - a.doc_id <= 10 AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+          / CAST(len(a.sh) + len(b.sh)
+                 - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) >= 0.3
+      ORDER BY a_id, b_id""",
+    "m1_multimodal_meta" -> """
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_bytes,
+        sha256(text) AS payload_sha,
+        source
+      FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Runs graft.Verify on a scale-factor dir, then replays every oracle SQL in
+DuckDB over the same parquet tables and compares: column names (sorted),
+row counts, and values (exact for ints/strings; exact-or-report for
+doubles). Strictly stricter than the driver's hash compare — if this
+passes, the driver's gate passes.
+
+Usage: python3 tools/check.py [sf_dir] [out_dir] [query_filter_substr]
+"""
+import json, math, subprocess, sys, glob, os
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+FILT = sys.argv[3] if len(sys.argv) > 3 else ""
+
+ADD_OPENS = []
+for p in ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+          "java.net", "java.nio", "java.util", "java.util.concurrent",
+          "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+          "sun.security.action", "sun.util.calendar"]:
+    ADD_OPENS += ["--add-opens", f"java.base/{p}=ALL-UNNAMED"]
+
+def run_verify():
+    cp = "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+    env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    cmd = (["java"] + ADD_OPENS +
+           ["-cp", cp, "-Xmx8g", "-Dspark.ui.enabled=false",
+            "-Dspark.sql.session.timeZone=UTC",
+            "graft.Verify", SF, OUT])
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line or "Exception" in line:
+            print("VERIFY-ERR:", line[:300])
+    if r.returncode != 0:
+        print("verify exited", r.returncode)
+        print(r.stderr[-3000:])
+        sys.exit(1)
+
+def compare():
+    import duckdb
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    results = sorted(d for d in glob.glob(f"{OUT}/*") if os.path.isdir(d))
+    npass = nfail = nrows_only = 0
+    for rdir in results:
+        name = os.path.basename(rdir)
+        if FILT and FILT not in name:
+            continue
+        try:
+            spark_rel = con.execute(
+                f"SELECT * FROM read_parquet('{rdir}/*.parquet')")
+            scols = spark_rel.description
+            srows = spark_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark result: {e}")
+            nfail += 1
+            continue
+        if name not in oracle:
+            status = "ROWS-ONLY" if len(srows) > 0 else "ROWS-ONLY-EMPTY!"
+            if len(srows) == 0:
+                nfail += 1
+            else:
+                nrows_only += 1
+            print(f"{status:5} {name}: {len(srows)} rows")
+            continue
+        try:
+            ora_rel = con.execute(oracle[name])
+            ocols = ora_rel.description
+            orows = ora_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+            nfail += 1
+            continue
+        sn = [c[0] for c in scols]
+        on = [c[0] for c in ocols]
+        if sorted(sn) != sorted(on):
+            print(f"FAIL {name}: columns differ spark={sorted(sn)} oracle={sorted(on)}")
+            nfail += 1
+            continue
+        # reorder oracle rows' values into spark column order
+        operm = [on.index(c) for c in sn]
+        orows = [tuple(r[i] for i in operm) for r in orows]
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            nfail += 1
+            continue
+        bad = None
+        for i, (sr, orr) in enumerate(zip(srows, orows)):
+            for j, (a, b) in enumerate(zip(sr, orr)):
+                if a == b:
+                    continue
+                if isinstance(a, float) and isinstance(b, float):
+                    if (math.isnan(a) and math.isnan(b)):
+                        continue
+                    bad = (i, sn[j], a, b,
+                           abs(a - b) / max(1e-300, abs(b)))
+                    break
+                bad = (i, sn[j], a, b, None)
+                break
+            if bad:
+                break
+        if bad:
+            i, cname, a, b, rel = bad
+            extra = f" relerr={rel:.2e}" if rel is not None else ""
+            print(f"FAIL {name}: row {i} col {cname}: spark={a!r} oracle={b!r}{extra}")
+            nfail += 1
+        else:
+            npass += 1
+            print(f"PASS  {name}: {len(srows)} rows")
+    print(f"\n== {npass} pass, {nrows_only} rows-only, {nfail} fail ==")
+    sys.exit(1 if nfail else 0)
+
+if __name__ == "__main__":
+    run_verify()
+    compare()
