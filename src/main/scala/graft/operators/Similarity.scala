@@ -59,8 +59,13 @@ object Similarity {
     * per-cell candidate join. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col("vec_id")).limit(nCells)
+    // Centroids are cluster metadata (≤ a few thousand rows even at 100 TB):
+    // collect once and re-broadcast as literals, instead of re-running the
+    // centroid job for the corpus-assignment AND query-probe subplans.
+    val cents0 = corpus.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val cents = corpus.sparkSession.createDataFrame(
+      cents0.collectAsList(), cents0.schema)
     val cw = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("c_id"))
     val assigned = corpus.crossJoin(broadcast(cents))
       .withColumn("d", l2sq(col("embedding"), col("c_emb")))
