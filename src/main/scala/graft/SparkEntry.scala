@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
     graft.queries.TextQueries.queries ++
-    graft.queries.VectorQueries.queries
+    graft.queries.VectorQueries.queries ++
+    graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
     graft.queries.TextQueries.oracles ++
-    graft.queries.VectorQueries.oracles
+    graft.queries.VectorQueries.oracles ++
+    graft.queries.ExtQueries.oracles
 }

@@ -1,0 +1,269 @@
+package graft.api
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, when}
+import org.apache.spark.sql.types._
+import graft.sources.DynamicSchema
+
+/** Session + catalog facade — the Spark-native equivalent of the
+  * reference's database/namespace/table surface
+  * (/root/reference components/catalog/: pg_class-style catalog,
+  * `relkind` r/g/v/m, integration/cpp/wrapper_dispatcher.hpp entry points).
+  *
+  * Tables live as directories of parquet ingest batches under a root path;
+  * dynamic tables evolve their schema per insert via [[DynamicSchema]]
+  * (each batch keeps its own physical schema; reads cast to the union —
+  * old data survives type evolution without rewrites). Views are stored
+  * SQL expanded at reference time; matviews are CTAS with explicit
+  * refresh. Transactions/WAL/MVCC are intentionally absent: batch
+  * overwrite semantics with staged directory swaps (documented divergence
+  * from the reference's OLTP half).
+  */
+class GraftSession(val spark: SparkSession, root: String) {
+  private val rootPath = Paths.get(root)
+  Files.createDirectories(rootPath)
+
+  private val views = scala.collection.mutable.Map[String, String]()
+  private case class TableState(
+    dynamic: Boolean,
+    var schema: StructType,
+    var tombstones: Set[String])
+  private val tables = scala.collection.mutable.Map[String, TableState]()
+
+  // ---------------------------------------------------------------- DDL
+
+  def createDatabase(name: String): Unit =
+    Files.createDirectories(rootPath.resolve(name))
+
+  /** Fixed-schema table (`relkind='r'`). */
+  def createTable(name: String, schema: StructType): Unit = {
+    Files.createDirectories(dataDir(name))
+    tables(name) = TableState(dynamic = false, schema, Set.empty)
+    persistMeta(name)
+  }
+
+  /** Dynamic/computing table (`relkind='g'`) — columns appear on insert. */
+  def createDynamicTable(name: String): Unit = {
+    Files.createDirectories(dataDir(name))
+    tables(name) = TableState(dynamic = true, new StructType(), Set.empty)
+    persistMeta(name)
+  }
+
+  def dropTable(name: String): Unit = {
+    deleteRecursively(tableDir(name))
+    tables.remove(name)
+  }
+
+  def addColumn(name: String, column: String, dt: DataType): Unit = {
+    val st = state(name)
+    st.schema = DynamicSchema.merge(st.schema,
+      StructType(Seq(StructField(column, dt))))
+    st.tombstones -= column
+    persistMeta(name)
+  }
+
+  /** DROP COLUMN is a tombstone — data files are untouched (metadata-only,
+    * O(1) at any scale); re-adding the column resurfaces the old values,
+    * mirroring `dynamic_schema_drop_then_readd_preserves_old_data`. */
+  def dropColumn(name: String, column: String): Unit = {
+    val st = state(name)
+    st.tombstones += column
+    persistMeta(name)
+  }
+
+  def renameColumn(name: String, from: String, to: String): Unit = {
+    val st = state(name)
+    // physical batches keep the old name; reads alias it. Represent the
+    // rename by rewriting the union schema + recording a tombstone-free
+    // alias batch-side at read (rename map persisted in meta).
+    renames(name) = renames.getOrElse(name, Map.empty) + (to -> from)
+    st.schema = StructType(st.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    persistMeta(name)
+  }
+  private val renames = scala.collection.mutable.Map[String, Map[String, String]]()
+
+  // ---------------------------------------------------------------- DML
+
+  /** INSERT: appends a batch. Dynamic tables merge schemas
+    * (NEW / SAME-TYPE / TYPE-EVOLUTION); fixed tables validate + cast. */
+  def insert(name: String, df: DataFrame): Unit = {
+    val st = state(name)
+    if (st.dynamic) {
+      st.schema = DynamicSchema.merge(st.schema, df.schema)
+    } else {
+      val unknown = df.schema.fieldNames.filterNot(st.schema.fieldNames.contains)
+      require(unknown.isEmpty, s"unknown columns ${unknown.mkString(",")}")
+    }
+    val batch = dataDir(name).resolve(f"batch_${nextBatchId(name)}%06d")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+    persistMeta(name)
+  }
+
+  /** UPDATE ... SET ... WHERE ... [RETURNING]: read → transform → staged
+    * overwrite (write to _staging, swap directories — the trivial "commit"
+    * from SURVEY §7; no txn machinery). Returns the updated rows. */
+  def update(name: String, set: Map[String, Column], where: Column): DataFrame = {
+    val current = table(name)
+    val updated = set.foldLeft(current) { case (df, (c, v)) =>
+      df.withColumn(c, when(where, v).otherwise(col(c)))
+    }
+    val returning = updated.filter(where)
+    overwrite(name, updated, returning)
+  }
+
+  /** DELETE ... WHERE ... [RETURNING the deleted rows]. */
+  def delete(name: String, where: Column): DataFrame = {
+    val current = table(name)
+    overwrite(name, current.filter(!where || where.isNull), current.filter(where))
+  }
+
+  private def overwrite(name: String, newData: DataFrame, returning: DataFrame): DataFrame = {
+    val ret = returning.collect() // materialize BEFORE the swap invalidates inputs
+    val staging = tableDir(name).resolve("_staging")
+    deleteRecursively(staging)
+    newData.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val data = dataDir(name)
+    deleteRecursively(data)
+    Files.createDirectories(data)
+    Files.move(staging, data.resolve("batch_000000"),
+      StandardCopyOption.ATOMIC_MOVE)
+    state(name).schema = newData.schema
+    persistMeta(name)
+    spark.createDataFrame(ret.toList.asJava, newData.schema)
+  }
+
+  // ---------------------------------------------------------------- read
+
+  /** Resolved table: every ingest batch read with its own physical schema,
+    * cast + null-padded to the union schema, tombstones dropped. */
+  def table(name: String): DataFrame = {
+    val st = state(name)
+    val rename = renames.getOrElse(name, Map.empty)
+    val visible = st.schema.fields.filterNot(f => st.tombstones(f.name))
+    val batches = listBatches(name)
+    if (batches.isEmpty || visible.isEmpty) {
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(visible))
+    }
+    batches.map { b =>
+      val raw = spark.read.parquet(b.toString)
+      val cols = visible.map { f =>
+        val physical = rename.getOrElse(f.name, f.name)
+        if (raw.schema.fieldNames.contains(physical))
+          col(physical).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      raw.select(cols.toSeq: _*)
+    }.reduce(_ union _)
+  }
+
+  // ------------------------------------------------------- views/matviews
+
+  def createView(name: String, sql: String): Unit = views(name) = sql
+
+  /** Materialized view = CTAS; refresh re-runs the stored body. */
+  def createMatView(name: String, sql: String): Unit = {
+    views(name) = sql
+    val df = this.sql(sql)
+    createTable(name, df.schema)
+    insert(name, df)
+  }
+
+  def refreshMatView(name: String): Unit = {
+    val body = views(name)
+    dropTable(name)
+    createMatView(name, body)
+  }
+
+  /** Monotonic sequence (reference node_sequence): file-backed counter. */
+  def nextSequence(name: String): Long = {
+    val f = rootPath.resolve(s"_seq_$name")
+    val cur = if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
+    Files.writeString(f, (cur + 1).toString)
+    cur + 1
+  }
+
+  // ---------------------------------------------------------------- SQL
+
+  /** SQL entry point: PG-dialect affordances (jsonb `->`/`->>`/`#>`/`#>>`,
+    * `::?` assertions, `$n` parameters) are rewritten to Spark SQL by
+    * [[graft.functions.Jsonb.rewrite]], catalog tables and views are
+    * registered as temp views, then Catalyst takes over. */
+  def sql(query: String, params: Seq[Any] = Nil): DataFrame = {
+    tables.keys.foreach(n => table(n).createOrReplaceTempView(n))
+    views.foreach { case (n, body) =>
+      if (!tables.contains(n)) spark.sql(body).createOrReplaceTempView(n)
+    }
+    spark.sql(graft.functions.Jsonb.rewrite(query, params))
+  }
+
+  /** UDF registration surface (reference register_udf /
+    * operator_register_udf): thin naming shim over spark.udf. */
+  def registerUdf[A, B](name: String, f: A => B)(
+      implicit ta: reflect.runtime.universe.TypeTag[B],
+      tb: reflect.runtime.universe.TypeTag[A]): Unit =
+    spark.udf.register(name, f)
+
+  // ------------------------------------------------------------- plumbing
+
+  private def state(name: String): TableState =
+    tables.getOrElse(name, loadMeta(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name")))
+
+  private def tableDir(name: String): Path =
+    rootPath.resolve(name.replace('.', '/'))
+  private def dataDir(name: String): Path = tableDir(name).resolve("data")
+
+  private def listBatches(name: String): Seq[Path] =
+    Files.list(dataDir(name)).iterator.asScala.toSeq
+      .filter(p => p.getFileName.toString.startsWith("batch_")).sortBy(_.toString)
+
+  private def nextBatchId(name: String): Int = listBatches(name).size
+
+  /** Metadata = union schema DDL + tombstones + flags; schema round-trips
+    * through StructType.toDDL/fromDDL (no hand-rolled JSON). */
+  private def persistMeta(name: String): Unit = {
+    val st = tables(name)
+    val meta = tableDir(name).resolve("_graft_meta")
+    Files.createDirectories(meta)
+    Files.writeString(meta.resolve("schema.ddl"), st.schema.toDDL)
+    Files.writeString(meta.resolve("tombstones.txt"),
+      st.tombstones.mkString("\n"))
+    Files.writeString(meta.resolve("kind.txt"), if (st.dynamic) "g" else "r")
+    Files.writeString(meta.resolve("renames.txt"),
+      renames.getOrElse(name, Map.empty)
+        .map { case (k, v) => s"$k=$v" }.mkString("\n"))
+  }
+
+  private def loadMeta(name: String): Option[TableState] = {
+    val meta = tableDir(name).resolve("_graft_meta")
+    if (!Files.exists(meta.resolve("schema.ddl"))) return None
+    val ddl = Files.readString(meta.resolve("schema.ddl"))
+    val schema = if (ddl.trim.isEmpty) new StructType()
+                 else StructType.fromDDL(ddl)
+    val tomb = Files.readString(meta.resolve("tombstones.txt"))
+      .split("\n").filter(_.nonEmpty).toSet
+    val dynamic = Files.readString(meta.resolve("kind.txt")).trim == "g"
+    val rn = Files.readString(meta.resolve("renames.txt"))
+      .split("\n").filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); k -> v
+      }.toMap
+    if (rn.nonEmpty) renames(name) = rn
+    val st = TableState(dynamic, schema, tomb)
+    tables(name) = st
+    Some(st)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+}
+
+object GraftSession {
+  def apply(spark: SparkSession, root: String): GraftSession =
+    new GraftSession(spark, root)
+}

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's JSONB operator surface
+  * (/root/reference components/expressions/forward.hpp:64-70 — `->`,
+  * `->>`, `#>`, `#>>`, `-` deletion, `::?` assertion; SQL lowering at
+  * components/sql/transformer/impl/transform_select.cpp:641-715),
+  * re-expressed two ways:
+  *
+  *  1. a Column DSL ([[JsonbColumn]]) for struct columns (`getField`,
+  *     `dropFields`) and JSON-string columns (`get_json_object`) — all
+  *     codegen'd built-ins, no UDFs;
+  *  2. a SQL pre-rewriter ([[rewrite]]) that turns PG-dialect operator
+  *     spellings into Spark SQL before Catalyst parses, plus `$n`
+  *     parameter binding (reference entry point 3).
+  */
+object Jsonb {
+
+  implicit class JsonbColumn(val c: Column) {
+    /** `->` on struct columns: field access (keeps structure). */
+    def field(name: String): Column = c.getField(name)
+
+    /** `->>` on a JSON-string column: extract as text. */
+    def ->>(key: String): Column = get_json_object(c, "$." + key)
+
+    /** `#>>` path extraction on a JSON-string column. */
+    def #>>(path: Seq[String]): Column =
+      get_json_object(c, "$." + path.mkString("."))
+
+    /** `-` key deletion on a struct column (reference jsonb_delete). */
+    def deleteField(name: String): Column = c.dropFields(name)
+
+    /** `::?` type assertion: cast-or-fail under ANSI mode. */
+    def typeAssert(t: String): Column = c.cast(t)
+  }
+
+  /** Rewrites PG-dialect SQL to Spark SQL:
+    *   - `$1, $2…` placeholders → bound literals
+    *   - `a->'b'->>'c'` chains  → `get_json_object(a, '$.b.c')`
+    *   - `a #> '{b,c}'` / `#>>` → `get_json_object(a, '$.b.c')`
+    *   - `a - 'k'` (string minus string-literal) → flat-map key deletion
+    *   - `expr ::? 'type'`      → `CAST(expr AS type)`
+    * Plain `::` casts parse natively in Spark ≥3.4 and pass through.
+    * Purely textual (regex) by design: the affordance layer stays thin and
+    * everything after it is Catalyst — mirroring SURVEY §3's lifecycle
+    * mapping where our "transformer" stage is this one function. */
+  def rewrite(query: String, params: Seq[Any] = Nil): String = {
+    var q = query
+    // $n parameters (highest first so $12 binds before $1)
+    params.zipWithIndex.sortBy(-_._2).foreach { case (v, i) =>
+      q = q.replace("$" + (i + 1), sqlLiteral(v))
+    }
+    // ident->'k1'->'k2'->>'k3' chains (any mix; last op decides nothing
+    // here — get_json_object always returns text, matching ->> semantics;
+    // -> midway through a chain is pure navigation either way)
+    import scala.util.matching.Regex
+    val chain = """([A-Za-z_][\w.]*)((?:\s*->>?\s*'[^']+')+)""".r
+    q = chain.replaceAllIn(q, m => {
+      val base = m.group(1)
+      val keys = "'([^']+)'".r.findAllMatchIn(m.group(2)).map(_.group(1))
+      Regex.quoteReplacement(
+        s"get_json_object($base, '$$.${keys.mkString(".")}')")
+    })
+    // #> / #>> '{a,b}' paths
+    val hashPath = """([A-Za-z_][\w.]*)\s*#>>?\s*'\{([^}]*)\}'""".r
+    q = hashPath.replaceAllIn(q, m => {
+      val path = m.group(2).split(",").map(_.trim).mkString(".")
+      Regex.quoteReplacement(
+        s"get_json_object(${m.group(1)}, '$$.$path')")
+    })
+    // key deletion on flat JSON objects: a - 'k'
+    val del = """([A-Za-z_][\w.]*)\s+-\s+'([^']+)'""".r
+    q = del.replaceAllIn(q, m => Regex.quoteReplacement(
+      s"to_json(map_filter(from_json(${m.group(1)}, 'map<string,string>'), " +
+        s"(k, v) -> k != '${m.group(2)}'))"))
+    // ::? 'type' assertions
+    val assertCast = """::\?\s*'?([A-Za-z ()0-9,]+)'?""".r
+    q = assertCast.replaceAllIn(q, m => s"::${m.group(1)}")
+    q
+  }
+
+  private def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case other => other.toString
+  }
+}

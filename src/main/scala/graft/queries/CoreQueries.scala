@@ -177,7 +177,7 @@ object CoreQueries {
     }),
     "q15_except" -> ((s, dir) => {
       val a = t(s, dir, "customer").select(col("c_custkey"))
-      val b = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      val b = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
         .select(col("o_custkey").as("c_custkey"))
       a.except(b).orderBy(col("c_custkey"))
     }),
@@ -413,7 +413,7 @@ object CoreQueries {
     "q15_except" -> """
       SELECT c_custkey FROM customer
       EXCEPT
-      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
       ORDER BY c_custkey""",
     "q16_having" -> """
       SELECT o_custkey, COUNT(*) AS n,

@@ -1,0 +1,97 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.api.GraftSession
+import graft.functions.Jsonb
+import graft.operators.RecursiveCte
+
+/** Long-tail operator surface (SURVEY §2.7, §2.10, §2.11): recursive CTE,
+  * DML with RETURNING through the session catalog, PG-dialect JSONB SQL
+  * through the rewriter, and runtime UDF registration. */
+object ExtQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- WITH RECURSIVE via the driver-side fixpoint loop ---
+    "x1_recursive_cte" -> ((s, dir) => {
+      import s.implicits._
+      RecursiveCte.fixpoint(
+        Seq(1L).toDF("n"),
+        d => d.filter(col("n") < 25).select((col("n") + 1).as("n")))
+        .orderBy(col("n"))
+    }),
+
+    // --- UPDATE ... RETURNING through the session write path ---
+    "x2_update_returning" -> ((s, dir) => {
+      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      g.createTable("c", Tables.load(s, dir, "customer").schema)
+      g.insert("c", Tables.load(s, dir, "customer"))
+      g.update("c",
+          Map("c_acctbal" -> (col("c_acctbal") * 1.1)),
+          col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // --- DELETE ... RETURNING ---
+    "x3_delete_returning" -> ((s, dir) => {
+      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      g.createTable("d", Tables.load(s, dir, "documents").schema)
+      g.insert("d", Tables.load(s, dir, "documents"))
+      g.delete("d", col("n_chars") < 100)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- PG-dialect jsonb SQL through the rewriter ---
+    "x4_jsonb_sql" -> ((s, dir) => {
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(Jsonb.rewrite("""
+        SELECT CAST(props->>'k' AS BIGINT) % 5 AS kmod, COUNT(*) AS n
+        FROM events WHERE CAST(props->>'k' AS BIGINT) >= $1
+        GROUP BY CAST(props->>'k' AS BIGINT) % 5
+        ORDER BY kmod""", Seq(10)))
+    }),
+
+    // --- runtime UDF registration (reference register_udf surface) ---
+    "x5_udf" -> ((s, dir) => {
+      s.udf.register("graft_discounted",
+        (price: Double, disc: Double) => price * (1.0 - disc))
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_orderkey, l_linenumber,
+               graft_discounted(l_extendedprice, l_discount) AS net
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, net
+        LIMIT 200""")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x1_recursive_cte" -> """
+      WITH RECURSIVE t(n) AS (
+        SELECT CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT n + 1 FROM t WHERE n < 25)
+      SELECT n FROM t ORDER BY n""",
+    "x2_update_returning" -> """
+      SELECT c_custkey, c_acctbal * 1.1 AS c_acctbal
+      FROM customer WHERE c_acctbal < 0 ORDER BY c_custkey""",
+    "x3_delete_returning" -> """
+      SELECT doc_id, n_chars FROM documents WHERE n_chars < 100
+      ORDER BY doc_id""",
+    "x4_jsonb_sql" -> """
+      SELECT CAST(props->>'k' AS BIGINT) % 5 AS kmod, COUNT(*) AS n
+      FROM events WHERE CAST(props->>'k' AS BIGINT) >= 10
+      GROUP BY CAST(props->>'k' AS BIGINT) % 5
+      ORDER BY kmod""",
+    "x5_udf" -> """
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice * (1.0 - l_discount) AS net
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, net
+      LIMIT 200"""
+  )
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference's "streaming" is its
+  * push-based intra-query batch pipeline (SURVEY §2.9 — no event time, no
+  * watermarks); Spark's normal execution already is that, so this module
+  * is the *additive* unbounded-stream capability: windowed aggregation
+  * with watermarks and custom sessionization state — the operators a
+  * production event pipeline needs.
+  *
+  * Every transform here works identically on a batch DataFrame and a
+  * `readStream` DataFrame (Structured Streaming's core contract), which is
+  * how the batch queries in CoreQueries (q28_tumbling_window) and these
+  * streaming ops share semantics.
+  */
+object EventPipeline {
+
+  case class Event(user_id: Long, event_type: String, t: java.sql.Timestamp,
+                   value: Double)
+  case class Session(user_id: Long, n_events: Int, total: Double,
+                     start: java.sql.Timestamp, end: java.sql.Timestamp)
+
+  /** Unbounded source over a directory of event parquet (schema fixed up
+    * front — streaming requires it). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+      .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling-window counts with late-data handling: watermark bounds
+    * state so a 1000-executor job holds hours, not history, in memory. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("t", watermark)
+      .groupBy(window(col("t"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"),
+        col("total"))
+
+  /** Sliding windows (overlapping) — same watermark-bounded state. */
+  def slidingCounts(events: DataFrame, window_ : String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("t", "2 hours")
+      .groupBy(window(col("t"), window_, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("h"), col("n"))
+
+  /** Custom sessionization via flatMapGroupsWithState: groups per user,
+    * closes a session after `gapMinutes` of inactivity. State per key is a
+    * single running Session — bounded memory, timeout-driven eviction on
+    * real streams. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[Session]) =>
+          val sorted = rows.toSeq.sortBy(_.t.getTime)
+          val out = scala.collection.mutable.Buffer[Session]()
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.t.getTime - s.end.getTime <= gapMs =>
+                cur = Some(s.copy(n_events = s.n_events + 1,
+                  total = s.total + e.value, end = e.t))
+              case Some(s) =>
+                out += s
+                cur = Some(Session(user, 1, e.value, e.t, e.t))
+              case None =>
+                cur = Some(Session(user, 1, e.value, e.t, e.t))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None => ()
+          }
+          // In true streaming, open sessions stay in state until timeout;
+          // batch runs flush them so results are complete.
+          (out ++ cur).iterator
+      }
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api.GraftSession
+
+/** Mirrors the reference's dynamic-schema + DML integration tests
+  * (integration/cpp/test/test_sql_features.cpp dynamic_schema_* suite,
+  * test_returning.cpp). */
+class GraftSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshSession(): GraftSession =
+    GraftSession(spark, Files.createTempDirectory("graft").toString)
+
+  test("dynamic schema basic flow: columns appear per insert") {
+    val g = freshSession()
+    g.createDynamicTable("t")
+    g.insert("t", Seq(("id1", 1L, "x")).toDF("_id", "a", "b"))
+    g.insert("t", Seq(("id2", 2L, "y", 3.14)).toDF("_id", "a", "b", "c"))
+    g.insert("t", Seq(("id3", 100L)).toDF("_id", "alpha"))
+    val out = g.table("t").orderBy("_id").collect()
+    assert(g.table("t").columns.toSeq == Seq("_id", "a", "b", "c", "alpha"))
+    assert(out.length == 3)
+    assert(out(0).getAs[Any]("c") == null) // earlier rows read NULL
+    assert(out(2).getAs[Long]("alpha") == 100L)
+  }
+
+  test("type evolution multistep: int -> long -> string, old data preserved") {
+    val g = freshSession()
+    g.createDynamicTable("t")
+    g.insert("t", Seq((1, 10)).toDF("_id", "v"))
+    g.insert("t", Seq((2, 20L)).toDF("_id", "v"))
+    g.insert("t", Seq((3, "thirty")).toDF("_id", "v"))
+    val out = g.table("t").orderBy("_id").collect()
+    assert(g.table("t").schema("v").dataType == StringType)
+    assert(out.map(_.getString(1)).toSeq == Seq("10", "20", "thirty"))
+  }
+
+  test("drop then re-add preserves old data (tombstone semantics)") {
+    val g = freshSession()
+    g.createDynamicTable("t")
+    g.insert("t", Seq((1, "keep")).toDF("_id", "x"))
+    g.dropColumn("t", "x")
+    assert(g.table("t").columns.toSeq == Seq("_id"))
+    g.addColumn("t", "x", StringType)
+    val out = g.table("t").collect()
+    assert(out.head.getString(1) == "keep")
+  }
+
+  test("rename column serves old physical data under the new name") {
+    val g = freshSession()
+    g.createDynamicTable("t")
+    g.insert("t", Seq((1, 5L)).toDF("_id", "old"))
+    g.renameColumn("t", "old", "neu")
+    assert(g.table("t").columns.toSeq == Seq("_id", "neu"))
+    assert(g.table("t").select("neu").as[Long].head() == 5L)
+  }
+
+  test("fixed table rejects unknown columns") {
+    val g = freshSession()
+    g.createTable("f", StructType(Seq(StructField("a", LongType))))
+    intercept[IllegalArgumentException] {
+      g.insert("f", Seq((1L, 2L)).toDF("a", "zzz"))
+    }
+  }
+
+  test("update with RETURNING") {
+    val g = freshSession()
+    g.createTable("t", StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType))))
+    g.insert("t", Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"))
+    val ret = g.update("t", Map("v" -> (col("v") + 1)), col("id") >= 2)
+    assert(ret.select("v").as[Long].collect().sorted.toSeq == Seq(21L, 31L))
+    assert(g.table("t").agg(sum("v")).as[Long].head() == 10 + 21 + 31)
+  }
+
+  test("delete with RETURNING") {
+    val g = freshSession()
+    g.createTable("t", StructType(Seq(StructField("id", LongType))))
+    g.insert("t", (1L to 10L).toDF("id"))
+    val ret = g.delete("t", col("id") > 7)
+    assert(ret.count() == 3)
+    assert(g.table("t").count() == 7)
+  }
+
+  test("views and matviews with refresh") {
+    val g = freshSession()
+    g.createTable("base", StructType(Seq(StructField("v", LongType))))
+    g.insert("base", Seq(1L, 2L, 3L).toDF("v"))
+    g.createView("doubled", "SELECT v * 2 AS d FROM base")
+    assert(g.sql("SELECT sum(d) AS s FROM doubled").as[Long].head() == 12L)
+    g.createMatView("mv", "SELECT sum(v) AS s FROM base")
+    assert(g.table("mv").as[Long].head() == 6L)
+    g.insert("base", Seq(10L).toDF("v"))
+    assert(g.table("mv").as[Long].head() == 6L) // stale until refresh
+    g.refreshMatView("mv")
+    assert(g.table("mv").as[Long].head() == 16L)
+  }
+
+  test("sequences are monotonic and persistent") {
+    val g = freshSession()
+    assert(g.nextSequence("s") == 1L)
+    assert(g.nextSequence("s") == 2L)
+    assert(g.nextSequence("other") == 1L)
+  }
+
+  test("metadata survives a fresh session over the same root") {
+    val root = Files.createTempDirectory("graft").toString
+    val g1 = GraftSession(spark, root)
+    g1.createDynamicTable("t")
+    g1.insert("t", Seq((1, "a")).toDF("_id", "x"))
+    g1.dropColumn("t", "x")
+    val g2 = GraftSession(spark, root)
+    assert(g2.table("t").columns.toSeq == Seq("_id"))
+  }
+}

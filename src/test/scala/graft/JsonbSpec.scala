@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Jsonb
+
+/** JSONB operator surface: SQL rewriting + column DSL
+  * (reference transform_select.cpp:641-715 jsonb lowering). */
+class JsonbSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rewrite: ->> chain to get_json_object") {
+    assert(Jsonb.rewrite("SELECT props->>'k' FROM e")
+      == "SELECT get_json_object(props, '$.k') FROM e")
+    assert(Jsonb.rewrite("SELECT m->'a'->>'b' FROM e")
+      == "SELECT get_json_object(m, '$.a.b') FROM e")
+  }
+
+  test("rewrite: #> path and key deletion") {
+    assert(Jsonb.rewrite("SELECT m #> '{a,b}' FROM e")
+      == "SELECT get_json_object(m, '$.a.b') FROM e")
+    assert(Jsonb.rewrite("SELECT m - 'a' FROM e").contains("map_filter"))
+  }
+
+  test("rewrite: $n parameter binding (incl. escaping)") {
+    assert(Jsonb.rewrite("SELECT * FROM t WHERE a = $1 AND b = $2",
+      Seq("x'y", 42)) == "SELECT * FROM t WHERE a = 'x''y' AND b = 42")
+  }
+
+  test("end-to-end: PG-dialect SQL over a JSON column") {
+    Seq(("""{"k": 7, "j": 1}""", 1L), ("""{"k": 9, "j": 2}""", 2L))
+      .toDF("props", "id").createOrReplaceTempView("ev")
+    val out = spark.sql(Jsonb.rewrite(
+      "SELECT CAST(props->>'k' AS BIGINT) AS k FROM ev ORDER BY id"))
+      .as[Long].collect()
+    assert(out.toSeq == Seq(7L, 9L))
+    val deleted = spark.sql(Jsonb.rewrite(
+      "SELECT props - 'j' AS d FROM ev ORDER BY id")).as[String].head()
+    assert(deleted == """{"k":"7"}""")
+  }
+
+  test("column DSL on struct and json-string columns") {
+    import Jsonb._
+    val df = Seq((1L, """{"a": {"b": 5}}""")).toDF("id", "js")
+      .withColumn("st", struct(lit(1).as("x"), lit(2).as("y")))
+    assert(df.select(col("js") #>> Seq("a", "b")).as[String].head() == "5")
+    assert(df.select(col("st").field("x")).as[Int].head() == 1)
+    val dropped = df.select(col("st").deleteField("y").as("s"))
+    assert(dropped.select("s.*").columns.toSeq == Seq("x"))
+  }
+}

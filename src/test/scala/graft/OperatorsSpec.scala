@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, RecursiveCte, Similarity}
+import graft.functions.VectorFunctions
+
+class RecursiveCteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("numeric fixpoint matches WITH RECURSIVE semantics") {
+    val out = RecursiveCte.fixpoint(
+      Seq(1).toDF("n"),
+      d => d.filter(col("n") < 10).select((col("n") + 1).as("n")))
+    assert(out.as[Int].collect().sorted.toSeq == (1 to 10))
+  }
+
+  test("graph transitive closure (BFS frontier)") {
+    val edges = Seq(1 -> 2, 2 -> 3, 3 -> 4, 2 -> 5, 6 -> 7).toDF("src", "dst")
+    val reach = RecursiveCte.fixpoint(
+      Seq(1).toDF("node"),
+      d => d.join(edges, d("node") === edges("src"))
+        .select(col("dst").as("node")))
+    assert(reach.as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("cycles terminate under UNION semantics") {
+    val edges = Seq(1 -> 2, 2 -> 3, 3 -> 1).toDF("src", "dst")
+    val reach = RecursiveCte.fixpoint(
+      Seq(1).toDF("node"),
+      d => d.join(edges, d("node") === edges("src"))
+        .select(col("dst").as("node")))
+    assert(reach.as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox leaps over the lazy dog again and again"),
+    (4L, "completely different content about spark query engines at scale"),
+    (5L, "totally unrelated text concerning benchmark suites and oracles"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical text") {
+    val survivors = Dedup.exactSurvivors(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated pairs") {
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+      bands = 8, rows = 2, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))   // identical
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup
+    assert(!pairs.contains((4L, 5L))) // unrelated
+  }
+
+  test("simhash: identical docs share signatures; near-dups are close") {
+    val sigs = Dedup.simHashSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 12)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard scores identical > near > far") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+      blocking = (a, b) => b - a <= 10, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.7)
+    assert(pairs((4L, 5L)) < 0.2)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("brute-force knn matches a naive local computation") {
+    val q = emb.filter(col("vec_id") === 0)
+    val got = Similarity.bruteForceKnn(emb, q, k = 3)
+      .select("n_id").as[Long].collect().toSeq
+    // naive local oracle
+    val all = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val qv = all.find(_._1 == 0L).get._2.map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expect = all.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(qv, v.map(_.toDouble)) }
+      .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSeq
+    assert(got == expect)
+  }
+
+  test("lsh knn returns same-bucket true neighbors with exact cosine") {
+    val q = emb.filter(col("vec_id") < 5)
+    val out = Similarity.lshKnn(emb, q, k = 3, nPlanes = 2)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(1) <= 3))
+    // sims must be valid cosines
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+  }
+
+  test("ivf knn probes cells and ranks by cosine") {
+    val q = emb.filter(col("vec_id") < 2)
+    val out = Similarity.ivfKnn(emb, q, k = 4).collect()
+    assert(out.nonEmpty)
+    assert(out.groupBy(_.getLong(0)).values.forall(_.length <= 4))
+  }
+
+  test("vector functions: dot/norm/cosine against hand values") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 1.0f)))
+      .toDF("a", "b")
+    val d = df.select(VectorFunctions.dot(col("a"), col("b"))).as[Double].head()
+    assert(d == 4.0)
+    val n = df.select(VectorFunctions.norm(col("a"))).as[Double].head()
+    assert(n == 3.0)
+    val c = df.select(VectorFunctions.cosine(col("a"), col("a"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}

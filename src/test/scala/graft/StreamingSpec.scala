@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventPipeline
+import graft.streaming.EventPipeline.{Event, Session}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val batch = Seq(
+    Event(1L, "click", ts(0), 1.0),
+    Event(1L, "click", ts(5), 2.0),
+    Event(1L, "click", ts(50), 4.0), // > 30 min gap → new session
+    Event(2L, "view", ts(10), 8.0))
+
+  test("windowed counts on a batch frame") {
+    val out = EventPipeline.windowedCounts(batch.toDF(), "1 hour")
+      .orderBy("h", "event_type").collect()
+    assert(out.map(_.getLong(2)).sum == 4)
+  }
+
+  test("sessionize splits on inactivity gap (batch mode)") {
+    val sessions = EventPipeline.sessionize(batch.toDS(), gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.start.getTime))
+    assert(sessions.length == 3)
+    assert(sessions(0) == Session(1L, 2, 3.0, ts(0), ts(5)))
+    assert(sessions(1).n_events == 1 && sessions(1).total == 4.0)
+    assert(sessions(2).user_id == 2L)
+  }
+
+  test("windowed counts over a real unbounded stream (MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(batch: _*)
+    val q = EventPipeline.windowedCounts(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      assert(rows.map(_.getLong(2)).sum == 4)
+    } finally q.stop()
+  }
+
+  test("file stream source shape matches the batch events table") {
+    val stream = EventPipeline.readEventStream(spark, sf)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.contains("t"))
+  }
+}
