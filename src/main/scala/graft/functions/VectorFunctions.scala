@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  /** True when the session has graft's native codegen'd vector expressions
+    * (registered by [[graft.plans.GraftExtensions]]). */
+  def nativeAvailable(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.catalog.functionExists("graft_cosine")
+
+  /** Cosine via the native expression when available (≈10× on hot ANN
+    * paths), falling back to the HOF spelling. Both produce bit-identical
+    * doubles — same fold order — so plans can switch freely. */
+  def cosineAuto(spark: org.apache.spark.sql.SparkSession)(
+      a: Column, b: Column): Column =
+    if (nativeAvailable(spark)) call_function("graft_cosine", a, b)
+    else cosine(a, b)
+
+  def dotAuto(spark: org.apache.spark.sql.SparkSession)(
+      a: Column, b: Column): Column =
+    if (nativeAvailable(spark)) call_function("graft_dot", a, b)
+    else dot(a, b)
+
   /** Dot product of two equal-length array columns (sequential fold). */
   def dot(a: Column, b: Column): Column =
     aggregate(

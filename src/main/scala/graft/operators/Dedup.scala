@@ -123,7 +123,7 @@ object Dedup {
     val b = bucketed.select(col("bucket"), col("id").as("b_id"), col("v").as("b_v"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("sim"))
+      .select(col("a_id"), col("b_id"), cosineAuto(df.sparkSession)(col("a_v"), col("b_v")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

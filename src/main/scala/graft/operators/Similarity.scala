@@ -25,7 +25,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("n_id").asc)
     broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("sim", cosineAuto(corpus.sparkSession)(col("q_emb"), col("n_emb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
@@ -46,7 +46,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("n_id").asc)
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("sim", cosineAuto(corpus.sparkSession)(col("q_emb"), col("n_emb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
@@ -84,7 +84,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("n_id").asc)
     broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("sim", cosineAuto(corpus.sparkSession)(col("q_emb"), col("n_emb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))

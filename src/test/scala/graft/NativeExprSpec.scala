@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Native codegen'd vector expressions vs the declarative HOF spelling:
+  * must be bit-identical (same IEEE fold order) and null-safe. */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extensions register the native functions") {
+    assert(VectorFunctions.nativeAvailable(spark))
+  }
+
+  test("graft_cosine is bit-identical to the HOF cosine on real data") {
+    val e = Tables.load(spark, sf, "embeddings").limit(50)
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") < col("b_id"))
+    val diff = pairs.select(
+        call_function("graft_cosine", col("a"), col("b")).as("native"),
+        VectorFunctions.cosine(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("graft_dot matches HOF dot and handles nulls") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (None, Some(Array(1.0f)))).toDF("a", "b")
+    val out = df.select(call_function("graft_dot", col("a"), col("b")))
+      .collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("double arrays are accepted too") {
+    val df = Seq((Array(3.0, 4.0), Array(3.0, 4.0))).toDF("a", "b")
+    assert(df.select(call_function("graft_cosine", col("a"), col("b")))
+      .as[Double].head() == 1.0)
+  }
+}
