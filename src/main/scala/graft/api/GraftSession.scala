@@ -3,7 +3,7 @@ package graft.api
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, when}
+import org.apache.spark.sql.functions.{broadcast, col, lit, when}
 import org.apache.spark.sql.types._
 import graft.sources.DynamicSchema
 
@@ -85,6 +85,79 @@ class GraftSession(val spark: SparkSession, root: String) {
   }
   private val renames = scala.collection.mutable.Map[String, Map[String, String]]()
 
+  // ----------------------------------------------------------- constraints
+
+  sealed trait FkAction
+  case object Restrict extends FkAction
+  case object Cascade extends FkAction
+  case object SetNull extends FkAction
+
+  private case class Check(name: String, expr: String)
+  private case class Fk(column: String, parent: String, parentCol: String,
+                        onDelete: FkAction)
+  private val checks = scala.collection.mutable.Map[String, Seq[Check]]()
+    .withDefaultValue(Nil)
+  private val fks = scala.collection.mutable.Map[String, Seq[Fk]]()
+    .withDefaultValue(Nil)
+
+  /** CHECK constraint enforced on the write path (the reference planner
+    * wraps DML with check_constraint operators —
+    * components/planner/planner.cpp:54-87). Validation is one distributed
+    * count over the incoming batch only, never the whole table. */
+  def addCheckConstraint(table: String, name: String, sqlExpr: String): Unit =
+    checks(table) = checks(table) :+ Check(name, sqlExpr)
+
+  /** FOREIGN KEY with RESTRICT / CASCADE / SET NULL delete semantics
+    * (reference fk_check / fk_cascade operators; tests fk_cascade_delete,
+    * fk_set_null, fk_cascade_restrict). Insert-side check is a broadcast
+    * anti-join against parent keys. */
+  def addForeignKey(child: String, column: String, parent: String,
+                    parentCol: String, onDelete: FkAction = Restrict): Unit =
+    fks(child) = fks(child) :+ Fk(column, parent, parentCol, onDelete)
+
+  private def validateInsert(name: String, df: DataFrame): Unit = {
+    checks(name).foreach { c =>
+      val bad = df.filter(s"NOT (${c.expr}) OR (${c.expr}) IS NULL").count()
+      if (bad > 0) throw new IllegalStateException(
+        s"CHECK constraint ${c.name} violated by $bad row(s)")
+    }
+    fks(name).foreach { fk =>
+      val parents = table(fk.parent)
+        .select(col(fk.parentCol).as(fk.column)).distinct()
+      val orphans = df.select(col(fk.column))
+        .filter(col(fk.column).isNotNull)
+        .join(broadcast(parents), Seq(fk.column), "left_anti").count()
+      if (orphans > 0) throw new IllegalStateException(
+        s"FK violation: $orphans row(s) in $name.${fk.column} " +
+          s"without parent in ${fk.parent}.${fk.parentCol}")
+    }
+  }
+
+  /** Applies FK delete semantics when rows leave `parent`: children
+    * pointing at `deletedKeys` are restricted, cascaded, or nulled. */
+  private def applyFkDeleteActions(parent: String, deletedKeys: DataFrame): Unit =
+    fks.foreach { case (child, childFks) =>
+      childFks.filter(_.parent == parent).foreach { fk =>
+        val keys = deletedKeys.select(col(fk.parentCol).as(fk.column)).distinct()
+        val hits = table(child).join(broadcast(keys), Seq(fk.column), "left_semi")
+        fk.onDelete match {
+          case Restrict =>
+            val n = hits.count()
+            if (n > 0) throw new IllegalStateException(
+              s"FK RESTRICT: $n row(s) in $child still reference $parent")
+          case Cascade =>
+            val cond = col(fk.column).isin(
+              keys.collect().map(_.get(0)).toSeq: _*)
+            delete(child, cond)
+          case SetNull =>
+            val cond = col(fk.column).isin(
+              keys.collect().map(_.get(0)).toSeq: _*)
+            update(child, Map(fk.column ->
+              lit(null).cast(table(child).schema(fk.column).dataType)), cond)
+        }
+      }
+    }
+
   // ---------------------------------------------------------------- DML
 
   /** INSERT: appends a batch. Dynamic tables merge schemas
@@ -97,6 +170,7 @@ class GraftSession(val spark: SparkSession, root: String) {
       val unknown = df.schema.fieldNames.filterNot(st.schema.fieldNames.contains)
       require(unknown.isEmpty, s"unknown columns ${unknown.mkString(",")}")
     }
+    validateInsert(name, df)
     val batch = dataDir(name).resolve(f"batch_${nextBatchId(name)}%06d")
     df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
     persistMeta(name)
@@ -114,10 +188,13 @@ class GraftSession(val spark: SparkSession, root: String) {
     overwrite(name, updated, returning)
   }
 
-  /** DELETE ... WHERE ... [RETURNING the deleted rows]. */
+  /** DELETE ... WHERE ... [RETURNING the deleted rows]; fires FK delete
+    * actions (RESTRICT / CASCADE / SET NULL) on referencing tables. */
   def delete(name: String, where: Column): DataFrame = {
     val current = table(name)
-    overwrite(name, current.filter(!where || where.isNull), current.filter(where))
+    val doomed = current.filter(where)
+    applyFkDeleteActions(name, doomed)
+    overwrite(name, current.filter(!where || where.isNull), doomed)
   }
 
   private def overwrite(name: String, newData: DataFrame, returning: DataFrame): DataFrame = {
@@ -178,6 +255,26 @@ class GraftSession(val spark: SparkSession, root: String) {
     dropTable(name)
     createMatView(name, body)
   }
+
+  /** SET TIMEZONE (reference node_set_timezone / session_tz): session-wide
+    * zone applied to timestamp parsing, display and tz-aware compares. */
+  def setTimezone(tz: String): Unit =
+    spark.conf.set("spark.sql.session.timeZone", tz)
+
+  /** EXPLAIN surface: formatted Catalyst physical plan for a query. */
+  def explainPlan(query: String): String =
+    sql(query).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  /** CREATE INDEX accepted as metadata-only (SURVEY §2.11: Spark has no
+    * secondary indexes; scan pruning fills the role). Recorded so DROP
+    * INDEX and catalog introspection behave. */
+  def createIndex(index: String, table: String, columns: Seq[String]): Unit =
+    indexes(index) = (table, columns)
+  def dropIndex(index: String): Unit = indexes.remove(index)
+  def listIndexes: Map[String, (String, Seq[String])] = indexes.toMap
+  private val indexes =
+    scala.collection.mutable.Map[String, (String, Seq[String])]()
 
   /** Monotonic sequence (reference node_sequence): file-backed counter. */
   def nextSequence(name: String): Long = {

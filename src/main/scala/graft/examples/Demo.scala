@@ -1,0 +1,54 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api.GraftSession
+
+/** Runnable tour of the session surface: catalog + dynamic schema + DML +
+  * constraints + PG-dialect SQL. `sbt "runMain graft.examples.Demo"`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val g = GraftSession(spark,
+      java.nio.file.Files.createTempDirectory("graft_demo").toString)
+
+    // fixed tables + constraints
+    g.createTable("parent", StructType(Seq(StructField("id", LongType))))
+    g.createTable("child", StructType(Seq(
+      StructField("id", LongType), StructField("pid", LongType))))
+    g.addCheckConstraint("child", "pos_id", "id > 0")
+    g.addForeignKey("child", "pid", "parent", "id", g.Cascade)
+    g.insert("parent", Seq(1L, 2L).toDF("id"))
+    g.insert("child", Seq((10L, 1L), (11L, 2L)).toDF("id", "pid"))
+    try g.insert("child", Seq((-1L, 1L)).toDF("id", "pid"))
+    catch { case e: IllegalStateException =>
+      println(s"CHECK rejected: ${e.getMessage}") }
+    try g.insert("child", Seq((12L, 99L)).toDF("id", "pid"))
+    catch { case e: IllegalStateException =>
+      println(s"FK rejected: ${e.getMessage}") }
+    g.delete("parent", col("id") === 1L)
+    println("child ids after cascade: " +
+      g.table("child").select("id").as[Long].collect().toList)
+
+    // dynamic table + jsonb SQL
+    g.createDynamicTable("docs")
+    g.insert("docs", Seq(("a", """{"k": 1}""")).toDF("_id", "props"))
+    g.insert("docs", Seq(("b", """{"k": 2}""", 7L)).toDF("_id", "props", "extra"))
+    println("dynamic schema: " + g.table("docs").schema.toDDL)
+    g.sql("SELECT _id, props->>'k' AS k FROM docs ORDER BY _id").show()
+
+    // session niceties
+    g.setTimezone("UTC")
+    println(g.explainPlan(
+      "SELECT pid, count(*) AS n FROM child GROUP BY pid")
+      .linesIterator.take(10).mkString("\n"))
+    spark.stop()
+  }
+}
