@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
     graft.queries.TextQueries.queries ++
     graft.queries.VectorQueries.queries ++
-    graft.queries.ExtQueries.queries
+    graft.queries.ExtQueries.queries ++
+    graft.queries.TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracles ++
     graft.queries.TextQueries.oracles ++
     graft.queries.VectorQueries.oracles ++
-    graft.queries.ExtQueries.oracles
+    graft.queries.ExtQueries.oracles ++
+    graft.queries.TpchQueries.oracles
 }
