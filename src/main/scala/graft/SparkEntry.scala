@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.TextQueries.queries ++
     graft.queries.VectorQueries.queries ++
     graft.queries.ExtQueries.queries ++
-    graft.queries.TpchQueries.queries
+    graft.queries.TpchQueries.queries ++
+    graft.queries.ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.TextQueries.oracles ++
     graft.queries.VectorQueries.oracles ++
     graft.queries.ExtQueries.oracles ++
-    graft.queries.TpchQueries.oracles
+    graft.queries.TpchQueries.oracles ++
+    graft.queries.ScaleQueries.oracles
 }

@@ -77,6 +77,25 @@ object TextFunctions {
     }
   }
 
+  /** BPE-ish subword tokenization: letter runs, digit runs, and single
+    * non-space symbols — the pre-tokenization regex family used by GPT-2
+    * style BPE vocabularies, without the merges table. */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c)).cast("bigint")
+
+  /** Rolling polynomial fingerprint over tokens (Karp-Rabin style):
+    * acc ← (acc·31 + |xxhash64(token)| mod p) mod p. Stays below 2^62 so
+    * ANSI-mode long arithmetic cannot overflow. */
+  def fingerprintRolling(c: Column): Column = {
+    val p = 1000000007L
+    bind(tokens(c)) { t =>
+      aggregate(t, lit(1L),
+        (acc, tok) => pmod(acc * 31L + pmod(xxhash64(tok), lit(p)), lit(p)))
+    }
+  }
+
   /** 64-bit content fingerprint (xxhash64 of normalized text). */
   def fingerprint64(c: Column): Column = xxhash64(lower(trim(c)))
 

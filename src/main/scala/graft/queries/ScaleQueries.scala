@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Skew
+
+/** Scale-pattern queries: skew-salted aggregation (oracle = the unsalted
+  * SQL, proving algebraic equivalence), window-function sessionization
+  * (the shuffle-native batch twin of streaming/EventPipeline.sessionize),
+  * and subword tokenization stats. */
+object ScaleQueries {
+  private val D = DecimalType(28, 6)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- two-phase salted aggregation; results identical to plain groupBy
+    "k1_salted_stats" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value").cast(D).as("v"))
+      Skew.saltedStats(e, Seq("event_type"), "v", buckets = 16)
+        .select(col("event_type"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("n"),
+          col("min_v").cast("double").as("min_v"),
+          col("max_v").cast("double").as("max_v"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- gaps-and-islands sessionization via window functions ---
+    "s2_sessions" -> ((s, dir) => {
+      val gapUs = 30L * 60 * 1000000
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("mu"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("t")).as("mu"))
+        .withColumn("prev", lag(col("mu"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev").isNull || col("mu") - col("prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_session")).over(w))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), max(col("sz")).as("max_len"))
+        .orderBy(col("user_id"))
+    }),
+
+    // --- BPE-ish subword token stats ---
+    "d9_bpe_tokens" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), bpeTokenCount(col("text")).as("n_sub"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- rolling polynomial fingerprint (engine-specific hash: rows-only)
+    "d10_rolling_fp" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), fingerprintRolling(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the salted plan must be indistinguishable from the plain aggregation
+    "k1_salted_stats" -> """
+      SELECT event_type,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v,
+        COUNT(*) AS n,
+        CAST(MIN(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS min_v,
+        CAST(MAX(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS max_v
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "s2_sessions" -> """
+      WITH m AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS mu
+        FROM events),
+      flagged AS (
+        SELECT user_id, mu, event_id,
+          CASE WHEN lag(mu) OVER (PARTITION BY user_id ORDER BY mu, event_id)
+                    IS NULL
+                 OR mu - lag(mu) OVER (PARTITION BY user_id ORDER BY mu, event_id)
+                    > 30 * 60 * 1000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM m),
+      sid AS (
+        SELECT user_id,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY mu, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      sess AS (
+        SELECT user_id, sid, COUNT(*) AS sz FROM sid GROUP BY user_id, sid)
+      SELECT user_id, COUNT(*) AS n_sessions, MAX(sz) AS max_len
+      FROM sess GROUP BY user_id ORDER BY user_id""",
+    "d9_bpe_tokens" -> """
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+          AS BIGINT) AS n_sub
+      FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.types._
+import graft.operators.Skew
+import graft.sources.DynamicSchema
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted stats equal plain groupBy on a skewed distribution") {
+    // 90% of rows share one key — the pathological case salting targets
+    val rows = (1 to 2000).map { i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toLong)
+    }
+    val df = rows.toDF("k", "v")
+    val salted = Skew.saltedStats(df, Seq("k"), "v", buckets = 8)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"),
+        min("v").as("mn"), max("v").as("mx"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("salted join equals plain join") {
+    val big = (1 to 1000).map(i => (i % 5, i)).toDF("key", "v")
+    val small = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e"))
+      .toDF("key", "name")
+    val plain = big.join(small, "key").agg(count(lit(1)), sum("v")).collect()
+    val salted = Skew.saltedJoin(big, small, "key")
+      .agg(count(lit(1)), sum("v")).collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+}
+
+/** Property tests for the schema-widening lattice (SURVEY §5: "ScalaCheck
+  * property tests for type coercion/dynamic-schema merge"). */
+class DynamicSchemaProps extends SparkSpec {
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val leafGen: Gen[DataType] = Gen.oneOf(
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+    StringType, BooleanType, DateType, TimestampType,
+    DecimalType(10, 2), DecimalType(20, 4))
+
+  test("widen is commutative on unordered-width pairs, idempotent, total") {
+    check(Prop.forAll(leafGen, leafGen) { (a, b) =>
+      val ab = DynamicSchema.widen(a, b)
+      val ba = DynamicSchema.widen(b, a)
+      // both operands must be representable in the widened type family:
+      // widening to either operand or a supertype; commutativity may pick
+      // the left of equals, so compare up to defaultSize equivalence
+      DynamicSchema.widen(a, a) == a &&
+        DynamicSchema.widen(ab, ab) == ab &&
+        ab.defaultSize >= math.min(a.defaultSize, b.defaultSize) &&
+        ab.getClass == ba.getClass
+    })
+  }
+
+  test("merge never loses fields and is idempotent") {
+    val fieldGen = for {
+      n <- Gen.choose(1, 6)
+      names <- Gen.listOfN(n, Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(5)))
+      types <- Gen.listOfN(n, leafGen)
+    } yield StructType(names.distinct.zip(types).map {
+      case (nm, t) => StructField(nm, t)
+    })
+    check(Prop.forAll(fieldGen, fieldGen) { (a, b) =>
+      val m = DynamicSchema.merge(a, b)
+      val names = m.fieldNames.toSet
+      a.fieldNames.forall(names.contains) &&
+        b.fieldNames.forall(names.contains) &&
+        DynamicSchema.merge(m, m).fieldNames.toSeq == m.fieldNames.toSeq
+    })
+  }
+}
