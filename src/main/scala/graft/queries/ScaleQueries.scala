@@ -60,6 +60,35 @@ object ScaleQueries {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), fingerprintRolling(col("text")).as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- pivot (wide conditional aggregation) ---
+    "k2_pivot" -> ((s, dir) => {
+      val srcs = Seq("src0", "src1", "src2", "src3", "src4")
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang")).pivot("source", srcs).count()
+        .select(col("lang") +:
+          srcs.map(sc => coalesce(col(sc), lit(0L)).as(sc)): _*)
+        .orderBy(col("lang"))
+    }),
+
+    // --- generator / lateral view: explode tokens, top-20 vocabulary ---
+    "k3_explode_vocab" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    }),
+
+    // --- HLL sketch (approx distinct; engine-specific estimate → rows-only;
+    // the spec asserts <5% relative error vs exact) ---
+    "k4_approx_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -97,6 +126,19 @@ object ScaleQueries {
       SELECT doc_id,
         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
           AS BIGINT) AS n_sub
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+    "k2_pivot" -> """
+      SELECT lang,
+        COUNT(*) FILTER (source = 'src0') AS src0,
+        COUNT(*) FILTER (source = 'src1') AS src1,
+        COUNT(*) FILTER (source = 'src2') AS src2,
+        COUNT(*) FILTER (source = 'src3') AS src3,
+        COUNT(*) FILTER (source = 'src4') AS src4
+      FROM documents GROUP BY lang ORDER BY lang""",
+    "k3_explode_vocab" -> """
+      SELECT tok, COUNT(*) AS n FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents) x
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""
   )
 }

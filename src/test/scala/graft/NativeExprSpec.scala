@@ -34,6 +34,27 @@ class NativeExprSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("optimizer rule rewrites HOF dot folds to native expressions") {
+    val e = Tables.load(spark, sf, "embeddings").limit(10)
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+    val hofDot = pairs.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"))
+    assert(hofDot.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "DotFold pattern did not fire:\n" +
+        hofDot.queryExecution.optimizedPlan.toString)
+    val hofCos = pairs.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    assert(hofCos.queryExecution.optimizedPlan.toString.contains("graft_cosine"),
+      "Cosine pattern did not fire:\n" +
+        hofCos.queryExecution.optimizedPlan.toString)
+    // and the rewritten plan returns the same values as the raw fold
+    val expect = pairs.withColumn("c",
+      call_function("graft_cosine", col("a"), col("b"))).select("c")
+    assert(hofCos.collect().map(_.getDouble(0)).toSeq ==
+      expect.collect().map(_.getDouble(0)).toSeq)
+  }
+
   test("double arrays are accepted too") {
     val df = Seq((Array(3.0, 4.0), Array(3.0, 4.0))).toDF("a", "b")
     assert(df.select(call_function("graft_cosine", col("a"), col("b")))

@@ -26,6 +26,15 @@ class SkewSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("approx_count_distinct stays within 5% of exact") {
+    val e = Tables.load(spark, sf, "events")
+    val both = e.agg(
+      approx_count_distinct(col("user_id")).as("a"),
+      countDistinct(col("user_id")).as("x")).head()
+    val (a, x) = (both.getLong(0).toDouble, both.getLong(1).toDouble)
+    assert(math.abs(a - x) / x < 0.05, s"approx=$a exact=$x")
+  }
+
   test("salted join equals plain join") {
     val big = (1 to 1000).map(i => (i % 5, i)).toDF("key", "v")
     val small = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e"))
