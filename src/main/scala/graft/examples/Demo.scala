@@ -44,6 +44,14 @@ object Demo {
     println("dynamic schema: " + g.table("docs").schema.toDDL)
     g.sql("SELECT _id, props->>'k' AS k FROM docs ORDER BY _id").show()
 
+    // multi-format ingest round-trip
+    val tmp = java.nio.file.Files.createTempDirectory("ingest").toString
+    val sample = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    graft.sources.Ingest.writeJson(sample, s"$tmp/j")
+    graft.sources.Ingest.writeOrc(sample, s"$tmp/o")
+    println("json rows: " + graft.sources.Ingest.readJson(spark, s"$tmp/j").count()
+      + ", orc rows: " + graft.sources.Ingest.readOrc(spark, s"$tmp/o").count())
+
     // session niceties
     g.setTimezone("UTC")
     println(g.explainPlan(

