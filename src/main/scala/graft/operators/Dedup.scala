@@ -45,8 +45,12 @@ object Dedup {
     // sides, re-evaluating it bands× per row (HOFs are interpreted, no CSE)
     // — measured 50× slower. The identical Exchange on both self-join
     // sides becomes a ReusedExchange, so signatures are computed once.
-    val sig = df.select(col(idCol).as("id"),
-        minHash(wordShingles(col(textCol), shingleSize), k).as("sig"))
+    val sigExpr =
+      if (df.sparkSession.catalog.functionExists("graft_minhash"))
+        call_function("graft_minhash",
+          wordShingles(col(textCol), shingleSize), lit(k))
+      else minHash(wordShingles(col(textCol), shingleSize), k)
+    val sig = df.select(col(idCol).as("id"), sigExpr.as("sig"))
       .repartition(col("id"))
     val banded = sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -55,6 +55,17 @@ class NativeExprSpec extends SparkSpec {
       expect.collect().map(_.getDouble(0)).toSeq)
   }
 
+  test("graft_minhash equals the declarative HOF signature exactly") {
+    import graft.functions.TextFunctions
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val sh = TextFunctions.wordShingles(col("text"), 3)
+    val diff = docs.select(
+        call_function("graft_minhash", sh, lit(16)).as("native"),
+        TextFunctions.minHash(sh, 16).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
   test("double arrays are accepted too") {
     val df = Seq((Array(3.0, 4.0), Array(3.0, 4.0))).toDF("a", "b")
     assert(df.select(call_function("graft_cosine", col("a"), col("b")))
