@@ -188,6 +188,30 @@ class GraftSession(val spark: SparkSession, root: String) {
     overwrite(name, updated, returning)
   }
 
+  /** UPDATE ... FROM (join-update; reference operator_update supports
+    * UPDATE…FROM + RETURNING): rows of `name` matching `joinCond` against
+    * `other` get `set` applied (expressions may reference other's columns);
+    * unmatched rows pass through. Returns the updated rows. */
+  def updateFrom(name: String, other: DataFrame, joinCond: Column,
+                 set: Map[String, Column]): DataFrame = {
+    val current = table(name)
+    val matched = current.join(broadcast(other), joinCond, "left")
+    val updated = set.foldLeft(matched) { case (df, (c, v)) =>
+      df.withColumn(c, when(joinCond, v).otherwise(col(c)))
+    }.select(current.columns.map(col).toSeq: _*)
+    val returning = updated.join(broadcast(other), joinCond, "left_semi")
+    overwrite(name, updated, returning)
+  }
+
+  /** Compacts all ingest batches into one (the reference's vacuum/
+    * checkpoint analogue): O(table) rewrite, schema becomes the current
+    * union, tombstoned columns are physically dropped. */
+  def compact(name: String): Unit = {
+    val snapshot = table(name)
+    overwrite(name, snapshot, spark.emptyDataFrame.limit(0))
+    ()
+  }
+
   /** DELETE ... WHERE ... [RETURNING the deleted rows]; fires FK delete
     * actions (RESTRICT / CASCADE / SET NULL) on referencing tables. */
   def delete(name: String, where: Column): DataFrame = {

@@ -24,8 +24,15 @@ object RecursiveCte {
     var delta = acc
     var i = 0
     while (i < maxIterations && !delta.isEmpty) {
+      // only the frontier is checkpointed per iteration; acc stays a
+      // shallow union of already-materialized deltas, so per-iteration
+      // work is O(frontier), not O(closure). Re-checkpoint acc rarely to
+      // bound the union fan-in.
       delta = step(delta).distinct().except(acc).localCheckpoint()
-      if (!delta.isEmpty) acc = acc.union(delta).localCheckpoint()
+      if (!delta.isEmpty) {
+        acc = acc.union(delta)
+        if (i % 8 == 7) acc = acc.localCheckpoint()
+      }
       i += 1
     }
     require(i < maxIterations || delta.isEmpty,

@@ -85,6 +85,33 @@ class GraftSessionSpec extends SparkSpec {
     assert(g.table("t").count() == 7)
   }
 
+  test("update from a joined source (UPDATE ... FROM)") {
+    val g = freshSession()
+    g.createTable("t", StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType))))
+    g.insert("t", Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"))
+    val adj = Seq((1L, 100L), (3L, 300L)).toDF("a_id", "bonus")
+    val ret = g.updateFrom("t", adj, col("id") === col("a_id"),
+      Map("v" -> (col("v") + col("bonus"))))
+    assert(ret.count() == 2)
+    assert(g.table("t").orderBy("id").select("v").as[Long].collect().toSeq
+      == Seq(110L, 20L, 330L))
+  }
+
+  test("compact merges batches and drops tombstoned columns physically") {
+    val g = freshSession()
+    g.createDynamicTable("t")
+    g.insert("t", Seq((1, "a")).toDF("_id", "x"))
+    g.insert("t", Seq((2, "b", 5.0)).toDF("_id", "x", "y"))
+    g.dropColumn("t", "y")
+    g.compact("t")
+    val out = g.table("t").orderBy("_id").collect()
+    assert(out.length == 2 && g.table("t").columns.toSeq == Seq("_id", "x"))
+    // re-adding y after compact does NOT resurrect data (physically gone)
+    g.addColumn("t", "y", DoubleType)
+    assert(g.table("t").filter(col("y").isNotNull).count() == 0)
+  }
+
   test("views and matviews with refresh") {
     val g = freshSession()
     g.createTable("base", StructType(Seq(StructField("v", LongType))))
