@@ -16,19 +16,36 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Ranked per-query top-k over a (q_id, n_id, sim) candidate frame.
+    * With graft's extensions installed, candidates are pruned by the
+    * custom heap-based [[graft.plans.TopKPerKey]] operator (O(n log k),
+    * no sort/spill) before the tiny k-row ranking window; otherwise the
+    * plain window spelling runs. Output is identical either way. */
+  private def rankTopK(df: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    val pruned =
+      if (nativeAvailable(df.sparkSession))
+        graft.plans.TopKPerKey.topK(df, Seq("q_id"),
+          Seq("sim" -> false, "n_id" -> true), k)
+      else df
+    pruned
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
+  }
+
   /** Brute-force exact top-k cosine neighbors per query vector. O(|Q|·|C|)
     * compute but embarrassingly parallel; the baseline for recall. */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    broadcast(q).crossJoin(c)
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosineAuto(corpus.sparkSession)(col("q_emb"), col("n_emb")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
+    rankTopK(
+      broadcast(q).crossJoin(c)
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim",
+          cosineAuto(corpus.sparkSession)(col("q_emb"), col("n_emb"))),
+      k)
   }
 
   /** LSH-bucketed ANN: corpus is pre-bucketed by sign-LSH; a query probes
@@ -42,14 +59,12 @@ object Similarity {
       lshBucket(col("embedding"), planes).as("bucket"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       lshBucket(col("embedding"), planes).as("bucket"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    broadcast(q).join(c, Seq("bucket"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosineAuto(corpus.sparkSession)(col("q_emb"), col("n_emb")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
+    rankTopK(
+      broadcast(q).join(c, Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim",
+          cosineAuto(corpus.sparkSession)(col("q_emb"), col("n_emb"))),
+      k)
   }
 
   /** IVF-style ANN: k-means-lite centroids chosen as a deterministic sample,
@@ -80,13 +95,11 @@ object Similarity {
       .filter(col("r") <= nProbe)
       .select(col("c_id").as("cell"), col("vec_id").as("q_id"),
         col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    broadcast(probes).join(assigned, Seq("cell"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosineAuto(corpus.sparkSession)(col("q_emb"), col("n_emb")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
+    rankTopK(
+      broadcast(probes).join(assigned, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim",
+          cosineAuto(corpus.sparkSession)(col("q_emb"), col("n_emb"))),
+      k)
   }
 }

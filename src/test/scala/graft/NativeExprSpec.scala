@@ -66,6 +66,30 @@ class NativeExprSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("TopKPerKey custom operator equals the window-function spelling") {
+    import graft.plans.TopKPerKey
+    val df = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("q_id"),
+        col("l_orderkey").as("n_id"), col("l_extendedprice").as("sim"))
+    val viaOp = TopKPerKey.topK(df, Seq("q_id"),
+        Seq("sim" -> false, "n_id" -> true), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    val viaWindow = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 4).drop("rnk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(viaOp == viaWindow)
+    // physical plan actually contains the custom exec + an exchange
+    val planStr = TopKPerKey.topK(df, Seq("q_id"),
+      Seq("sim" -> false), 4).queryExecution.executedPlan.toString
+    assert(planStr.contains("TopKPerKey") &&
+      planStr.contains("Exchange hashpartitioning"), planStr)
+  }
+
   test("double arrays are accepted too") {
     val df = Seq((Array(3.0, 4.0), Array(3.0, 4.0))).toDF("a", "b")
     assert(df.select(call_function("graft_cosine", col("a"), col("b")))
