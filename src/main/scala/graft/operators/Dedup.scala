@@ -113,6 +113,22 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** n-gram Jaccard over id-banded pairs via adjacent-bucket equi-join
+    * (TimeJoins.bandedSelfJoinPairs) — O(n·gap) candidate pairs through a
+    * shuffle join instead of the O(n²) nested-loop the predicate variant
+    * plans. Output identical to ngramJaccardPairs with
+    * blocking = (b - a <= maxGap). */
+  def ngramJaccardBanded(df: DataFrame, textCol: String, idCol: String,
+                         n: Int, maxGap: Long, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        array_distinct(charShingles(col(textCol), n)).as("sh"))
+      .repartition(col("id"))
+    TimeJoins.bandedSelfJoinPairs(sh, "id", maxGap)
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("a_sh"), col("b_sh")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold among pairs sharing a
     * sign-LSH bucket. Same banded-join shape as MinHash LSH. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,

@@ -55,6 +55,25 @@ object ExtQueries {
         ORDER BY kmod""", Seq(10)))
     }),
 
+    // --- as-of join (inclusive latest-right-per-left; DuckDB ASOF oracle)
+    "j1_asof_join" -> ((s, dir) => {
+      val e = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("t"), col("value"))
+      val rates = e.groupBy(col("event_type"),
+          date_trunc("hour", col("t")).as("h"))
+        .agg(count(lit(1)).as("rate"))
+      val joined = graft.operators.TimeJoins.asOfJoin(
+        e.select(col("event_type"), col("event_id"),
+          unix_micros(col("t")).as("lt")),
+        rates.select(col("event_type"), unix_micros(col("h")).as("rt"),
+          col("rate")),
+        key = "event_type", leftTime = "lt", rightTime = "rt")
+      joined.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("rate")).as("sum_rate"))
+        .orderBy(col("event_type"))
+    }),
+
     // --- runtime UDF registration (reference register_udf surface) ---
     "x5_udf" -> ((s, dir) => {
       s.udf.register("graft_discounted",
@@ -87,6 +106,19 @@ object ExtQueries {
       FROM events WHERE CAST(props->>'k' AS BIGINT) >= 10
       GROUP BY CAST(props->>'k' AS BIGINT) % 5
       ORDER BY kmod""",
+    "j1_asof_join" -> """
+      WITH e AS (SELECT event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS lt
+                 FROM events),
+      rates AS (SELECT event_type,
+                  epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS rt,
+                  COUNT(*) AS rate
+                FROM events GROUP BY 1, 2)
+      SELECT e.event_type, COUNT(*) AS n_matched,
+        CAST(SUM(rate) AS BIGINT) AS sum_rate
+      FROM e ASOF JOIN rates
+        ON e.event_type = rates.event_type AND e.lt >= rates.rt
+      GROUP BY e.event_type ORDER BY e.event_type""",
     "x5_udf" -> """
       SELECT l_orderkey, l_linenumber,
              l_extendedprice * (1.0 - l_discount) AS net

@@ -77,11 +77,11 @@ object TextQueries {
         .orderBy(col("id"))
     }),
 
-    // --- exact n-gram Jaccard on blocked pairs ---
+    // --- exact n-gram Jaccard on banded pairs (range join, not NL join) ---
     "d8_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < 100)
-      Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3,
-          blocking = (a, b) => b - a <= 10, threshold = 0.3)
+      Dedup.ngramJaccardBanded(d, "text", "doc_id", n = 3,
+          maxGap = 10, threshold = 0.3)
         .orderBy(col("a_id"), col("b_id"))
     }),
 

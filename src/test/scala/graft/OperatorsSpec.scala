@@ -33,6 +33,42 @@ class RecursiveCteSpec extends SparkSpec {
   }
 }
 
+class TimeJoinsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TimeJoins
+
+  test("banded self-join equals the predicate nested-loop pairs") {
+    val df = Seq(1L, 3L, 8L, 12L, 14L, 30L).toDF("id")
+      .withColumn("payload", col("id") * 10)
+    val banded = TimeJoins.bandedSelfJoinPairs(df, "id", maxGap = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      a <- Seq(1L, 3L, 8L, 12L, 14L, 30L)
+      b <- Seq(1L, 3L, 8L, 12L, 14L, 30L)
+      if b > a && b - a <= 5
+    } yield (a, b)).toSet
+    assert(banded == expected)
+  }
+
+  test("as-of join picks the latest right row at or before left time") {
+    val left = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (1L, 5L, "e0"),
+      (2L, 50L, "f1")).toDF("k", "lt", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 60L, 300.0))
+      .toDF("k", "rt", "price")
+    val out = TimeJoins.asOfJoin(left, right, "k", "lt", "rt")
+      .select("tag", "price").as[(String, Double)].collect().toMap
+    assert(out == Map("e1" -> 100.0, "e2" -> 200.0)) // e0 pre-dates, f1's rate is later
+  }
+
+  test("as-of join tolerance drops stale matches") {
+    val left = Seq((1L, 100L, "x")).toDF("k", "lt", "tag")
+    val right = Seq((1L, 10L, 1.0)).toDF("k", "rt", "price")
+    assert(TimeJoins.asOfJoin(left, right, "k", "lt", "rt").count() == 1)
+    assert(TimeJoins.asOfJoin(left, right, "k", "lt", "rt",
+      tolerance = Some(50L)).count() == 0)
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
