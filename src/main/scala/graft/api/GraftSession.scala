@@ -54,6 +54,7 @@ class GraftSession(val spark: SparkSession, root: String) {
   def dropTable(name: String): Unit = {
     deleteRecursively(tableDir(name))
     tables.remove(name)
+    spark.catalog.dropTempView(name)
   }
 
   def addColumn(name: String, column: String, dt: DataType): Unit = {
@@ -171,7 +172,7 @@ class GraftSession(val spark: SparkSession, root: String) {
       require(unknown.isEmpty, s"unknown columns ${unknown.mkString(",")}")
     }
     validateInsert(name, df)
-    val batch = dataDir(name).resolve(f"batch_${nextBatchId(name)}%06d")
+    val batch = dataDir(name).resolve(f"batch_${bumpGeneration(name)}%08d")
     df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
     persistMeta(name)
   }
@@ -229,7 +230,10 @@ class GraftSession(val spark: SparkSession, root: String) {
     val data = dataDir(name)
     deleteRecursively(data)
     Files.createDirectories(data)
-    Files.move(staging, data.resolve("batch_000000"),
+    // generation-stamped batch dir: directory names are never reused, so
+    // any FileIndex cached against a previous generation can't serve a
+    // stale listing for a new read (Spark caches listings per leaf path)
+    Files.move(staging, data.resolve(f"batch_${bumpGeneration(name)}%08d"),
       StandardCopyOption.ATOMIC_MOVE)
     state(name).schema = newData.schema
     persistMeta(name)
@@ -322,6 +326,52 @@ class GraftSession(val spark: SparkSession, root: String) {
     spark.sql(graft.functions.Jsonb.rewrite(query, params))
   }
 
+  /** Statement router — the reference's `execute_sql` entry point
+    * (integration/cpp/wrapper_dispatcher.cpp:91: parse → route DDL / DML /
+    * query). DDL+DML forms are parsed with small regexes and routed to the
+    * session APIs (so dynamic tables, constraints and staged overwrites
+    * apply); everything else goes through [[sql]] (PG-dialect rewrite +
+    * Catalyst). Returns the affected/returned rows (empty frame for DDL).
+    * Supported DML/DDL surface: CREATE [DYNAMIC] TABLE, DROP TABLE,
+    * INSERT INTO ... VALUES / SELECT, UPDATE ... SET ... WHERE,
+    * DELETE FROM ... WHERE. */
+  def execute(statement: String, params: Seq[Any] = Nil): DataFrame = {
+    val stmt = graft.functions.Jsonb.rewrite(statement.trim, params)
+    val createTableRe =
+      """(?is)^CREATE\s+TABLE\s+(\w+)\s*(?:\((.*)\))?\s*;?$""".r
+    val createDynRe = """(?is)^CREATE\s+DYNAMIC\s+TABLE\s+(\w+)\s*;?$""".r
+    val dropRe = """(?is)^DROP\s+TABLE\s+(\w+)\s*;?$""".r
+    val insertValuesRe =
+      """(?is)^INSERT\s+INTO\s+(\w+)\s*\(([^)]*)\)\s*VALUES\s*(.*?);?$""".r
+    val insertSelectRe =
+      """(?is)^INSERT\s+INTO\s+(\w+)\s+(SELECT\s+.*?);?$""".r
+    val updateRe =
+      """(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?$""".r
+    val deleteRe =
+      """(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*?)\s*;?$""".r
+    def empty = spark.emptyDataFrame
+    stmt match {
+      case createDynRe(name) => createDynamicTable(name); empty
+      case createTableRe(name, null) => createDynamicTable(name); empty
+      case createTableRe(name, colsDdl) =>
+        createTable(name, StructType.fromDDL(colsDdl)); empty
+      case dropRe(name) => dropTable(name); empty
+      case insertValuesRe(name, cols, values) =>
+        insert(name, spark.sql(
+          s"SELECT * FROM VALUES $values AS _ins($cols)")); empty
+      case insertSelectRe(name, select) => insert(name, sql(select)); empty
+      case updateRe(name, sets, cond) =>
+        val setMap = sets.split(",").map { kv =>
+          val Array(c, e) = kv.split("=", 2)
+          c.trim -> org.apache.spark.sql.functions.expr(e.trim)
+        }.toMap
+        update(name, setMap, org.apache.spark.sql.functions.expr(cond))
+      case deleteRe(name, cond) =>
+        delete(name, org.apache.spark.sql.functions.expr(cond))
+      case other => sql(other)
+    }
+  }
+
   /** UDF registration surface (reference register_udf /
     * operator_register_udf): thin naming shim over spark.udf. */
   def registerUdf[A, B](name: String, f: A => B)(
@@ -343,7 +393,16 @@ class GraftSession(val spark: SparkSession, root: String) {
     Files.list(dataDir(name)).iterator.asScala.toSeq
       .filter(p => p.getFileName.toString.startsWith("batch_")).sortBy(_.toString)
 
-  private def nextBatchId(name: String): Int = listBatches(name).size
+  /** Monotonic per-table batch-directory counter (survives restarts via
+    * the _generation file; never reset so dir names are never reused). */
+  private def bumpGeneration(name: String): Long = {
+    val f = tableDir(name).resolve("_generation")
+    val cur = if (Files.exists(f)) Files.readString(f).trim.toLong else -1L
+    val next = cur + 1
+    Files.createDirectories(tableDir(name))
+    Files.writeString(f, next.toString)
+    next
+  }
 
   /** Metadata = union schema DDL + tombstones + flags; schema round-trips
     * through StructType.toDDL/fromDDL (no hand-rolled JSON). */

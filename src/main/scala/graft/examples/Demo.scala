@@ -44,6 +44,13 @@ object Demo {
     println("dynamic schema: " + g.table("docs").schema.toDDL)
     g.sql("SELECT _id, props->>'k' AS k FROM docs ORDER BY _id").show()
 
+    // textual execute_sql entry point (DDL + DML + query routing)
+    g.execute("CREATE TABLE items (id BIGINT, qty BIGINT)")
+    g.execute("INSERT INTO items (id, qty) VALUES (1, 10), (2, 20)")
+    g.execute("UPDATE items SET qty = qty * 2 WHERE id = 2")
+    println("items total qty: " + g.execute(
+      "SELECT sum(qty) AS s FROM items").collect()(0).getLong(0))
+
     // multi-format ingest round-trip
     val tmp = java.nio.file.Files.createTempDirectory("ingest").toString
     val sample = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
