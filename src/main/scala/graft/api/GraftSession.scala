@@ -379,6 +379,14 @@ class GraftSession(val spark: SparkSession, root: String) {
       tb: reflect.runtime.universe.TypeTag[A]): Unit =
     spark.udf.register(name, f)
 
+  /** UDAF registration (reference aggregate_function kernels /
+    * register_udf aggregate path): a typed Aggregator exposed to SQL. */
+  def registerUdaf[I, B, O](name: String,
+      agg: org.apache.spark.sql.expressions.Aggregator[I, B, O])(
+      implicit enc: org.apache.spark.sql.Encoder[I]): Unit =
+    spark.udf.register(name,
+      org.apache.spark.sql.functions.udaf(agg, enc))
+
   // ------------------------------------------------------------- plumbing
 
   private def state(name: String): TableState =

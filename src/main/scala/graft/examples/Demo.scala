@@ -12,6 +12,8 @@ object Demo {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("wh").toString)
       .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -58,6 +60,18 @@ object Demo {
     graft.sources.Ingest.writeOrc(sample, s"$tmp/o")
     println("json rows: " + graft.sources.Ingest.readJson(spark, s"$tmp/j").count()
       + ", orc rows: " + graft.sources.Ingest.readOrc(spark, s"$tmp/o").count())
+
+    // bucketed co-located join: zero shuffle exchanges
+    val facts = (1L to 1000L).map(i => (i % 50, i)).toDF("k", "v")
+    val dims = (0L until 50L).map(i => (i, s"n$i")).toDF("k", "name")
+    graft.sources.Bucketing.writeBucketed(facts, "bf", "k", 4)
+    graft.sources.Bucketing.writeBucketed(dims, "bd", "k", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joinPlan = graft.sources.Bucketing
+      .colocatedJoin(spark, "bf", "bd", "k")
+      .queryExecution.executedPlan.toString
+    println("bucketed join shuffle-free: " +
+      !joinPlan.contains("Exchange hashpartitioning"))
 
     // session niceties
     g.setTimezone("UTC")

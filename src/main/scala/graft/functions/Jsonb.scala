@@ -34,6 +34,15 @@ object Jsonb {
 
     /** `::?` type assertion: cast-or-fail under ANSI mode. */
     def typeAssert(t: String): Column = c.cast(t)
+
+    /** Parse a JSON string column into a VARIANT (Spark 4) — the open
+      * document type matching the reference's VARIANT logical type
+      * (components/types/types.hpp VARIANT; SURVEY §1.2). */
+    def toVariant: Column = parse_json(c)
+
+    /** Typed path extraction from a VARIANT column. */
+    def variantPath(path: String, targetType: String): Column =
+      variant_get(c, path, targetType)
   }
 
   /** Rewrites PG-dialect SQL to Spark SQL:
