@@ -34,15 +34,18 @@ object VectorQueries {
     }),
 
     // --- label centroids: order-independent decimal accumulation so the
-    // result is deterministic under any partitioning (rows-only check;
-    // DuckDB lacks per-index list aggregation without unnest-ordinality) ---
+    // result is deterministic under any partitioning ---
     "e3_centroids" -> ((s, dir) => {
       val D = DecimalType(28, 12)
       emb(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy(col("label"), col("i"))
-        .agg((sum(col("x").cast(D)).cast("double") /
-          count(lit(1)).cast("double")).as("c"))
+        // float → double FIRST (exact binary expansion in any engine),
+        // then decimal for an order-independent sum; the final round(6)
+        // absorbs the ≤1e-12 cross-engine double→decimal rounding delta
+        // (DuckDB's cast is double-multiply based, Spark's is exact)
+        .agg(round(sum(col("x").cast("double").cast(D)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("c"))
         .groupBy(col("label"))
         .agg(sort_array(collect_list(struct(col("i"), col("c"))))
           .getField("c").as("centroid"))
@@ -72,6 +75,15 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e3_centroids" -> """
+      WITH per AS (
+        SELECT label, i,
+          round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS c
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY label, i)
+      SELECT label, list(c ORDER BY i) AS centroid
+      FROM per GROUP BY label ORDER BY label""",
     "e1_vector_norms" -> """
       SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         sqrt(list_sum(list_transform(list_zip(embedding, embedding),
