@@ -81,6 +81,25 @@ object ScaleQueries {
         .limit(20)
     }),
 
+    // --- exact median (sort-based percentile; ClickBench-style) ---
+    "c1_median" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- heavy hitters: top users by activity with full tiebreak ---
+    "c2_heavy_users" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D)).cast("double").as("total"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(10)
+    }),
+
     // --- HLL sketch (approx distinct; engine-specific estimate → rows-only;
     // the spec asserts <5% relative error vs exact) ---
     "k4_approx_distinct" -> ((s, dir) => {
@@ -127,6 +146,14 @@ object ScaleQueries {
         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
           AS BIGINT) AS n_sub
       FROM documents ORDER BY doc_id""",
+    "c1_median" -> """
+      SELECT event_type, round(median(value), 6) AS med, COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "c2_heavy_users" -> """
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+      FROM events GROUP BY user_id
+      ORDER BY n DESC, user_id LIMIT 10""",
     "k2_pivot" -> """
       SELECT lang,
         COUNT(*) FILTER (source = 'src0') AS src0,
