@@ -36,18 +36,29 @@ case class TopKPerKey(k: Int, grouping: Seq[Expression],
 class TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(k, grouping, order, child) =>
-      TopKPerKeyExec(k, grouping, order, planLater(child)) :: Nil
+      // two-phase like hash aggregation: a map-side partial heap (no
+      // distribution requirement — topK is algebraic: topK(A∪B) =
+      // topK(topK(A)∪topK(B))) shrinks each input partition to ≤k rows
+      // per key BEFORE the exchange, so the shuffle moves k·|keys| rows,
+      // not the candidate set
+      TopKPerKeyExec(k, grouping, order,
+        TopKPerKeyExec(k, grouping, order, planLater(child),
+          partial = true)) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(k: Int, grouping: Seq[Expression],
-                          order: Seq[SortOrder], child: SparkPlan)
+                          order: Seq[SortOrder], child: SparkPlan,
+                          partial: Boolean = false)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(grouping) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(grouping) :: Nil
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output

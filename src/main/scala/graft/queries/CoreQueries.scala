@@ -251,7 +251,16 @@ object CoreQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
-      t(s, dir, "lineitem")
+      val src = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+      // two-phase heap prune (custom operator) replaces the full-partition
+      // window sort; the ranking window then runs over ≤3 rows per key
+      val pruned =
+        if (s.catalog.functionExists("graft_cosine"))
+          graft.plans.TopKPerKey.topK(src, Seq("l_returnflag"),
+            Seq("l_orderkey" -> true, "l_linenumber" -> true), 3)
+        else src
+      pruned
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
