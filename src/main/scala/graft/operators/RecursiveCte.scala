@@ -22,20 +22,23 @@ object RecursiveCte {
                maxIterations: Int = 100): DataFrame = {
     var acc = seed.distinct().localCheckpoint()
     var delta = acc
+    var deltaCount = delta.count()
     var i = 0
-    while (i < maxIterations && !delta.isEmpty) {
+    while (i < maxIterations && deltaCount > 0) {
       // only the frontier is checkpointed per iteration; acc stays a
       // shallow union of already-materialized deltas, so per-iteration
-      // work is O(frontier), not O(closure). Re-checkpoint acc rarely to
-      // bound the union fan-in.
-      delta = step(delta).distinct().except(acc).localCheckpoint()
-      if (!delta.isEmpty) {
+      // work is O(frontier), not O(closure). One job per iteration: the
+      // count() materializes the lazy checkpoint and doubles as the
+      // emptiness test. Re-checkpoint acc rarely to bound union fan-in.
+      delta = step(delta).distinct().except(acc).localCheckpoint(false)
+      deltaCount = delta.count()
+      if (deltaCount > 0) {
         acc = acc.union(delta)
         if (i % 8 == 7) acc = acc.localCheckpoint()
       }
       i += 1
     }
-    require(i < maxIterations || delta.isEmpty,
+    require(i < maxIterations || deltaCount == 0,
       s"recursive CTE did not converge in $maxIterations iterations")
     acc
   }
@@ -46,13 +49,18 @@ object RecursiveCte {
                   maxIterations: Int = 100): DataFrame = {
     var acc = seed.localCheckpoint()
     var delta = acc
+    var deltaCount = delta.count()
     var i = 0
-    while (i < maxIterations && !delta.isEmpty) {
-      delta = step(delta).localCheckpoint()
-      if (!delta.isEmpty) acc = acc.union(delta).localCheckpoint()
+    while (i < maxIterations && deltaCount > 0) {
+      delta = step(delta).localCheckpoint(false)
+      deltaCount = delta.count()
+      if (deltaCount > 0) {
+        acc = acc.union(delta)
+        if (i % 8 == 7) acc = acc.localCheckpoint()
+      }
       i += 1
     }
-    require(i < maxIterations || delta.isEmpty,
+    require(i < maxIterations || deltaCount == 0,
       s"recursive CTE did not converge in $maxIterations iterations")
     acc
   }
