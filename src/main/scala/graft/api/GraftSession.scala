@@ -3,7 +3,7 @@ package graft.api
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit, when}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, monotonically_increasing_id, when}
 import org.apache.spark.sql.types._
 import graft.sources.DynamicSchema
 
@@ -26,6 +26,17 @@ class GraftSession(val spark: SparkSession, root: String) {
   Files.createDirectories(rootPath)
 
   private val views = scala.collection.mutable.Map[String, String]()
+  // stored views survive restarts (body SQL re-expanded at reference time)
+  locally {
+    val vd = rootPath.resolve("_views")
+    if (Files.exists(vd))
+      Files.list(vd).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".sql"))
+        .foreach { p =>
+          views(p.getFileName.toString.stripSuffix(".sql")) =
+            Files.readString(p)
+        }
+  }
   private case class TableState(
     dynamic: Boolean,
     var schema: StructType,
@@ -105,16 +116,55 @@ class GraftSession(val spark: SparkSession, root: String) {
     * wraps DML with check_constraint operators —
     * components/planner/planner.cpp:54-87). Validation is one distributed
     * count over the incoming batch only, never the whole table. */
-  def addCheckConstraint(table: String, name: String, sqlExpr: String): Unit =
+  def addCheckConstraint(table: String, name: String, sqlExpr: String): Unit = {
     checks(table) = checks(table) :+ Check(name, sqlExpr)
+    persistConstraints(table)
+  }
 
   /** FOREIGN KEY with RESTRICT / CASCADE / SET NULL delete semantics
     * (reference fk_check / fk_cascade operators; tests fk_cascade_delete,
     * fk_set_null, fk_cascade_restrict). Insert-side check is a broadcast
     * anti-join against parent keys. */
   def addForeignKey(child: String, column: String, parent: String,
-                    parentCol: String, onDelete: FkAction = Restrict): Unit =
+                    parentCol: String, onDelete: FkAction = Restrict): Unit = {
     fks(child) = fks(child) :+ Fk(column, parent, parentCol, onDelete)
+    persistConstraints(child)
+  }
+
+  /** Constraints survive session restarts alongside the schema metadata
+    * (a fresh session must keep enforcing them — reference pg_constraint). */
+  private def persistConstraints(table: String): Unit = {
+    val meta = tableDir(table).resolve("_graft_meta")
+    Files.createDirectories(meta)
+    Files.writeString(meta.resolve("checks.txt"),
+      checks(table).map(c => s"${c.name}\t${c.expr}").mkString("\n"))
+    Files.writeString(meta.resolve("fks.txt"),
+      fks(table).map(f =>
+        s"${f.column}\t${f.parent}\t${f.parentCol}\t${f.onDelete match {
+          case Restrict => "restrict"
+          case Cascade => "cascade"
+          case SetNull => "setnull"
+        }}").mkString("\n"))
+  }
+
+  private def loadConstraints(table: String): Unit = {
+    val meta = tableDir(table).resolve("_graft_meta")
+    val cf = meta.resolve("checks.txt")
+    if (Files.exists(cf))
+      checks(table) = Files.readString(cf).split("\n").filter(_.contains("\t"))
+        .toSeq.map { l => val Array(n, e) = l.split("\t", 2); Check(n, e) }
+    val ff = meta.resolve("fks.txt")
+    if (Files.exists(ff))
+      fks(table) = Files.readString(ff).split("\n")
+        .filter(_.count(_ == '\t') == 3).toSeq.map { l =>
+          val Array(c, p, pc, act) = l.split("\t", 4)
+          Fk(c, p, pc, act match {
+            case "cascade" => Cascade
+            case "setnull" => SetNull
+            case _ => Restrict
+          })
+        }
+  }
 
   private def validateInsert(name: String, df: DataFrame): Unit = {
     checks(name).foreach { c =>
@@ -179,13 +229,20 @@ class GraftSession(val spark: SparkSession, root: String) {
 
   /** UPDATE ... SET ... WHERE ... [RETURNING]: read → transform → staged
     * overwrite (write to _staging, swap directories — the trivial "commit"
-    * from SURVEY §7; no txn machinery). Returns the updated rows. */
+    * from SURVEY §7; no txn machinery). Returns the updated rows.
+    *
+    * SQL semantics: WHERE and every SET expression are evaluated against
+    * the PRE-update row (simultaneous assignment — `SET a = b, b = a`
+    * swaps), and RETURNING is the post-update image of the matched rows. */
   def update(name: String, set: Map[String, Column], where: Column): DataFrame = {
     val current = table(name)
-    val updated = set.foldLeft(current) { case (df, (c, v)) =>
-      df.withColumn(c, when(where, v).otherwise(col(c)))
-    }
-    val returning = updated.filter(where)
+    val updated = current.select(current.columns.map { c =>
+      set.get(c).map(v => when(where, v).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }.toSeq: _*)
+    val returning = current.filter(where).select(current.columns.map { c =>
+      set.get(c).map(_.as(c)).getOrElse(col(c))
+    }.toSeq: _*)
     overwrite(name, updated, returning)
   }
 
@@ -195,11 +252,18 @@ class GraftSession(val spark: SparkSession, root: String) {
     * unmatched rows pass through. Returns the updated rows. */
   def updateFrom(name: String, other: DataFrame, joinCond: Column,
                  set: Map[String, Column]): DataFrame = {
-    val current = table(name)
+    val base = table(name)
+    val current = base.withColumn("_rid", monotonically_increasing_id())
     val matched = current.join(broadcast(other), joinCond, "left")
+    // a target row matching >1 source row would be duplicated by the join
+    // and silently persisted twice — refuse, like PG's ON-conflict rule
+    val dups = matched.groupBy(col("_rid")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).count()
+    require(dups == 0,
+      s"UPDATE...FROM: $dups target row(s) match multiple source rows")
     val updated = set.foldLeft(matched) { case (df, (c, v)) =>
       df.withColumn(c, when(joinCond, v).otherwise(col(c)))
-    }.select(current.columns.map(col).toSeq: _*)
+    }.select(base.columns.map(col).toSeq: _*)
     val returning = updated.join(broadcast(other), joinCond, "left_semi")
     overwrite(name, updated, returning)
   }
@@ -257,7 +321,11 @@ class GraftSession(val spark: SparkSession, root: String) {
     batches.map { b =>
       val raw = spark.read.parquet(b.toString)
       val cols = visible.map { f =>
-        val physical = rename.getOrElse(f.name, f.name)
+        // batches written after a rename carry the NEW name; older ones
+        // the original physical name — probe current first, then alias
+        val physical =
+          if (raw.schema.fieldNames.contains(f.name)) f.name
+          else rename.getOrElse(f.name, f.name)
         if (raw.schema.fieldNames.contains(physical))
           col(physical).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
@@ -268,11 +336,16 @@ class GraftSession(val spark: SparkSession, root: String) {
 
   // ------------------------------------------------------- views/matviews
 
-  def createView(name: String, sql: String): Unit = views(name) = sql
+  def createView(name: String, sql: String): Unit = {
+    views(name) = sql
+    val vd = rootPath.resolve("_views")
+    Files.createDirectories(vd)
+    Files.writeString(vd.resolve(s"$name.sql"), sql)
+  }
 
   /** Materialized view = CTAS; refresh re-runs the stored body. */
   def createMatView(name: String, sql: String): Unit = {
-    views(name) = sql
+    createView(name, sql)
     val df = this.sql(sql)
     createTable(name, df.schema)
     insert(name, df)
@@ -319,6 +392,7 @@ class GraftSession(val spark: SparkSession, root: String) {
     * [[graft.functions.Jsonb.rewrite]], catalog tables and views are
     * registered as temp views, then Catalyst takes over. */
   def sql(query: String, params: Seq[Any] = Nil): DataFrame = {
+    discoverTables()
     tables.keys.foreach(n => table(n).createOrReplaceTempView(n))
     views.foreach { case (n, body) =>
       if (!tables.contains(n)) spark.sql(body).createOrReplaceTempView(n)
@@ -361,7 +435,7 @@ class GraftSession(val spark: SparkSession, root: String) {
           s"SELECT * FROM VALUES $values AS _ins($cols)")); empty
       case insertSelectRe(name, select) => insert(name, sql(select)); empty
       case updateRe(name, sets, cond) =>
-        val setMap = sets.split(",").map { kv =>
+        val setMap = splitTopLevel(sets).map { kv =>
           val Array(c, e) = kv.split("=", 2)
           c.trim -> org.apache.spark.sql.functions.expr(e.trim)
         }.toMap
@@ -370,6 +444,27 @@ class GraftSession(val spark: SparkSession, root: String) {
         delete(name, org.apache.spark.sql.functions.expr(cond))
       case other => sql(other)
     }
+  }
+
+  /** Splits a SET-clause list on commas at paren/quote depth 0 only, so
+    * `a = greatest(x, y), b = ','` parses correctly. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    s.foreach { ch =>
+      ch match {
+        case '\'' => inQuote = !inQuote; cur += ch
+        case '(' if !inQuote => depth += 1; cur += ch
+        case ')' if !inQuote => depth -= 1; cur += ch
+        case ',' if !inQuote && depth == 0 =>
+          out += cur.toString; cur.clear()
+        case _ => cur += ch
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
   }
 
   /** UDF registration surface (reference register_udf /
@@ -388,6 +483,17 @@ class GraftSession(val spark: SparkSession, root: String) {
       org.apache.spark.sql.functions.udaf(agg, enc))
 
   // ------------------------------------------------------------- plumbing
+
+  /** Loads metadata for any on-disk table this session hasn't touched yet
+    * (fresh-session catalog recovery — pg_class scan analogue). */
+  private def discoverTables(): Unit = {
+    Files.list(rootPath).iterator.asScala
+      .filter(p => Files.isDirectory(p) &&
+        Files.exists(p.resolve("_graft_meta").resolve("schema.ddl")))
+      .map(_.getFileName.toString)
+      .filterNot(tables.contains)
+      .foreach(loadMeta)
+  }
 
   private def state(name: String): TableState =
     tables.getOrElse(name, loadMeta(name).getOrElse(
@@ -443,6 +549,7 @@ class GraftSession(val spark: SparkSession, root: String) {
     if (rn.nonEmpty) renames(name) = rn
     val st = TableState(dynamic, schema, tomb)
     tables(name) = st
+    loadConstraints(name)
     Some(st)
   }
 

@@ -79,8 +79,12 @@ object Jsonb {
       Regex.quoteReplacement(
         s"get_json_object(${m.group(1)}, '$$.$path')")
     })
-    // key deletion on flat JSON objects: a - 'k'
-    val del = """([A-Za-z_][\w.]*)\s+-\s+'([^']+)'""".r
+    // key deletion on flat JSON objects. ONLY the unambiguous #- operator
+    // is rewritten textually: a bare `col - 'literal'` is routinely real
+    // SQL (`ts - '1 hour'` interval arithmetic) and a regex cannot know
+    // the column is JSON — plain `-` deletion stays in the column DSL
+    // (deleteField) where the type is known.
+    val del = """([A-Za-z_][\w.]*)\s*#-\s*'\{?([^}']+)\}?'""".r
     q = del.replaceAllIn(q, m => Regex.quoteReplacement(
       s"to_json(map_filter(from_json(${m.group(1)}, 'map<string,string>'), " +
         s"(k, v) -> k != '${m.group(2)}'))"))

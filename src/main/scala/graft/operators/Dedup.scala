@@ -134,7 +134,9 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         nPlanes: Int = 12, threshold: Double = 0.95): DataFrame = {
     import graft.functions.VectorFunctions._
-    val dim = 64
+    // hyperplane dim must match the actual vectors: a mismatch nulls every
+    // projection and collapses all rows into one bucket (O(n²) blow-up)
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(nPlanes, dim)
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         lshBucket(col(vecCol), planes).as("bucket"))

@@ -47,40 +47,37 @@ object TimeJoins {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                tolerance: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val rightPayload = right.columns.filterNot(c => c == key || c == rightTime)
     val leftCols = left.columns
-    // one unioned frame: right rows carry payload, left rows carry nulls
-    val taggedRight = right
-      .withColumn("_t", col(rightTime).cast("long"))
-      .withColumn("_side", lit(0))
-      .select(Seq(col(key), col("_t"), col("_side"),
-        col(rightTime).cast("long").as("_rt")) ++
-        rightPayload.map(col) ++
-        leftCols.filterNot(_ == key).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(s"_l_$c")): _*)
-    val taggedLeft = left
-      .withColumn("_t", col(leftTime).cast("long"))
-      .withColumn("_side", lit(1))
-      .select(Seq(col(key), col("_t"), col("_side"),
-        lit(null).cast("long").as("_rt")) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
-        leftCols.filterNot(_ == key).map(c => col(c).as(s"_l_$c")): _*)
+    // the whole right row rides as ONE struct so a genuine NULL payload
+    // field stays attached to its row — carrying columns independently
+    // with last(ignoreNulls) would splice values from different rows
+    val rStructType = StructType(StructField("_rt", LongType) +:
+      rightPayload.map(c => right.schema(c).copy(nullable = true)))
+    val taggedRight = right.select(
+      col(key) +: col(rightTime).cast("long").as("_t") +:
+      lit(0).as("_side") +:
+      struct(col(rightTime).cast("long").as("_rt") +:
+        rightPayload.map(col): _*).as("_r") +:
+      leftCols.filterNot(_ == key).map(c =>
+        lit(null).cast(left.schema(c).dataType).as(s"_l_$c")): _*)
+    val taggedLeft = left.select(
+      col(key) +: col(leftTime).cast("long").as("_t") +:
+      lit(1).as("_side") +:
+      lit(null).cast(rStructType).as("_r") +:
+      leftCols.filterNot(_ == key).map(c => col(c).as(s"_l_$c")): _*)
     // right rows sort before left at equal times → inclusive (>=) asof
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = taggedRight.unionByName(taggedLeft)
-      .select(Seq(col(key), col("_t"), col("_side"),
-        last(col("_rt"), ignoreNulls = true).over(w).as("_matched_t")) ++
-        rightPayload.map(c =>
-          last(col(c), ignoreNulls = true).over(w).as(c)) ++
-        leftCols.filterNot(_ == key).map(c => col(s"_l_$c")): _*)
-    val matched = carried.filter(col("_side") === 1)
-      .filter(col("_matched_t").isNotNull)
+    val matched = taggedRight.unionByName(taggedLeft)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1 && col("_m").isNotNull)
     val tolerated = tolerance.fold(matched)(tol =>
-      matched.filter(col("_t") - col("_matched_t") <= tol))
+      matched.filter(col("_t") - col("_m").getField("_rt") <= tol))
     tolerated.select(
       Seq(col(key)) ++
       leftCols.filterNot(_ == key).map(c => col(s"_l_$c").as(c)) ++
-      rightPayload.map(col): _*)
+      rightPayload.map(c => col("_m").getField(c).as(c)): _*)
   }
 }

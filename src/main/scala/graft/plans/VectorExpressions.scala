@@ -47,6 +47,38 @@ abstract class VectorBinaryExpression extends BinaryExpression
     case FloatType => a.getFloat(i).toDouble
     case _ => a.getDouble(i)
   }
+
+  /** Null semantics MUST match the declarative fold the optimizer rule
+    * replaces: zip_with pads length mismatches with NULL and a NULL
+    * element nullifies the product and the running sum — so mismatched
+    * lengths or any NULL element yield NULL, never a partial sum. */
+  protected def elementsMayBeNull: Boolean =
+    Seq(left, right).exists(_.dataType.asInstanceOf[ArrayType].containsNull)
+
+  protected def anyNullElement(a: ArrayData, b: ArrayData, n: Int): Boolean = {
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Codegen guard: length check always; per-element null scan only when
+    * the schema admits null elements (keeps the hot loop branch-free). */
+  protected def nullGuards(a: String, b: String, n: String,
+                           isNull: String): String = {
+    val elemScan = if (elementsMayBeNull) {
+      s"""
+        for (int _g = 0; _g < $n && !$isNull; _g++) {
+          if ($a.isNullAt(_g) || $b.isNullAt(_g)) $isNull = true;
+        }"""
+    } else ""
+    s"""
+      if ($a.numElements() != $b.numElements()) $isNull = true;
+      $elemScan
+    """
+  }
 }
 
 /** dot(a, b) = Σ aᵢ·bᵢ, left-to-right. */
@@ -57,7 +89,9 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    if (elementsMayBeNull && anyNullElement(a, b, n)) return null
     var acc = 0.0
     var i = 0
     while (i < n) { acc += get(a, ta, i) * get(b, tb, i); i += 1 }
@@ -70,12 +104,15 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          acc += ${getter(ta, a, i)} * ${getter(tb, b, i)};
+        int $n = $a.numElements();
+        ${nullGuards(a, b, n, ev.isNull)}
+        if (!${ev.isNull}) {
+          double acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            acc += ${getter(ta, a, i)} * ${getter(tb, b, i)};
+          }
+          ${ev.value} = acc;
         }
-        ${ev.value} = acc;
       """
     })
 
@@ -93,7 +130,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    if (elementsMayBeNull && anyNullElement(a, b, n)) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -110,14 +149,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double dot = 0.0, na = 0.0, nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double x = ${getter(ta, a, i)};
-          double y = ${getter(tb, b, i)};
-          dot += x * y; na += x * x; nb += y * y;
+        int $n = $a.numElements();
+        ${nullGuards(a, b, n, ev.isNull)}
+        if (!${ev.isNull}) {
+          double dot = 0.0, na = 0.0, nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double x = ${getter(ta, a, i)};
+            double y = ${getter(tb, b, i)};
+            dot += x * y; na += x * x; nb += y * y;
+          }
+          ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
         }
-        ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
       """
     })
 

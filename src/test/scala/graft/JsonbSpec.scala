@@ -15,10 +15,13 @@ class JsonbSpec extends SparkSpec {
       == "SELECT get_json_object(m, '$.a.b') FROM e")
   }
 
-  test("rewrite: #> path and key deletion") {
+  test("rewrite: #> path and #- key deletion") {
     assert(Jsonb.rewrite("SELECT m #> '{a,b}' FROM e")
       == "SELECT get_json_object(m, '$.a.b') FROM e")
-    assert(Jsonb.rewrite("SELECT m - 'a' FROM e").contains("map_filter"))
+    assert(Jsonb.rewrite("SELECT m #- '{a}' FROM e").contains("map_filter"))
+    // bare minus with a string literal is REAL SQL — must pass through
+    assert(Jsonb.rewrite("SELECT ts - '1 hour' FROM e")
+      == "SELECT ts - '1 hour' FROM e")
   }
 
   test("rewrite: $n parameter binding (incl. escaping)") {
@@ -34,7 +37,7 @@ class JsonbSpec extends SparkSpec {
       .as[Long].collect()
     assert(out.toSeq == Seq(7L, 9L))
     val deleted = spark.sql(Jsonb.rewrite(
-      "SELECT props - 'j' AS d FROM ev ORDER BY id")).as[String].head()
+      "SELECT props #- '{j}' AS d FROM ev ORDER BY id")).as[String].head()
     assert(deleted == """{"k":"7"}""")
   }
 

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api.GraftSession
+import graft.operators.TimeJoins
+
+/** Regression pins for the round-1 self-review findings. */
+class ReviewRegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshSession(): GraftSession =
+    GraftSession(spark, Files.createTempDirectory("graft").toString)
+
+  test("UPDATE evaluates WHERE and SET against the pre-update row") {
+    val g = freshSession()
+    g.createTable("t", StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType))))
+    g.insert("t", Seq((1L, 10L), (2L, 20L)).toDF("a", "b"))
+    // swap semantics: SET a=b, b=a must use original values
+    val ret = g.update("t", Map("a" -> col("b"), "b" -> col("a")),
+      col("b") > 15)
+    assert(ret.select("a", "b").as[(Long, Long)].collect().toSeq
+      == Seq((20L, 2L)))
+    assert(g.table("t").orderBy("b").select("a", "b").as[(Long, Long)]
+      .collect().toSeq == Seq((20L, 2L), (1L, 10L)))
+    // RETURNING must be non-empty even when SET falsifies the WHERE
+    val ret2 = g.update("t", Map("b" -> lit(0L)), col("b") === 10L)
+    assert(ret2.count() == 1)
+  }
+
+  test("UPDATE...FROM refuses multi-matching source rows") {
+    val g = freshSession()
+    g.createTable("t", StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType))))
+    g.insert("t", Seq((1L, 1L)).toDF("id", "v"))
+    val dupSource = Seq((1L, 5L), (1L, 7L)).toDF("a_id", "bonus")
+    intercept[IllegalArgumentException] {
+      g.updateFrom("t", dupSource, col("id") === col("a_id"),
+        Map("v" -> col("bonus")))
+    }
+    assert(g.table("t").count() == 1) // unchanged
+  }
+
+  test("inserts after renameColumn keep their data") {
+    val g = freshSession()
+    g.createDynamicTable("t")
+    g.insert("t", Seq((1, 5L)).toDF("_id", "old"))
+    g.renameColumn("t", "old", "neu")
+    g.insert("t", Seq((2, 7L)).toDF("_id", "neu"))
+    assert(g.table("t").orderBy("_id").select("neu").as[Long]
+      .collect().toSeq == Seq(5L, 7L))
+  }
+
+  test("as-of join keeps genuine NULL payload fields row-consistent") {
+    val left = Seq((1L, 6L, "probe")).toDF("k", "lt", "tag")
+    val right = Seq((1L, 3L, Some(1.0), Some(9.0)),
+      (1L, 5L, None, Some(2.0))).toDF("k", "rt", "x", "y")
+    val out = TimeJoins.asOfJoin(left, right, "k", "lt", "rt")
+      .select("x", "y").collect()(0)
+    assert(out.isNullAt(0), "x must be the t=5 row's genuine NULL")
+    assert(out.getDouble(1) == 2.0)
+  }
+
+  test("native vector exprs match HOF semantics on null/mismatched arrays") {
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](1.0f)),
+      (Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f)))
+      .toDF("a", "b")
+    val rows = df.select(
+      call_function("graft_dot", col("a"), col("b")).as("native"),
+      VectorFunctions.dot(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1),
+        s"both must be NULL, got $r")
+    }
+  }
+
+  test("constraints survive a fresh session over the same root") {
+    val root = Files.createTempDirectory("graft").toString
+    val g1 = GraftSession(spark, root)
+    g1.createTable("p", StructType(Seq(StructField("id", LongType))))
+    g1.createTable("c", StructType(Seq(StructField("id", LongType),
+      StructField("pid", LongType))))
+    g1.addCheckConstraint("c", "pos", "id > 0")
+    g1.addForeignKey("c", "pid", "p", "id", g1.Cascade)
+    g1.insert("p", Seq(1L).toDF("id"))
+    val g2 = GraftSession(spark, root)
+    intercept[IllegalStateException] {
+      g2.insert("c", Seq((-1L, 1L)).toDF("id", "pid")) // CHECK still on
+    }
+    intercept[IllegalStateException] {
+      g2.insert("c", Seq((5L, 99L)).toDF("id", "pid")) // FK still on
+    }
+    g2.insert("c", Seq((5L, 1L)).toDF("id", "pid"))
+    g2.delete("p", col("id") === 1L) // cascade still wired
+    assert(g2.table("c").count() == 0)
+  }
+
+  test("views survive a fresh session over the same root") {
+    val root = Files.createTempDirectory("graft").toString
+    val g1 = GraftSession(spark, root)
+    g1.createTable("b", StructType(Seq(StructField("v", LongType))))
+    g1.insert("b", Seq(1L, 2L).toDF("v"))
+    g1.createView("dbl", "SELECT v * 2 AS d FROM b")
+    val g2 = GraftSession(spark, root)
+    assert(g2.sql("SELECT sum(d) AS s FROM dbl").as[Long].head() == 6L)
+  }
+
+  test("execute() parses SET clauses containing commas") {
+    val g = freshSession()
+    g.execute("CREATE TABLE t (a BIGINT, b BIGINT)")
+    g.execute("INSERT INTO t (a, b) VALUES (1, 10)")
+    g.execute("UPDATE t SET a = greatest(a, b), b = least(a, b) WHERE a = 1")
+    assert(g.execute("SELECT a, b FROM t").as[(Long, Long)].head()
+      == ((10L, 1L)))
+  }
+
+  test("bare string-literal minus passes the rewriter untouched") {
+    import graft.functions.Jsonb
+    val q = "SELECT CAST(t AS TIMESTAMP) - INTERVAL '1 hour' AS p FROM x"
+    assert(Jsonb.rewrite(q) == q)
+  }
+}
