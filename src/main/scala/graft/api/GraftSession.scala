@@ -397,7 +397,7 @@ class GraftSession(val spark: SparkSession, root: String) {
     views.foreach { case (n, body) =>
       if (!tables.contains(n)) spark.sql(body).createOrReplaceTempView(n)
     }
-    spark.sql(graft.functions.Jsonb.rewrite(query, params))
+    spark.sql(expandMacros(graft.functions.Jsonb.rewrite(query, params)))
   }
 
   /** Statement router — the reference's `execute_sql` entry point
@@ -423,8 +423,13 @@ class GraftSession(val spark: SparkSession, root: String) {
       """(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?$""".r
     val deleteRe =
       """(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*?)\s*;?$""".r
+    val macroRe =
+      """(?is)^CREATE\s+(?:MACRO|FUNCTION)\s+(\w+)\s*\(([^)]*)\)\s*(?:AS|RETURN)\s+(.*?);?$""".r
     def empty = spark.emptyDataFrame
     stmt match {
+      case macroRe(name, ps, body) =>
+        createMacro(name,
+          ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq, body); empty
       case createDynRe(name) => createDynamicTable(name); empty
       case createTableRe(name, null) => createDynamicTable(name); empty
       case createTableRe(name, colsDdl) =>
@@ -444,6 +449,69 @@ class GraftSession(val spark: SparkSession, root: String) {
         delete(name, org.apache.spark.sql.functions.expr(cond))
       case other => sql(other)
     }
+  }
+
+  /** SQL macro (reference CREATE FUNCTION → pg_rewrite macro, expanded at
+    * plan time — transform_macro.cpp): body is substituted textually at
+    * call sites before Catalyst parses. Persisted like views. */
+  def createMacro(name: String, params: Seq[String], body: String): Unit = {
+    macros(name) = (params, body)
+    val md = rootPath.resolve("_macros")
+    Files.createDirectories(md)
+    Files.writeString(md.resolve(s"$name.sql"),
+      params.mkString(",") + "\n" + body)
+  }
+  private val macros =
+    scala.collection.mutable.Map[String, (Seq[String], String)]()
+  locally {
+    val md = rootPath.resolve("_macros")
+    if (Files.exists(md))
+      Files.list(md).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".sql")).foreach { p =>
+          val Array(ps, body) = Files.readString(p).split("\n", 2)
+          macros(p.getFileName.toString.stripSuffix(".sql")) =
+            (ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq, body)
+        }
+  }
+
+  /** Expands macro call sites `name(arg1, arg2)` by parameter
+    * substitution (innermost-args only; nested parens in args supported
+    * via depth counting). */
+  private def expandMacros(q: String): String = {
+    var out = q
+    var changed = true
+    var guard = 0
+    while (changed && guard < 10) {
+      changed = false
+      guard += 1
+      macros.foreach { case (name, (params, body)) =>
+        val idx = out.indexOf(name + "(")
+        if (idx >= 0 &&
+            (idx == 0 || !out.charAt(idx - 1).isLetterOrDigit)) {
+          var depth = 0
+          var end = idx + name.length
+          var done = false
+          while (end < out.length && !done) {
+            out.charAt(end) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) done = true
+              case _ =>
+            }
+            end += 1
+          }
+          val argStr = out.substring(idx + name.length + 1, end - 1)
+          val args = splitTopLevel(argStr).map(_.trim)
+          var expanded = body
+          params.zip(args).foreach { case (p, a) =>
+            expanded = expanded.replaceAll(s"\\b$p\\b",
+              scala.util.matching.Regex.quoteReplacement(s"($a)"))
+          }
+          out = out.substring(0, idx) + s"($expanded)" + out.substring(end)
+          changed = true
+        }
+      }
+    }
+    out
   }
 
   /** Splits a SET-clause list on commas at paren/quote depth 0 only, so

@@ -55,6 +55,33 @@ object ExtQueries {
         ORDER BY kmod""", Seq(10)))
     }),
 
+    // --- dynamic (computing) table + jsonb SQL through the session:
+    // documents materialize columns on insert, PG operators query them ---
+    "x6_dynamic_jsonb" -> ((s, dir) => {
+      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      g.createDynamicTable("docs")
+      g.insert("docs", Tables.load(s, dir, "events")
+        .filter(col("event_id") < 500)
+        .select(col("event_id"), col("event_type"), col("props")))
+      g.sql("""
+        SELECT event_type, SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+               COUNT(*) AS n
+        FROM docs GROUP BY event_type ORDER BY event_type""")
+    }),
+
+    // --- SQL macro (CREATE FUNCTION → textual expansion at plan time) ---
+    "x7_sql_macro" -> ((s, dir) => {
+      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      g.execute(
+        "CREATE MACRO net_price(p, d) AS p * (1.0 - d)")
+      g.sql("""
+        SELECT l_returnflag,
+          CAST(SUM(CAST(net_price(l_extendedprice, l_discount)
+            AS DECIMAL(28,6))) AS DOUBLE) AS net
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     // --- as-of join (inclusive latest-right-per-left; DuckDB ASOF oracle)
     "j1_asof_join" -> ((s, dir) => {
       val e = graft.Tables.events(s, dir)
@@ -106,6 +133,17 @@ object ExtQueries {
       FROM events WHERE CAST(props->>'k' AS BIGINT) >= 10
       GROUP BY CAST(props->>'k' AS BIGINT) % 5
       ORDER BY kmod""",
+    "x6_dynamic_jsonb" -> """
+      SELECT event_type,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        COUNT(*) AS n
+      FROM events WHERE event_id < 500
+      GROUP BY event_type ORDER BY event_type""",
+    "x7_sql_macro" -> """
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(28,6))) AS DOUBLE) AS net
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "j1_asof_join" -> """
       WITH e AS (SELECT event_id, event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS lt

@@ -81,6 +81,16 @@ object ScaleQueries {
         .limit(20)
     }),
 
+    // --- sliding event-time windows (each event lands in size/slide
+    // overlapping buckets; batch twin of EventPipeline.slidingCounts) ---
+    "s3_sliding_window" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .groupBy(window(col("t"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("h"), col("n"))
+        .orderBy(col("h"))
+    }),
+
     // --- exact median (sort-based percentile; ClickBench-style) ---
     "c1_median" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -146,6 +156,13 @@ object ScaleQueries {
         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
           AS BIGINT) AS n_sub
       FROM documents ORDER BY doc_id""",
+    "s3_sliding_window" -> """
+      SELECT h, COUNT(*) AS n FROM (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h FROM events
+        UNION ALL
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+               - INTERVAL 1 HOUR AS h FROM events) x
+      GROUP BY h ORDER BY h""",
     "c1_median" -> """
       SELECT event_type, round(median(value), 6) AS med, COUNT(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
