@@ -425,8 +425,10 @@ class GraftSession(val spark: SparkSession, root: String) {
       """(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*?)\s*;?$""".r
     val macroRe =
       """(?is)^CREATE\s+(?:MACRO|FUNCTION)\s+(\w+)\s*\(([^)]*)\)\s*(?:AS|RETURN)\s+(.*?);?$""".r
+    val setTzRe = """(?is)^SET\s+TIME\s*ZONE\s+'?([\w/+-:]+)'?\s*;?$""".r
     def empty = spark.emptyDataFrame
     stmt match {
+      case setTzRe(tz) => setTimezone(tz); empty
       case macroRe(name, ps, body) =>
         createMacro(name,
           ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq, body); empty

@@ -39,6 +39,16 @@ class SqlRouterSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("SET TIMEZONE routes to the session config") {
+    val s = g
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      s.execute("SET TIME ZONE 'America/New_York'")
+      assert(spark.conf.get("spark.sql.session.timeZone")
+        == "America/New_York")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("parameterized execute ($n binding)") {
     val s = g
     s.execute("CREATE TABLE t (v BIGINT)")
