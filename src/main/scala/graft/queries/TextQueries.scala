@@ -85,6 +85,25 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // --- sequence packing: fill 2048-token budgets per source ---
+    "d11_packing" -> ((s, dir) => {
+      graft.operators.Mixing.packByTokenBudget(
+          docs(s, dir), "source", "doc_id", budget = 2048)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+        .orderBy(col("source"), col("pack_id"))
+    }),
+
+    // --- stratified sampling (hash-deterministic; rows-only) ---
+    "d12_stratified_sample" -> ((s, dir) => {
+      graft.operators.Mixing.stratifiedSample(
+          docs(s, dir), "lang",
+          Map("en" -> 0.5, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0,
+            "de" -> 1.0))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
     // --- multimodal: opaque binary payload + typed metadata. The payload
     // here is utf-8 text bytes standing in for image/audio bytes (decoders
     // aren't in this container — see graft.multimodal for the stubbed
@@ -161,6 +180,19 @@ object TextQueries {
           / CAST(len(a.sh) + len(b.sh)
                  - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) >= 0.3
       ORDER BY a_id, b_id""",
+    "d11_packing" -> """
+      WITH t AS (
+        SELECT source, doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, n_tok,
+          SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT source, CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 2048) AS BIGINT) AS pack_id,
+             COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+      FROM c GROUP BY 1, 2 ORDER BY source, pack_id""",
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CAST(length(text) AS BIGINT) AS n_bytes,

@@ -26,6 +26,40 @@ class SkewSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("token packing: packs respect the budget modulo one overflow doc") {
+    import graft.operators.Mixing
+    val docs = Tables.load(spark, sf, "documents")
+    val packs = Mixing.packByTokenBudget(docs, "source", "doc_id", 512)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(sum(col("n_tok")).as("tok"), max(col("n_tok")).as("biggest"))
+      .collect()
+    assert(packs.nonEmpty)
+    // a pack only exceeds the budget by (at most) its final document
+    packs.foreach { r =>
+      assert(r.getLong(2) <= 512 + r.getLong(3),
+        s"pack ${r.getString(0)}/${r.getLong(1)} too large: $r")
+    }
+  }
+
+  test("stratified sample hits requested fractions and is deterministic") {
+    import graft.operators.Mixing
+    val docs = Tables.load(spark, sf, "documents")
+    val sampled = Mixing.stratifiedSample(docs, "lang",
+      Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.0, "es" -> 1.0, "zh" -> 1.0))
+    val counts = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("fr"))
+    assert(counts("de") == full("de"))
+    val ratio = counts("en").toDouble / full("en")
+    assert(ratio > 0.3 && ratio < 0.7, s"en ratio $ratio")
+    // deterministic: same seed → identical sample
+    assert(Mixing.stratifiedSample(docs, "lang", Map("en" -> 0.5))
+      .count() == Mixing.stratifiedSample(docs, "lang", Map("en" -> 0.5))
+      .count())
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val e = Tables.load(spark, sf, "events")
     val both = e.agg(
