@@ -26,8 +26,11 @@ object ExtQueries {
     // --- UPDATE ... RETURNING through the session write path ---
     "x2_update_returning" -> ((s, dir) => {
       val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
-      g.createTable("c", Tables.load(s, dir, "customer").schema)
-      g.insert("c", Tables.load(s, dir, "customer"))
+      // only the columns the statement touches ride through the write path
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      g.createTable("c", cust.schema)
+      g.insert("c", cust)
       g.update("c",
           Map("c_acctbal" -> (col("c_acctbal") * 1.1)),
           col("c_acctbal") < 0)
@@ -38,8 +41,10 @@ object ExtQueries {
     // --- DELETE ... RETURNING ---
     "x3_delete_returning" -> ((s, dir) => {
       val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
-      g.createTable("d", Tables.load(s, dir, "documents").schema)
-      g.insert("d", Tables.load(s, dir, "documents"))
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      g.createTable("d", d.schema)
+      g.insert("d", d)
       g.delete("d", col("n_chars") < 100)
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
