@@ -104,6 +104,23 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- the whole preprocessing pipeline as ONE declarative plan:
+    // exact-dedup → quality filter → sequence packing → per-source stats.
+    // Catalyst fuses it: one scan, dedup semi-join, filter, one window ---
+    "p1_pipeline" -> ((s, dir) => {
+      val survivors = Dedup.exactSurvivors(docs(s, dir), "text", "doc_id")
+      val filtered = survivors
+        .filter(distinctTokenRatio(col("text")) >= 0.3 &&
+          tokenCount(col("text")) >= 10)
+      graft.operators.Mixing.packByTokenBudget(
+          filtered, "source", "doc_id", budget = 1024)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("pack_id")).as("n_packs"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"))
+        .orderBy(col("source"))
+    }),
+
     // --- multimodal: opaque binary payload + typed metadata. The payload
     // here is utf-8 text bytes standing in for image/audio bytes (decoders
     // aren't in this container — see graft.multimodal for the stubbed
@@ -180,6 +197,33 @@ object TextQueries {
           / CAST(len(a.sh) + len(b.sh)
                  - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) >= 0.3
       ORDER BY a_id, b_id""",
+    "p1_pipeline" -> """
+      WITH surv AS (
+        SELECT d.* FROM documents d
+        JOIN (SELECT MIN(doc_id) AS keep FROM documents GROUP BY md5(text)) k
+          ON d.doc_id = k.keep),
+      filt AS (
+        SELECT source, doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM (
+          SELECT source, doc_id, text,
+            string_split_regex(trim(text), '\s+') AS toks
+          FROM surv) x
+        WHERE CAST(len(list_distinct(toks)) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) >= 0.3
+          AND len(toks) >= 10),
+      c AS (
+        SELECT source, doc_id, n_tok,
+          SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+        FROM filt),
+      packs AS (
+        SELECT source, n_tok,
+          CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 1024) AS BIGINT) AS pack_id
+        FROM c)
+      SELECT source, COUNT(DISTINCT pack_id) AS n_packs, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+      FROM packs GROUP BY source ORDER BY source""",
     "d11_packing" -> """
       WITH t AS (
         SELECT source, doc_id,
