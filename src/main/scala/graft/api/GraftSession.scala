@@ -65,6 +65,14 @@ class GraftSession(val spark: SparkSession, root: String) {
   def dropTable(name: String): Unit = {
     deleteRecursively(tableDir(name))
     tables.remove(name)
+    // a re-created table must not inherit the dead table's constraints,
+    // rename history, or stored (mat)view body
+    checks.remove(name)
+    fks.remove(name)
+    renames.remove(name)
+    views.remove(name)
+    val vf = rootPath.resolve("_views").resolve(s"$name.sql")
+    if (Files.exists(vf)) Files.delete(vf)
     spark.catalog.dropTempView(name)
   }
 
@@ -236,15 +244,26 @@ class GraftSession(val spark: SparkSession, root: String) {
     * swaps), and RETURNING is the post-update image of the matched rows. */
   def update(name: String, set: Map[String, Column], where: Column): DataFrame = {
     val current = table(name)
+    val resolved = resolveSetKeys(current.columns.toSeq, set)
     val updated = current.select(current.columns.map { c =>
-      set.get(c).map(v => when(where, v).otherwise(col(c)).as(c))
+      resolved.get(c).map(v => when(where, v).otherwise(col(c)).as(c))
         .getOrElse(col(c))
     }.toSeq: _*)
     val returning = current.filter(where).select(current.columns.map { c =>
-      set.get(c).map(_.as(c)).getOrElse(col(c))
+      resolved.get(c).map(_.as(c)).getOrElse(col(c))
     }.toSeq: _*)
     overwrite(name, updated, returning)
   }
+
+  /** Case-insensitive SET-key resolution; unknown columns are an error,
+    * never a silent no-op. */
+  private def resolveSetKeys(cols: Seq[String],
+                             set: Map[String, Column]): Map[String, Column] =
+    set.map { case (k, v) =>
+      cols.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"UPDATE: unknown column $k (have ${cols.mkString(",")})")) -> v
+    }
 
   /** UPDATE ... FROM (join-update; reference operator_update supports
     * UPDATE…FROM + RETURNING): rows of `name` matching `joinCond` against
@@ -253,6 +272,7 @@ class GraftSession(val spark: SparkSession, root: String) {
   def updateFrom(name: String, other: DataFrame, joinCond: Column,
                  set: Map[String, Column]): DataFrame = {
     val base = table(name)
+    val resolved = resolveSetKeys(base.columns.toSeq, set)
     val current = base.withColumn("_rid", monotonically_increasing_id())
     val matched = current.join(broadcast(other), joinCond, "left")
     // a target row matching >1 source row would be duplicated by the join
@@ -261,10 +281,16 @@ class GraftSession(val spark: SparkSession, root: String) {
       .filter(col("_n") > 1).count()
     require(dups == 0,
       s"UPDATE...FROM: $dups target row(s) match multiple source rows")
-    val updated = set.foldLeft(matched) { case (df, (c, v)) =>
-      df.withColumn(c, when(joinCond, v).otherwise(col(c)))
-    }.select(base.columns.map(col).toSeq: _*)
-    val returning = updated.join(broadcast(other), joinCond, "left_semi")
+    // simultaneous assignment from the pre-update row (matches update());
+    // the join/match flag is evaluated once, BEFORE any SET applies
+    val hit = joinCond.isNotNull && joinCond
+    val updatedAll = matched.select((base.columns.map { c =>
+      resolved.get(c).map(v => when(hit, v).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    } :+ hit.as("_hit")).toSeq: _*)
+    val updated = updatedAll.select(base.columns.map(col).toSeq: _*)
+    val returning = updatedAll.filter(col("_hit"))
+      .select(base.columns.map(col).toSeq: _*)
     overwrite(name, updated, returning)
   }
 
@@ -321,11 +347,13 @@ class GraftSession(val spark: SparkSession, root: String) {
     batches.map { b =>
       val raw = spark.read.parquet(b.toString)
       val cols = visible.map { f =>
-        // batches written after a rename carry the NEW name; older ones
-        // the original physical name — probe current first, then alias
-        val physical =
-          if (raw.schema.fieldNames.contains(f.name)) f.name
-          else rename.getOrElse(f.name, f.name)
+        // pre-rename batches carry the ORIGINAL physical name (prefer it
+        // when present — a chained rename can make an unrelated old
+        // column shadow the current name); post-rename batches carry the
+        // new name and fall through to f.name
+        val physical = rename.get(f.name)
+          .filter(raw.schema.fieldNames.contains)
+          .getOrElse(f.name)
         if (raw.schema.fieldNames.contains(physical))
           col(physical).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
@@ -419,10 +447,8 @@ class GraftSession(val spark: SparkSession, root: String) {
       """(?is)^INSERT\s+INTO\s+(\w+)\s*\(([^)]*)\)\s*VALUES\s*(.*?);?$""".r
     val insertSelectRe =
       """(?is)^INSERT\s+INTO\s+(\w+)\s+(SELECT\s+.*?);?$""".r
-    val updateRe =
-      """(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?$""".r
-    val deleteRe =
-      """(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*?)\s*;?$""".r
+    val updateRe = """(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)\s*;?$""".r
+    val deleteRe = """(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*?)\s*;?$""".r
     val macroRe =
       """(?is)^CREATE\s+(?:MACRO|FUNCTION)\s+(\w+)\s*\(([^)]*)\)\s*(?:AS|RETURN)\s+(.*?);?$""".r
     val setTzRe = """(?is)^SET\s+TIME\s*ZONE\s+'?([\w/+-:]+)'?\s*;?$""".r
@@ -441,12 +467,17 @@ class GraftSession(val spark: SparkSession, root: String) {
         insert(name, spark.sql(
           s"SELECT * FROM VALUES $values AS _ins($cols)")); empty
       case insertSelectRe(name, select) => insert(name, sql(select)); empty
-      case updateRe(name, sets, cond) =>
+      case updateRe(name, setsAndWhere) =>
+        // split SET list from WHERE at the first top-level (outside any
+        // string literal / parens) WHERE keyword — a ' where ' inside a
+        // SET string literal must not split the statement
+        val (sets, cond) = splitAtTopLevelWhere(setsAndWhere)
         val setMap = splitTopLevel(sets).map { kv =>
           val Array(c, e) = kv.split("=", 2)
           c.trim -> org.apache.spark.sql.functions.expr(e.trim)
         }.toMap
-        update(name, setMap, org.apache.spark.sql.functions.expr(cond))
+        update(name, setMap,
+          org.apache.spark.sql.functions.expr(cond.getOrElse("true")))
       case deleteRe(name, cond) =>
         delete(name, org.apache.spark.sql.functions.expr(cond))
       case other => sql(other)
@@ -488,8 +519,9 @@ class GraftSession(val spark: SparkSession, root: String) {
       guard += 1
       macros.foreach { case (name, (params, body)) =>
         val idx = out.indexOf(name + "(")
+        def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
         if (idx >= 0 &&
-            (idx == 0 || !out.charAt(idx - 1).isLetterOrDigit)) {
+            (idx == 0 || !isIdentChar(out.charAt(idx - 1)))) {
           var depth = 0
           var end = idx + name.length
           var done = false
@@ -514,6 +546,30 @@ class GraftSession(val spark: SparkSession, root: String) {
       }
     }
     out
+  }
+
+  /** Finds the first WHERE keyword outside string literals and parens,
+    * returning (before, Some(after)) or (all, None). */
+  private def splitAtTopLevelWhere(s: String): (String, Option[String]) = {
+    var inQuote = false
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1
+        case c if !inQuote && depth == 0 && (c == 'w' || c == 'W') &&
+            i + 5 <= s.length &&
+            s.substring(i, i + 5).equalsIgnoreCase("where") &&
+            (i == 0 || s.charAt(i - 1).isWhitespace) &&
+            (i + 5 == s.length || s.charAt(i + 5).isWhitespace) =>
+          return (s.substring(0, i).trim, Some(s.substring(i + 5).trim))
+        case _ =>
+      }
+      i += 1
+    }
+    (s.trim, None)
   }
 
   /** Splits a SET-clause list on commas at paren/quote depth 0 only, so

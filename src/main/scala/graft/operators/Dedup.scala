@@ -136,7 +136,11 @@ object Dedup {
     import graft.functions.VectorFunctions._
     // hyperplane dim must match the actual vectors: a mismatch nulls every
     // projection and collapses all rows into one bucket (O(n²) blow-up)
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val dim = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1).headOption.map(_.getInt(0))
+      .getOrElse(return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("a_id"), lit(0L).as("b_id"), lit(0.0).as("sim"))
+        .limit(0))
     val planes = hyperplanes(nPlanes, dim)
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         lshBucket(col(vecCol), planes).as("bucket"))

@@ -21,6 +21,8 @@ case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with Serializable {
   override def prettyName: String = "graft_minhash"
   override def nullIntolerant: Boolean = true
+  // NULL for empty / all-null shingle arrays (see nullSafeEval)
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -34,9 +36,11 @@ case class MinHashSig(child: Expression, k: Int)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
+    var seen = false
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
+        seen = true
         val s = arr.getUTF8String(j)
         val h1 = XXH64.hashUnsafeBytes(
           s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
@@ -49,7 +53,9 @@ case class MinHashSig(child: Expression, k: Int)
       }
       j += 1
     }
-    new GenericArrayData(mins)
+    // no (non-null) shingles → NULL signature, so empty docs can never
+    // "agree" with each other the way a Long.MaxValue sentinel would
+    if (!seen) null else new GenericArrayData(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,11 +67,14 @@ case class MinHashSig(child: Expression, k: Int)
       val s = ctx.freshName("s")
       val h1 = ctx.freshName("h1")
       val h = ctx.freshName("h")
+      val seen = ctx.freshName("seen")
       s"""
         long[] $mins = new long[$k];
         java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        boolean $seen = false;
         for (int $j = 0; $j < $arr.numElements(); $j++) {
           if (!$arr.isNullAt($j)) {
+            $seen = true;
             org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($j);
             long $h1 = $xxh.hashUnsafeBytes(
               $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
@@ -75,7 +84,11 @@ case class MinHashSig(child: Expression, k: Int)
             }
           }
         }
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+        if (!$seen) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+        }
       """
     })
 

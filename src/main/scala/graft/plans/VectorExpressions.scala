@@ -24,6 +24,11 @@ import org.apache.spark.sql.types._
 abstract class VectorBinaryExpression extends BinaryExpression
     with Serializable {
   override def nullIntolerant: Boolean = true
+  // can yield NULL even for non-null inputs (length mismatch / null
+  // element) — without this override nullSafeCodeGen would never declare
+  // the isNull variable for non-nullable children and the generated
+  // `isNull = true` wouldn't compile
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
 
   protected def elemType(e: Expression): DataType =

@@ -118,6 +118,70 @@ class ReviewRegressionSpec extends SparkSpec {
       == ((10L, 1L)))
   }
 
+  test("UPDATE...FROM: SET on the join key still returns matched rows") {
+    val g = freshSession()
+    g.createTable("t", StructType(Seq(StructField("k", LongType))))
+    g.insert("t", Seq(1L, 2L).toDF("k"))
+    val src = Seq(1L).toDF("src_k")
+    val ret = g.updateFrom("t", src, col("k") === col("src_k"),
+      Map("k" -> (col("k") + 100)))
+    assert(ret.as[Long].collect().toSeq == Seq(101L))
+    assert(g.table("t").as[Long].collect().sorted.toSeq == Seq(2L, 101L))
+  }
+
+  test("UPDATE rejects unknown SET columns; resolves case-insensitively") {
+    val g = freshSession()
+    g.createTable("t", StructType(Seq(StructField("qty", LongType))))
+    g.insert("t", Seq(1L).toDF("qty"))
+    intercept[IllegalArgumentException] {
+      g.update("t", Map("nope" -> lit(0L)), lit(true))
+    }
+    g.update("t", Map("QTY" -> lit(5L)), lit(true))
+    assert(g.table("t").as[Long].head() == 5L)
+  }
+
+  test("macro names do not fire inside longer identifiers") {
+    val g = freshSession()
+    g.createMacro("price", Seq("p"), "p * 0.9")
+    Seq((1.0, 2.0)).toDF("net_price", "v").createOrReplaceTempView("mt")
+    // net_price must survive; bare price(v) must expand
+    val out = g.sql("SELECT net_price, price(v) AS pv FROM mt").head()
+    assert(out.getDouble(0) == 1.0 && out.getDouble(1) == 1.8)
+  }
+
+  test("dropTable clears constraints, renames, and stored view bodies") {
+    val g = freshSession()
+    g.createTable("t", StructType(Seq(StructField("v", LongType))))
+    g.addCheckConstraint("t", "pos", "v > 0")
+    g.dropTable("t")
+    g.createTable("t", StructType(Seq(StructField("v", LongType))))
+    g.insert("t", Seq(-5L).toDF("v")) // old CHECK must not fire
+    assert(g.table("t").count() == 1)
+  }
+
+  test("execute(): WHERE inside a string literal does not split UPDATE") {
+    val g = freshSession()
+    g.createTable("t", StructType(Seq(StructField("id", LongType),
+      StructField("note", StringType))))
+    g.execute("INSERT INTO t (id, note) VALUES (1, 'x'), (2, 'y')")
+    g.execute("UPDATE t SET note = 'checked where needed' WHERE id = 1")
+    assert(g.table("t").filter(col("note").contains("where")).count() == 1)
+  }
+
+  test("graft_minhash yields NULL for empty shingle arrays") {
+    val df = Seq((Seq.empty[String], Seq("a", "b"))).toDF("empty", "full")
+    val r = df.select(
+      call_function("graft_minhash", col("empty"), lit(4)),
+      call_function("graft_minhash", col("full"), lit(4))).head()
+    assert(r.isNullAt(0) && !r.isNullAt(1))
+  }
+
+  test("native vector exprs compile with non-nullable literal arrays") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d)) AS d").head()
+    assert(r.isNullAt(0)) // length mismatch → NULL, and codegen compiles
+  }
+
   test("bare string-literal minus passes the rewriter untouched") {
     import graft.functions.Jsonb
     val q = "SELECT CAST(t AS TIMESTAMP) - INTERVAL '1 hour' AS p FROM x"
