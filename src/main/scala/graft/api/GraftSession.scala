@@ -66,9 +66,17 @@ class GraftSession(val spark: SparkSession, root: String) {
     deleteRecursively(tableDir(name))
     tables.remove(name)
     // a re-created table must not inherit the dead table's constraints,
-    // rename history, or stored (mat)view body
+    // rename history, or stored (mat)view body — and OTHER tables' FKs
+    // referencing this one must not dangle
     checks.remove(name)
     fks.remove(name)
+    fks.keys.toSeq.foreach { child =>
+      val kept = fks(child).filterNot(_.parent == name)
+      if (kept.size != fks(child).size) {
+        fks(child) = kept
+        persistConstraints(child)
+      }
+    }
     renames.remove(name)
     views.remove(name)
     val vf = rootPath.resolve("_views").resolve(s"$name.sql")
@@ -95,15 +103,21 @@ class GraftSession(val spark: SparkSession, root: String) {
 
   def renameColumn(name: String, from: String, to: String): Unit = {
     val st = state(name)
-    // physical batches keep the old name; reads alias it. Represent the
-    // rename by rewriting the union schema + recording a tombstone-free
-    // alias batch-side at read (rename map persisted in meta).
-    renames(name) = renames.getOrElse(name, Map.empty) + (to -> from)
+    // physical batches keep the old name; reads alias it. The rename is
+    // versioned by the table's batch generation: batches written BEFORE
+    // the rename (generation < renameGen) resolve the old physical name,
+    // later batches already carry the new one — so neither chained
+    // renames nor a later re-added column with the old name can shadow.
+    val renameGen = peekGeneration(name)
+    renames(name) = renames.getOrElse(name, Map.empty) +
+      (to -> (from, renameGen))
     st.schema = StructType(st.schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     persistMeta(name)
   }
-  private val renames = scala.collection.mutable.Map[String, Map[String, String]]()
+  // visible name -> (old physical name, first generation with the new name)
+  private val renames =
+    scala.collection.mutable.Map[String, Map[String, (String, Long)]]()
 
   // ----------------------------------------------------------- constraints
 
@@ -258,12 +272,17 @@ class GraftSession(val spark: SparkSession, root: String) {
   /** Case-insensitive SET-key resolution; unknown columns are an error,
     * never a silent no-op. */
   private def resolveSetKeys(cols: Seq[String],
-                             set: Map[String, Column]): Map[String, Column] =
-    set.map { case (k, v) =>
+                             set: Map[String, Column]): Map[String, Column] = {
+    val resolved = set.toSeq.map { case (k, v) =>
       cols.find(_.equalsIgnoreCase(k)).getOrElse(
         throw new IllegalArgumentException(
           s"UPDATE: unknown column $k (have ${cols.mkString(",")})")) -> v
     }
+    val collided = resolved.groupBy(_._1).filter(_._2.size > 1).keys
+    require(collided.isEmpty,
+      s"UPDATE: multiple SET clauses target column(s) ${collided.mkString(",")}")
+    resolved.toMap
+  }
 
   /** UPDATE ... FROM (join-update; reference operator_update supports
     * UPDATE…FROM + RETURNING): rows of `name` matching `joinCond` against
@@ -273,23 +292,30 @@ class GraftSession(val spark: SparkSession, root: String) {
                  set: Map[String, Column]): DataFrame = {
     val base = table(name)
     val resolved = resolveSetKeys(base.columns.toSeq, set)
-    val current = base.withColumn("_rid", monotonically_increasing_id())
-    val matched = current.join(broadcast(other), joinCond, "left")
+    // __graft_-prefixed helper columns are reserved (collision-checked)
+    require(!base.columns.exists(_.startsWith("__graft_")),
+      "column names starting with __graft_ are reserved")
+    val current = base.withColumn("__graft_rid", monotonically_increasing_id())
+    // the match flag comes from a tag column on the source side — NOT from
+    // re-evaluating joinCond post-join, which misfires for null-safe
+    // conditions (NULL <=> NULL turning unmatched rows into matches)
+    val tagged = other.withColumn("__graft_hit", lit(1))
+    val matched = current.join(broadcast(tagged), joinCond, "left")
     // a target row matching >1 source row would be duplicated by the join
     // and silently persisted twice — refuse, like PG's ON-conflict rule
-    val dups = matched.groupBy(col("_rid")).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > 1).count()
+    val dups = matched.groupBy(col("__graft_rid"))
+      .agg(count(lit(1)).as("__graft_n"))
+      .filter(col("__graft_n") > 1).count()
     require(dups == 0,
       s"UPDATE...FROM: $dups target row(s) match multiple source rows")
-    // simultaneous assignment from the pre-update row (matches update());
-    // the join/match flag is evaluated once, BEFORE any SET applies
-    val hit = joinCond.isNotNull && joinCond
+    // simultaneous assignment from the pre-update row (matches update())
+    val hit = col("__graft_hit").isNotNull
     val updatedAll = matched.select((base.columns.map { c =>
       resolved.get(c).map(v => when(hit, v).otherwise(col(c)).as(c))
         .getOrElse(col(c))
-    } :+ hit.as("_hit")).toSeq: _*)
+    } :+ hit.as("__graft_matched")).toSeq: _*)
     val updated = updatedAll.select(base.columns.map(col).toSeq: _*)
-    val returning = updatedAll.filter(col("_hit"))
+    val returning = updatedAll.filter(col("__graft_matched"))
       .select(base.columns.map(col).toSeq: _*)
     overwrite(name, updated, returning)
   }
@@ -346,16 +372,21 @@ class GraftSession(val spark: SparkSession, root: String) {
     }
     batches.map { b =>
       val raw = spark.read.parquet(b.toString)
+      val batchGen = b.getFileName.toString.stripPrefix("batch_").toLong
+      // physical names that, IN THIS BATCH's generation, belong to a
+      // renamed column — a re-added column with the old name must not
+      // read them (they are the renamed column's historical data)
+      val claimed = rename.collect {
+        case (_, (old, g)) if batchGen < g => old
+      }.toSet
       val cols = visible.map { f =>
-        // pre-rename batches carry the ORIGINAL physical name (prefer it
-        // when present — a chained rename can make an unrelated old
-        // column shadow the current name); post-rename batches carry the
-        // new name and fall through to f.name
-        val physical = rename.get(f.name)
-          .filter(raw.schema.fieldNames.contains)
-          .getOrElse(f.name)
-        if (raw.schema.fieldNames.contains(physical))
-          col(physical).cast(f.dataType).as(f.name)
+        val physical = rename.get(f.name) match {
+          case Some((old, renameGen)) if batchGen < renameGen => old
+          case _ => f.name
+        }
+        val usable = raw.schema.fieldNames.contains(physical) &&
+          !(physical == f.name && claimed(physical))
+        if (usable) col(physical).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }
       raw.select(cols.toSeq: _*)
@@ -518,10 +549,13 @@ class GraftSession(val spark: SparkSession, root: String) {
       changed = false
       guard += 1
       macros.foreach { case (name, (params, body)) =>
-        val idx = out.indexOf(name + "(")
         def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
-        if (idx >= 0 &&
-            (idx == 0 || !isIdentChar(out.charAt(idx - 1)))) {
+        // advance past occurrences embedded in longer identifiers
+        // (net_price must not block a later bare price(...) call)
+        var idx = out.indexOf(name + "(")
+        while (idx > 0 && isIdentChar(out.charAt(idx - 1)))
+          idx = out.indexOf(name + "(", idx + 1)
+        if (idx >= 0) {
           var depth = 0
           var end = idx + name.length
           var done = false
@@ -563,7 +597,8 @@ class GraftSession(val spark: SparkSession, root: String) {
             i + 5 <= s.length &&
             s.substring(i, i + 5).equalsIgnoreCase("where") &&
             (i == 0 || s.charAt(i - 1).isWhitespace) &&
-            (i + 5 == s.length || s.charAt(i + 5).isWhitespace) =>
+            (i + 5 == s.length || s.charAt(i + 5).isWhitespace ||
+              s.charAt(i + 5) == '(') =>
           return (s.substring(0, i).trim, Some(s.substring(i + 5).trim))
         case _ =>
       }
@@ -636,12 +671,16 @@ class GraftSession(val spark: SparkSession, root: String) {
   /** Monotonic per-table batch-directory counter (survives restarts via
     * the _generation file; never reset so dir names are never reused). */
   private def bumpGeneration(name: String): Long = {
-    val f = tableDir(name).resolve("_generation")
-    val cur = if (Files.exists(f)) Files.readString(f).trim.toLong else -1L
-    val next = cur + 1
+    val next = peekGeneration(name)
     Files.createDirectories(tableDir(name))
-    Files.writeString(f, next.toString)
+    Files.writeString(tableDir(name).resolve("_generation"), next.toString)
     next
+  }
+
+  /** The generation the NEXT batch will get (no bump). */
+  private def peekGeneration(name: String): Long = {
+    val f = tableDir(name).resolve("_generation")
+    (if (Files.exists(f)) Files.readString(f).trim.toLong else -1L) + 1
   }
 
   /** Metadata = union schema DDL + tombstones + flags; schema round-trips
@@ -656,7 +695,7 @@ class GraftSession(val spark: SparkSession, root: String) {
     Files.writeString(meta.resolve("kind.txt"), if (st.dynamic) "g" else "r")
     Files.writeString(meta.resolve("renames.txt"),
       renames.getOrElse(name, Map.empty)
-        .map { case (k, v) => s"$k=$v" }.mkString("\n"))
+        .map { case (k, (old, gen)) => s"$k=$old@$gen" }.mkString("\n"))
   }
 
   private def loadMeta(name: String): Option[TableState] = {
@@ -669,8 +708,10 @@ class GraftSession(val spark: SparkSession, root: String) {
       .split("\n").filter(_.nonEmpty).toSet
     val dynamic = Files.readString(meta.resolve("kind.txt")).trim == "g"
     val rn = Files.readString(meta.resolve("renames.txt"))
-      .split("\n").filter(_.contains("=")).map { l =>
-        val Array(k, v) = l.split("=", 2); k -> v
+      .split("\n").filter(l => l.contains("=") && l.contains("@")).map { l =>
+        val Array(k, v) = l.split("=", 2)
+        val Array(old, gen) = v.split("@", 2)
+        k -> (old, gen.toLong)
       }.toMap
     if (rn.nonEmpty) renames(name) = rn
     val st = TableState(dynamic, schema, tomb)

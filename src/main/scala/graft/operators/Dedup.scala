@@ -136,12 +136,13 @@ object Dedup {
     import graft.functions.VectorFunctions._
     // hyperplane dim must match the actual vectors: a mismatch nulls every
     // projection and collapses all rows into one bucket (O(n²) blow-up)
-    val dim = df.filter(col(vecCol).isNotNull)
+    val dimOpt = df.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol))).take(1).headOption.map(_.getInt(0))
-      .getOrElse(return df.sparkSession.emptyDataFrame
+    if (dimOpt.isEmpty) {
+      return df.sparkSession.emptyDataFrame
         .select(lit(0L).as("a_id"), lit(0L).as("b_id"), lit(0.0).as("sim"))
-        .limit(0))
-    val planes = hyperplanes(nPlanes, dim)
+    }
+    val planes = hyperplanes(nPlanes, dimOpt.get)
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         lshBucket(col(vecCol), planes).as("bucket"))
       .repartition(col("id"))

@@ -147,6 +147,57 @@ class ReviewRegressionSpec extends SparkSpec {
     // net_price must survive; bare price(v) must expand
     val out = g.sql("SELECT net_price, price(v) AS pv FROM mt").head()
     assert(out.getDouble(0) == 1.0 && out.getDouble(1) == 1.8)
+    // an embedded occurrence BEFORE the real call must not mask it
+    val out2 = g.sql("SELECT net_price + price(v) AS s FROM mt").head()
+    assert(out2.getDouble(0) == 1.0 + 1.8)
+  }
+
+  test("UPDATE...FROM with a null-safe condition leaves unmatched NULLs alone") {
+    val g = freshSession()
+    g.createTable("t", StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType))))
+    g.insert("t", Seq((Some(1L), Some(1L)), (None, Some(2L)))
+      .toDF("k", "v"))
+    val src = Seq(1L).toDF("src_k")
+    val ret = g.updateFrom("t", src, col("k") <=> col("src_k"),
+      Map("v" -> lit(99L)))
+    assert(ret.count() == 1) // only the k=1 row, never the NULL-key row
+    assert(g.table("t").filter(col("k").isNull).select("v").as[Long]
+      .head() == 2L)
+  }
+
+  test("dropping a parent table clears referencing FKs") {
+    val g = freshSession()
+    g.createTable("p", StructType(Seq(StructField("id", LongType))))
+    g.createTable("c", StructType(Seq(StructField("pid", LongType))))
+    g.addForeignKey("c", "pid", "p", "id")
+    g.insert("p", Seq(1L).toDF("id"))
+    g.dropTable("p")
+    g.insert("c", Seq(42L).toDF("pid")) // must not validate against dead p
+    assert(g.table("c").count() == 1)
+  }
+
+  test("case-colliding SET keys are an error, not last-one-wins") {
+    val g = freshSession()
+    g.createTable("t", StructType(Seq(StructField("qty", LongType))))
+    g.insert("t", Seq(1L).toDF("qty"))
+    intercept[IllegalArgumentException] {
+      g.update("t", Map("qty" -> lit(1L), "QTY" -> lit(2L)), lit(true))
+    }
+  }
+
+  test("rename versioning: re-added old name does not shadow the renamed column") {
+    val g = freshSession()
+    g.createDynamicTable("t")
+    g.insert("t", Seq((1, 10L)).toDF("_id", "a"))
+    g.renameColumn("t", "a", "b")
+    g.addColumn("t", "a", LongType)
+    g.insert("t", Seq((2, 20L, 777L)).toDF("_id", "b", "a"))
+    val rows = g.table("t").orderBy("_id").collect()
+    assert(rows(0).getAs[Long]("b") == 10L) // pre-rename batch via old name
+    assert(rows(0).getAs[Any]("a") == null) // new column absent back then
+    assert(rows(1).getAs[Long]("b") == 20L)
+    assert(rows(1).getAs[Long]("a") == 777L) // NOT shadowed into b
   }
 
   test("dropTable clears constraints, renames, and stored view bodies") {
