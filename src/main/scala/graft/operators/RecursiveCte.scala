@@ -30,7 +30,8 @@ object RecursiveCte {
       // work is O(frontier), not O(closure). One job per iteration: the
       // count() materializes the lazy checkpoint and doubles as the
       // emptiness test. Re-checkpoint acc rarely to bound union fan-in.
-      delta = step(delta).distinct().except(acc).localCheckpoint(false)
+      // except() already returns distinct rows — no pre-distinct shuffle
+      delta = step(delta).except(acc).localCheckpoint(false)
       deltaCount = delta.count()
       if (deltaCount > 0) {
         acc = acc.union(delta)
