@@ -65,8 +65,35 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         minHashSimilarity(col("a_sig"), col("b_sig")).as("est_jaccard"))
-      .distinct()
+      // threshold is deterministic per pair, so filtering BEFORE the
+      // distinct shrinks its shuffle by the below-threshold fraction —
+      // same result, strictly less exchange I/O
       .filter(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** Production-shape near-dup pipeline: MinHash-LSH candidate generation
+    * followed by EXACT word-shingle Jaccard verification. The est_jaccard
+    * prefilter (low cutoff) only prunes obvious non-matches cheaply; the
+    * emitted `jac` is exact, so output = { pairs with true Jaccard ≥
+    * threshold } ∩ { LSH candidates }. With bands×rows sized so
+    * P(candidate | j ≥ threshold) ≈ 1 (e.g. 16×2 at 0.8 → miss odds
+    * ~(1−j²)^16 < 1e−7), the result is deterministically the exact
+    * above-threshold pair set — which is what the DuckDB oracle checks. */
+  def minHashLshVerified(df: DataFrame, textCol: String, idCol: String,
+                         bands: Int = 16, rows: Int = 2,
+                         threshold: Double = 0.8,
+                         shingleSize: Int = 3): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+    val cands = minHashLsh(df, textCol, idCol, bands, rows,
+      threshold = 0.0, shingleSize = shingleSize)
+    cands
+      .join(docs.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(docs.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("a_sh"), col("b_sh")).as("jac"))
+      .filter(col("jac") >= threshold)
   }
 
   /** SimHash signatures (64-bit, as hex) per document. Near-dup pairs =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -68,38 +68,46 @@ object Similarity {
   }
 
   /** IVF-style ANN: k-means-lite centroids chosen as a deterministic sample,
-    * corpus assigned to nearest centroid (one pass), queries probe the
-    * `nProbe` nearest centroid cells. Centroid table is tiny → broadcast;
-    * corpus assignment is a narrow map; the only shuffle is the final
-    * per-cell candidate join. */
+    * corpus assigned to nearest centroid via a NARROW argmin projection —
+    * no join, no window, no shuffle between the corpus scan and its cell
+    * assignment. Centroids are cluster metadata (≤ a few thousand rows even
+    * at 100 TB): collected once and embedded as plan literals.
+    *
+    * The per-centroid score is `|c|² − 2·a·c` (argmin-equivalent to the L2
+    * distance, since `|a|²` is constant per row): `|c|²` folds to a driver
+    * constant and the dot runs on the native codegen'd expression, so
+    * assignment is nCells tight loops per row inside whole-stage codegen. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    // Centroids are cluster metadata (≤ a few thousand rows even at 100 TB):
-    // collect once and re-broadcast as literals, instead of re-running the
-    // centroid job for the corpus-assignment AND query-probe subplans.
-    val cents0 = corpus.orderBy(col("vec_id")).limit(nCells)
+    val spark = corpus.sparkSession
+    val cents = corpus.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val cents = corpus.sparkSession.createDataFrame(
-      cents0.collectAsList(), cents0.schema)
-    val cw = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("c_id"))
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .withColumn("d", l2sq(col("embedding"), col("c_emb")))
-      .withColumn("r", row_number().over(cw))
-      .filter(col("r") === 1)
-      .select(col("c_id").as("cell"), col("vec_id").as("n_id"),
-        col("embedding").as("n_emb"))
-    val qw = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("c_id"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("d", l2sq(col("embedding"), col("c_emb")))
-      .withColumn("r", row_number().over(qw))
-      .filter(col("r") <= nProbe)
-      .select(col("c_id").as("cell"), col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"))
+      .collect()
+    // array of (score, c_id) structs; struct ordering = (score asc, c_id
+    // asc), matching the former window's ORDER BY d ASC, c_id ASC
+    def scored(vec: Column): Column = array(cents.map { r =>
+      val cid = r.getLong(0)
+      val cemb = r.getSeq[Float](1)
+      // |c|² folded on the driver with the same left-to-right double sum
+      // as the engines use, so the score is deterministic
+      val normSq = cemb.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble)
+      val cLit = array(cemb.map(v => lit(v.toDouble)): _*)
+      struct((lit(normSq) - lit(2.0) * dotAuto(spark)(vec, cLit)).as("d"),
+        lit(cid).as("c_id"))
+    }: _*)
+    val assigned = corpus.select(
+      array_min(scored(col("embedding"))).getField("c_id").as("cell"),
+      col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val probes = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        explode(slice(array_sort(scored(col("embedding"))), 1, nProbe))
+          .as("p"))
+      .select(col("p.c_id").as("cell"), col("q_id"), col("q_emb"))
     rankTopK(
       broadcast(probes).join(assigned, Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("sim",
-          cosineAuto(corpus.sparkSession)(col("q_emb"), col("n_emb"))),
+          cosineAuto(spark)(col("q_emb"), col("n_emb"))),
       k)
   }
 }

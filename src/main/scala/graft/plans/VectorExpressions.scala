@@ -106,17 +106,23 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (ta, tb) = (elemType(left), elemType(right))
+      // every block-level local must be freshName'd: with non-nullable
+      // children nullSafeCodeGen splices this code unscoped into the
+      // shared method body, so two graft_dot calls in one projection
+      // would otherwise declare duplicate locals → Janino failure →
+      // silent interpreted fallback
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
       s"""
         int $n = $a.numElements();
         ${nullGuards(a, b, n, ev.isNull)}
         if (!${ev.isNull}) {
-          double acc = 0.0;
+          double $acc = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            acc += ${getter(ta, a, i)} * ${getter(tb, b, i)};
+            $acc += ${getter(ta, a, i)} * ${getter(tb, b, i)};
           }
-          ${ev.value} = acc;
+          ${ev.value} = $acc;
         }
       """
     })
@@ -151,19 +157,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (ta, tb) = (elemType(left), elemType(right))
+      // freshName for all block-level locals — see DotProduct.doGenCode
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
       s"""
         int $n = $a.numElements();
         ${nullGuards(a, b, n, ev.isNull)}
         if (!${ev.isNull}) {
-          double dot = 0.0, na = 0.0, nb = 0.0;
+          double $dot = 0.0, $na = 0.0, $nb = 0.0;
           for (int $i = 0; $i < $n; $i++) {
             double x = ${getter(ta, a, i)};
             double y = ${getter(tb, b, i)};
-            dot += x * y; na += x * x; nb += y * y;
+            $dot += x * y; $na += x * x; $nb += y * y;
           }
-          ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         }
       """
     })

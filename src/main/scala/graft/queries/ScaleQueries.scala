@@ -55,7 +55,11 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // --- rolling polynomial fingerprint (engine-specific hash: rows-only)
+    // --- rolling polynomial fingerprint. Inherently engine-specific: the
+    // Karp-Rabin accumulator seeds from per-token xxhash64 (Spark's seeded
+    // XXH64 variant), which DuckDB does not expose, so no cross-engine
+    // oracle can reproduce the values — rows-only check here; the
+    // algebraic rolling property is unit-tested in TextFunctionsSpec ---
     "d10_rolling_fp" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), fingerprintRolling(col("text")).as("fp"))
@@ -110,8 +114,12 @@ object ScaleQueries {
         .limit(10)
     }),
 
-    // --- HLL sketch (approx distinct; engine-specific estimate → rows-only;
-    // the spec asserts <5% relative error vs exact) ---
+    // --- HLL sketch. Inherently engine-specific: approx_count_distinct is
+    // a HyperLogLog++ ESTIMATE whose value depends on Spark's hash and
+    // register layout — DuckDB's approx_distinct implements a different
+    // sketch, so equality across engines is undefined by construction.
+    // Rows-only check here; the spec asserts <5% relative error vs the
+    // exact COUNT(DISTINCT), which is the meaningful contract ---
     "k4_approx_distinct" -> ((s, dir) => {
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"))

@@ -64,14 +64,24 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // --- MinHash + LSH near-dup candidate pairs (rows-only check) ---
+    // --- MinHash-LSH candidates → EXACT word-shingle Jaccard verify.
+    // The production dedup shape: LSH prunes candidates, the exact score
+    // decides. Output is deterministically { pairs with true Jaccard ≥
+    // 0.5 }: at bands=12 × rows=3 a qualifying pair (all ≥ 0.9 in this
+    // corpus) misses every band with probability (1−0.9³)^12 < 2e-7, so
+    // the all-pairs DuckDB oracle matches exactly ---
     "d6_minhash_lsh" -> ((s, dir) => {
-      Dedup.minHashLsh(docs(s, dir), "text", "doc_id",
-          bands = 8, rows = 4, threshold = 0.2)
+      Dedup.minHashLshVerified(docs(s, dir), "text", "doc_id",
+          bands = 12, rows = 3, threshold = 0.5)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // --- SimHash signatures (rows-only check) ---
+    // --- SimHash signatures. Inherently engine-specific: the signature is
+    // built from per-token xxhash64 bits (Spark's seeded XXH64), which
+    // DuckDB does not expose — no cross-engine oracle can reproduce the
+    // values, so the driver's rows-only check is the strongest available.
+    // The *semantics* (Hamming-close signatures ⇔ near-dup text) are
+    // property-tested in DedupSpec ---
     "d7_simhash" -> ((s, dir) => {
       Dedup.simHashSignatures(docs(s, dir), "text", "doc_id")
         .orderBy(col("id"))
@@ -94,7 +104,11 @@ object TextQueries {
         .orderBy(col("source"), col("pack_id"))
     }),
 
-    // --- stratified sampling (hash-deterministic; rows-only) ---
+    // --- stratified sampling. Engine-specific by construction: row
+    // selection hashes the full row with Spark's seeded xxhash64 (stable
+    // across partitionings/retries, unlike rand()), which no other engine
+    // reproduces — rows-only check; the per-stratum fraction property is
+    // asserted in MixingSpec ---
     "d12_stratified_sample" -> ((s, dir) => {
       graft.operators.Mixing.stratifiedSample(
           docs(s, dir), "lang",
@@ -138,6 +152,23 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // all-pairs exact ground truth: the LSH path must find exactly these
+    "d6_minhash_lsh" -> """
+      WITH sh AS (
+        SELECT doc_id, list_distinct(
+          CASE WHEN len(toks) >= 3
+            THEN list_transform(range(1, len(toks) - 1),
+                                i -> array_to_string(toks[i:i+2], ' '))
+            ELSE [array_to_string(toks, ' ')] END) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents) x)
+      SELECT a_id, b_id, jac FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+            / CAST(len(a.sh) + len(b.sh)
+                   - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+      WHERE jac >= 0.5 ORDER BY a_id, b_id""",
     "d1_exact_dedup" -> """
       SELECT md5(text) AS h, MIN(doc_id) AS keep, COUNT(*) AS n
       FROM documents GROUP BY md5(text) ORDER BY h""",

@@ -34,7 +34,9 @@ object VectorQueries {
     }),
 
     // --- label centroids: order-independent decimal accumulation so the
-    // result is deterministic under any partitioning ---
+    // result is deterministic under any partitioning. Emitted as exploded
+    // (label, i, c) scalar rows — an array-typed column cannot be
+    // hashed/sorted by the driver's compare harness ---
     "e3_centroids" -> ((s, dir) => {
       val D = DecimalType(28, 12)
       emb(s, dir)
@@ -46,27 +48,29 @@ object VectorQueries {
         // (DuckDB's cast is double-multiply based, Spark's is exact)
         .agg(round(sum(col("x").cast("double").cast(D)).cast("double") /
           count(lit(1)).cast("double"), 6).as("c"))
-        .groupBy(col("label"))
-        .agg(sort_array(collect_list(struct(col("i"), col("c"))))
-          .getField("c").as("centroid"))
-        .orderBy(col("label"))
+        .orderBy(col("label"), col("i"))
     }),
 
-    // --- LSH-bucketed ANN (scale path; rows-only) ---
+    // --- LSH-bucketed ANN (scale path). The hyperplanes are deterministic
+    // plan literals and both engines fold doubles left-to-right, so the
+    // bucket assignment — and therefore the whole result — is exactly
+    // reproducible in the DuckDB oracle (generated SQL below) ---
     "e4_knn_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshKnn(e, e.filter(col("vec_id") < 20), k = 5, nPlanes = 4)
         .orderBy(col("q_id"), col("rnk"))
     }),
 
-    // --- IVF-cell ANN (rows-only) ---
+    // --- IVF-cell ANN: deterministic centroids (first nCells by vec_id),
+    // narrow argmin assignment; exactly reproduced by the oracle ---
     "e5_knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfKnn(e, e.filter(col("vec_id") < 3), k = 5)
         .orderBy(col("q_id"), col("rnk"))
     }),
 
-    // --- embedding near-duplicate pairs via sign-LSH + cosine (rows-only) ---
+    // --- embedding near-duplicate pairs via sign-LSH + cosine; exact
+    // oracle through the same literal-hyperplane reconstruction ---
     "e6_embedding_dedup" -> ((s, dir) => {
       Dedup.embeddingNearDups(emb(s, dir), "embedding", "vec_id",
           nPlanes = 4, threshold = 0.3)
@@ -74,16 +78,93 @@ object VectorQueries {
     })
   )
 
+  // ---- oracle-SQL generation: replicate the literal-hyperplane LSH and
+  // IVF-centroid arithmetic in DuckDB. Both engines compute dot products
+  // as left-to-right double folds (proven bit-identical by e1/e2), so
+  // bucket signs, argmin cells, and cosines match exactly. ----
+
+  /** DuckDB double literal list, e.g. `[0.1, -2.3e-4]`. */
+  private def litList(xs: Seq[Double]): String =
+    xs.mkString("[", ", ", "]")
+
+  /** Σ aᵢ·bᵢ over two SQL array expressions (left-to-right double fold). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Sign-LSH bucket id of `vec` for the same seeded hyperplanes
+    * [[graft.functions.VectorFunctions.hyperplanes]] embeds in the plan. */
+  private def bucketSql(vec: String, nPlanes: Int, dim: Int): String =
+    hyperplanes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotSql(vec, litList(p))} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def e4Oracle: String = s"""
+    WITH b AS (SELECT vec_id AS id, embedding AS v,
+                 ${bucketSql("embedding", 4, 64)} AS bucket
+               FROM embeddings),
+    cand AS (
+      SELECT q.id AS q_id, c.id AS n_id, ${cosSql("q.v", "c.v")} AS sim
+      FROM b q JOIN b c ON q.bucket = c.bucket AND c.id <> q.id
+      WHERE q.id < 20),
+    ranked AS (
+      SELECT q_id, n_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY sim DESC, n_id ASC) AS rnk
+      FROM cand)
+    SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, sim FROM ranked
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  private def e5Oracle: String = s"""
+    WITH cents AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings ORDER BY vec_id LIMIT 16),
+    sc AS (
+      SELECT e.vec_id, e.embedding, c.c_id,
+        (${dotSql("c.c_emb", "c.c_emb")}) - 2.0 * (${dotSql("e.embedding", "c.c_emb")}) AS d
+      FROM embeddings e CROSS JOIN cents c),
+    asg AS (
+      SELECT vec_id AS n_id, embedding AS n_emb, c_id AS cell,
+        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, c_id ASC) AS r
+      FROM sc),
+    prb AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, c_id AS cell,
+        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, c_id ASC) AS r
+      FROM sc WHERE vec_id < 3),
+    cand AS (
+      SELECT p.q_id, a.n_id, ${cosSql("p.q_emb", "a.n_emb")} AS sim
+      FROM prb p JOIN asg a ON p.cell = a.cell AND a.r = 1
+      WHERE p.r <= 4 AND a.n_id <> p.q_id),
+    ranked AS (
+      SELECT q_id, n_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY sim DESC, n_id ASC) AS rnk
+      FROM cand)
+    SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, sim FROM ranked
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  private def e6Oracle: String = s"""
+    WITH b AS (SELECT vec_id AS id, embedding AS v,
+                 ${bucketSql("embedding", 4, 64)} AS bucket
+               FROM embeddings)
+    SELECT x.id AS a_id, y.id AS b_id, ${cosSql("x.v", "y.v")} AS sim
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+    WHERE ${cosSql("x.v", "y.v")} >= 0.3
+    ORDER BY a_id, b_id"""
+
   val oracles: Map[String, String] = Map(
+    "e4_knn_lsh" -> e4Oracle,
+    "e5_knn_ivf" -> e5Oracle,
+    "e6_embedding_dedup" -> e6Oracle,
     "e3_centroids" -> """
-      WITH per AS (
-        SELECT label, i,
-          round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-            / CAST(COUNT(*) AS DOUBLE), 6) AS c
-        FROM embeddings, range(1, 65) t(i)
-        GROUP BY label, i)
-      SELECT label, list(c ORDER BY i) AS centroid
-      FROM per GROUP BY label ORDER BY label""",
+      SELECT label, CAST(i - 1 AS INT) AS i,
+        round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS c
+      FROM embeddings, range(1, 65) t(i)
+      GROUP BY label, i
+      ORDER BY label, i""",
     "e1_vector_norms" -> """
       SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         sqrt(list_sum(list_transform(list_zip(embedding, embedding),
