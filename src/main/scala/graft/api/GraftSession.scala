@@ -55,6 +55,66 @@ class GraftSession(val spark: SparkSession, root: String) {
     persistMeta(name)
   }
 
+  // ------------------------------------------------------------ enum types
+
+  /** CREATE TYPE … AS ENUM (reference transformer.cpp:75-79
+    * T_CreateEnumStmt), per SURVEY §1.2's mapping: an enum is a STRING
+    * column plus an automatic membership CHECK — Spark has no native enum
+    * type, and a dictionary-encoded parquet string column gives the same
+    * storage behavior at scale. Persisted under `_types/`. */
+  def createEnumType(name: String, values: Seq[String]): Unit = {
+    require(values.nonEmpty, s"CREATE TYPE $name AS ENUM: empty value list")
+    enumTypes(name.toLowerCase) = values
+    val td = rootPath.resolve("_types")
+    Files.createDirectories(td)
+    Files.writeString(td.resolve(s"${name.toLowerCase}.enum"),
+      values.mkString("\n"))
+  }
+
+  def dropEnumType(name: String): Unit = {
+    enumTypes.remove(name.toLowerCase)
+    val f = rootPath.resolve("_types").resolve(s"${name.toLowerCase}.enum")
+    if (Files.exists(f)) Files.delete(f)
+  }
+
+  def enumValues(name: String): Option[Seq[String]] =
+    enumTypes.get(name.toLowerCase)
+
+  private val enumTypes =
+    scala.collection.mutable.Map[String, Seq[String]]()
+  locally {
+    val td = rootPath.resolve("_types")
+    if (Files.exists(td))
+      Files.list(td).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".enum")).foreach { p =>
+          enumTypes(p.getFileName.toString.stripSuffix(".enum")) =
+            Files.readString(p).split("\n").toSeq
+        }
+  }
+
+  /** CREATE TABLE column DDL with enum-typed columns rewritten to STRING;
+    * returns the schema plus the membership CHECKs to attach. A NULL value
+    * still passes the CHECK (PG enum columns are nullable). */
+  private def resolveEnumDdl(colsDdl: String): (StructType, Seq[(String, String)]) = {
+    val entries = splitTopLevel(colsDdl).map(_.trim).filter(_.nonEmpty)
+    val rewritten = scala.collection.mutable.Buffer[String]()
+    val checksOut = scala.collection.mutable.Buffer[(String, String)]()
+    entries.foreach { e =>
+      val toks = e.split("\\s+", 2)
+      val colName = toks(0)
+      val tpe = toks.lift(1).getOrElse("").trim
+      enumTypes.get(tpe.toLowerCase) match {
+        case Some(vals) =>
+          rewritten += s"$colName STRING"
+          val quoted = vals.map(v => s"'${v.replace("'", "''")}'")
+          checksOut += ((s"${colName}_enum",
+            s"$colName IN (${quoted.mkString(", ")})"))
+        case None => rewritten += e
+      }
+    }
+    (StructType.fromDDL(rewritten.mkString(", ")), checksOut.toSeq)
+  }
+
   /** Dynamic/computing table (`relkind='g'`) — columns appear on insert. */
   def createDynamicTable(name: String): Unit = {
     Files.createDirectories(dataDir(name))
@@ -190,7 +250,11 @@ class GraftSession(val spark: SparkSession, root: String) {
 
   private def validateInsert(name: String, df: DataFrame): Unit = {
     checks(name).foreach { c =>
-      val bad = df.filter(s"NOT (${c.expr}) OR (${c.expr}) IS NULL").count()
+      // SQL-standard / PG CHECK semantics: only FALSE violates — a NULL
+      // (unknown) predicate result passes, so nullable columns under
+      // `CHECK (v > 0)` accept NULL rows exactly as PostgreSQL does
+      val bad = df.filter(s"NOT coalesce(CAST((${c.expr}) AS BOOLEAN), true)")
+        .count()
       if (bad > 0) throw new IllegalStateException(
         s"CHECK constraint ${c.name} violated by $bad row(s)")
     }
@@ -310,7 +374,9 @@ class GraftSession(val spark: SparkSession, root: String) {
     * unmatched rows pass through. Returns the updated rows. */
   def updateFrom(name: String, other: DataFrame, joinCond: Column,
                  set: Map[String, Column]): DataFrame = {
-    val base = table(name)
+    // aliased with the table name so SQL-surface join conditions can
+    // qualify target columns (`UPDATE items ... FROM src WHERE items.id=…`)
+    val base = table(name).as(name)
     val resolved = resolveSetKeys(base.columns.toSeq, set)
     // __graft_-prefixed helper columns are reserved (collision-checked)
     require(!base.columns.exists(_.startsWith("__graft_")),
@@ -365,8 +431,8 @@ class GraftSession(val spark: SparkSession, root: String) {
     * `cond`. Returns the deleted rows. */
   def deleteUsing(name: String, other: DataFrame, cond: Column): DataFrame =
     deleteMatching(name,
-      cur => cur.join(other, cond, "left_semi"),
-      cur => cur.join(other, cond, "left_anti"))
+      cur => cur.as(name).join(other, cond, "left_semi"),
+      cur => cur.as(name).join(other, cond, "left_anti"))
 
   // tables currently inside a delete — a CASCADE cycle re-entering one of
   // them would swap its directory out from under the outer lazy frames;
@@ -591,9 +657,11 @@ class GraftSession(val spark: SparkSession, root: String) {
     * session APIs (so dynamic tables, constraints and staged overwrites
     * apply); everything else goes through [[sql]] (PG-dialect rewrite +
     * Catalyst). Returns the affected/returned rows (empty frame for DDL).
-    * Supported DML/DDL surface: CREATE [DYNAMIC] TABLE, DROP TABLE,
-    * INSERT INTO ... VALUES / SELECT, UPDATE ... SET ... WHERE,
-    * DELETE FROM ... WHERE. */
+    * Supported DML/DDL surface: CREATE [DYNAMIC] TABLE (enum-typed columns
+    * resolve via CREATE TYPE), DROP TABLE, CREATE/DROP TYPE ... AS ENUM,
+    * INSERT INTO ... VALUES / SELECT,
+    * UPDATE ... SET ... [FROM src] [WHERE ...] [RETURNING ...],
+    * DELETE FROM ... [USING src] [WHERE ...] [RETURNING ...]. */
   def execute(statement: String, params: Seq[Any] = Nil): DataFrame = {
     val stmt = graft.functions.Jsonb.rewrite(statement.trim, params)
     val createTableRe =
@@ -605,7 +673,10 @@ class GraftSession(val spark: SparkSession, root: String) {
     val insertSelectRe =
       """(?is)^INSERT\s+INTO\s+(\w+)\s+(SELECT\s+.*?);?$""".r
     val updateRe = """(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)\s*;?$""".r
-    val deleteRe = """(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*?)\s*;?$""".r
+    val deleteRe = """(?is)^DELETE\s+FROM\s+(\w+)\s*(.*?)\s*;?$""".r
+    val createTypeRe =
+      """(?is)^CREATE\s+TYPE\s+(\w+)\s+AS\s+ENUM\s*\(([^)]*)\)\s*;?$""".r
+    val dropTypeRe = """(?is)^DROP\s+TYPE\s+(\w+)\s*;?$""".r
     val macroRe =
       """(?is)^CREATE\s+(?:MACRO|FUNCTION)\s+(\w+)\s*\(([^)]*)\)\s*(?:AS|RETURN)\s+(.*?);?$""".r
     val setTzRe = """(?is)^SET\s+TIME\s*ZONE\s+'?([\w/+-:]+)'?\s*;?$""".r
@@ -618,25 +689,49 @@ class GraftSession(val spark: SparkSession, root: String) {
       case createDynRe(name) => createDynamicTable(name); empty
       case createTableRe(name, null) => createDynamicTable(name); empty
       case createTableRe(name, colsDdl) =>
-        createTable(name, StructType.fromDDL(colsDdl)); empty
+        val (schema, enumChecks) = resolveEnumDdl(colsDdl)
+        createTable(name, schema)
+        enumChecks.foreach { case (cn, ce) => addCheckConstraint(name, cn, ce) }
+        empty
       case dropRe(name) => dropTable(name); empty
       case insertValuesRe(name, cols, values) =>
         insert(name, spark.sql(
           s"SELECT * FROM VALUES $values AS _ins($cols)")); empty
       case insertSelectRe(name, select) => insert(name, sql(select)); empty
-      case updateRe(name, setsAndWhere) =>
-        // split SET list from WHERE at the first top-level (outside any
-        // string literal / parens) WHERE keyword — a ' where ' inside a
-        // SET string literal must not split the statement
-        val (sets, cond) = splitAtTopLevelWhere(setsAndWhere)
+      case createTypeRe(name, values) =>
+        createEnumType(name, splitTopLevel(values)
+          .map(_.trim.stripPrefix("'").stripSuffix("'"))); empty
+      case dropTypeRe(name) => dropEnumType(name); empty
+      case updateRe(name, rest) =>
+        // carve at top-level keywords only (outside string literals /
+        // parens) — ' where ' inside a SET string literal must not split;
+        // UPDATE t SET ... [FROM src [alias]] [WHERE cond] [RETURNING list]
+        val (beforeRet, retList) = splitAtTopLevelKeyword(rest, "RETURNING")
+        val (beforeWhere, cond) = splitAtTopLevelKeyword(beforeRet, "WHERE")
+        val (sets, fromSrc) = splitAtTopLevelKeyword(beforeWhere, "FROM")
         val setMap = splitTopLevel(sets).map { kv =>
           val Array(c, e) = kv.split("=", 2)
           c.trim -> org.apache.spark.sql.functions.expr(e.trim)
         }.toMap
-        update(name, setMap,
-          org.apache.spark.sql.functions.expr(cond.getOrElse("true")))
-      case deleteRe(name, cond) =>
-        delete(name, org.apache.spark.sql.functions.expr(cond))
+        val where =
+          org.apache.spark.sql.functions.expr(cond.getOrElse("true"))
+        val result = fromSrc match {
+          case Some(src) => updateFrom(name, parseTableRef(src), where, setMap)
+          case None => update(name, setMap, where)
+        }
+        retList.map(applyReturning(result, _)).getOrElse(result)
+      case deleteRe(name, rest) =>
+        // DELETE FROM t [USING src [alias]] [WHERE cond] [RETURNING list]
+        val (beforeRet, retList) = splitAtTopLevelKeyword(rest, "RETURNING")
+        val (beforeWhere, cond) = splitAtTopLevelKeyword(beforeRet, "WHERE")
+        val (_, usingSrc) = splitAtTopLevelKeyword(beforeWhere, "USING")
+        val where =
+          org.apache.spark.sql.functions.expr(cond.getOrElse("true"))
+        val result = usingSrc match {
+          case Some(src) => deleteUsing(name, parseTableRef(src), where)
+          case None => delete(name, where)
+        }
+        retList.map(applyReturning(result, _)).getOrElse(result)
       case other => sql(other)
     }
   }
@@ -708,9 +803,13 @@ class GraftSession(val spark: SparkSession, root: String) {
     out
   }
 
-  /** Finds the first WHERE keyword outside string literals and parens,
-    * returning (before, Some(after)) or (all, None). */
-  private def splitAtTopLevelWhere(s: String): (String, Option[String]) = {
+  /** Finds the first occurrence of `kw` outside string literals and parens,
+    * returning (before, Some(after)) or (all, None). Used to carve UPDATE /
+    * DELETE statements into SET / FROM / USING / WHERE / RETURNING parts
+    * without a full SQL parser — a keyword inside a string literal or a
+    * parenthesized subquery never splits. */
+  private def splitAtTopLevelKeyword(s: String, kw: String): (String, Option[String]) = {
+    val k = kw.length
     var inQuote = false
     var depth = 0
     var i = 0
@@ -719,19 +818,31 @@ class GraftSession(val spark: SparkSession, root: String) {
         case '\'' => inQuote = !inQuote
         case '(' if !inQuote => depth += 1
         case ')' if !inQuote => depth -= 1
-        case c if !inQuote && depth == 0 && (c == 'w' || c == 'W') &&
-            i + 5 <= s.length &&
-            s.substring(i, i + 5).equalsIgnoreCase("where") &&
+        case c if !inQuote && depth == 0 &&
+            c.toUpper == kw.charAt(0).toUpper && i + k <= s.length &&
+            s.substring(i, i + k).equalsIgnoreCase(kw) &&
             (i == 0 || s.charAt(i - 1).isWhitespace) &&
-            (i + 5 == s.length || s.charAt(i + 5).isWhitespace ||
-              s.charAt(i + 5) == '(') =>
-          return (s.substring(0, i).trim, Some(s.substring(i + 5).trim))
+            (i + k == s.length || s.charAt(i + k).isWhitespace ||
+              s.charAt(i + k) == '(') =>
+          return (s.substring(0, i).trim, Some(s.substring(i + k).trim))
         case _ =>
       }
       i += 1
     }
     (s.trim, None)
   }
+
+  /** `tbl [AS] [alias]` source spec of UPDATE…FROM / DELETE…USING. */
+  private def parseTableRef(spec: String): DataFrame = {
+    val toks = spec.trim.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
+    val df = table(toks(0))
+    if (toks.length > 1) df.as(toks(1)) else df.as(toks(0))
+  }
+
+  /** RETURNING list applied to the full-row frame DML calls return. */
+  private def applyReturning(df: DataFrame, list: String): DataFrame =
+    if (list.trim == "*") df
+    else df.selectExpr(splitTopLevel(list).map(_.trim): _*)
 
   /** Splits a SET-clause list on commas at paren/quote depth 0 only, so
     * `a = greatest(x, y), b = ','` parses correctly. */
