@@ -3,7 +3,7 @@ package graft.api
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count, lit, monotonically_increasing_id, when}
+import org.apache.spark.sql.functions.{col, count, lit, monotonically_increasing_id, when}
 import org.apache.spark.sql.types._
 import graft.sources.DynamicSchema
 
@@ -100,12 +100,15 @@ class GraftSession(val spark: SparkSession, root: String) {
     val rewritten = scala.collection.mutable.Buffer[String]()
     val checksOut = scala.collection.mutable.Buffer[(String, String)]()
     entries.foreach { e =>
-      val toks = e.split("\\s+", 2)
+      // probe only the FIRST type token for an enum name, preserving
+      // trailing modifiers — `status mood NOT NULL` must still resolve
+      val toks = e.split("\\s+", 3)
       val colName = toks(0)
       val tpe = toks.lift(1).getOrElse("").trim
+      val modifiers = toks.lift(2).map(" " + _).getOrElse("")
       enumTypes.get(tpe.toLowerCase) match {
         case Some(vals) =>
-          rewritten += s"$colName STRING"
+          rewritten += s"$colName STRING$modifiers"
           val quoted = vals.map(v => s"'${v.replace("'", "''")}'")
           checksOut += ((s"${colName}_enum",
             s"$colName IN (${quoted.mkString(", ")})"))
@@ -142,6 +145,29 @@ class GraftSession(val spark: SparkSession, root: String) {
     val vf = rootPath.resolve("_views").resolve(s"$name.sql")
     if (Files.exists(vf)) Files.delete(vf)
     spark.catalog.dropTempView(name)
+    // dependency closure (reference dynamic_cascade_delete's pg_depend
+    // walk): views/matviews whose body references the dropped relation are
+    // dropped too, transitively — a dangling view must not survive the drop
+    dropDependentViews(name)
+  }
+
+  def dropView(name: String): Unit = {
+    views.remove(name)
+    val vf = rootPath.resolve("_views").resolve(s"$name.sql")
+    if (Files.exists(vf)) Files.delete(vf)
+    spark.catalog.dropTempView(name)
+    dropDependentViews(name)
+  }
+
+  /** Drops every stored view whose body mentions `name` (word-boundary
+    * textual dependency — the body SQL is re-expanded at reference time, so
+    * a mention IS a dependency for all practical bodies). Matviews are
+    * backed by a table and take the table-drop path. */
+  private def dropDependentViews(name: String): Unit = {
+    val pattern = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+    views.toSeq
+      .collect { case (v, body) if pattern.findFirstIn(body).isDefined => v }
+      .foreach(v => if (tables.contains(v)) dropTable(v) else dropView(v))
   }
 
   def addColumn(name: String, column: String, dt: DataType): Unit = {
@@ -205,8 +231,8 @@ class GraftSession(val spark: SparkSession, root: String) {
 
   /** FOREIGN KEY with RESTRICT / CASCADE / SET NULL delete semantics
     * (reference fk_check / fk_cascade operators; tests fk_cascade_delete,
-    * fk_set_null, fk_cascade_restrict). Insert-side check is a broadcast
-    * anti-join against parent keys. */
+    * fk_set_null, fk_cascade_restrict). Insert-side check is an anti-join
+    * against the distinct parent keys (AQE broadcasts small parents). */
   def addForeignKey(child: String, column: String, parent: String,
                     parentCol: String, onDelete: FkAction = Restrict): Unit = {
     fks(child) = fks(child) :+ Fk(column, parent, parentCol, onDelete)
@@ -249,6 +275,11 @@ class GraftSession(val spark: SparkSession, root: String) {
   }
 
   private def validateInsert(name: String, df: DataFrame): Unit = {
+    validateChecks(name, df)
+    fks(name).foreach(fk => validateFkRef(name, df, fk))
+  }
+
+  private def validateChecks(name: String, df: DataFrame): Unit =
     checks(name).foreach { c =>
       // SQL-standard / PG CHECK semantics: only FALSE violates — a NULL
       // (unknown) predicate result passes, so nullable columns under
@@ -258,16 +289,32 @@ class GraftSession(val spark: SparkSession, root: String) {
       if (bad > 0) throw new IllegalStateException(
         s"CHECK constraint ${c.name} violated by $bad row(s)")
     }
-    fks(name).foreach { fk =>
-      val parents = table(fk.parent)
-        .select(col(fk.parentCol).as(fk.column)).distinct()
-      val orphans = df.select(col(fk.column))
-        .filter(col(fk.column).isNotNull)
-        .join(broadcast(parents), Seq(fk.column), "left_anti").count()
-      if (orphans > 0) throw new IllegalStateException(
-        s"FK violation: $orphans row(s) in $name.${fk.column} " +
-          s"without parent in ${fk.parent}.${fk.parentCol}")
-    }
+
+  /** One FK reference check: rows of `df` whose child column has no parent
+    * key. The parent key set stays a distributed frame — no broadcast()
+    * hint, AQE picks broadcast only when the parent side is actually small
+    * (an unbounded forced broadcast of a 10⁹-key parent would OOM). */
+  private def validateFkRef(name: String, df: DataFrame, fk: Fk): Unit = {
+    val parents = table(fk.parent)
+      .select(col(fk.parentCol).as(fk.column)).distinct()
+    val orphans = df.select(col(fk.column))
+      .filter(col(fk.column).isNotNull)
+      .join(parents, Seq(fk.column), "left_anti").count()
+    if (orphans > 0) throw new IllegalStateException(
+      s"FK violation: $orphans row(s) in $name.${fk.column} " +
+        s"without parent in ${fk.parent}.${fk.parentCol}")
+  }
+
+  /** UPDATE must re-validate what INSERT validates (the reference planner
+    * wraps update with check/fk nodes too — planner.cpp rewrite_update):
+    * CHECKs over the post-update rows, FK reference checks for the FK-child
+    * columns the statement SET. Without this, `UPDATE t SET mood='bogus'`
+    * would sneak an out-of-range enum value past the membership CHECK. */
+  private def validateUpdate(name: String, updatedRows: DataFrame,
+                             setCols: Set[String]): Unit = {
+    validateChecks(name, updatedRows)
+    fks(name).filter(fk => setCols.contains(fk.column))
+      .foreach(fk => validateFkRef(name, updatedRows, fk))
   }
 
   /** Applies FK delete semantics when rows leave `parent`: children
@@ -279,27 +326,38 @@ class GraftSession(val spark: SparkSession, root: String) {
     * 10^7 keys neither OOMs the driver nor builds a 10^7-node plan.
     * Self-referential FKs (child == parent) are handled inside
     * [[deleteMatching]]'s single rewrite, not here. */
-  private def applyFkDeleteActions(parent: String, deletedKeys: DataFrame): Unit =
-    fks.foreach { case (child, childFks) =>
-      childFks.filter(fk => fk.parent == parent && child != parent).foreach { fk =>
-        val keys = deletedKeys.select(col(fk.parentCol).as(fk.column))
-          .filter(col(fk.column).isNotNull).distinct()
-        fk.onDelete match {
-          case Restrict =>
-            val n = table(child).join(keys, Seq(fk.column), "left_semi").count()
-            if (n > 0) throw new IllegalStateException(
-              s"FK RESTRICT: $n row(s) in $child still reference $parent")
-          case Cascade =>
-            deleteMatching(child,
-              cur => cur.join(keys, Seq(fk.column), "left_semi"),
-              cur => cur.join(keys, Seq(fk.column), "left_anti"))
-          case SetNull =>
-            val cur = table(child)
-            overwrite(child, nullOutReferences(cur, fk.column, keys),
-              spark.emptyDataFrame)
-        }
+  private def applyFkDeleteActions(parent: String, deletedKeys: DataFrame): Unit = {
+    val affected = fks.toSeq.flatMap { case (child, childFks) =>
+      childFks.filter(fk => fk.parent == parent && child != parent)
+        .map(fk => (child, fk))
+    }
+    def keysFor(fk: Fk) = deletedKeys.select(col(fk.parentCol).as(fk.column))
+      .filter(col(fk.column).isNotNull).distinct()
+    // All RESTRICT checks run FIRST (read-only counts): a statement that is
+    // going to fail must fail before any CASCADE/SET NULL child overwrite
+    // commits — otherwise the outcome of a doomed delete would depend on
+    // hash-map iteration order, with cascaded children already gone.
+    affected.foreach { case (child, fk) =>
+      if (fk.onDelete == Restrict) {
+        val n = table(child).join(keysFor(fk), Seq(fk.column), "left_semi").count()
+        if (n > 0) throw new IllegalStateException(
+          s"FK RESTRICT: $n row(s) in $child still reference $parent")
       }
     }
+    affected.foreach { case (child, fk) =>
+      fk.onDelete match {
+        case Restrict => // already checked above
+        case Cascade =>
+          deleteMatching(child,
+            cur => cur.join(keysFor(fk), Seq(fk.column), "left_semi"),
+            cur => cur.join(keysFor(fk), Seq(fk.column), "left_anti"))
+        case SetNull =>
+          val cur = table(child)
+          overwrite(child, nullOutReferences(cur, fk.column, keysFor(fk)),
+            spark.emptyDataFrame)
+      }
+    }
+  }
 
   /** Surviving rows whose `column` hits `keys` get it nulled; column order
     * is preserved (the equi-join moves the key column first). */
@@ -350,6 +408,7 @@ class GraftSession(val spark: SparkSession, root: String) {
     val returning = current.filter(where).select(current.columns.map { c =>
       resolved.get(c).map(_.as(c)).getOrElse(col(c))
     }.toSeq: _*)
+    validateUpdate(name, returning, resolved.keySet)
     overwrite(name, updated, returning)
   }
 
@@ -374,6 +433,16 @@ class GraftSession(val spark: SparkSession, root: String) {
     * unmatched rows pass through. Returns the updated rows. */
   def updateFrom(name: String, other: DataFrame, joinCond: Column,
                  set: Map[String, Column]): DataFrame = {
+    val wide = updateFromWide(name, other, joinCond, set)
+    wide.select(table(name).columns.map(col).toSeq: _*)
+  }
+
+  /** [[updateFrom]] whose RETURNING frame also carries the source frame's
+    * non-colliding columns — PG lets `RETURNING` reference the FROM
+    * source (items.*, src.delta, …); the SQL router needs those columns
+    * available. Colliding names keep the (post-update) target value. */
+  private[api] def updateFromWide(name: String, other: DataFrame,
+      joinCond: Column, set: Map[String, Column]): DataFrame = {
     // aliased with the table name so SQL-surface join conditions can
     // qualify target columns (`UPDATE items ... FROM src WHERE items.id=…`)
     val base = table(name).as(name)
@@ -384,9 +453,11 @@ class GraftSession(val spark: SparkSession, root: String) {
     val current = base.withColumn("__graft_rid", monotonically_increasing_id())
     // the match flag comes from a tag column on the source side — NOT from
     // re-evaluating joinCond post-join, which misfires for null-safe
-    // conditions (NULL <=> NULL turning unmatched rows into matches)
+    // conditions (NULL <=> NULL turning unmatched rows into matches).
+    // No broadcast() hint on the source: `UPDATE … FROM big_staging` must
+    // not force-broadcast an unbounded frame; AQE broadcasts small ones.
     val tagged = other.withColumn("__graft_hit", lit(1))
-    val matched = current.join(broadcast(tagged), joinCond, "left")
+    val matched = current.join(tagged, joinCond, "left")
     // a target row matching >1 source row would be duplicated by the join
     // and silently persisted twice — refuse, like PG's ON-conflict rule
     val dups = matched.groupBy(col("__graft_rid"))
@@ -394,15 +465,19 @@ class GraftSession(val spark: SparkSession, root: String) {
       .filter(col("__graft_n") > 1).count()
     require(dups == 0,
       s"UPDATE...FROM: $dups target row(s) match multiple source rows")
+    val srcExtra = other.columns
+      .filterNot(c => base.columns.contains(c) || c.startsWith("__graft_"))
     // simultaneous assignment from the pre-update row (matches update())
     val hit = col("__graft_hit").isNotNull
     val updatedAll = matched.select((base.columns.map { c =>
       resolved.get(c).map(v => when(hit, v).otherwise(col(c)).as(c))
         .getOrElse(col(c))
-    } :+ hit.as("__graft_matched")).toSeq: _*)
+    } ++ srcExtra.map(col) :+ hit.as("__graft_matched")).toSeq: _*)
     val updated = updatedAll.select(base.columns.map(col).toSeq: _*)
     val returning = updatedAll.filter(col("__graft_matched"))
-      .select(base.columns.map(col).toSeq: _*)
+      .select((base.columns ++ srcExtra).map(col).toSeq: _*)
+    validateUpdate(name,
+      returning.select(base.columns.map(col).toSeq: _*), resolved.keySet)
     overwrite(name, updated, returning)
   }
 
@@ -456,9 +531,14 @@ class GraftSession(val spark: SparkSession, root: String) {
       val selfFks = fks(name).filter(_.parent == name)
       val current = table(name)
       if (selfFks.isEmpty) {
-        val doomed = doomedOf(current)
+        // re-project to the original column order: doomedOf/keptOf may be
+        // USING-joins (CASCADE children) which move the join column first,
+        // and overwrite() persists newData.schema — without this a cascade
+        // would permanently reorder the child table's columns
+        val order = current.columns.map(col).toSeq
+        val doomed = doomedOf(current).select(order: _*)
         applyFkDeleteActions(name, doomed)
-        return overwrite(name, keptOf(current), doomed)
+        return overwrite(name, keptOf(current).select(order: _*), doomed)
       }
       // Self-FK path: pin row identity (rid) so the closure's set algebra is
       // exact even under duplicate rows; localCheckpoint materializes the
@@ -476,10 +556,15 @@ class GraftSession(val spark: SparkSession, root: String) {
         var frontier = doomed
         var growing = frontier.count() > 0
         while (growing) {
+          // each USING semi-join moves its own join column first, so with
+          // two self-FKs on different same-typed columns a positional union
+          // would put one column's values under the other's name — project
+          // every branch back to cur's order before combining
           val hit = cascades.map { fk =>
             cur.join(frontier.select(col(fk.parentCol).as(fk.column))
                 .filter(col(fk.column).isNotNull).distinct(),
               Seq(fk.column), "left_semi")
+              .select(cur.columns.map(col).toSeq: _*)
           }.reduce(_ union _)
           val fresh = hit
             .join(doomed.select("__graft_rid"), Seq("__graft_rid"), "left_anti")
@@ -495,8 +580,6 @@ class GraftSession(val spark: SparkSession, root: String) {
       }
       val outCols = current.columns.toSeq
       val doomedOut = doomed.select(outCols.map(col): _*)
-      // other-table FK actions see the full (closed) doomed set
-      applyFkDeleteActions(name, doomedOut)
       var kept = cur
         .join(doomed.select("__graft_rid"), Seq("__graft_rid"), "left_anti")
       selfFks.filter(_.onDelete == SetNull).foreach { fk =>
@@ -505,7 +588,9 @@ class GraftSession(val spark: SparkSession, root: String) {
         kept = nullOutReferences(kept, fk.column, keys)
       }
       // RESTRICT as an end-of-statement check (NO ACTION semantics): rows
-      // surviving the statement must not reference a key it deleted
+      // surviving the statement must not reference a key it deleted.
+      // Runs BEFORE other-table FK actions so a failing statement aborts
+      // without having committed any child-table overwrite.
       selfFks.filter(_.onDelete == Restrict).foreach { fk =>
         val keys = doomed.select(col(fk.parentCol).as(fk.column))
           .filter(col(fk.column).isNotNull).distinct()
@@ -513,6 +598,8 @@ class GraftSession(val spark: SparkSession, root: String) {
         if (n > 0) throw new IllegalStateException(
           s"FK RESTRICT: $n row(s) in $name still reference deleted keys")
       }
+      // other-table FK actions see the full (closed) doomed set
+      applyFkDeleteActions(name, doomedOut)
       overwrite(name, kept.select(outCols.map(col): _*), doomedOut)
     } finally deleting -= name
   }
@@ -670,6 +757,8 @@ class GraftSession(val spark: SparkSession, root: String) {
     val dropRe = """(?is)^DROP\s+TABLE\s+(\w+)\s*;?$""".r
     val insertValuesRe =
       """(?is)^INSERT\s+INTO\s+(\w+)\s*\(([^)]*)\)\s*VALUES\s*(.*?);?$""".r
+    val insertValuesNoColsRe =
+      """(?is)^INSERT\s+INTO\s+(\w+)\s+VALUES\s*(.*?);?$""".r
     val insertSelectRe =
       """(?is)^INSERT\s+INTO\s+(\w+)\s+(SELECT\s+.*?);?$""".r
     val updateRe = """(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)\s*;?$""".r
@@ -697,10 +786,24 @@ class GraftSession(val spark: SparkSession, root: String) {
       case insertValuesRe(name, cols, values) =>
         insert(name, spark.sql(
           s"SELECT * FROM VALUES $values AS _ins($cols)")); empty
+      case insertValuesNoColsRe(name, values) =>
+        // PG-style INSERT without a column list: positional against the
+        // table's declared column order (dynamic tables with no schema yet
+        // have no positional meaning — require the explicit list there)
+        val declared = state(name).schema.fieldNames
+        require(declared.nonEmpty,
+          s"INSERT INTO $name VALUES without a column list needs a " +
+            "declared schema; name the columns")
+        insert(name, spark.sql(
+          s"SELECT * FROM VALUES $values AS _ins(${declared.mkString(", ")})"))
+        empty
       case insertSelectRe(name, select) => insert(name, sql(select)); empty
       case createTypeRe(name, values) =>
+        // '' inside a quoted value is an escaped quote — store unescaped,
+        // the CHECK generator re-escapes exactly once
         createEnumType(name, splitTopLevel(values)
-          .map(_.trim.stripPrefix("'").stripSuffix("'"))); empty
+          .map(_.trim.stripPrefix("'").stripSuffix("'").replace("''", "'")))
+        empty
       case dropTypeRe(name) => dropEnumType(name); empty
       case updateRe(name, rest) =>
         // carve at top-level keywords only (outside string literals /
@@ -715,11 +818,18 @@ class GraftSession(val spark: SparkSession, root: String) {
         }.toMap
         val where =
           org.apache.spark.sql.functions.expr(cond.getOrElse("true"))
-        val result = fromSrc match {
-          case Some(src) => updateFrom(name, parseTableRef(src), where, setMap)
-          case None => update(name, setMap, where)
+        fromSrc match {
+          case Some(src) =>
+            // RETURNING may reference the FROM source's columns (legal in
+            // PG) — route through the wide frame; without RETURNING the
+            // statement yields the post-update target rows only
+            val wide = updateFromWide(name, parseTableRef(src), where, setMap)
+            retList.map(applyReturning(wide.as(name), _)).getOrElse(
+              wide.select(table(name).columns.map(col).toSeq: _*))
+          case None =>
+            val result = update(name, setMap, where)
+            retList.map(applyReturning(result.as(name), _)).getOrElse(result)
         }
-        retList.map(applyReturning(result, _)).getOrElse(result)
       case deleteRe(name, rest) =>
         // DELETE FROM t [USING src [alias]] [WHERE cond] [RETURNING list]
         val (beforeRet, retList) = splitAtTopLevelKeyword(rest, "RETURNING")
@@ -727,11 +837,16 @@ class GraftSession(val spark: SparkSession, root: String) {
         val (_, usingSrc) = splitAtTopLevelKeyword(beforeWhere, "USING")
         val where =
           org.apache.spark.sql.functions.expr(cond.getOrElse("true"))
-        val result = usingSrc match {
-          case Some(src) => deleteUsing(name, parseTableRef(src), where)
-          case None => delete(name, where)
+        usingSrc match {
+          case Some(src) =>
+            val srcDf = parseTableRef(src)
+            val result = deleteUsing(name, srcDf, where)
+            retList.map(applyReturningUsing(name, result, srcDf, where, _))
+              .getOrElse(result)
+          case None =>
+            val result = delete(name, where)
+            retList.map(applyReturning(result, _)).getOrElse(result)
         }
-        retList.map(applyReturning(result, _)).getOrElse(result)
       case other => sql(other)
     }
   }
@@ -843,6 +958,24 @@ class GraftSession(val spark: SparkSession, root: String) {
   private def applyReturning(df: DataFrame, list: String): DataFrame =
     if (list.trim == "*") df
     else df.selectExpr(splitTopLevel(list).map(_.trim): _*)
+
+  /** DELETE … USING … RETURNING: the deleted-row snapshot carries only the
+    * target's columns; if the list references the USING source (legal in
+    * PG), re-join the snapshot against the source on the same condition —
+    * one output row per deleted row (an arbitrary match when several
+    * source rows match, same as PG). */
+  private def applyReturningUsing(name: String, deleted: DataFrame,
+      src: DataFrame, cond: Column, list: String): DataFrame =
+    try applyReturning(deleted.as(name), list)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      // rid is deterministic here: the deleted snapshot is a stable scan
+      // of the statement's _returning_* dir
+      val wide = deleted
+        .withColumn("__graft_rid", monotonically_increasing_id()).as(name)
+        .join(src, cond).dropDuplicates("__graft_rid")
+        .drop("__graft_rid")
+      applyReturning(wide, list)
+    }
 
   /** Splits a SET-clause list on commas at paren/quote depth 0 only, so
     * `a = greatest(x, y), b = ','` parses correctly. */

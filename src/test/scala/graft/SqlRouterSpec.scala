@@ -64,4 +64,84 @@ class SqlRouterSpec extends SparkSpec {
     assert(s.execute("SELECT CAST(props->>'k' AS BIGINT) AS k FROM ev")
       .as[Long].head() == 42L)
   }
+
+  test("UPDATE ... SET ... FROM ... WHERE ... RETURNING through execute") {
+    val s = g
+    s.execute("CREATE TABLE items (id BIGINT, qty BIGINT)")
+    s.execute("CREATE TABLE adj (a_id BIGINT, delta BIGINT)")
+    s.execute("INSERT INTO items (id, qty) VALUES (1, 10), (2, 20), (3, 30)")
+    s.execute("INSERT INTO adj (a_id, delta) VALUES (1, 5), (3, 7)")
+    // RETURNING references BOTH the (qualified) target and the FROM source
+    val ret = s.execute(
+      """UPDATE items SET qty = qty + delta FROM adj
+         WHERE items.id = adj.a_id RETURNING items.id, qty, delta""")
+    assert(ret.as[(Long, Long, Long)].collect().sorted.toSeq
+      == Seq((1L, 15L, 5L), (3L, 37L, 7L)))
+    assert(s.execute("SELECT qty FROM items ORDER BY id")
+      .as[Long].collect().toSeq == Seq(15L, 20L, 37L))
+  }
+
+  test("UPDATE ... FROM without RETURNING yields post-update target rows only") {
+    val s = g
+    s.execute("CREATE TABLE t (k BIGINT, v BIGINT)")
+    s.execute("CREATE TABLE src (s_k BIGINT)")
+    s.execute("INSERT INTO t (k, v) VALUES (1, 1), (2, 2)")
+    s.execute("INSERT INTO src (s_k) VALUES (2)")
+    val ret = s.execute("UPDATE t SET v = v * 10 FROM src WHERE t.k = src.s_k")
+    assert(ret.columns.toSeq == Seq("k", "v"))
+    assert(ret.as[(Long, Long)].collect().toSeq == Seq((2L, 20L)))
+  }
+
+  test("DELETE ... USING ... WHERE ... RETURNING the USING source's columns") {
+    val s = g
+    s.execute("CREATE TABLE t (id BIGINT, v STRING)")
+    s.execute("CREATE TABLE kill (k_id BIGINT, reason STRING)")
+    s.execute("INSERT INTO t (id, v) VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    s.execute("INSERT INTO kill (k_id, reason) VALUES (1, 'dup'), (3, 'spam')")
+    val ret = s.execute(
+      """DELETE FROM t USING kill WHERE t.id = kill.k_id
+         RETURNING id, v, reason""")
+    assert(ret.as[(Long, String, String)].collect().sorted.toSeq
+      == Seq((1L, "a", "dup"), (3L, "c", "spam")))
+    assert(s.execute("SELECT id FROM t").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("DELETE ... RETURNING expression list over the target") {
+    val s = g
+    s.execute("CREATE TABLE t (id BIGINT, v BIGINT)")
+    s.execute("INSERT INTO t (id, v) VALUES (1, 10), (2, 20)")
+    val ret = s.execute("DELETE FROM t WHERE v > 15 RETURNING id, v * 2 AS v2")
+    assert(ret.as[(Long, Long)].collect().toSeq == Seq((2L, 40L)))
+  }
+
+  test("CREATE TYPE AS ENUM: typed columns, modifiers, escaped quotes, UPDATE") {
+    val s = g
+    s.execute("CREATE TYPE mood AS ENUM ('happy', 'sad', 'it''s')")
+    // the NOT NULL modifier must not break the enum type lookup
+    s.execute("CREATE TABLE m (id BIGINT, status mood NOT NULL)")
+    s.execute("INSERT INTO m (id, status) VALUES (1, 'happy'), (2, 'it''s')")
+    intercept[IllegalStateException] {
+      s.execute("INSERT INTO m (id, status) VALUES (3, 'bogus')")
+    }
+    // UPDATE must re-validate the membership CHECK (PG rejects this too)
+    intercept[IllegalStateException] {
+      s.execute("UPDATE m SET status = 'bogus' WHERE id = 1")
+    }
+    assert(s.execute("SELECT status FROM m ORDER BY id")
+      .as[String].collect().toSeq == Seq("happy", "it's"))
+    s.execute("DROP TYPE mood")
+  }
+
+  test("INSERT without a column list uses the declared column order") {
+    val s = g
+    s.execute("CREATE TABLE pt (id BIGINT, name STRING)")
+    s.execute("INSERT INTO pt VALUES (1, 'a'), (2, 'b')")
+    assert(s.execute("SELECT id, name FROM pt ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    // a dynamic table with no columns yet has no positional meaning
+    s.execute("CREATE DYNAMIC TABLE dyn")
+    intercept[IllegalArgumentException] {
+      s.execute("INSERT INTO dyn VALUES (1, 'a')")
+    }
+  }
 }
