@@ -103,6 +103,131 @@ object TpchQueries {
           count(lit(1)).as("n"))
     }),
 
+    // Q8 national market share: conditional aggregation over an 8-table
+    // join (reference benchmark/tpch/q8.sql). Fact scanned once; every dim
+    // broadcast; the two nation roles are separate aliased broadcasts.
+    "h8_market_share" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO"))
+      val sup = broadcast(t(s, dir, "supplier"))
+      val c = broadcast(t(s, dir, "customer"))
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_nationkey"),
+          col("n_regionkey").as("n1_regionkey")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_nationkey"),
+          col("n_name").as("nation")))
+      val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") <= lit("1997-12-31").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n1, c("c_nationkey") === n1("n1_nationkey"))
+        .join(r, n1("n1_regionkey") === r("r_regionkey"))
+        .join(n2, sup("s_nationkey") === n2("n2_nationkey"))
+        .select(year(col("o_orderdate")).as("o_year"),
+          rev.as("volume"), col("nation"))
+        .groupBy(col("o_year"))
+        .agg((dsum(when(col("nation") === "NATION_5", col("volume"))
+            .otherwise(lit(0.0))) / dsum(col("volume"))).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // Q12 shipping-priority lines: two conditional counts per group
+    // (reference q12.sql; no l_shipmode in the synthetic schema —
+    // grouped by l_linestatus instead, same plan shape)
+    "h12_priority_lines" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "N"))
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // Q17 small-quantity-order revenue: correlated avg subquery,
+    // decorrelated to a per-partkey aggregate joined back (reference
+    // q17.sql; the aggregate input is semi-joined to the brand's parts
+    // first so only relevant partkeys are aggregated). The threshold is a
+    // DECIMAL-exact sum cast to double, then *0.2/count in double — the
+    // identical FP sequence DuckDB runs, so the comparison is
+    // deterministic (see scaladoc on dsum).
+    "h17_small_qty_revenue" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#3")
+        .select(col("p_partkey")))
+      val l = t(s, dir, "lineitem")
+      val lim = l.join(p, l("l_partkey") === p("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg((dsum(col("l_quantity")) * lit(0.2) / count(lit(1)))
+          .as("qty_limit"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(lim, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("qty_limit"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Q20 potential part promotion: nested IN over an aggregate
+    // (reference q20.sql; no partsupp table — the inner aggregate is
+    // shipped quantity per (suppkey, partkey) over a year, thresholded)
+    "h20_part_promotion" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part")
+        .filter(col("p_name").like("small%")).select(col("p_partkey")))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val heavy = l.join(p, l("l_partkey") === p("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(dsum(col("l_quantity")).as("shipped"))
+        .filter(col("shipped") > 30.0)
+        .select(col("l_suppkey").as("s_suppkey")).distinct()
+      val n = broadcast(t(s, dir, "nation")
+        .filter(col("n_name") === "NATION_3"))
+      val sup = t(s, dir, "supplier")
+      sup.join(heavy, Seq("s_suppkey"), "left_semi")
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    }),
+
+    // Q21 suppliers who kept orders waiting: EXISTS + NOT EXISTS over
+    // lineitem self-joins (reference q21.sql; no l_receiptdate /
+    // l_commitdate in the synthetic schema — "late" adapted to
+    // l_returnflag = 'R'). The EXISTS/NOT EXISTS become semi/anti
+    // self-joins on l_orderkey with a non-equi supplier-differs clause —
+    // shuffle on orderkey, never all-pairs.
+    "h21_waiting_suppliers" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val l1 = l.filter(col("l_returnflag") === "R").as("l1")
+      val l2 = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val sup = broadcast(t(s, dir, "supplier"))
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region")
+        .filter(col("r_name") === "EUROPE"))
+      l1.join(l2, col("l1.l_orderkey") === col("o2") &&
+          col("l1.l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l1.l_orderkey") === col("o3") &&
+          col("l1.l_suppkey") =!= col("s3"), "left_anti")
+        .join(o, col("l1.l_orderkey") === o("o_orderkey"))
+        .join(sup, col("l1.l_suppkey") === sup("s_suppkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
     // Q18 large-volume customers (semi-join on a grouped subquery)
     "h18_large_orders" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
@@ -175,6 +300,88 @@ object TpchQueries {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1997-09-01'
         AND l_shipdate < TIMESTAMP '1997-10-01'""",
+    "h8_market_share" -> """
+      WITH all_nations AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               l_extendedprice * (1.0 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <= TIMESTAMP '1997-12-31')
+      SELECT CAST(o_year AS INT) AS o_year,
+        CAST(SUM(CAST(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0.0 END
+          AS DECIMAL(28,6))) AS DOUBLE)
+        / CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS mkt_share
+      FROM all_nations GROUP BY o_year ORDER BY o_year""",
+    "h12_priority_lines" -> """
+      SELECT l_linestatus,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag IN ('A', 'N')
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "h17_small_qty_revenue" -> """
+      WITH lim AS (
+        SELECT l_partkey,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) * 0.2
+            / COUNT(*) AS qty_limit
+        FROM lineitem
+        WHERE l_partkey IN
+          (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3')
+        GROUP BY l_partkey)
+      SELECT
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0
+          AS avg_yearly,
+        COUNT(*) AS n
+      FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN lim ON lim.l_partkey = lineitem.l_partkey
+      WHERE p_brand = 'Brand#3' AND l_quantity < qty_limit""",
+    "h20_part_promotion" -> """
+      WITH heavy AS (
+        SELECT l_suppkey AS s_suppkey
+        FROM lineitem
+        WHERE l_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 30.0)
+      SELECT s_name, s_acctbal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+        AND s_suppkey IN (SELECT s_suppkey FROM heavy)
+      ORDER BY s_name""",
+    "h21_waiting_suppliers" -> """
+      SELECT s_name, COUNT(*) AS numwait
+      FROM supplier, lineitem l1, orders, nation, region
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT * FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT * FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+        AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+      GROUP BY s_name ORDER BY numwait DESC, s_name""",
     "h18_large_orders" -> """
       WITH big AS (
         SELECT l_orderkey,
