@@ -119,8 +119,11 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         hammingHex(col("a_sig"), col("b_sig")).as("hamming"))
-      .distinct()
+      // hammingHex is deterministic per pair, so thresholding BEFORE the
+      // dedup exchange is identical output with strictly less shuffle I/O
+      // (same fix minHashLsh got — only surviving pairs are exchanged)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs constrained by a

@@ -78,31 +78,84 @@ object Similarity {
     * constant and the dot runs on the native codegen'd expression, so
     * assignment is nCells tight loops per row inside whole-stage codegen. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+             nCells: Int = 16, nProbe: Int = 4,
+             maxLiteralCells: Int = 128): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = corpus.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      .collect()
-    // array of (score, c_id) structs; struct ordering = (score asc, c_id
-    // asc), matching the former window's ORDER BY d ASC, c_id ASC
-    def scored(vec: Column): Column = array(cents.map { r =>
-      val cid = r.getLong(0)
-      val cemb = r.getSeq[Float](1)
-      // |c|² folded on the driver with the same left-to-right double sum
-      // as the engines use, so the score is deterministic
-      val normSq = cemb.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble)
-      val cLit = array(cemb.map(v => lit(v.toDouble)): _*)
-      struct((lit(normSq) - lit(2.0) * dotAuto(spark)(vec, cLit)).as("d"),
-        lit(cid).as("c_id"))
-    }: _*)
-    val assigned = corpus.select(
-      array_min(scored(col("embedding"))).getField("c_id").as("cell"),
-      col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    val probes = queries.select(col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"),
-        explode(slice(array_sort(scored(col("embedding"))), 1, nProbe))
-          .as("p"))
-      .select(col("p.c_id").as("cell"), col("q_id"), col("q_emb"))
+    // type-generic centroid extraction: ids normalized to long, embeddings
+    // to double — array<float> or array<double> corpora and any integral
+    // id type all work (the schema used to be hard-coded getLong/Seq[Float])
+    val cents: Seq[(Long, Seq[Double], Double)] =
+      corpus.orderBy(col("vec_id")).limit(nCells)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        .collect().toSeq.map { r =>
+          val cid = r.get(0) match {
+            case n: java.lang.Number => n.longValue
+            case x => throw new IllegalArgumentException(
+              s"ivfKnn: vec_id must be numeric, got ${x.getClass.getName}")
+          }
+          // |c|² folded on the driver with the same left-to-right double
+          // sum as the engines use, so the score is deterministic
+          val emb = r.getSeq[Any](1).map {
+            case f: Float => f.toDouble
+            case d: Double => d
+            case n: java.lang.Number => n.doubleValue
+          }
+          (cid, emb, emb.foldLeft(0.0)((s, v) => s + v * v))
+        }
+
+    // Per-centroid score is |c|² − 2·a·c (argmin-equivalent to L2 since
+    // |a|² is constant per row). Two physical strategies, identical output:
+    val (assigned, probes) =
+      if (cents.length <= maxLiteralCells) {
+        // Literal-tree argmin: a NARROW projection, zero shuffle, fully
+        // codegen'd. The tree is O(nCells·dim) expression nodes, so it is
+        // capped at maxLiteralCells — beyond that Janino's method-size
+        // limit forces interpreted fallback and compile time blows up.
+        // array of (score, c_id) structs; struct ordering = (score asc,
+        // c_id asc), matching the former window's ORDER BY d ASC, c_id ASC
+        def scored(vec: Column): Column = array(cents.map {
+          case (cid, emb, normSq) =>
+            val cLit = array(emb.map(lit): _*)
+            struct((lit(normSq) - lit(2.0) * dotAuto(spark)(vec, cLit))
+              .as("d"), lit(cid).as("c_id"))
+        }: _*)
+        (corpus.select(
+          array_min(scored(col("embedding"))).getField("c_id").as("cell"),
+          col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+         queries.select(col("vec_id").as("q_id"),
+            col("embedding").as("q_emb"),
+            explode(slice(array_sort(scored(col("embedding"))), 1, nProbe))
+              .as("p"))
+          .select(col("p.c_id").as("cell"), col("q_id"), col("q_emb")))
+      } else {
+        // Broadcast-join + min-struct argmin: centroids ride as a
+        // broadcast DataFrame (data, not expression nodes), the dot stays
+        // on the native codegen'd expression, and the per-row best cell is
+        // a partial-aggregated min of (d, c_id) structs — the exchange
+        // carries one row per corpus vector (map-side combine collapses
+        // the nCells candidates before the shuffle). Same n·nCells dot
+        // count as the literal path, plus one corpus-wide shuffle: the
+        // price of unbounded nCells.
+        import spark.implicits._
+        val centsDf = broadcast(
+          cents.toDF("c_id", "c_emb", "c_norm").repartition(1))
+        def sc(vec: Column): Column =
+          struct((col("c_norm") - lit(2.0) * dotAuto(spark)(vec, col("c_emb")))
+            .as("d"), col("c_id"))
+        (corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+          .crossJoin(centsDf)
+          .groupBy(col("n_id"))
+          .agg(min(sc(col("n_emb"))).getField("c_id").as("cell"),
+            first(col("n_emb")).as("n_emb"))
+          .select(col("cell"), col("n_id"), col("n_emb")),
+         queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          .crossJoin(centsDf)
+          .groupBy(col("q_id"))
+          .agg(slice(sort_array(collect_list(sc(col("q_emb")))), 1, nProbe)
+            .as("ps"), first(col("q_emb")).as("q_emb"))
+          .select(explode(col("ps")).as("p"), col("q_id"), col("q_emb"))
+          .select(col("p.c_id").as("cell"), col("q_id"), col("q_emb")))
+      }
     rankTopK(
       broadcast(probes).join(assigned, Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))

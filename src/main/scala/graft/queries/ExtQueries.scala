@@ -50,6 +50,45 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- UPDATE ... SET ... FROM ... WHERE ... RETURNING, driven through
+    // the SQL router end-to-end (reference test_returning.cpp; the
+    // RETURNING list references the FROM source's column) ---
+    "x8_sql_update_from" -> ((s, dir) => {
+      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      g.createTable("c", cust.schema)
+      g.insert("c", cust)
+      val src = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      g.createTable("src", src.schema)
+      g.insert("src", src)
+      g.execute("""
+          UPDATE c SET c_acctbal = c_acctbal + cnt FROM src
+          WHERE c.c_custkey = src.o_custkey AND c_acctbal < 0
+          RETURNING c_custkey, c_acctbal, cnt""")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // --- DELETE FROM ... USING ... WHERE ... RETURNING through the SQL
+    // router; the RETURNING list references the USING source's column ---
+    "x9_sql_delete_using" -> ((s, dir) => {
+      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      g.createTable("d", d.schema)
+      g.insert("d", d)
+      val kill = Tables.load(s, dir, "documents")
+        .filter(col("lang").isin("de", "fr"))
+        .select(col("doc_id").as("k_id"), col("lang"))
+      g.createTable("kill", kill.schema)
+      g.insert("kill", kill)
+      g.execute("""
+          DELETE FROM d USING kill WHERE d.doc_id = kill.k_id
+          RETURNING doc_id, n_chars, lang""")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- PG-dialect jsonb SQL through the rewriter ---
     "x4_jsonb_sql" -> ((s, dir) => {
       Tables.load(s, dir, "events").createOrReplaceTempView("events")
@@ -133,6 +172,15 @@ object ExtQueries {
     "x3_delete_returning" -> """
       SELECT doc_id, n_chars FROM documents WHERE n_chars < 100
       ORDER BY doc_id""",
+    "x8_sql_update_from" -> """
+      WITH src AS (SELECT o_custkey, COUNT(*) AS cnt
+                   FROM orders GROUP BY o_custkey)
+      SELECT c_custkey, c_acctbal + cnt AS c_acctbal, cnt
+      FROM customer JOIN src ON c_custkey = o_custkey
+      WHERE c_acctbal < 0 ORDER BY c_custkey""",
+    "x9_sql_delete_using" -> """
+      SELECT doc_id, n_chars, lang FROM documents
+      WHERE lang IN ('de', 'fr') ORDER BY doc_id""",
     "x4_jsonb_sql" -> """
       SELECT CAST(props->>'k' AS BIGINT) % 5 AS kmod, COUNT(*) AS n
       FROM events WHERE CAST(props->>'k' AS BIGINT) >= 10

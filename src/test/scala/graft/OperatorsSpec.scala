@@ -154,6 +154,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.groupBy(_.getLong(0)).values.forall(_.length <= 4))
   }
 
+  test("ivf knn: join-based path (nCells > maxLiteralCells) is identical") {
+    val q = emb.filter(col("vec_id") < 2)
+    val literal = Similarity.ivfKnn(emb, q, k = 4, nCells = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val joined = Similarity.ivfKnn(emb, q, k = 4, nCells = 16,
+        maxLiteralCells = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(literal.sorted == joined.sorted)
+  }
+
+  test("ivf knn: array<double> embeddings and int ids work on both paths") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 2)
+    for (mlc <- Seq(0, 128)) {
+      val out = Similarity.ivfKnn(df, q, k = 3, nCells = 8,
+        maxLiteralCells = mlc).collect()
+      assert(out.nonEmpty)
+      assert(out.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    }
+  }
+
   test("vector functions: dot/norm/cosine against hand values") {
     val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 1.0f)))
       .toDF("a", "b")
