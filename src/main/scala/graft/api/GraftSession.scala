@@ -125,7 +125,12 @@ class GraftSession(val spark: SparkSession, root: String) {
     persistMeta(name)
   }
 
-  def dropTable(name: String): Unit = {
+  def dropTable(name: String): Unit = dropTable(name, dropDependents = true)
+
+  /** `dropDependents = false` is for internal rebuild cycles
+    * (refreshMatView) where the relation immediately comes back under the
+    * same name — dependent views must survive the swap. */
+  private def dropTable(name: String, dropDependents: Boolean): Unit = {
     deleteRecursively(tableDir(name))
     tables.remove(name)
     // a re-created table must not inherit the dead table's constraints,
@@ -148,7 +153,7 @@ class GraftSession(val spark: SparkSession, root: String) {
     // dependency closure (reference dynamic_cascade_delete's pg_depend
     // walk): views/matviews whose body references the dropped relation are
     // dropped too, transitively — a dangling view must not survive the drop
-    dropDependentViews(name)
+    if (dropDependents) dropDependentViews(name)
   }
 
   def dropView(name: String): Unit = {
@@ -691,7 +696,9 @@ class GraftSession(val spark: SparkSession, root: String) {
 
   def refreshMatView(name: String): Unit = {
     val body = views(name)
-    dropTable(name)
+    // rebuild cycle, not a user drop: views defined over this matview
+    // must survive the refresh
+    dropTable(name, dropDependents = false)
     createMatView(name, body)
   }
 

@@ -67,12 +67,16 @@ object TextQueries {
     // --- MinHash-LSH candidates → EXACT word-shingle Jaccard verify.
     // The production dedup shape: LSH prunes candidates, the exact score
     // decides. Output is deterministically { pairs with true Jaccard ≥
-    // 0.5 }: at bands=12 × rows=3 a qualifying pair (all ≥ 0.9 in this
-    // corpus) misses every band with probability (1−0.9³)^12 < 2e-7, so
-    // the all-pairs DuckDB oracle matches exactly ---
+    // 0.8 } for ANY corpus, not just this one: with bands=16 × rows=2
+    // (the minHashLshVerified defaults) a pair at Jaccard j misses every
+    // band with probability (1−j²)^16, which is ≤ (1−0.8²)^16 ≈ 7.6e-8
+    // at the threshold and decreasing in j — so over the entire
+    // ≥-threshold range the all-pairs DuckDB oracle matches except with
+    // negligible (union-bounded ≪ 1e-4 even for 10³ qualifying pairs)
+    // probability. The boundary itself is FP-safe: both engines score
+    // |∩|/|∪| as the same int-count double division, bit-identical ---
     "d6_minhash_lsh" -> ((s, dir) => {
-      Dedup.minHashLshVerified(docs(s, dir), "text", "doc_id",
-          bands = 12, rows = 3, threshold = 0.5)
+      Dedup.minHashLshVerified(docs(s, dir), "text", "doc_id")
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -168,7 +172,7 @@ object TextQueries {
             / CAST(len(a.sh) + len(b.sh)
                    - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jac
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
-      WHERE jac >= 0.5 ORDER BY a_id, b_id""",
+      WHERE jac >= 0.8 ORDER BY a_id, b_id""",
     "d1_exact_dedup" -> """
       SELECT md5(text) AS h, MIN(doc_id) AS keep, COUNT(*) AS n
       FROM documents GROUP BY md5(text) ORDER BY h""",

@@ -121,6 +121,47 @@ class ConstraintsSpec extends SparkSpec {
     assert(g.table("child").count() == n) // half of 2n cascade-deleted
   }
 
+  test("FK insert check works against a parent AQE will not broadcast") {
+    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    g.createTable("parent", StructType(Seq(StructField("id", LongType))))
+    g.createTable("child", StructType(Seq(
+      StructField("id", LongType), StructField("pid", LongType))))
+    g.insert("parent", spark.range(100000L).select(col("id")))
+    g.addForeignKey("child", "pid", "parent", "id")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // with the threshold at 1 KB the distinct parent-key set is "too big
+      // to broadcast" — the old forced-broadcast hint would have shipped it
+      // to every task regardless; the unhinted anti-join must still work
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      g.insert("child", spark.range(1000L)
+        .select(col("id"), (col("id") * 100).as("pid")))
+      intercept[IllegalStateException] {
+        g.insert("child", Seq((999999L, -5L)).toDF("id", "pid"))
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert(g.table("child").count() == 1000L)
+  }
+
+  test("dropTable drops dependent views transitively; refresh does not") {
+    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    g.createTable("base", StructType(Seq(StructField("v", LongType))))
+    g.insert("base", Seq(1L, 2L, 3L).toDF("v"))
+    g.createView("v1", "SELECT v * 10 AS w FROM base")
+    g.createView("v2", "SELECT COUNT(*) AS n FROM v1")
+    assert(g.sql("SELECT n FROM v2").head().getLong(0) == 3L)
+    // matview over base, and a view over the matview: refresh must keep it
+    g.createMatView("m1", "SELECT SUM(v) AS s FROM base")
+    g.createView("vm", "SELECT s + 1 AS s1 FROM m1")
+    g.insert("base", Seq(10L).toDF("v"))
+    g.refreshMatView("m1")
+    assert(g.sql("SELECT s1 FROM vm").head().getLong(0) == 17L)
+    // dropping the base table walks the dependency closure: v1, v2, m1, vm
+    g.dropTable("base")
+    for (v <- Seq("v1", "v2", "m1", "vm"))
+      intercept[Exception] { g.sql(s"SELECT * FROM $v").collect() }
+  }
+
   test("FK CASCADE cycle across two tables fails fast, not FileNotFound") {
     val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
     g.createTable("a", StructType(Seq(
