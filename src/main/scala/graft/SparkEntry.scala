@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.VectorQueries.queries ++
     graft.queries.ExtQueries.queries ++
     graft.queries.TpchQueries.queries ++
-    graft.queries.ScaleQueries.queries
+    graft.queries.ScaleQueries.queries ++
+    graft.queries.JsonBenchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.VectorQueries.oracles ++
     graft.queries.ExtQueries.oracles ++
     graft.queries.TpchQueries.oracles ++
-    graft.queries.ScaleQueries.oracles
+    graft.queries.ScaleQueries.oracles ++
+    graft.queries.JsonBenchQueries.oracles
 }

@@ -1,0 +1,163 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.GraftSession
+
+/** JSONBench-style semi-structured workload — the reference's signature
+  * claim is JSON analytics over Bluesky firehose events
+  * (/root/reference JSONBench/otterbrix/jsonbench.cpp:269-340: parse JSON
+  * lines → insert → 5 analytic queries over did/time_us/kind/collection/
+  * operation).
+  *
+  * Spark-first shape: a deterministic Bluesky-like corpus is derived from
+  * the `events` table, serialized to JSON lines, re-parsed by the Spark
+  * JSON source (schema inference = the reference's parse step), ingested
+  * into a dynamic table (columns materialize on insert, nested struct
+  * included), then queried through `g.sql` with nested field access. The
+  * DuckDB oracle rebuilds the same corpus relationally from the same
+  * parquet — every mapping below is engine-portable and deterministic.
+  *
+  * Scale: ingest is one narrow serialize→parse pass (no shuffle); each
+  * query is a single partial+final aggregation on the grouping key. At
+  * 100 TB of firehose the plan shapes are unchanged — the JSON parse is
+  * per-row, the group-bys partition on collection/did.
+  */
+object JsonBenchQueries {
+
+  private def kExpr: Column =
+    get_json_object(col("props"), "$.k").cast("long")
+
+  /** Deterministic event_type → Bluesky collection mapping. */
+  private def collectionExpr: Column =
+    when(col("event_type") === "click", "app.bsky.feed.like")
+      .when(col("event_type") === "view", "app.bsky.feed.post")
+      .when(col("event_type") === "purchase", "app.bsky.feed.repost")
+      .when(col("event_type") === "signup", "app.bsky.graph.follow")
+      .otherwise("app.bsky.feed.post")
+
+  private def operationExpr: Column =
+    when(kExpr % 10 < 7, "create")
+      .when(kExpr % 10 < 9, "update")
+      .otherwise("delete")
+
+  /** Serialize → JSON lines → Spark JSON source (inference) → dynamic
+    * table. Mirrors the reference's file-parse-insert pipeline. */
+  private def bsky(s: SparkSession, dir: String): GraftSession = {
+    val g = GraftSession(s, Files.createTempDirectory("graft_jb").toString)
+    val lines = graft.Tables.events(s, dir).select(to_json(struct(
+      concat(lit("did:plc:"), col("user_id")).as("did"),
+      unix_micros(col("t")).as("time_us"),
+      when(col("event_type") === "error", "identity").otherwise("commit")
+        .as("kind"),
+      struct(collectionExpr.as("collection"), operationExpr.as("operation"))
+        .as("commit"))).as("line"))
+    val parsed = s.read.json(lines.select(col("line")).as(Encoders.STRING))
+    g.createDynamicTable("bsky")
+    g.insert("bsky", parsed)
+    g
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1: top event types by count (jsonbench.cpp "Q1: Top event types")
+    "jb1_top_collections" -> ((s, dir) => {
+      bsky(s, dir).sql("""
+        SELECT commit.collection AS collection, COUNT(did) AS count
+        FROM bsky GROUP BY commit.collection
+        ORDER BY count DESC, collection""")
+    }),
+
+    // Q2: unique users per event type (kind=commit, op=create)
+    "jb2_unique_users" -> ((s, dir) => {
+      bsky(s, dir).sql("""
+        SELECT commit.collection AS collection, COUNT(did) AS count,
+               COUNT(DISTINCT did) AS users
+        FROM bsky
+        WHERE kind = 'commit' AND commit.operation = 'create'
+        GROUP BY commit.collection
+        ORDER BY count DESC, collection""")
+    }),
+
+    // Q3: post/repost/like counts (subset of event types)
+    "jb3_post_repost_like" -> ((s, dir) => {
+      bsky(s, dir).sql("""
+        SELECT commit.collection AS collection, COUNT(did) AS count
+        FROM bsky
+        WHERE kind = 'commit' AND commit.operation = 'create'
+          AND (commit.collection = 'app.bsky.feed.post'
+               OR commit.collection = 'app.bsky.feed.repost'
+               OR commit.collection = 'app.bsky.feed.like')
+        GROUP BY commit.collection
+        ORDER BY count DESC, collection""")
+    }),
+
+    // Q4: first 3 users to post
+    "jb4_first_posters" -> ((s, dir) => {
+      bsky(s, dir).sql("""
+        SELECT did, MIN(time_us) AS first_post
+        FROM bsky
+        WHERE kind = 'commit' AND commit.operation = 'create'
+          AND commit.collection = 'app.bsky.feed.post'
+        GROUP BY did
+        ORDER BY first_post ASC, did LIMIT 3""")
+    }),
+
+    // Q5: top 3 users by activity span
+    "jb5_activity_span" -> ((s, dir) => {
+      bsky(s, dir).sql("""
+        SELECT did, MIN(time_us) AS first_ts, MAX(time_us) AS last_ts
+        FROM bsky
+        WHERE kind = 'commit' AND commit.operation = 'create'
+          AND commit.collection = 'app.bsky.feed.post'
+        GROUP BY did
+        ORDER BY last_ts DESC, did LIMIT 3""")
+    })
+  )
+
+  /** The oracle rebuilds the corpus relationally — identical mappings. */
+  private val corpusCte = """
+    WITH bsky AS (
+      SELECT 'did:plc:' || CAST(user_id AS VARCHAR) AS did,
+        epoch_us(CAST(ts AS TIMESTAMP)) AS time_us,
+        CASE WHEN event_type = 'error' THEN 'identity'
+             ELSE 'commit' END AS kind,
+        CASE event_type
+          WHEN 'click' THEN 'app.bsky.feed.like'
+          WHEN 'view' THEN 'app.bsky.feed.post'
+          WHEN 'purchase' THEN 'app.bsky.feed.repost'
+          WHEN 'signup' THEN 'app.bsky.graph.follow'
+          ELSE 'app.bsky.feed.post' END AS collection,
+        CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 < 7
+               THEN 'create'
+             WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 < 9
+               THEN 'update'
+             ELSE 'delete' END AS operation
+      FROM events)"""
+
+  val oracles: Map[String, String] = Map(
+    "jb1_top_collections" -> (corpusCte + """
+      SELECT collection, COUNT(did) AS count FROM bsky
+      GROUP BY collection ORDER BY count DESC, collection"""),
+    "jb2_unique_users" -> (corpusCte + """
+      SELECT collection, COUNT(did) AS count, COUNT(DISTINCT did) AS users
+      FROM bsky WHERE kind = 'commit' AND operation = 'create'
+      GROUP BY collection ORDER BY count DESC, collection"""),
+    "jb3_post_repost_like" -> (corpusCte + """
+      SELECT collection, COUNT(did) AS count
+      FROM bsky WHERE kind = 'commit' AND operation = 'create'
+        AND (collection = 'app.bsky.feed.post'
+             OR collection = 'app.bsky.feed.repost'
+             OR collection = 'app.bsky.feed.like')
+      GROUP BY collection ORDER BY count DESC, collection"""),
+    "jb4_first_posters" -> (corpusCte + """
+      SELECT did, MIN(time_us) AS first_post
+      FROM bsky WHERE kind = 'commit' AND operation = 'create'
+        AND collection = 'app.bsky.feed.post'
+      GROUP BY did ORDER BY first_post ASC, did LIMIT 3"""),
+    "jb5_activity_span" -> (corpusCte + """
+      SELECT did, MIN(time_us) AS first_ts, MAX(time_us) AS last_ts
+      FROM bsky WHERE kind = 'commit' AND operation = 'create'
+        AND collection = 'app.bsky.feed.post'
+      GROUP BY did ORDER BY last_ts DESC, did LIMIT 3"""))
+}
