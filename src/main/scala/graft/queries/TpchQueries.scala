@@ -228,6 +228,127 @@ object TpchQueries {
         .orderBy(col("numwait").desc, col("s_name"))
     }),
 
+    // Q4 order-priority checking: EXISTS → semi-join on the fact key
+    // (reference q4.sql; no l_commitdate/l_receiptdate — "late" adapted
+    // to l_returnflag = 'R', same as h21)
+    "h4_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val late = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_orderkey"))
+      o.join(late, Seq("o_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Q7 volume shipping between two regions, both directions
+    // (reference q7.sql; nation pair widened to the region pair so every
+    // scale factor has rows)
+    "h7_volume_shipping" -> ((s, dir) => {
+      val sup = broadcast(t(s, dir, "supplier"))
+      val c = broadcast(t(s, dir, "customer"))
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_nationkey"),
+          col("n_regionkey").as("n1_regionkey")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_nationkey"),
+          col("n_regionkey").as("n2_regionkey")))
+      val r1 = broadcast(t(s, dir, "region")
+        .select(col("r_regionkey").as("r1_regionkey"),
+          col("r_name").as("supp_region")))
+      val r2 = broadcast(t(s, dir, "region")
+        .select(col("r_regionkey").as("r2_regionkey"),
+          col("r_name").as("cust_region")))
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") <= lit("1997-12-31").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n1, sup("s_nationkey") === n1("n1_nationkey"))
+        .join(n2, c("c_nationkey") === n2("n2_nationkey"))
+        .join(r1, n1("n1_regionkey") === r1("r1_regionkey"))
+        .join(r2, n2("n2_regionkey") === r2("r2_regionkey"))
+        .filter((col("supp_region") === "ASIA" && col("cust_region") === "EUROPE")
+          || (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
+        .groupBy(col("supp_region"), col("cust_region"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(rev).as("revenue"))
+        .orderBy(col("supp_region"), col("cust_region"), col("l_year"))
+    }),
+
+    // Q13 customer order-count distribution: LEFT OUTER join with an
+    // extra join-side predicate, double aggregation (reference q13.sql;
+    // no o_comment — the join filter is on o_orderpriority)
+    "h13_cust_distribution" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q15 top supplier: revenue CTE + scalar max subquery
+    "h15_top_supplier" -> ((s, dir) => {
+      val revenue = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(dsum(rev).as("total_revenue"))
+      val mx = revenue.agg(max(col("total_revenue")).as("mx"))
+      t(s, dir, "supplier")
+        .join(revenue, col("s_suppkey") === col("supplier_no"))
+        .join(broadcast(mx), col("total_revenue") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Q19 discounted revenue: three disjunctive brand/size/quantity
+    // branches over one part join (reference q19.sql; no
+    // container/shipmode/shipinstruct in the synthetic schema)
+    "h19_disjunctive_rev" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part"))
+      val l = t(s, dir, "lineitem")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30)))
+        .agg(dsum(rev).as("revenue"), count(lit(1)).as("n"))
+    }),
+
+    // Q22 global sales opportunity: avg scalar subquery + anti-join
+    // (reference q22.sql; no c_phone — cntrycode is c_nationkey % 5, and
+    // "no orders" adapted to "no 1-URGENT orders" since every synthetic
+    // customer has orders)
+    "h22_sales_opportunity" -> ((s, dir) => {
+      val codes = t(s, dir, "customer")
+        .filter((col("c_nationkey") % 5).isin(0, 1, 2))
+        .select(col("c_custkey"), (col("c_nationkey") % 5).as("cntrycode"),
+          col("c_acctbal"))
+      val thr = codes.filter(col("c_acctbal") > 0.0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("a"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      codes.join(urgent, Seq("c_custkey"), "left_anti")
+        .join(broadcast(thr))
+        .filter(col("c_acctbal") > col("a"))
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    }),
+
     // Q18 large-volume customers (semi-join on a grouped subquery)
     "h18_large_orders" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
@@ -300,6 +421,77 @@ object TpchQueries {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1997-09-01'
         AND l_shipdate < TIMESTAMP '1997-10-01'""",
+    "h4_order_priority" -> """
+      SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+        AND EXISTS (SELECT * FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "h7_volume_shipping" -> """
+      WITH shipping AS (
+        SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+          EXTRACT(year FROM l_shipdate) AS l_year,
+          l_extendedprice * (1.0 - l_discount) AS volume
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+            OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1997-12-31')
+      SELECT supp_region, cust_region, CAST(l_year AS INT) AS l_year,
+        CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM shipping GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "h13_cust_distribution" -> """
+      SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey) c_orders
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "h15_top_supplier" -> """
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      ORDER BY s_suppkey""",
+    "h19_disjunctive_rev" -> """
+      SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)""",
+    "h22_sales_opportunity" -> """
+      WITH codes AS (
+        SELECT c_custkey, c_nationkey % 5 AS cntrycode, c_acctbal
+        FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)),
+      thr AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+          / COUNT(*) AS a
+        FROM codes WHERE c_acctbal > 0.0)
+      SELECT cntrycode, COUNT(*) AS numcust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+      FROM codes, thr
+      WHERE c_acctbal > a AND NOT EXISTS (SELECT * FROM orders
+        WHERE o_custkey = codes.c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY cntrycode ORDER BY cntrycode""",
     "h8_market_share" -> """
       WITH all_nations AS (
         SELECT EXTRACT(year FROM o_orderdate) AS o_year,
