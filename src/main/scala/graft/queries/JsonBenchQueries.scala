@@ -43,8 +43,17 @@ object JsonBenchQueries {
       .otherwise("delete")
 
   /** Serialize → JSON lines → Spark JSON source (inference) → dynamic
-    * table. Mirrors the reference's file-parse-insert pipeline. */
-  private def bsky(s: SparkSession, dir: String): GraftSession = {
+    * table. Mirrors the reference's file-parse-insert pipeline.
+    * Memoized per (session, sf dir): the reference benchmark ingests the
+    * corpus once and then times each analytic query — re-parsing per
+    * query would bill every query for the shared ingest. */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), GraftSession]
+
+  private def bsky(s: SparkSession, dir: String): GraftSession =
+    cache.getOrElseUpdate((s, dir), ingest(s, dir))
+
+  private def ingest(s: SparkSession, dir: String): GraftSession = {
     val g = GraftSession(s, Files.createTempDirectory("graft_jb").toString)
     val lines = graft.Tables.events(s, dir).select(to_json(struct(
       concat(lit("did:plc:"), col("user_id")).as("did"),
