@@ -162,6 +162,39 @@ class ConstraintsSpec extends SparkSpec {
       intercept[Exception] { g.sql(s"SELECT * FROM $v").collect() }
   }
 
+  test("two self-FK CASCADEs on same-typed columns keep column identity") {
+    // mgr and mentor are both LONG: a positional union of the per-FK
+    // semi-joins would put one column's values under the other's name and
+    // delete the wrong transitive closure
+    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    g.createTable("emp", StructType(Seq(
+      StructField("id", LongType), StructField("mgr", LongType),
+      StructField("mentor", LongType))))
+    // 1 manages 2; 2 mentors 3; nobody references 4 via either edge
+    g.insert("emp", Seq(
+      (1L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Long]),
+      (2L, java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long]),
+      (3L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(2L)),
+      (4L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "mgr", "mentor"))
+    g.addForeignKey("emp", "mgr", "emp", "id", g.Cascade)
+    g.addForeignKey("emp", "mentor", "emp", "id", g.Cascade)
+    g.delete("emp", col("id") === 1L)
+    // closure: 1 → 2 (mgr edge) → 3 (mentor edge); 4 survives
+    assert(g.table("emp").select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+
+  test("CASCADE preserves the child table's column order") {
+    val g = sessionWithParentChild()
+    g.addForeignKey("child", "pid", "parent", "id", g.Cascade)
+    g.insert("child", Seq((10L, 1L), (11L, 2L)).toDF("id", "pid"))
+    g.delete("parent", col("id") === 1L)
+    // the USING semi/anti joins move the FK column first internally; the
+    // persisted schema must still be (id, pid)
+    assert(g.table("child").columns.toSeq == Seq("id", "pid"))
+    assert(g.table("child").as[(Long, Long)].collect().toSeq == Seq((11L, 2L)))
+  }
+
   test("FK CASCADE cycle across two tables fails fast, not FileNotFound") {
     val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
     g.createTable("a", StructType(Seq(
