@@ -129,6 +129,18 @@ class SemanticsSpec extends SparkSpec {
     assert(df.select(substring(col("s"), -2, 2)).as[String].head() == "ef")
   }
 
+  test("fromRows builds a frame from explicit rows + schema") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("tags", ArrayType(StringType))))
+    val df = Ingest.fromRows(spark,
+      Seq(Row(1L, Seq("a", "b")), Row(2L, null)), schema)
+    assert(df.schema == schema)
+    assert(df.count() == 2)
+    assert(df.filter(col("tags").isNull).select("id").as[Long].head() == 2L)
+  }
+
   test("ingest round-trips: json / csv / orc") {
     val dir = Files.createTempDirectory("ingest").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")

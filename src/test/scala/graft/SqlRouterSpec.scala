@@ -132,6 +132,16 @@ class SqlRouterSpec extends SparkSpec {
     s.execute("DROP TYPE mood")
   }
 
+  test("INSERT ... SELECT routes through the catalog insert path") {
+    val s = g
+    s.execute("CREATE TABLE src2 (a BIGINT)")
+    s.execute("INSERT INTO src2 (a) VALUES (1), (2), (3)")
+    s.execute("CREATE TABLE dst2 (a BIGINT)")
+    s.execute("INSERT INTO dst2 SELECT a FROM src2 WHERE a > 1")
+    assert(s.execute("SELECT a FROM dst2 ORDER BY a")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+  }
+
   test("INSERT without a column list uses the declared column order") {
     val s = g
     s.execute("CREATE TABLE pt (id BIGINT, name STRING)")
