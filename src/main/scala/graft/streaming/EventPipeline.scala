@@ -52,6 +52,21 @@ object EventPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("h"), col("n"))
 
+  /** Streaming exact dedup: keep the first occurrence per key, with
+    * watermark-bounded state — the streaming counterpart of
+    * [[graft.operators.Dedup.exact]] for a continuously-ingested corpus.
+    * `dropDuplicatesWithinWatermark` evicts a key's state once the
+    * watermark passes its event time, so a 1000-executor ingest job holds
+    * only the watermark horizon of keys, not the full history; exact
+    * global dedup over the already-landed data stays a batch concern
+    * (Dedup.exact). Works on a content hash: pass e.g.
+    * `md5(col("text"))` pre-projected as the key column. */
+  def dedupStream(events: DataFrame, keyCol: String, timeCol: String = "t",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Batch sessionization via flatMapGroupsWithState: groups per user,
     * closes a session after `gapMinutes` of inactivity, and FLUSHES the
     * still-open trailing session so batch results are complete. For

@@ -47,6 +47,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // event_type doubles as the dedup key here; duplicates arrive both
+    // within one micro-batch and across micro-batches
+    val q = EventPipeline.dedupStream(mem.toDF(), "event_type")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1L, "click", ts(0), 1.0),
+        Event(2L, "click", ts(1), 2.0), Event(3L, "view", ts(2), 3.0))
+      q.processAllAvailable()
+      mem.addData(Event(4L, "click", ts(3), 4.0),
+        Event(5L, "buy", ts(4), 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .select("event_type", "user_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      assert(rows.toSeq == Seq(("buy", 5L), ("click", 1L), ("view", 3L)))
+    } finally q.stop()
+  }
+
   test("file stream source shape matches the batch events table") {
     val stream = EventPipeline.readEventStream(spark, sf)
     assert(stream.isStreaming)
