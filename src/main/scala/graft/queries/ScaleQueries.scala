@@ -114,6 +114,43 @@ object ScaleQueries {
         .limit(10)
     }),
 
+    // --- daily uniques (ClickBench "users by date" shape) ---
+    "c3_daily_users" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("t")).as("d"))
+        .agg(countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("d"))
+    }),
+
+    // --- two-key heavy hitters with limit (ClickBench top-k shape) ---
+    "c4_type_user_topk" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type"), col("user_id"))
+        .limit(10)
+    }),
+
+    // --- selective top-N scan, no aggregation (TakeOrderedAndProject) ---
+    "c5_top_values" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .filter(col("value") > 15.0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(10)
+    }),
+
+    // --- per-day min/max/avg rollup (avg decimal-exact) ---
+    "c6_daily_stats" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("t")).as("d"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+          (sum(col("value").cast(D)).cast("double") / count(lit(1)))
+            .as("mean"))
+        .orderBy(col("d"))
+    }),
+
     // --- HLL sketch. Inherently engine-specific: approx_count_distinct is
     // a HyperLogLog++ ESTIMATE whose value depends on Spark's hash and
     // register layout — DuckDB's approx_distinct implements a different
@@ -174,6 +211,22 @@ object ScaleQueries {
     "c1_median" -> """
       SELECT event_type, round(median(value), 6) AS med, COUNT(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "c3_daily_users" -> """
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users, COUNT(*) AS n
+      FROM events GROUP BY d ORDER BY d""",
+    "c4_type_user_topk" -> """
+      SELECT event_type, user_id, COUNT(*) AS n
+      FROM events GROUP BY event_type, user_id
+      ORDER BY n DESC, event_type, user_id LIMIT 10""",
+    "c5_top_values" -> """
+      SELECT event_id, user_id, value FROM events WHERE value > 15.0
+      ORDER BY value DESC, event_id LIMIT 10""",
+    "c6_daily_stats" -> """
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d,
+        MIN(value) AS lo, MAX(value) AS hi,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean
+      FROM events GROUP BY d ORDER BY d""",
     "c2_heavy_users" -> """
       SELECT user_id, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
