@@ -164,14 +164,29 @@ class GraftSession(val spark: SparkSession, root: String) {
     dropDependentViews(name)
   }
 
-  /** Drops every stored view whose body mentions `name` (word-boundary
-    * textual dependency — the body SQL is re-expanded at reference time, so
-    * a mention IS a dependency for all practical bodies). Matviews are
+  /** Relations a view body actually references: UnresolvedRelation names
+    * from the parsed (not analyzed) plan, subqueries included. Parser-level
+    * resolution avoids the textual-match trap where a table named `order`
+    * would "depend" on every body containing ORDER BY. Falls back to a
+    * word-boundary textual match only if the stored body fails to parse. */
+  private def referencedRelations(body: String): Option[Set[String]] =
+    try Some(spark.sessionState.sqlParser.parsePlan(body)
+      .collectWithSubqueries {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.last.toLowerCase
+      }.toSet)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Drops every stored view that references `name` (reference
+    * dynamic_cascade_delete's pg_depend walk), transitively. Matviews are
     * backed by a table and take the table-drop path. */
   private def dropDependentViews(name: String): Unit = {
+    val target = name.toLowerCase
     val pattern = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
     views.toSeq
-      .collect { case (v, body) if pattern.findFirstIn(body).isDefined => v }
+      .collect { case (v, body) if referencedRelations(body)
+          .map(_.contains(target))
+          .getOrElse(pattern.findFirstIn(body).isDefined) => v }
       .foreach(v => if (tables.contains(v)) dropTable(v) else dropView(v))
   }
 

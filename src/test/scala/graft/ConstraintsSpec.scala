@@ -156,9 +156,17 @@ class ConstraintsSpec extends SparkSpec {
     g.insert("base", Seq(10L).toDF("v"))
     g.refreshMatView("m1")
     assert(g.sql("SELECT s1 FROM vm").head().getLong(0) == 17L)
-    // dropping the base table walks the dependency closure: v1, v2, m1, vm
+    // a table named like a SQL keyword must not capture keyword mentions:
+    // vk has ORDER BY but does not reference table `order`
+    g.createTable("order", StructType(Seq(StructField("o", LongType))))
+    g.createView("vk", "SELECT v FROM base ORDER BY v")
+    g.dropTable("order")
+    assert(g.sql("SELECT v FROM vk").count() == 4L)
+    // dropping the base table walks the dependency closure: v1, v2, m1,
+    // vm, vk — parser-level reference detection, subqueries included
+    g.createView("vs", "SELECT 1 AS one WHERE EXISTS (SELECT * FROM base)")
     g.dropTable("base")
-    for (v <- Seq("v1", "v2", "m1", "vm"))
+    for (v <- Seq("v1", "v2", "m1", "vm", "vk", "vs"))
       intercept[Exception] { g.sql(s"SELECT * FROM $v").collect() }
   }
 
