@@ -737,13 +737,39 @@ class GraftSession(val spark: SparkSession, root: String) {
   private val indexes =
     scala.collection.mutable.Map[String, (String, Seq[String])]()
 
-  /** Monotonic sequence (reference node_sequence): file-backed counter. */
+  /** Monotonic sequence (reference node_sequence): file-backed counter
+    * with PG START/INCREMENT options (reference `CREATE SEQUENCE ... START
+    * 10 INCREMENT 2`, test_sql_features.cpp DDL section). File format is
+    * `current:increment`; a bare long (pre-options format) reads as
+    * increment 1. */
+  def createSequence(name: String, start: Long = 1L,
+                     increment: Long = 1L): Unit = {
+    require(increment != 0, "sequence increment must be non-zero")
+    Files.writeString(rootPath.resolve(s"_seq_$name"),
+      s"${start - increment}:$increment")
+  }
+
+  def dropSequence(name: String): Unit =
+    Files.deleteIfExists(rootPath.resolve(s"_seq_$name"))
+
   def nextSequence(name: String): Long = {
     val f = rootPath.resolve(s"_seq_$name")
-    val cur = if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
-    Files.writeString(f, (cur + 1).toString)
-    cur + 1
+    val (cur, inc) =
+      if (Files.exists(f)) Files.readString(f).trim.split(":") match {
+        case Array(c, i) => (c.toLong, i.toLong)
+        case Array(c) => (c.toLong, 1L)
+      } else (0L, 1L)
+    val next = cur + inc
+    Files.writeString(f, s"$next:$inc")
+    next
   }
+
+  /** Replaces each `nextval('seq')` in a VALUES literal list with the next
+    * sequence value, left to right — one call per occurrence, like PG's
+    * per-row volatile evaluation over literal rows. */
+  private def substituteNextval(values: String): String =
+    """(?i)nextval\(\s*'(\w+)'\s*\)""".r
+      .replaceAllIn(values, m => nextSequence(m.group(1)).toString)
 
   // ---------------------------------------------------------------- SQL
 
@@ -768,7 +794,9 @@ class GraftSession(val spark: SparkSession, root: String) {
     * Catalyst). Returns the affected/returned rows (empty frame for DDL).
     * Supported DML/DDL surface: CREATE [DYNAMIC] TABLE (enum-typed columns
     * resolve via CREATE TYPE), DROP TABLE, CREATE/DROP TYPE ... AS ENUM,
-    * INSERT INTO ... VALUES / SELECT,
+    * CREATE SEQUENCE [START n] [INCREMENT n] / DROP SEQUENCE (nextval('s')
+    * substitutes in INSERT ... VALUES), CREATE [MATERIALIZED] VIEW / DROP
+    * VIEW, INSERT INTO ... VALUES / SELECT,
     * UPDATE ... SET ... [FROM src] [WHERE ...] [RETURNING ...],
     * DELETE FROM ... [USING src] [WHERE ...] [RETURNING ...]. */
   def execute(statement: String, params: Seq[Any] = Nil): DataFrame = {
@@ -791,9 +819,24 @@ class GraftSession(val spark: SparkSession, root: String) {
     val macroRe =
       """(?is)^CREATE\s+(?:MACRO|FUNCTION)\s+(\w+)\s*\(([^)]*)\)\s*(?:AS|RETURN)\s+(.*?);?$""".r
     val setTzRe = """(?is)^SET\s+TIME\s*ZONE\s+'?([\w/+-:]+)'?\s*;?$""".r
+    val createSeqRe =
+      """(?is)^CREATE\s+SEQUENCE\s+(\w+)(?:\s+START\s+(?:WITH\s+)?(-?\d+))?(?:\s+INCREMENT\s+(?:BY\s+)?(-?\d+))?\s*;?$""".r
+    val dropSeqRe = """(?is)^DROP\s+SEQUENCE\s+(\w+)\s*;?$""".r
+    val createMatViewRe =
+      """(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.*?);?$""".r
+    val createViewRe = """(?is)^CREATE\s+VIEW\s+(\w+)\s+AS\s+(.*?);?$""".r
+    val dropViewRe = """(?is)^DROP\s+VIEW\s+(\w+)\s*;?$""".r
     def empty = spark.emptyDataFrame
     stmt match {
       case setTzRe(tz) => setTimezone(tz); empty
+      case createSeqRe(name, start, inc) =>
+        createSequence(name,
+          Option(start).map(_.toLong).getOrElse(1L),
+          Option(inc).map(_.toLong).getOrElse(1L)); empty
+      case dropSeqRe(name) => dropSequence(name); empty
+      case createMatViewRe(name, body) => createMatView(name, body); empty
+      case createViewRe(name, body) => createView(name, body); empty
+      case dropViewRe(name) => dropView(name); empty
       case macroRe(name, ps, body) =>
         createMacro(name,
           ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq, body); empty
@@ -807,7 +850,8 @@ class GraftSession(val spark: SparkSession, root: String) {
       case dropRe(name) => dropTable(name); empty
       case insertValuesRe(name, cols, values) =>
         insert(name, spark.sql(
-          s"SELECT * FROM VALUES $values AS _ins($cols)")); empty
+          s"SELECT * FROM VALUES ${substituteNextval(values)} AS _ins($cols)"))
+        empty
       case insertValuesNoColsRe(name, values) =>
         // PG-style INSERT without a column list: positional against the
         // table's declared column order (dynamic tables with no schema yet
@@ -817,7 +861,8 @@ class GraftSession(val spark: SparkSession, root: String) {
           s"INSERT INTO $name VALUES without a column list needs a " +
             "declared schema; name the columns")
         insert(name, spark.sql(
-          s"SELECT * FROM VALUES $values AS _ins(${declared.mkString(", ")})"))
+          s"SELECT * FROM VALUES ${substituteNextval(values)} " +
+            s"AS _ins(${declared.mkString(", ")})"))
         empty
       case insertSelectRe(name, select) => insert(name, sql(select)); empty
       case createTypeRe(name, values) =>

@@ -142,6 +142,37 @@ class SqlRouterSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(2L, 3L))
   }
 
+  test("CREATE SEQUENCE with START/INCREMENT and nextval in INSERT") {
+    val s = g
+    s.execute("CREATE SEQUENCE ids START 10 INCREMENT 2")
+    s.execute("CREATE TABLE st (id BIGINT, v STRING)")
+    s.execute("INSERT INTO st (id, v) VALUES (nextval('ids'), 'a'), (nextval('ids'), 'b')")
+    s.execute("INSERT INTO st VALUES (nextval('ids'), 'c')")
+    assert(s.execute("SELECT id FROM st ORDER BY id")
+      .as[Long].collect().toSeq == Seq(10L, 12L, 14L))
+    s.execute("DROP SEQUENCE ids")
+    // a dropped sequence restarts at the defaults (1, +1)
+    s.execute("INSERT INTO st (id, v) VALUES (nextval('ids'), 'd')")
+    assert(s.execute("SELECT MIN(id) FROM st").as[Long].head() == 1L)
+  }
+
+  test("CREATE [MATERIALIZED] VIEW and DROP VIEW through execute") {
+    val s = g
+    s.execute("CREATE TABLE vb (v BIGINT)")
+    s.execute("INSERT INTO vb (v) VALUES (1), (2), (3)")
+    s.execute("CREATE VIEW v_odd AS SELECT v FROM vb WHERE v % 2 = 1")
+    assert(s.execute("SELECT COUNT(*) AS n FROM v_odd").as[Long].head() == 2L)
+    s.execute("CREATE MATERIALIZED VIEW mv_sum AS SELECT SUM(v) AS s FROM vb")
+    assert(s.execute("SELECT s FROM mv_sum").as[Long].head() == 6L)
+    // matview is a snapshot: new rows don't appear until refresh
+    s.execute("INSERT INTO vb (v) VALUES (10)")
+    assert(s.execute("SELECT s FROM mv_sum").as[Long].head() == 6L)
+    s.refreshMatView("mv_sum")
+    assert(s.execute("SELECT s FROM mv_sum").as[Long].head() == 16L)
+    s.execute("DROP VIEW v_odd")
+    intercept[Exception] { s.execute("SELECT * FROM v_odd").collect() }
+  }
+
   test("INSERT without a column list uses the declared column order") {
     val s = g
     s.execute("CREATE TABLE pt (id BIGINT, name STRING)")
