@@ -73,23 +73,47 @@ class GraftSession(val spark: SparkSession, root: String) {
 
   def dropEnumType(name: String): Unit = {
     enumTypes.remove(name.toLowerCase)
-    val f = rootPath.resolve("_types").resolve(s"${name.toLowerCase}.enum")
-    if (Files.exists(f)) Files.delete(f)
+    compositeTypes.remove(name.toLowerCase)
+    val td = rootPath.resolve("_types")
+    Seq(s"${name.toLowerCase}.enum", s"${name.toLowerCase}.struct")
+      .map(td.resolve).filter(Files.exists(_)).foreach(Files.delete(_))
   }
 
   def enumValues(name: String): Option[Seq[String]] =
     enumTypes.get(name.toLowerCase)
 
+  /** CREATE TYPE … AS (field type, …) (reference T_CompositeTypeStmt,
+    * test_sql_features "CREATE TYPE (composite)"): a composite type is a
+    * Spark struct — columns declared with it become struct columns, which
+    * parquet stores columnar per field (so field pruning still works, see
+    * PLANS.md jb1). Persisted under `_types/` as struct DDL. */
+  def createCompositeType(name: String, fieldsDdl: String): Unit = {
+    val struct = StructType.fromDDL(fieldsDdl) // validates eagerly
+    compositeTypes(name.toLowerCase) = struct
+    val td = rootPath.resolve("_types")
+    Files.createDirectories(td)
+    Files.writeString(td.resolve(s"${name.toLowerCase}.struct"), fieldsDdl)
+  }
+
+  def compositeType(name: String): Option[StructType] =
+    compositeTypes.get(name.toLowerCase)
+
   private val enumTypes =
     scala.collection.mutable.Map[String, Seq[String]]()
+  private val compositeTypes =
+    scala.collection.mutable.Map[String, StructType]()
   locally {
     val td = rootPath.resolve("_types")
     if (Files.exists(td))
-      Files.list(td).iterator.asScala
-        .filter(_.getFileName.toString.endsWith(".enum")).foreach { p =>
-          enumTypes(p.getFileName.toString.stripSuffix(".enum")) =
+      Files.list(td).iterator.asScala.foreach { p =>
+        val fn = p.getFileName.toString
+        if (fn.endsWith(".enum"))
+          enumTypes(fn.stripSuffix(".enum")) =
             Files.readString(p).split("\n").toSeq
-        }
+        else if (fn.endsWith(".struct"))
+          compositeTypes(fn.stripSuffix(".struct")) =
+            StructType.fromDDL(Files.readString(p))
+      }
   }
 
   /** CREATE TABLE column DDL with enum-typed columns rewritten to STRING;
@@ -112,7 +136,11 @@ class GraftSession(val spark: SparkSession, root: String) {
           val quoted = vals.map(v => s"'${v.replace("'", "''")}'")
           checksOut += ((s"${colName}_enum",
             s"$colName IN (${quoted.mkString(", ")})"))
-        case None => rewritten += e
+        case None => compositeTypes.get(tpe.toLowerCase) match {
+          case Some(struct) =>
+            rewritten += s"$colName STRUCT<${struct.toDDL}>$modifiers"
+          case None => rewritten += e
+        }
       }
     }
     (StructType.fromDDL(rewritten.mkString(", ")), checksOut.toSeq)
@@ -815,6 +843,8 @@ class GraftSession(val spark: SparkSession, root: String) {
     val deleteRe = """(?is)^DELETE\s+FROM\s+(\w+)\s*(.*?)\s*;?$""".r
     val createTypeRe =
       """(?is)^CREATE\s+TYPE\s+(\w+)\s+AS\s+ENUM\s*\(([^)]*)\)\s*;?$""".r
+    val createCompositeRe =
+      """(?is)^CREATE\s+TYPE\s+(\w+)\s+AS\s*\(([^)]*)\)\s*;?$""".r
     val dropTypeRe = """(?is)^DROP\s+TYPE\s+(\w+)\s*;?$""".r
     val macroRe =
       """(?is)^CREATE\s+(?:MACRO|FUNCTION)\s+(\w+)\s*\(([^)]*)\)\s*(?:AS|RETURN)\s+(.*?);?$""".r
@@ -871,6 +901,9 @@ class GraftSession(val spark: SparkSession, root: String) {
         createEnumType(name, splitTopLevel(values)
           .map(_.trim.stripPrefix("'").stripSuffix("'").replace("''", "'")))
         empty
+      // composite AFTER enum: the ENUM pattern is strictly more specific
+      case createCompositeRe(name, fields) =>
+        createCompositeType(name, fields); empty
       case dropTypeRe(name) => dropEnumType(name); empty
       case updateRe(name, rest) =>
         // carve at top-level keywords only (outside string literals /

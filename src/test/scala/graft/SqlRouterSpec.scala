@@ -142,6 +142,17 @@ class SqlRouterSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(2L, 3L))
   }
 
+  test("CREATE TYPE AS (composite) maps to a struct column") {
+    val s = g
+    s.execute("CREATE TYPE point_t AS (px INT, py INT)")
+    s.execute("CREATE TABLE geo (id BIGINT, loc point_t)")
+    s.execute(
+      "INSERT INTO geo (id, loc) VALUES (1, named_struct('px', 3, 'py', 4))")
+    assert(s.execute("SELECT loc.px + loc.py AS m FROM geo")
+      .as[Int].head() == 7)
+    s.execute("DROP TYPE point_t")
+  }
+
   test("CREATE SEQUENCE with START/INCREMENT and nextval in INSERT") {
     val s = g
     s.execute("CREATE SEQUENCE ids START 10 INCREMENT 2")
