@@ -765,6 +765,19 @@ class GraftSession(val spark: SparkSession, root: String) {
   private val indexes =
     scala.collection.mutable.Map[String, (String, Seq[String])]()
 
+  /** Databases accepted as namespaces (reference CREATE DATABASE +
+    * db.table addressing everywhere, e.g. jsonbench's `bench.events`).
+    * The session itself is single-namespace: a recorded database name is
+    * a qualifier that [[sql]] strips from `db.table` references. */
+  private val databases = scala.collection.mutable.Set[String]()
+
+  private def stripDbQualifiers(query: String): String =
+    if (databases.isEmpty) query
+    else databases.foldLeft(query) { (q, db) =>
+      ("(?i)\\b" + java.util.regex.Pattern.quote(db) + "\\.(\\w)").r
+        .replaceAllIn(q, m => m.group(1))
+    }
+
   /** Monotonic sequence (reference node_sequence): file-backed counter
     * with PG START/INCREMENT options (reference `CREATE SEQUENCE ... START
     * 10 INCREMENT 2`, test_sql_features.cpp DDL section). File format is
@@ -811,7 +824,8 @@ class GraftSession(val spark: SparkSession, root: String) {
     views.foreach { case (n, body) =>
       if (!tables.contains(n)) spark.sql(body).createOrReplaceTempView(n)
     }
-    spark.sql(expandMacros(graft.functions.Jsonb.rewrite(query, params)))
+    spark.sql(expandMacros(
+      graft.functions.Jsonb.rewrite(stripDbQualifiers(query), params)))
   }
 
   /** Statement router — the reference's `execute_sql` entry point
@@ -822,43 +836,88 @@ class GraftSession(val spark: SparkSession, root: String) {
     * Catalyst). Returns the affected/returned rows (empty frame for DDL).
     * Supported DML/DDL surface: CREATE [DYNAMIC] TABLE (enum-typed columns
     * resolve via CREATE TYPE), DROP TABLE, CREATE/DROP TYPE ... AS ENUM,
-    * CREATE SEQUENCE [START n] [INCREMENT n] / DROP SEQUENCE (nextval('s')
-    * substitutes in INSERT ... VALUES), CREATE [MATERIALIZED] VIEW / DROP
-    * VIEW, INSERT INTO ... VALUES / SELECT,
+    * CREATE TYPE ... AS (composite) → struct columns, CREATE SEQUENCE
+    * [START n] [INCREMENT n] / DROP SEQUENCE (nextval('s') substitutes in
+    * INSERT ... VALUES), CREATE [MATERIALIZED] VIEW / DROP VIEW,
+    * CREATE/DROP DATABASE (db.table qualifiers accepted everywhere and
+    * stripped — single-namespace session), CREATE/DROP INDEX
+    * (metadata-only), ALTER TABLE ADD/DROP/RENAME COLUMN,
+    * CHECKPOINT/VACUUM [table] → compact, INSERT INTO ... VALUES / SELECT,
     * UPDATE ... SET ... [FROM src] [WHERE ...] [RETURNING ...],
     * DELETE FROM ... [USING src] [WHERE ...] [RETURNING ...]. */
   def execute(statement: String, params: Seq[Any] = Nil): DataFrame = {
-    val stmt = graft.functions.Jsonb.rewrite(statement.trim, params)
+    // recorded-database qualifiers are stripped up front, so qualified
+    // names work in every clause (FROM/USING sources, conditions,
+    // RETURNING lists) — the per-regex qualifier below additionally
+    // tolerates unrecorded ones in statement-head position
+    val stmt = graft.functions.Jsonb.rewrite(
+      stripDbQualifiers(statement.trim), params)
+    val Q = """(?:\w+\.)?"""  // optional db qualifier on object names —
+    // the reference addresses everything as db.table (CREATE DATABASE
+    // below); this session is single-namespace, so the qualifier is
+    // accepted and dropped
     val createTableRe =
-      """(?is)^CREATE\s+TABLE\s+(\w+)\s*(?:\((.*)\))?\s*;?$""".r
-    val createDynRe = """(?is)^CREATE\s+DYNAMIC\s+TABLE\s+(\w+)\s*;?$""".r
-    val dropRe = """(?is)^DROP\s+TABLE\s+(\w+)\s*;?$""".r
+      ("""(?is)^CREATE\s+TABLE\s+""" + Q + """(\w+)\s*(?:\((.*)\))?\s*;?$""").r
+    val createDynRe =
+      ("""(?is)^CREATE\s+DYNAMIC\s+TABLE\s+""" + Q + """(\w+)\s*;?$""").r
+    val dropRe = ("""(?is)^DROP\s+TABLE\s+""" + Q + """(\w+)\s*;?$""").r
     val insertValuesRe =
-      """(?is)^INSERT\s+INTO\s+(\w+)\s*\(([^)]*)\)\s*VALUES\s*(.*?);?$""".r
+      ("""(?is)^INSERT\s+INTO\s+""" + Q + """(\w+)\s*\(([^)]*)\)\s*VALUES\s*(.*?);?$""").r
     val insertValuesNoColsRe =
-      """(?is)^INSERT\s+INTO\s+(\w+)\s+VALUES\s*(.*?);?$""".r
+      ("""(?is)^INSERT\s+INTO\s+""" + Q + """(\w+)\s+VALUES\s*(.*?);?$""").r
     val insertSelectRe =
-      """(?is)^INSERT\s+INTO\s+(\w+)\s+(SELECT\s+.*?);?$""".r
-    val updateRe = """(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)\s*;?$""".r
-    val deleteRe = """(?is)^DELETE\s+FROM\s+(\w+)\s*(.*?)\s*;?$""".r
+      ("""(?is)^INSERT\s+INTO\s+""" + Q + """(\w+)\s+(SELECT\s+.*?);?$""").r
+    val updateRe =
+      ("""(?is)^UPDATE\s+""" + Q + """(\w+)\s+SET\s+(.*?)\s*;?$""").r
+    val deleteRe =
+      ("""(?is)^DELETE\s+FROM\s+""" + Q + """(\w+)\s*(.*?)\s*;?$""").r
     val createTypeRe =
-      """(?is)^CREATE\s+TYPE\s+(\w+)\s+AS\s+ENUM\s*\(([^)]*)\)\s*;?$""".r
+      ("""(?is)^CREATE\s+TYPE\s+""" + Q + """(\w+)\s+AS\s+ENUM\s*\(([^)]*)\)\s*;?$""").r
     val createCompositeRe =
-      """(?is)^CREATE\s+TYPE\s+(\w+)\s+AS\s*\(([^)]*)\)\s*;?$""".r
-    val dropTypeRe = """(?is)^DROP\s+TYPE\s+(\w+)\s*;?$""".r
+      ("""(?is)^CREATE\s+TYPE\s+""" + Q + """(\w+)\s+AS\s*\(([^)]*)\)\s*;?$""").r
+    val dropTypeRe = ("""(?is)^DROP\s+TYPE\s+""" + Q + """(\w+)\s*;?$""").r
     val macroRe =
-      """(?is)^CREATE\s+(?:MACRO|FUNCTION)\s+(\w+)\s*\(([^)]*)\)\s*(?:AS|RETURN)\s+(.*?);?$""".r
-    val setTzRe = """(?is)^SET\s+TIME\s*ZONE\s+'?([\w/+-:]+)'?\s*;?$""".r
+      ("""(?is)^CREATE\s+(?:MACRO|FUNCTION)\s+""" + Q + """(\w+)\s*\(([^)]*)\)\s*(?:AS|RETURN)\s+(.*?);?$""").r
+    val setTzRe =
+      """(?is)^SET\s+TIME\s*ZONE\s+(?:TO\s+)?'?([\w/+-:]+)'?\s*;?$""".r
     val createSeqRe =
-      """(?is)^CREATE\s+SEQUENCE\s+(\w+)(?:\s+START\s+(?:WITH\s+)?(-?\d+))?(?:\s+INCREMENT\s+(?:BY\s+)?(-?\d+))?\s*;?$""".r
-    val dropSeqRe = """(?is)^DROP\s+SEQUENCE\s+(\w+)\s*;?$""".r
+      ("""(?is)^CREATE\s+SEQUENCE\s+""" + Q + """(\w+)(?:\s+START\s+(?:WITH\s+)?(-?\d+))?(?:\s+INCREMENT\s+(?:BY\s+)?(-?\d+))?\s*;?$""").r
+    val dropSeqRe = ("""(?is)^DROP\s+SEQUENCE\s+""" + Q + """(\w+)\s*;?$""").r
     val createMatViewRe =
-      """(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.*?);?$""".r
-    val createViewRe = """(?is)^CREATE\s+VIEW\s+(\w+)\s+AS\s+(.*?);?$""".r
-    val dropViewRe = """(?is)^DROP\s+VIEW\s+(\w+)\s*;?$""".r
+      ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+""" + Q + """(\w+)\s+AS\s+(.*?);?$""").r
+    val createViewRe =
+      ("""(?is)^CREATE\s+VIEW\s+""" + Q + """(\w+)\s+AS\s+(.*?);?$""").r
+    val dropViewRe = ("""(?is)^DROP\s+VIEW\s+""" + Q + """(\w+)\s*;?$""").r
+    val createDbRe = """(?is)^CREATE\s+DATABASE\s+(\w+)\s*;?$""".r
+    val dropDbRe = """(?is)^DROP\s+DATABASE\s+(\w+)\s*;?$""".r
+    val createIndexRe =
+      ("""(?is)^CREATE\s+INDEX\s+(\w+)\s+ON\s+""" + Q + """(\w+)\s*\(([^)]*)\)\s*;?$""").r
+    val dropIndexRe = """(?is)^DROP\s+INDEX\s+(\w+)\s*;?$""".r
+    val checkpointRe =
+      ("""(?is)^(?:CHECKPOINT|VACUUM)(?:\s+""" + Q + """(\w+))?\s*;?$""").r
+    val alterAddRe =
+      ("""(?is)^ALTER\s+TABLE\s+""" + Q + """(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()<>, ]+?)\s*;?$""").r
+    val alterDropRe =
+      ("""(?is)^ALTER\s+TABLE\s+""" + Q + """(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*;?$""").r
+    val alterRenameRe =
+      ("""(?is)^ALTER\s+TABLE\s+""" + Q + """(\w+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*;?$""").r
     def empty = spark.emptyDataFrame
     stmt match {
       case setTzRe(tz) => setTimezone(tz); empty
+      case createDbRe(db) => databases += db.toLowerCase; empty
+      case dropDbRe(db) => databases -= db.toLowerCase; empty
+      case createIndexRe(index, tbl, cols) =>
+        createIndex(index, tbl,
+          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq); empty
+      case dropIndexRe(index) => dropIndex(index); empty
+      case checkpointRe(tbl) =>
+        Option(tbl).map(Seq(_)).getOrElse(tables.keys.toSeq)
+          .foreach(compact); empty
+      case alterAddRe(tbl, column, tpe) =>
+        addColumn(tbl, column,
+          org.apache.spark.sql.types.DataType.fromDDL(tpe)); empty
+      case alterDropRe(tbl, column) => dropColumn(tbl, column); empty
+      case alterRenameRe(tbl, from, to) => renameColumn(tbl, from, to); empty
       case createSeqRe(name, start, inc) =>
         createSequence(name,
           Option(start).map(_.toLong).getOrElse(1L),

@@ -142,6 +142,36 @@ class SqlRouterSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(2L, 3L))
   }
 
+  test("CREATE DATABASE + db.table addressing (reference-style)") {
+    val s = g
+    s.execute("CREATE DATABASE bench")
+    s.execute("CREATE TABLE bench.ev (did STRING, kind STRING)")
+    s.execute("INSERT INTO bench.ev (did, kind) VALUES ('a', 'commit'), ('b', 'commit'), ('a', 'identity')")
+    assert(s.execute(
+      "SELECT COUNT(DISTINCT did) AS n FROM bench.ev WHERE kind = 'commit'")
+      .as[Long].head() == 2L)
+    s.execute("DELETE FROM bench.ev WHERE kind = 'identity'")
+    assert(s.execute("SELECT COUNT(*) AS n FROM bench.ev").as[Long].head() == 2L)
+    s.execute("DROP TABLE bench.ev")
+    s.execute("DROP DATABASE bench")
+  }
+
+  test("ALTER TABLE, CREATE INDEX, CHECKPOINT route to the session APIs") {
+    val s = g
+    s.execute("CREATE TABLE alt (a BIGINT)")
+    s.execute("INSERT INTO alt (a) VALUES (1), (2)")
+    s.execute("ALTER TABLE alt ADD COLUMN b STRING")
+    s.execute("ALTER TABLE alt RENAME COLUMN b TO c")
+    assert(s.execute("SELECT * FROM alt").columns.toSeq == Seq("a", "c"))
+    s.execute("ALTER TABLE alt DROP COLUMN c")
+    assert(s.execute("SELECT * FROM alt").columns.toSeq == Seq("a"))
+    s.execute("CREATE INDEX alt_a ON alt (a)")
+    assert(s.listIndexes("alt_a") == (("alt", Seq("a"))))
+    s.execute("DROP INDEX alt_a")
+    s.execute("CHECKPOINT alt")
+    assert(s.execute("SELECT COUNT(*) AS n FROM alt").as[Long].head() == 2L)
+  }
+
   test("CREATE TYPE AS (composite) maps to a struct column") {
     val s = g
     s.execute("CREATE TYPE point_t AS (px INT, py INT)")
