@@ -904,6 +904,13 @@ class GraftSession(val spark: SparkSession, root: String) {
     def empty = spark.emptyDataFrame
     stmt match {
       case setTzRe(tz) => setTimezone(tz); empty
+      case s if s.matches("(?is)^(?:BEGIN|COMMIT|ROLLBACK|ABORT)\\b.*") =>
+        // MVCC/transactions are dropped by design (SURVEY §1.3): fail with
+        // the documented reason instead of a Spark parse error
+        throw new UnsupportedOperationException(
+          "transactions are not supported: each DML statement is " +
+            "individually atomic (staged directory swap); see README " +
+            "'Known gaps'")
       case createDbRe(db) => databases += db.toLowerCase; empty
       case dropDbRe(db) => databases -= db.toLowerCase; empty
       case createIndexRe(index, tbl, cols) =>

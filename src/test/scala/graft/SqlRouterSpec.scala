@@ -142,6 +142,15 @@ class SqlRouterSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(2L, 3L))
   }
 
+  test("BEGIN/COMMIT/ROLLBACK fail with the documented reason") {
+    val e = intercept[UnsupportedOperationException] { g.execute("BEGIN") }
+    assert(e.getMessage.contains("transactions are not supported"))
+    intercept[UnsupportedOperationException] { g.execute("COMMIT;") }
+    intercept[UnsupportedOperationException] {
+      g.execute("ROLLBACK TO SAVEPOINT x")
+    }
+  }
+
   test("CREATE DATABASE + db.table addressing (reference-style)") {
     val s = g
     s.execute("CREATE DATABASE bench")
