@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.ExtQueries.queries ++
     graft.queries.TpchQueries.queries ++
     graft.queries.ScaleQueries.queries ++
-    graft.queries.JsonBenchQueries.queries
+    graft.queries.JsonBenchQueries.queries ++
+    graft.queries.SsbQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -33,5 +34,6 @@ object SparkEntry {
     graft.queries.ExtQueries.oracles ++
     graft.queries.TpchQueries.oracles ++
     graft.queries.ScaleQueries.oracles ++
-    graft.queries.JsonBenchQueries.oracles
+    graft.queries.JsonBenchQueries.oracles ++
+    graft.queries.SsbQueries.oracles
 }
