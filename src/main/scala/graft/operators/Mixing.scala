@@ -31,6 +31,31 @@ object Mixing {
       .withColumnRenamed("_n_tok", "n_tok")
   }
 
+  /** Sliding-window document chunking: splits each document into
+    * `maxTokens`-token chunks whose starts advance by `maxTokens −
+    * overlap`, tail chunk included (standard training-data chunker).
+    * A narrow explode — no shuffle, no state; chunk_id is the window
+    * index so output is deterministic and joinable back to the source.
+    * The repartition barrier keeps the tokenize from being inlined into
+    * the per-window lambda (interpreted HOFs re-evaluate per element). */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+                    maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got $overlap / $maxTokens")
+    val step = maxTokens - overlap
+    df.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(step)),
+        s => slice(col("toks"), s + 1, lit(maxTokens)))))
+      .toDF("doc_id", "chunk_id", "chunk")
+      .filter(size(col("chunk")) > 0)
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", col("chunk")).as("chunk_text"),
+        size(col("chunk")).as("n_tok"))
+  }
+
   /** Deterministic stratified sample: per-stratum fractions with a fixed
     * seed (rebalancing a language/source mix). Uses hash-based row
     * selection, so results are stable across partitionings and retries —

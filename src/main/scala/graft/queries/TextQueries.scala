@@ -108,6 +108,14 @@ object TextQueries {
         .orderBy(col("source"), col("pack_id"))
     }),
 
+    // --- sliding-window chunking: 64-token chunks, 16-token overlap ---
+    "d13_chunking" -> ((s, dir) => {
+      graft.operators.Mixing.chunkByTokens(
+          docs(s, dir).filter(col("doc_id") < 50), "text", "doc_id",
+          maxTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // --- stratified sampling. Engine-specific by construction: row
     // selection hashes the full row with Spark's seeded xxhash64 (stable
     // across partitionings/retries, unlike rand()), which no other engine
@@ -272,6 +280,19 @@ object TextQueries {
       SELECT source, CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 2048) AS BIGINT) AS pack_id,
              COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
       FROM c GROUP BY 1, 2 ORDER BY source, pack_id""",
+    "d13_chunking" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id < 50),
+      st AS (
+        SELECT doc_id, toks,
+          unnest(range(0, CAST(len(toks) AS BIGINT), 48)) AS s
+        FROM t)
+      SELECT doc_id, CAST(s // 48 AS INT) AS chunk_id,
+        array_to_string(toks[s+1:s+64], ' ') AS chunk_text,
+        CAST(len(toks[s+1:s+64]) AS INT) AS n_tok
+      FROM st WHERE len(toks[s+1:s+64]) > 0
+      ORDER BY doc_id, chunk_id""",
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CAST(length(text) AS BIGINT) AS n_bytes,

@@ -26,6 +26,27 @@ class SkewSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("chunking: windows cover every token with the configured overlap") {
+    import graft.operators.Mixing
+    import spark.implicits._
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "short doc")).toDF("id", "body")
+    val out = Mixing.chunkByTokens(df, "body", "id", maxTokens = 32,
+        overlap = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: starts 0, 24, 48, 72, 96 → 5 chunks; doc 2: one short chunk
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3, 4))
+    assert(d1.map(_._4).toSeq == Seq(32, 32, 32, 28, 4))
+    // consecutive chunks share exactly `overlap` tokens (full windows)
+    assert(d1(0)._3.split(" ").takeRight(8).toSeq ==
+      d1(1)._3.split(" ").take(8).toSeq)
+    // every token appears in at least one chunk
+    assert(d1.flatMap(_._3.split(" ")).distinct.length == 100)
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._4)).toSeq == Seq((0, 2)))
+  }
+
   test("token packing: packs respect the budget modulo one overflow doc") {
     import graft.operators.Mixing
     val docs = Tables.load(spark, sf, "documents")
