@@ -773,9 +773,23 @@ class GraftSession(val spark: SparkSession, root: String) {
 
   private def stripDbQualifiers(query: String): String =
     if (databases.isEmpty) query
-    else databases.foldLeft(query) { (q, db) =>
-      ("(?i)\\b" + java.util.regex.Pattern.quote(db) + "\\.(\\w)").r
-        .replaceAllIn(q, m => m.group(1))
+    else {
+      def strip(seg: String): String = databases.foldLeft(seg) { (q, db) =>
+        ("(?i)\\b" + java.util.regex.Pattern.quote(db) + "\\.(\\w)").r
+          .replaceAllIn(q, m => m.group(1))
+      }
+      // rewrite only OUTSIDE single-quoted literals — a string containing
+      // 'bench.events' must pass through untouched
+      val literal = "'(?:[^']|'')*'".r
+      val out = new StringBuilder
+      var last = 0
+      literal.findAllMatchIn(query).foreach { m =>
+        out.append(strip(query.substring(last, m.start)))
+        out.append(m.matched)
+        last = m.end
+      }
+      out.append(strip(query.substring(last)))
+      out.toString
     }
 
   /** Monotonic sequence (reference node_sequence): file-backed counter

@@ -161,6 +161,12 @@ class SqlRouterSpec extends SparkSpec {
       .as[Long].head() == 2L)
     s.execute("DELETE FROM bench.ev WHERE kind = 'identity'")
     assert(s.execute("SELECT COUNT(*) AS n FROM bench.ev").as[Long].head() == 2L)
+    // qualifier stripping must not touch string literals
+    s.execute("CREATE TABLE bench.lit (v STRING)")
+    s.execute("INSERT INTO bench.lit (v) VALUES ('bench.ev')")
+    assert(s.execute("SELECT v FROM bench.lit").as[String].head()
+      == "bench.ev")
+    s.execute("DROP TABLE bench.lit")
     s.execute("DROP TABLE bench.ev")
     s.execute("DROP DATABASE bench")
   }
