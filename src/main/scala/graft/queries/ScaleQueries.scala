@@ -151,6 +151,24 @@ object ScaleQueries {
         .orderBy(col("d"))
     }),
 
+    // --- ntile segmentation (TPC-DS-style customer quartiles). The
+    // unpartitioned window runs over the per-customer aggregate — already
+    // reduced to |customers| rows, so the single-partition sort is the
+    // small side, not the fact table ---
+    "c7_spend_quartiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(D)).cast("double").as("spend"))
+      spend
+        .withColumn("q", ntile(4).over(
+          Window.orderBy(col("spend").desc, col("o_custkey"))))
+        .groupBy(col("q"))
+        .agg(count(lit(1)).as("n"), min(col("spend")).as("lo"),
+          max(col("spend")).as("hi"))
+        .orderBy(col("q"))
+    }),
+
     // --- HLL sketch. Inherently engine-specific: approx_count_distinct is
     // a HyperLogLog++ ESTIMATE whose value depends on Spark's hash and
     // register layout — DuckDB's approx_distinct implements a different
@@ -227,6 +245,17 @@ object ScaleQueries {
         MIN(value) AS lo, MAX(value) AS hi,
         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean
       FROM events GROUP BY d ORDER BY d""",
+    "c7_spend_quartiles" -> """
+      WITH spend AS (
+        SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey),
+      qt AS (
+        SELECT spend,
+          CAST(NTILE(4) OVER (ORDER BY spend DESC, o_custkey) AS INT) AS q
+        FROM spend)
+      SELECT q, COUNT(*) AS n, MIN(spend) AS lo, MAX(spend) AS hi
+      FROM qt GROUP BY q ORDER BY q""",
     "c2_heavy_users" -> """
       SELECT user_id, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
