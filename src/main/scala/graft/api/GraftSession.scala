@@ -515,12 +515,16 @@ class GraftSession(val spark: SparkSession, root: String) {
       s"UPDATE...FROM: $dups target row(s) match multiple source rows")
     val srcExtra = other.columns
       .filterNot(c => base.columns.contains(c) || c.startsWith("__graft_"))
-    // simultaneous assignment from the pre-update row (matches update())
-    val hit = col("__graft_hit").isNotNull
+    // simultaneous assignment from the pre-update row (matches update()).
+    // Plumbing references are dataframe-qualified (current(c)/tagged(c)) —
+    // an unqualified col(c) would be ambiguous when the source carries a
+    // column with the same name as the target (legal in PG; only the
+    // user's own unqualified SET/WHERE refs must error then, not ours)
+    val hit = tagged("__graft_hit").isNotNull
     val updatedAll = matched.select((base.columns.map { c =>
-      resolved.get(c).map(v => when(hit, v).otherwise(col(c)).as(c))
-        .getOrElse(col(c))
-    } ++ srcExtra.map(col) :+ hit.as("__graft_matched")).toSeq: _*)
+      resolved.get(c).map(v => when(hit, v).otherwise(current(c)).as(c))
+        .getOrElse(current(c).as(c))
+    } ++ srcExtra.map(c => tagged(c)) :+ hit.as("__graft_matched")).toSeq: _*)
     val updated = updatedAll.select(base.columns.map(col).toSeq: _*)
     val returning = updatedAll.filter(col("__graft_matched"))
       .select((base.columns ++ srcExtra).map(col).toSeq: _*)

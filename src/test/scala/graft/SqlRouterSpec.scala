@@ -81,6 +81,26 @@ class SqlRouterSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(15L, 20L, 37L))
   }
 
+  test("UPDATE ... FROM with a colliding source column keeps target values") {
+    val s = g
+    s.execute("CREATE TABLE tc (k BIGINT, v BIGINT)")
+    s.execute("CREATE TABLE srcc (s_k BIGINT, v BIGINT)")
+    s.execute("INSERT INTO tc (k, v) VALUES (1, 10), (2, 20)")
+    s.execute("INSERT INTO srcc (s_k, v) VALUES (1, 777)")
+    // an unqualified v in the SET expression is ambiguous — PG errors
+    // here too ("column reference v is ambiguous"); qualify the target
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s.execute("UPDATE tc SET v = v + 1 FROM srcc WHERE tc.k = srcc.s_k")
+    }
+    // RETURNING's unqualified v is the POST-UPDATE target value (the
+    // colliding source column is excluded from the wide frame)
+    val ret = s.execute(
+      "UPDATE tc SET v = tc.v + 1 FROM srcc WHERE tc.k = srcc.s_k RETURNING k, v")
+    assert(ret.as[(Long, Long)].collect().toSeq == Seq((1L, 11L)))
+    assert(s.execute("SELECT v FROM tc ORDER BY k")
+      .as[Long].collect().toSeq == Seq(11L, 20L))
+  }
+
   test("UPDATE ... FROM without RETURNING yields post-update target rows only") {
     val s = g
     s.execute("CREATE TABLE t (k BIGINT, v BIGINT)")
