@@ -53,7 +53,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Self-contained artifact: the driver's stdout capture has truncated
+    // the one-line JSON to a tail in past rounds (first ~30 per-query
+    // timings unrecoverable) — always persist the full map to a file too.
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    try {
+      Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(outFile, line + "\n")
+      System.err.println(s"[bench] wrote $outFile")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 }

@@ -838,12 +838,63 @@ class GraftSession(val spark: SparkSession, root: String) {
     * registered as temp views, then Catalyst takes over. */
   def sql(query: String, params: Seq[Any] = Nil): DataFrame = {
     discoverTables()
-    tables.keys.foreach(n => table(n).createOrReplaceTempView(n))
-    views.foreach { case (n, body) =>
-      if (!tables.contains(n)) spark.sql(body).createOrReplaceTempView(n)
+    val stmt = expandMacros(
+      graft.functions.Jsonb.rewrite(stripDbQualifiers(query), params))
+    registerRelationsFor(stmt)
+    spark.sql(stmt)
+  }
+
+  /** Registers ONLY the relations a statement references (transitively,
+    * through stored view bodies) as temp views. Registering the whole
+    * catalog per statement is O(tables x batches) driver work — fine at
+    * 10 tables, pathological at 1,000 (each registration builds the
+    * per-batch union plan in [[table]]). Falls back to register-all when
+    * the statement doesn't parse (Catalyst then reports the real error).
+    * Names that resolve to neither a table nor a stored view (CTE
+    * aliases, pre-existing temp views) are ignored. */
+  private def registerRelationsFor(stmt: String): Unit = {
+    referencedRelations(stmt) match {
+      case None =>
+        tables.keys.foreach(n => table(n).createOrReplaceTempView(n))
+        registerViewsInDependencyOrder(
+          views.toSeq.filterNot { case (n, _) => tables.contains(n) })
+      case Some(names) =>
+        // transitive closure: a referenced view pulls in its own references
+        val needed = scala.collection.mutable.Set[String]()
+        def visit(n: String): Unit = if (needed.add(n)) {
+          if (!tables.keys.exists(_.equalsIgnoreCase(n)))
+            views.collectFirst {
+              case (v, body) if v.equalsIgnoreCase(n) => body
+            }.foreach(body => referencedRelations(body)
+              .getOrElse(Set.empty).foreach(visit))
+        }
+        names.foreach(visit)
+        def hit(n: String) = needed.exists(_.equalsIgnoreCase(n))
+        tables.keys.filter(hit)
+          .foreach(n => table(n).createOrReplaceTempView(n))
+        registerViewsInDependencyOrder(views.toSeq.filter { case (n, _) =>
+          hit(n) && !tables.contains(n) })
     }
-    spark.sql(expandMacros(
-      graft.functions.Jsonb.rewrite(stripDbQualifiers(query), params)))
+  }
+
+  /** View bodies are analyzed eagerly at registration, so a view over
+    * another view must register after its dependency: retry in passes
+    * until a full pass makes no progress (any survivor surfaces its real
+    * error from the main statement's analysis instead). */
+  private def registerViewsInDependencyOrder(
+      pending0: Seq[(String, String)]): Unit = {
+    var pending = pending0
+    var progressed = true
+    while (pending.nonEmpty && progressed) {
+      progressed = false
+      pending = pending.filter { case (n, body) =>
+        try {
+          spark.sql(body).createOrReplaceTempView(n)
+          progressed = true
+          false
+        } catch { case scala.util.control.NonFatal(_) => true }
+      }
+    }
   }
 
   /** Statement router — the reference's `execute_sql` entry point

@@ -56,42 +56,74 @@ object Jsonb {
     * everything after it is Catalyst — mirroring SURVEY §3's lifecycle
     * mapping where our "transformer" stage is this one function. */
   def rewrite(query: String, params: Seq[Any] = Nil): String = {
+    import scala.util.matching.Regex
     var q = query
     // $n parameters (highest first so $12 binds before $1)
     params.zipWithIndex.sortBy(-_._2).foreach { case (v, i) =>
       q = q.replace("$" + (i + 1), sqlLiteral(v))
     }
+    // Mask every complete string literal (handling '' escapes) behind an
+    // indexed n placeholder. The operator keys ARE literals,
+    // so the patterns below reference them BY placeholder — which means a
+    // `->>`/`#>` spelled INSIDE a larger literal (`WHERE note =
+    // 'a->>''k'''`) can never fire: the whole literal is one opaque
+    // token. Same single-quote-aware tokenization as
+    // GraftSession.stripDbQualifiers. Unconsumed placeholders are
+    // restored verbatim at the end.
+    val lits = scala.collection.mutable.ArrayBuffer.empty[String]
+    q = "'(?:[^']|'')*'".r.replaceAllIn(q, m => {
+      lits += m.matched
+      Regex.quoteReplacement("" + (lits.size - 1) + "")
+    })
+    // literal content with '' unescaped
+    def content(idx: String): String = {
+      val raw = lits(idx.toInt)
+      raw.substring(1, raw.length - 1).replace("''", "'")
+    }
+    // re-escape for splicing into a generated single-quoted literal
+    def esc(s: String): String = s.replace("'", "''")
+    val P = "(\\d+)"
     // ident->'k1'->'k2'->>'k3' chains (any mix; last op decides nothing
     // here — get_json_object always returns text, matching ->> semantics;
     // -> midway through a chain is pure navigation either way)
-    import scala.util.matching.Regex
-    val chain = """([A-Za-z_][\w.]*)((?:\s*->>?\s*'[^']+')+)""".r
+    val chain = ("""([A-Za-z_][\w.]*)((?:\s*->>?\s*""" + P + ")+)").r
     q = chain.replaceAllIn(q, m => {
-      val base = m.group(1)
-      val keys = "'([^']+)'".r.findAllMatchIn(m.group(2)).map(_.group(1))
+      val keys = P.r.findAllMatchIn(m.group(2)).map(mm => content(mm.group(1)))
       Regex.quoteReplacement(
-        s"get_json_object($base, '$$.${keys.mkString(".")}')")
+        s"get_json_object(${m.group(1)}, '$$.${esc(keys.mkString("."))}')")
     })
-    // #> / #>> '{a,b}' paths
-    val hashPath = """([A-Za-z_][\w.]*)\s*#>>?\s*'\{([^}]*)\}'""".r
+    // #> / #>> '{a,b}' paths (only a {…}-shaped literal is a path — any
+    // other content restores untouched)
+    val hashPath = ("""([A-Za-z_][\w.]*)\s*#>>?\s*""" + P).r
     q = hashPath.replaceAllIn(q, m => {
-      val path = m.group(2).split(",").map(_.trim).mkString(".")
-      Regex.quoteReplacement(
-        s"get_json_object(${m.group(1)}, '$$.$path')")
+      val c = content(m.group(2))
+      if (c.startsWith("{") && c.endsWith("}")) {
+        val path = c.substring(1, c.length - 1)
+          .split(",").map(_.trim).mkString(".")
+        Regex.quoteReplacement(
+          s"get_json_object(${m.group(1)}, '$$.${esc(path)}')")
+      } else Regex.quoteReplacement(m.matched)
     })
     // key deletion on flat JSON objects. ONLY the unambiguous #- operator
     // is rewritten textually: a bare `col - 'literal'` is routinely real
     // SQL (`ts - '1 hour'` interval arithmetic) and a regex cannot know
     // the column is JSON — plain `-` deletion stays in the column DSL
     // (deleteField) where the type is known.
-    val del = """([A-Za-z_][\w.]*)\s*#-\s*'\{?([^}']+)\}?'""".r
-    q = del.replaceAllIn(q, m => Regex.quoteReplacement(
-      s"to_json(map_filter(from_json(${m.group(1)}, 'map<string,string>'), " +
-        s"(k, v) -> k != '${m.group(2)}'))"))
-    // ::? 'type' assertions
-    val assertCast = """::\?\s*'?([A-Za-z ()0-9,]+)'?""".r
-    q = assertCast.replaceAllIn(q, m => s"::${m.group(1)}")
-    q
+    val del = ("""([A-Za-z_][\w.]*)\s*#-\s*""" + P).r
+    q = del.replaceAllIn(q, m => {
+      val key = content(m.group(2)).stripPrefix("{").stripSuffix("}")
+      Regex.quoteReplacement(
+        s"to_json(map_filter(from_json(${m.group(1)}, 'map<string,string>'), " +
+          s"(k, v) -> k != '${esc(key)}'))")
+    })
+    // ::? 'type' assertions (quoted or bare type name)
+    val assertCast = ("""::\?\s*(?:""" + P + """|([A-Za-z ()0-9,]+))""").r
+    q = assertCast.replaceAllIn(q, m => {
+      val t = if (m.group(1) != null) content(m.group(1)) else m.group(2)
+      Regex.quoteReplacement(s"::$t")
+    })
+    // restore the literals the operators did not consume
+    P.r.replaceAllIn(q, m => Regex.quoteReplacement(lits(m.group(1).toInt)))
   }
 
   private def sqlLiteral(v: Any): String = v match {

@@ -63,9 +63,11 @@ object CoreQueries {
     }),
 
     // --- equi join (hash/broadcast path) + group (operator_hash_join) ---
+    // No broadcast hint: customer is scale-proportional, so AQE decides
+    // broadcast-vs-shuffle by measured size (hint would OOM at 100x).
     "q3_join_agg" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val c = broadcast(t(s, dir, "customer"))
+      val c = t(s, dir, "customer")
       o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
@@ -108,6 +110,16 @@ object CoreQueries {
         .select(col("k"), coalesce(col("lo"), lit(0)).as("lo"),
           coalesce(col("hi"), lit(0)).as("hi"))
         .orderBy(col("k"))
+    }),
+
+    // --- right outer join (NULL padding on the left side; §2.3 row) ---
+    "q29_right_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big"))
+        .orderBy(col("c_custkey"))
     }),
 
     // --- cross join (comma join) ---
@@ -386,6 +398,11 @@ object CoreQueries {
     "q7_cross_join" -> """
       SELECT r_name, n_name FROM region, nation
       ORDER BY r_name, n_name""",
+    "q29_right_join" -> """
+      SELECT c_custkey, COUNT(o_orderkey) AS n_big
+      FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o
+      RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""",
     "q8_semi_join" -> """
       SELECT c_custkey, c_name FROM customer
       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey

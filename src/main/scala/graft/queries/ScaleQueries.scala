@@ -169,6 +169,58 @@ object ScaleQueries {
         .orderBy(col("q"))
     }),
 
+    // --- argMax/argMin (ClickBench "last/first visitor" shape; Spark
+    // max_by/min_by = DuckDB arg_max/arg_min). Ranked by the UNIQUE
+    // event_id so ties cannot make the result nondeterministic ---
+    "c8_argmax" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(max_by(col("user_id"), col("event_id")).as("last_user"),
+          min_by(col("user_id"), col("event_id")).as("first_user"),
+          max(col("value")).as("top_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- regexp-heavy filter + extract-all aggregation (ClickBench's
+    // URL-regexp family). Digit-run pattern is dialect-neutral between
+    // Java regex and RE2 ---
+    "c9_regex_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(col("text").rlike("[0-9]"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .cast("bigint")).as("n_numbers"))
+        .orderBy(col("lang"))
+    }),
+
+    // --- exact interpolated quantile bands per group (ClickBench
+    // quantile shape; rounded to 6dp like c1 to absorb the final-digit
+    // FP noise of two independent interpolation implementations) ---
+    "c10_quantile_bands" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.25)"), 6).as("q25"),
+          round(expr("percentile(value, 0.5)"), 6).as("q50"),
+          round(expr("percentile(value, 0.75)"), 6).as("q75"),
+          round(expr("percentile(value, 0.9)"), 6).as("q90"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- bounce rate: share of single-event users per day (ClickBench
+    // bounce-rate shape; two-level aggregation, both on shuffle keys) ---
+    "c11_bounce_rate" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("t")).as("d"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      per.groupBy(col("d"))
+        .agg(count(lit(1)).as("users"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("bouncers"))
+        .select(col("d"), col("users"), col("bouncers"),
+          (col("bouncers") / col("users")).as("bounce_rate"))
+        .orderBy(col("d"))
+    }),
+
     // --- HLL sketch. Inherently engine-specific: approx_count_distinct is
     // a HyperLogLog++ ESTIMATE whose value depends on Spark's hash and
     // register layout — DuckDB's approx_distinct implements a different
@@ -273,6 +325,36 @@ object ScaleQueries {
       SELECT tok, COUNT(*) AS n FROM (
         SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
         FROM documents) x
-      GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "c8_argmax" -> """
+      SELECT event_type,
+        arg_max(user_id, event_id) AS last_user,
+        arg_min(user_id, event_id) AS first_user,
+        MAX(value) AS top_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "c9_regex_agg" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+          AS n_numbers
+      FROM documents
+      WHERE regexp_matches(text, '[0-9]')
+      GROUP BY lang ORDER BY lang""",
+    "c10_quantile_bands" -> """
+      SELECT event_type,
+        round(quantile_cont(value, 0.25), 6) AS q25,
+        round(quantile_cont(value, 0.5), 6) AS q50,
+        round(quantile_cont(value, 0.75), 6) AS q75,
+        round(quantile_cont(value, 0.9), 6) AS q90
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "c11_bounce_rate" -> """
+      WITH per AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                 AS d, user_id, COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT d, COUNT(*) AS users,
+        CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bouncers,
+        CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+          AS bounce_rate
+      FROM per GROUP BY d ORDER BY d"""
   )
 }

@@ -12,9 +12,12 @@ import graft.Tables
   * date dim ≈ date parts of o_orderdate/l_shipdate).
   *
   * Scale shape shared by all four: the fact table is scanned once with
-  * pushed date/measure filters, every dimension is broadcast, and the
-  * single exchange is the partial+final aggregation on the (small)
-  * grouping key — the canonical star-join plan at 100 TB.
+  * pushed date/measure filters and the single planned exchange is the
+  * partial+final aggregation on the (small) grouping key — the canonical
+  * star-join plan at 100 TB. Only nation/region (25/5 rows by spec) carry
+  * broadcast hints; customer/supplier/part are scale-proportional, so
+  * AQE's size check decides broadcast-vs-shuffle for them (a forced hint
+  * would OOM at 100x — see GraftSession's FK-path rationale).
   */
 object SsbQueries {
   private val D = DecimalType(28, 6)
@@ -38,8 +41,8 @@ object SsbQueries {
     // Flight 2: revenue by (year, brand) with part-type + supplier-region
     // dims (SSB Q2.x)
     "sb2_brand_revenue" -> ((s, dir) => {
-      val p = broadcast(t(s, dir, "part").filter(col("p_type") === "SMALL"))
-      val sup = broadcast(t(s, dir, "supplier"))
+      val p = t(s, dir, "part").filter(col("p_type") === "SMALL")
+      val sup = t(s, dir, "supplier")
       val n = broadcast(t(s, dir, "nation"))
       val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
       val l = t(s, dir, "lineitem")
@@ -55,8 +58,8 @@ object SsbQueries {
     // Flight 3: revenue by (cust nation, supp nation, year) within a
     // region (SSB Q3.x)
     "sb3_nation_revenue" -> ((s, dir) => {
-      val c = broadcast(t(s, dir, "customer"))
-      val sup = broadcast(t(s, dir, "supplier"))
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
       val n1 = broadcast(t(s, dir, "nation")
         .select(col("n_nationkey").as("c_nk"), col("n_name").as("c_nation"),
           col("n_regionkey").as("c_rk")))
@@ -86,7 +89,7 @@ object SsbQueries {
     // Flight 4: profit (revenue − modeled cost) by (year, cust region)
     // (SSB Q4.x; no supplycost column — cost modeled as 60% of list)
     "sb4_profit" -> ((s, dir) => {
-      val c = broadcast(t(s, dir, "customer"))
+      val c = t(s, dir, "customer")
       val n = broadcast(t(s, dir, "nation"))
       val r = broadcast(t(s, dir, "region"))
       val o = t(s, dir, "orders")

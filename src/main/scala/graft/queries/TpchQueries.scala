@@ -10,10 +10,16 @@ import graft.Tables
   * /root/reference benchmark/tpch/q1..q22.sql; columns not present in the
   * synthetic tables are adapted, e.g. no partsupp/shipmode).
   *
-  * These are the bench headliners: selective scans feeding broadcast-dim
-  * joins into partial+final aggregation — the plan shape that must hold at
-  * 100 TB (dims broadcast, fact table never re-shuffled except for its
-  * one aggregation exchange).
+  * These are the bench headliners: selective scans feeding dim joins into
+  * partial+final aggregation — the plan shape that must hold at 100 TB.
+  * Broadcast hints are deliberately NOT placed on scale-proportional
+  * tables (customer/supplier/part grow with the scale factor — TPC-H
+  * sf100 customer is ~15M rows): AQE's size-aware selection broadcasts
+  * them while they fit under the threshold and degrades to a shuffled
+  * join when they don't, whereas a forced hint would OOM the executors
+  * at 100x. Hints remain only on frames bounded by construction:
+  * nation (25 rows by spec), region (5 rows), and 1-row scalar
+  * aggregates (h15's max, h22's avg threshold).
   */
 object TpchQueries {
   private val D = DecimalType(28, 6)
@@ -26,8 +32,8 @@ object TpchQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q3 shipping priority: segment customers' unshipped orders by revenue
     "h3_shipping_priority" -> ((s, dir) => {
-      val c = broadcast(t(s, dir, "customer")
-        .filter(col("c_mktsegment") === "BUILDING"))
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val l = t(s, dir, "lineitem")
@@ -51,8 +57,8 @@ object TpchQueries {
         .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
       val l = t(s, dir, "lineitem")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
           c("c_nationkey") === sup("s_nationkey"))
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -74,7 +80,7 @@ object TpchQueries {
 
     // Q10 returned-item reporting: top customers by lost revenue
     "h10_returned_items" -> ((s, dir) => {
-      val c = broadcast(t(s, dir, "customer"))
+      val c = t(s, dir, "customer")
       val n = broadcast(t(s, dir, "nation"))
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
@@ -91,7 +97,7 @@ object TpchQueries {
 
     // Q14 promotion effect: conditional aggregation over a part join
     "h14_promo_effect" -> ((s, dir) => {
-      val p = broadcast(t(s, dir, "part"))
+      val p = t(s, dir, "part")
       val l = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp"))
         .filter(col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
@@ -104,12 +110,13 @@ object TpchQueries {
     }),
 
     // Q8 national market share: conditional aggregation over an 8-table
-    // join (reference benchmark/tpch/q8.sql). Fact scanned once; every dim
-    // broadcast; the two nation roles are separate aliased broadcasts.
+    // join (reference benchmark/tpch/q8.sql). Fact scanned once; the two
+    // nation roles are separate aliased bounded broadcasts; AQE sizes the
+    // scale-proportional dims.
     "h8_market_share" -> ((s, dir) => {
-      val p = broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO"))
-      val sup = broadcast(t(s, dir, "supplier"))
-      val c = broadcast(t(s, dir, "customer"))
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      val sup = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
       val n1 = broadcast(t(s, dir, "nation")
         .select(col("n_nationkey").as("n1_nationkey"),
           col("n_regionkey").as("n1_regionkey")))
@@ -161,8 +168,8 @@ object TpchQueries {
     // identical FP sequence DuckDB runs, so the comparison is
     // deterministic (see scaladoc on dsum).
     "h17_small_qty_revenue" -> ((s, dir) => {
-      val p = broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#3")
-        .select(col("p_partkey")))
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#3")
+        .select(col("p_partkey"))
       val l = t(s, dir, "lineitem")
       val lim = l.join(p, l("l_partkey") === p("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"))
@@ -179,8 +186,8 @@ object TpchQueries {
     // (reference q20.sql; no partsupp table — the inner aggregate is
     // shipped quantity per (suppkey, partkey) over a year, thresholded)
     "h20_part_promotion" -> ((s, dir) => {
-      val p = broadcast(t(s, dir, "part")
-        .filter(col("p_name").like("small%")).select(col("p_partkey")))
+      val p = t(s, dir, "part")
+        .filter(col("p_name").like("small%")).select(col("p_partkey"))
       val l = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
         .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
@@ -211,7 +218,7 @@ object TpchQueries {
       val l3 = l.filter(col("l_returnflag") === "R")
         .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
       val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
-      val sup = broadcast(t(s, dir, "supplier"))
+      val sup = t(s, dir, "supplier")
       val n = broadcast(t(s, dir, "nation"))
       val r = broadcast(t(s, dir, "region")
         .filter(col("r_name") === "EUROPE"))
@@ -247,8 +254,8 @@ object TpchQueries {
     // (reference q7.sql; nation pair widened to the region pair so every
     // scale factor has rows)
     "h7_volume_shipping" -> ((s, dir) => {
-      val sup = broadcast(t(s, dir, "supplier"))
-      val c = broadcast(t(s, dir, "customer"))
+      val sup = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
       val n1 = broadcast(t(s, dir, "nation")
         .select(col("n_nationkey").as("n1_nationkey"),
           col("n_regionkey").as("n1_regionkey")))
@@ -313,7 +320,7 @@ object TpchQueries {
     // branches over one part join (reference q19.sql; no
     // container/shipmode/shipinstruct in the synthetic schema)
     "h19_disjunctive_rev" -> ((s, dir) => {
-      val p = broadcast(t(s, dir, "part"))
+      val p = t(s, dir, "part")
       val l = t(s, dir, "lineitem")
       l.join(p, l("l_partkey") === p("p_partkey"))
         .filter(
@@ -356,7 +363,7 @@ object TpchQueries {
         .agg(dsum(col("l_quantity")).as("total_qty"))
         .filter(col("total_qty") > 250)
       val o = t(s, dir, "orders")
-      val c = broadcast(t(s, dir, "customer"))
+      val c = t(s, dir, "customer")
       o.join(big, o("o_orderkey") === big("l_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),

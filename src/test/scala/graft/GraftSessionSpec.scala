@@ -142,4 +142,30 @@ class GraftSessionSpec extends SparkSpec {
     val g2 = GraftSession(spark, root)
     assert(g2.table("t").columns.toSeq == Seq("_id"))
   }
+
+  test("sql registers only the relations the statement references") {
+    val g = freshSession()
+    val schema = StructType(Seq(StructField("k", LongType)))
+    (1 to 50).foreach(i => g.createTable(s"lzreg_t$i", schema))
+    g.insert("lzreg_t1", Seq(1L, 2L).toDF("k"))
+    g.insert("lzreg_t2", Seq(2L, 3L).toDF("k"))
+    val out = g.sql(
+      "SELECT a.k FROM lzreg_t1 a JOIN lzreg_t2 b ON a.k = b.k")
+    assert(out.as[Long].collect().toSeq == Seq(2L))
+    assert(spark.catalog.tableExists("lzreg_t1"))
+    assert(spark.catalog.tableExists("lzreg_t2"))
+    // the other 48 were never materialized as temp views
+    (3 to 50).foreach(i => assert(!spark.catalog.tableExists(s"lzreg_t$i"),
+      s"lzreg_t$i should not have been registered"))
+  }
+
+  test("sql pulls view dependencies in transitively (view over view)") {
+    val g = freshSession()
+    g.createTable("lzv_base", StructType(Seq(StructField("v", LongType))))
+    g.insert("lzv_base", Seq(1L, 2L, 3L).toDF("v"))
+    g.createView("lzv_inner", "SELECT v * 2 AS d FROM lzv_base")
+    g.createView("lzv_outer", "SELECT sum(d) AS s FROM lzv_inner")
+    // referencing only the OUTER view must register base + inner too
+    assert(g.sql("SELECT s FROM lzv_outer").as[Long].head() == 12L)
+  }
 }

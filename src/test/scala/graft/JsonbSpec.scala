@@ -29,6 +29,22 @@ class JsonbSpec extends SparkSpec {
       Seq("x'y", 42)) == "SELECT * FROM t WHERE a = 'x''y' AND b = 42")
   }
 
+  test("rewrite: operator spellings inside string literals pass through") {
+    // `->>` inside a literal (with '' escapes) must NOT be rewritten
+    val q1 = "SELECT * FROM t WHERE note = 'a->>''k'''"
+    assert(Jsonb.rewrite(q1) == q1)
+    // `#>` with a non-{…} literal is not a path operator
+    val q2 = "SELECT * FROM t WHERE note = 'm #> x'"
+    assert(Jsonb.rewrite(q2) == q2)
+    // a real chain NEXT TO a literal containing an operator: only the
+    // real one rewrites
+    assert(Jsonb.rewrite("SELECT props->>'k' FROM t WHERE note = 'a->>''k'''")
+      == "SELECT get_json_object(props, '$.k') FROM t WHERE note = 'a->>''k'''")
+    // a bound $n parameter containing an operator spelling stays data
+    assert(Jsonb.rewrite("SELECT * FROM t WHERE note = $1", Seq("p->>'k'"))
+      == "SELECT * FROM t WHERE note = 'p->>''k'''")
+  }
+
   test("end-to-end: PG-dialect SQL over a JSON column") {
     Seq(("""{"k": 7, "j": 1}""", 1L), ("""{"k": 9, "j": 2}""", 2L))
       .toDF("props", "id").createOrReplaceTempView("ev")
