@@ -1,0 +1,107 @@
+"""Python-surface tests mirroring the reference's fast/dataframe suite
+(/root/reference/integration/python/tests/fast/dataframe/
+test_dataframe_filter.py, test_dataframe_join.py,
+test_dataframe_aggregate.py), plus one Scala-session SQL round-trip.
+
+Run:  python3 python/test_graft_python.py   (stdlib unittest — pytest also
+works if installed). Requires compiled classes; see graft_shim docstring.
+"""
+import unittest
+
+import pandas as pd
+
+from graft_shim import (ColumnExpression, ConstantExpression,
+                        CountExpression, connect)
+
+
+class GraftPythonSurface(unittest.TestCase):
+    @classmethod
+    def setUpClass(cls):
+        cls.conn = connect()
+
+    # -- test_dataframe_filter.py ------------------------------------
+    def _states(self):
+        return self.conn.from_df(pd.DataFrame({
+            "state": ["OH", "CA", "OH", "NY", "NY", "OH"],
+            "gender": ["M", "F", "F", "M", "M", "M"],
+        }))
+
+    def test_filter_equality(self):
+        state = ColumnExpression("state", self.conn)
+        rows = self._states().filter(
+            state == ConstantExpression("OH", self.conn)).fetchall()
+        self.assertEqual(len(rows), 3)
+        self.assertTrue(all(r[0] == "OH" for r in rows))
+
+    def test_filter_negation(self):
+        state = ColumnExpression("state", self.conn)
+        rows = self._states().filter(
+            ~(state == ConstantExpression("OH", self.conn))).fetchall()
+        self.assertEqual({r[0] for r in rows}, {"CA", "NY"})
+
+    def test_filter_conjunction(self):
+        state = ColumnExpression("state", self.conn)
+        gender = ColumnExpression("gender", self.conn)
+        cond = ((state == ConstantExpression("OH", self.conn))
+                & (gender == ConstantExpression("M", self.conn)))
+        rows = self._states().filter(cond).fetchall()
+        self.assertEqual(len(rows), 2)
+        self.assertTrue(all(r[0] == "OH" and r[1] == "M" for r in rows))
+
+    # -- test_dataframe_join.py --------------------------------------
+    def test_inner_join_on_key(self):
+        left = self.conn.from_df(
+            pd.DataFrame({"id": [1, 2, 3], "l": ["a", "b", "c"]}))
+        right = self.conn.from_df(
+            pd.DataFrame({"id": [2, 3, 4], "r": ["x", "y", "z"]}))
+        cond = (ColumnExpression("id", self.conn, "left")
+                == ColumnExpression("id", self.conn, "right"))
+        rows = sorted(left.join(right, cond, "inner").fetchall())
+        self.assertEqual(rows, [(2, "b", 2, "x"), (3, "c", 3, "y")])
+
+    # -- test_dataframe_aggregate.py ---------------------------------
+    def _salaries(self):
+        return self.conn.from_df(
+            pd.DataFrame({"dept": ["a", "a", "b"], "salary": [10, 20, 30]}))
+
+    def test_group_avg_is_double_typed(self):
+        grouped = self._salaries().group(
+            ColumnExpression("dept", self.conn),
+            ColumnExpression("salary", self.conn).avg())
+        self.assertEqual(grouped.types[-1], "DOUBLE")
+        self.assertEqual({r[0]: r[1] for r in grouped.fetchall()},
+                         {"a": 15.0, "b": 30.0})
+
+    def test_global_avg_is_double(self):
+        grouped = self._salaries().group(
+            ColumnExpression("salary", self.conn).avg())
+        self.assertEqual(grouped.types[-1], "DOUBLE")
+        self.assertEqual(grouped.fetchall(), [(20.0,)])
+
+    def test_count_all_rows(self):
+        grouped = self._salaries().group(CountExpression(self.conn))
+        self.assertEqual(grouped.fetchall(), [(3,)])
+
+    def test_count_per_group(self):
+        grouped = self._salaries().group(
+            ColumnExpression("dept", self.conn), CountExpression(self.conn))
+        self.assertEqual({r[0]: r[1] for r in grouped.fetchall()},
+                         {"a": 2, "b": 1})
+
+    # -- Scala session layer through py4j ----------------------------
+    def test_sql_router_round_trip(self):
+        self.conn.execute(
+            "CREATE TABLE pyt (id BIGINT, name STRING, qty BIGINT)")
+        self.conn.execute(
+            "INSERT INTO pyt VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+        updated = self.conn.execute(
+            "UPDATE pyt SET qty = qty + 5 WHERE id >= 2")
+        self.assertEqual(len(updated.fetchall()), 2)  # RETURNING
+        rows = self.conn.sql(
+            "SELECT id, qty FROM pyt ORDER BY id").fetchall()
+        self.assertEqual(rows, [(1, 10), (2, 25), (3, 35)])
+        self.conn.execute("DROP TABLE pyt")
+
+
+if __name__ == "__main__":
+    unittest.main(verbosity=2)

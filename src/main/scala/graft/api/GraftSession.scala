@@ -449,7 +449,9 @@ class GraftSession(val spark: SparkSession, root: String) {
   def update(name: String, set: Map[String, Column], where: Column): DataFrame = {
     val current = table(name)
     val resolved = resolveSetKeys(current.columns.toSeq, set)
-    val updated = current.select(current.columns.map { c =>
+    // name-resolved transform so it can apply to the whole table OR to the
+    // union of just the matched batches (predicate-pruned path)
+    def transform(df: DataFrame): DataFrame = df.select(current.columns.map { c =>
       resolved.get(c).map(v => when(where, v).otherwise(col(c)).as(c))
         .getOrElse(col(c))
     }.toSeq: _*)
@@ -457,7 +459,8 @@ class GraftSession(val spark: SparkSession, root: String) {
       resolved.get(c).map(_.as(c)).getOrElse(col(c))
     }.toSeq: _*)
     validateUpdate(name, returning, resolved.keySet)
-    overwrite(name, updated, returning)
+    prunedRewrite(name, _.filter(where), transform, returning)
+      .getOrElse(overwrite(name, transform(current), returning))
   }
 
   /** Case-insensitive SET-key resolution; unknown columns are an error,
@@ -590,7 +593,9 @@ class GraftSession(val spark: SparkSession, root: String) {
         val order = current.columns.map(col).toSeq
         val doomed = doomedOf(current).select(order: _*)
         applyFkDeleteActions(name, doomed)
-        return overwrite(name, keptOf(current).select(order: _*), doomed)
+        return prunedRewrite(name, doomedOf,
+            df => keptOf(df).select(order: _*), doomed)
+          .getOrElse(overwrite(name, keptOf(current).select(order: _*), doomed))
       }
       // Self-FK path: pin row identity (rid) so the closure's set algebra is
       // exact even under duplicate rows; localCheckpoint materializes the
@@ -656,6 +661,85 @@ class GraftSession(val spark: SparkSession, root: String) {
     } finally deleting -= name
   }
 
+  /** Predicate-pruned DML rewrite. [[overwrite]] rewrites the ENTIRE
+    * surviving table on every UPDATE/DELETE — O(table) even when the WHERE
+    * touches one batch of a 10^4-batch table. The batch-directory layout
+    * already gives file-level granularity, so instead:
+    *
+    *   1. ONE job over the batch union, each batch tagged with its
+    *      directory name, finds the set of batches containing matched
+    *      rows (the predicate/join pushes into each batch's parquet scan,
+    *      so unmatched row groups are footer-skipped, and only the tag +
+    *      predicate columns are read);
+    *   2. only those batches are rewritten (merged into one new
+    *      generation-stamped batch); every untouched `batch_*` dir stays
+    *      in place byte-identical.
+    *
+    * A selective UPDATE at 100 TB becomes O(matched batches) instead of
+    * O(table) — the reference's row-versioned update is the analogous
+    * optimization (/root/reference components/table/row_version_manager.cpp).
+    * The tag collect is bounded by the number of batch DIRECTORIES (not
+    * rows). Returns None when pruning can't apply — a single batch, every
+    * batch matched, or a transform that changes the schema — and the
+    * caller falls back to the full [[overwrite]].
+    *
+    * `matchedOf` must preserve the columns of its input (filter/semi-join
+    * shaped); `survivorsOf` maps the union of the MATCHED batches to the
+    * rows that replace them, in the table's visible schema. */
+  private def prunedRewrite(name: String,
+      matchedOf: DataFrame => DataFrame,
+      survivorsOf: DataFrame => DataFrame,
+      returning: DataFrame): Option[DataFrame] = {
+    val batches = normalizedBatches(name)
+    if (batches.size <= 1) return None
+    require(!state(name).schema.fieldNames.exists(_.startsWith("__graft_")),
+      "column names starting with __graft_ are reserved")
+    val tagged = batches.map { case (p, df) =>
+      df.withColumn("__graft_batch", lit(p.getFileName.toString))
+    }.reduce(_ union _)
+    val hitTags = matchedOf(tagged).select("__graft_batch").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (hitTags.size == batches.size) return None // nothing pruned
+    // stage RETURNING before any swap invalidates its input files (same
+    // contract as overwrite: distributed write, lazy scan handed back)
+    val retSchema = returning.schema
+    val retDir = tableDir(name).resolve(f"_returning_${peekGeneration(name)}%08d")
+    if (retSchema.nonEmpty) {
+      deleteRecursively(retDir)
+      returning.write.mode(SaveMode.Overwrite).parquet(retDir.toString)
+    }
+    def returned: DataFrame =
+      if (retSchema.nonEmpty) spark.read.schema(retSchema).parquet(retDir.toString)
+      else spark.emptyDataFrame
+    if (hitTags.isEmpty) { // no-op statement: no batch touched at all
+      bumpGeneration(name) // keep _returning_* names unique per statement
+      return Some(returned)
+    }
+    val matched = batches.filter { case (p, _) => hitTags(p.getFileName.toString) }
+    val survivors = survivorsOf(matched.map(_._2).reduce(_ union _))
+    val visible = table(name).schema
+    if (survivors.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+        visible.fields.map(f => (f.name, f.dataType)).toSeq)
+      return None // type-evolving SET: the whole table must rewrite
+    val staging = tableDir(name).resolve("_staging")
+    deleteRecursively(staging)
+    survivors.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // an all-rows-deleted batch set may write no part files; installing an
+    // empty dir would break later schema inference — just drop the batches
+    val hasParts = Files.list(staging).iterator.asScala
+      .exists(_.getFileName.toString.startsWith("part-"))
+    matched.foreach { case (p, _) => deleteRecursively(p) }
+    if (hasParts)
+      Files.move(staging, dataDir(name).resolve(f"batch_${bumpGeneration(name)}%08d"),
+        StandardCopyOption.ATOMIC_MOVE)
+    else {
+      deleteRecursively(staging)
+      bumpGeneration(name)
+    }
+    persistMeta(name)
+    Some(returned)
+  }
+
   private def overwrite(name: String, newData: DataFrame, returning: DataFrame): DataFrame = {
     // RETURNING materializes DISTRIBUTED — executors write it to a
     // generation-stamped staging dir BEFORE the swap invalidates its input
@@ -693,15 +777,25 @@ class GraftSession(val spark: SparkSession, root: String) {
     * cast + null-padded to the union schema, tombstones dropped. */
   def table(name: String): DataFrame = {
     val st = state(name)
-    val rename = renames.getOrElse(name, Map.empty)
     val visible = st.schema.fields.filterNot(f => st.tombstones(f.name))
-    val batches = listBatches(name)
+    val batches = normalizedBatches(name)
     if (batches.isEmpty || visible.isEmpty) {
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         StructType(visible))
     }
-    batches.map { b =>
+    batches.map(_._2).reduce(_ union _)
+  }
+
+  /** Each on-disk batch directory paired with its frame normalized to the
+    * current visible schema (per-generation rename resolution, cast,
+    * null-padding) — the per-batch half of [[table]], exposed so DML can
+    * address batches individually. */
+  private def normalizedBatches(name: String): Seq[(Path, DataFrame)] = {
+    val st = state(name)
+    val rename = renames.getOrElse(name, Map.empty)
+    val visible = st.schema.fields.filterNot(f => st.tombstones(f.name))
+    listBatches(name).map { b =>
       val raw = spark.read.parquet(b.toString)
       val batchGen = b.getFileName.toString.stripPrefix("batch_").toLong
       // physical names that, IN THIS BATCH's generation, belong to a
@@ -720,8 +814,8 @@ class GraftSession(val spark: SparkSession, root: String) {
         if (usable) col(physical).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }
-      raw.select(cols.toSeq: _*)
-    }.reduce(_ union _)
+      b -> raw.select(cols.toSeq: _*)
+    }
   }
 
   // ------------------------------------------------------- views/matviews
@@ -840,8 +934,100 @@ class GraftSession(val spark: SparkSession, root: String) {
     discoverTables()
     val stmt = expandMacros(
       graft.functions.Jsonb.rewrite(stripDbQualifiers(query), params))
-    registerRelationsFor(stmt)
-    spark.sql(stmt)
+    recursiveWith(stmt).getOrElse {
+      registerRelationsFor(stmt)
+      spark.sql(stmt)
+    }
+  }
+
+  private val recursiveHeadRe =
+    """(?is)^\s*WITH\s+RECURSIVE\s+(\w+)\s*(?:\(([^)]*)\))?\s*AS\s*\(""".r
+
+  /** `WITH RECURSIVE name [(cols)] AS (seed UNION [ALL] step) outer`
+    * through the SQL surface (reference transform_select.cpp:26-58 parses
+    * the RECURSIVE flag; test_subqueries.cpp:1209). Catalyst has no
+    * recursive-CTE execution, so the spelling lowers to the driver-side
+    * fixpoint ([[graft.operators.RecursiveCte]]): UNION → dedup fixpoint
+    * (cycle-safe), UNION ALL → accumulate-all. Each iteration re-binds
+    * `name` as a temp view over the previous delta — PG's working-table
+    * semantics. Non-SELECT text and non-recursive WITH fall through to
+    * Catalyst untouched. `spark.graft.recursive.maxIterations` (default
+    * 100) bounds non-converging queries with a clear error. */
+  private def recursiveWith(stmt: String): Option[DataFrame] = {
+    val m = recursiveHeadRe.findPrefixMatchOf(stmt).getOrElse(return None)
+    val cteName = m.group(1)
+    val colList = Option(m.group(2)).map(_.split(",").map(_.trim).toSeq)
+    // matching close paren of the CTE body (single-quote-literal aware;
+    // '' escapes double-toggle, which lands back inside the literal)
+    var depth = 1; var i = m.end; var inLit = false
+    while (i < stmt.length && depth > 0) {
+      val c = stmt.charAt(i)
+      if (inLit) { if (c == '\'') inLit = false }
+      else c match {
+        case '\'' => inLit = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    require(depth == 0, "WITH RECURSIVE: unbalanced parentheses")
+    val body = stmt.substring(m.end, i - 1)
+    val rest = stmt.substring(i).trim
+    // further (non-recursive) CTEs after the recursive one become a plain
+    // WITH on the outer query
+    val outerSql =
+      if (rest.startsWith(",")) "WITH " + rest.substring(1).trim else rest
+    // last top-level UNION [ALL] splits seed from step
+    var unionPos = -1; var stepStart = -1; var unionAll = false
+    var j = 0; depth = 0; inLit = false
+    while (j < body.length) {
+      val c = body.charAt(j)
+      if (inLit) { if (c == '\'') inLit = false; j += 1 }
+      else c match {
+        case '\'' => inLit = true; j += 1
+        case '(' => depth += 1; j += 1
+        case ')' => depth -= 1; j += 1
+        case 'u' | 'U' if depth == 0 &&
+            body.regionMatches(true, j, "UNION", 0, 5) &&
+            (j == 0 || !Character.isLetterOrDigit(body.charAt(j - 1))) &&
+            (j + 5 >= body.length ||
+              !Character.isLetterOrDigit(body.charAt(j + 5))) =>
+          unionPos = j
+          var k = j + 5
+          while (k < body.length && body.charAt(k).isWhitespace) k += 1
+          unionAll = body.regionMatches(true, k, "ALL", 0, 3) &&
+            (k + 3 >= body.length ||
+              !Character.isLetterOrDigit(body.charAt(k + 3)))
+          stepStart = if (unionAll) k + 3 else j + 5
+          j += 5
+        case _ => j += 1
+      }
+    }
+    require(unionPos >= 0,
+      "WITH RECURSIVE: body must be 'seed UNION [ALL] step'")
+    val seedSql = body.substring(0, unionPos)
+    val stepSql = body.substring(stepStart)
+    // real relations register first so the CTE binding shadows any
+    // same-named catalog table (PG scoping)
+    def runWithCte(sqlText: String, cte: DataFrame): DataFrame = {
+      registerRelationsFor(sqlText)
+      cte.createOrReplaceTempView(cteName)
+      spark.sql(sqlText)
+    }
+    registerRelationsFor(seedSql)
+    val seed0 = spark.sql(seedSql)
+    val seed = colList.map(cs => seed0.toDF(cs: _*)).getOrElse(seed0)
+    val maxIter = spark.conf
+      .get("spark.graft.recursive.maxIterations", "100").toInt
+    val closure =
+      if (unionAll) graft.operators.RecursiveCte.fixpointAll(
+        seed, d => runWithCte(stepSql, d), maxIter)
+      else graft.operators.RecursiveCte.fixpoint(
+        seed, d => runWithCte(stepSql, d), maxIter)
+    val out = runWithCte(outerSql, closure)
+    spark.catalog.dropTempView(cteName) // out is analyzed; binding not needed
+    Some(out)
   }
 
   /** Registers ONLY the relations a statement references (transitively,

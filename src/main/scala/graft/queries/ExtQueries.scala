@@ -23,6 +23,24 @@ object ExtQueries {
         .orderBy(col("n"))
     }),
 
+    // --- WITH RECURSIVE through the SQL surface: graph reachability with
+    // a cycle (0 →+5→ 5 → … → 20 → 0 mod 25), UNION semantics, so the
+    // dedup fixpoint must terminate on the cycle ---
+    "x10_recursive_sql" -> ((s, dir) => {
+      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val edges = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("bigint").as("src"),
+          ((col("n_nationkey") + 5) % 25).cast("bigint").as("dst"))
+      g.createTable("edges", edges.schema)
+      g.insert("edges", edges)
+      g.sql("""
+        WITH RECURSIVE reach(node) AS (
+          SELECT CAST(0 AS BIGINT) AS node
+          UNION
+          SELECT e.dst AS node FROM edges e JOIN reach r ON e.src = r.node)
+        SELECT node FROM reach ORDER BY node""")
+    }),
+
     // --- UPDATE ... RETURNING through the session write path ---
     "x2_update_returning" -> ((s, dir) => {
       val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
@@ -166,6 +184,13 @@ object ExtQueries {
         UNION ALL
         SELECT n + 1 FROM t WHERE n < 25)
       SELECT n FROM t ORDER BY n""",
+    "x10_recursive_sql" -> """
+      WITH RECURSIVE reach(node) AS (
+        SELECT CAST(0 AS BIGINT) AS node
+        UNION
+        SELECT CAST((n_nationkey + 5) % 25 AS BIGINT) AS node
+        FROM nation JOIN reach ON n_nationkey = reach.node)
+      SELECT node FROM reach ORDER BY node""",
     "x2_update_returning" -> """
       SELECT c_custkey, c_acctbal * 1.1 AS c_acctbal
       FROM customer WHERE c_acctbal < 0 ORDER BY c_custkey""",

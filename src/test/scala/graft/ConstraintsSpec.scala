@@ -241,4 +241,57 @@ class ConstraintsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
     assert(rows.toSeq == Seq((10L, None), (12L, Some(2L))))
   }
+
+  test("selective UPDATE/DELETE rewrite only batches containing matches") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft").toString
+    val g = GraftSession(spark, root)
+    g.createTable("pt", StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType))))
+    g.insert("pt", Seq((1L, 10L), (2L, 20L)).toDF("k", "v")) // batch 0
+    g.insert("pt", Seq((3L, 30L), (4L, 40L)).toDF("k", "v")) // batch 1
+    g.insert("pt", Seq((5L, 50L), (6L, 60L)).toDF("k", "v")) // batch 2
+    val dataDir = java.nio.file.Paths.get(root, "pt", "data")
+    def dirs() = Files.list(dataDir).iterator.asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    // full byte fingerprint of every file under a batch dir
+    def fp(d: String) = Files.walk(dataDir.resolve(d)).iterator.asScala
+      .filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+      .map(p => (p.toString,
+        java.util.Arrays.hashCode(Files.readAllBytes(p)), Files.size(p)))
+    val before = dirs()
+    assert(before.size == 3)
+    val (fp0, fp2) = (fp(before(0)), fp(before(2)))
+
+    // UPDATE touching only batch 1: batches 0 and 2 stay byte-identical
+    val ret = g.update("pt", Map("v" -> lit(99L)), col("k") === 3L)
+    assert(ret.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((3L, 99L)))
+    val after = dirs()
+    assert(!after.contains(before(1)), "matched batch must be replaced")
+    assert(after.contains(before(0)) && after.contains(before(2)))
+    assert(fp(before(0)) == fp0 && fp(before(2)) == fp2,
+      "unmatched batch dirs must be byte-identical after a selective UPDATE")
+    assert(g.table("pt").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 10L), (2L, 20L), (3L, 99L), (4L, 40L), (5L, 50L), (6L, 60L)))
+
+    // DELETE touching only the batch holding k=5: batch 0 still untouched
+    g.delete("pt", col("k") === 5L)
+    assert(dirs().contains(before(0)) && fp(before(0)) == fp0,
+      "unmatched batch dirs must be byte-identical after a selective DELETE")
+    assert(g.table("pt").orderBy("k").select("k").collect().map(_.getLong(0))
+      .toSeq == Seq(1L, 2L, 3L, 4L, 6L))
+
+    // WHERE matching nothing: every batch dir survives untouched
+    val preNoop = dirs()
+    g.delete("pt", col("k") === 999L)
+    assert(dirs() == preNoop)
+
+    // type-evolving SET falls back to the full rewrite and stays correct
+    g.update("pt", Map("v" -> (col("v") + lit(0.5))), col("k") === 1L)
+    val out = g.table("pt").orderBy("k").select("v")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(10.5, 20.0, 99.0, 40.0, 60.0))
+  }
 }
