@@ -36,6 +36,12 @@ class ColumnExpression:
     def __eq__(self, other):  # noqa: E721 — expression DSL, not identity
         return self.col() == _as_col(other)
 
+    def __gt__(self, other):
+        return self.col() > _as_col(other)
+
+    def __lt__(self, other):
+        return self.col() < _as_col(other)
+
     def avg(self):
         return AggExpression(F.avg(self.col()).cast("double"),
                              f"avg({self.name})")
@@ -94,6 +100,16 @@ class Relation:
 
     def limit(self, n):
         return Relation(self.df.limit(n))
+
+    def sort(self, *exprs):
+        return Relation(self.df.orderBy(*[e.col() for e in exprs]))
+
+    def select(self, *exprs):
+        return Relation(self.df.select(*[e.col() for e in exprs]))
+
+    @property
+    def columns(self):
+        return list(self.df.columns)
 
     @property
     def types(self):

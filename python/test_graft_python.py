@@ -88,6 +88,45 @@ class GraftPythonSurface(unittest.TestCase):
         self.assertEqual({r[0]: r[1] for r in grouped.fetchall()},
                          {"a": 2, "b": 1})
 
+    # -- test_dataframe_limit.py -------------------------------------
+    def _rows(self):
+        return self.conn.from_df(pd.DataFrame({
+            "id": list(range(1, 13)),
+            "grp": ["A" if i % 2 else "B" for i in range(1, 13)],
+            "val": [float(i) for i in range(1, 13)],
+        }))
+
+    def test_limit_truncates(self):
+        self.assertEqual(len(self._rows().limit(3).fetchall()), 3)
+
+    def test_limit_larger_than_rows(self):
+        self.assertEqual(len(self._rows().limit(100).fetchall()), 12)
+
+    def test_limit_after_sort_is_deterministic(self):
+        rows = self._rows().sort(
+            ColumnExpression("val", self.conn)).limit(3).fetchall()
+        self.assertEqual([r[-1] for r in rows], [1.0, 2.0, 3.0])
+
+    def test_limit_after_filter(self):
+        val = ColumnExpression("val", self.conn)
+        rows = self._rows().filter(
+            val > ConstantExpression(5, self.conn)).limit(2).fetchall()
+        self.assertEqual(len(rows), 2)
+
+    # -- test_dataframe_sort_projection.py ---------------------------
+    def test_sort_ascending(self):
+        rel = self.conn.from_df(pd.DataFrame({"v": [3.0, 1.0, 2.0]}))
+        rows = rel.sort(ColumnExpression("v", self.conn)).fetchall()
+        self.assertEqual([r[0] for r in rows], [1.0, 2.0, 3.0])
+
+    def test_projection_selects_subset(self):
+        rel = self.conn.from_df(
+            pd.DataFrame({"a": [1, 2], "b": [3, 4], "c": [5, 6]}))
+        projected = rel.select(ColumnExpression("a", self.conn),
+                               ColumnExpression("c", self.conn))
+        self.assertEqual(projected.columns, ["a", "c"])
+        self.assertEqual(projected.fetchall(), [(1, 5), (2, 6)])
+
     # -- Scala session layer through py4j ----------------------------
     def test_sql_router_round_trip(self):
         self.conn.execute(

@@ -549,6 +549,36 @@ class GraftSession(val spark: SparkSession, root: String) {
       .foreach(deleteRecursively)
   }
 
+  /** Size-tiered compaction: folds only the batches smaller than
+    * `smallBytes` into one new batch and leaves already-large batches in
+    * place. [[compact]] is O(table) — correct but unaffordable as routine
+    * maintenance at 100 TB, where ingest and (pruned) DML leave a long
+    * tail of small batch dirs; this is O(small tail) and keeps the
+    * batch count bounded between full compactions. */
+  def compactSmall(name: String, smallBytes: Long = 128L << 20): Unit = {
+    def dirSize(p: Path): Long = Files.walk(p).iterator.asScala
+      .filter(Files.isRegularFile(_)).map(Files.size(_)).sum
+    val small = normalizedBatches(name)
+      .filter { case (p, _) => dirSize(p) < smallBytes }
+    if (small.size <= 1) return // nothing worth folding
+    val union = small.map(_._2).reduce(_ union _)
+    val staging = tableDir(name).resolve("_staging")
+    deleteRecursively(staging)
+    union.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    small.foreach { case (p, _) => deleteRecursively(p) }
+    val hasParts = Files.list(staging).iterator.asScala
+      .exists(_.getFileName.toString.startsWith("part-"))
+    if (hasParts)
+      Files.move(staging,
+        dataDir(name).resolve(f"batch_${bumpGeneration(name)}%08d"),
+        StandardCopyOption.ATOMIC_MOVE)
+    else {
+      deleteRecursively(staging)
+      bumpGeneration(name)
+    }
+    persistMeta(name)
+  }
+
   /** DELETE ... WHERE ... [RETURNING the deleted rows]; fires FK delete
     * actions (RESTRICT / CASCADE / SET NULL) on referencing tables. */
   def delete(name: String, where: Column): DataFrame =
@@ -1135,6 +1165,9 @@ class GraftSession(val spark: SparkSession, root: String) {
       ("""(?is)^CREATE\s+(?:MACRO|FUNCTION)\s+""" + Q + """(\w+)\s*\(([^)]*)\)\s*(?:AS|RETURN)\s+(.*?);?$""").r
     val setTzRe =
       """(?is)^SET\s+TIME\s*ZONE\s+(?:TO\s+)?'?([\w/+-:]+)'?\s*;?$""".r
+    val showTablesRe = """(?is)^SHOW\s+TABLES\s*;?$""".r
+    val describeRe =
+      ("""(?is)^DESC(?:RIBE)?\s+(?:TABLE\s+)?""" + Q + """(\w+)\s*;?$""").r
     val createSeqRe =
       ("""(?is)^CREATE\s+SEQUENCE\s+""" + Q + """(\w+)(?:\s+START\s+(?:WITH\s+)?(-?\d+))?(?:\s+INCREMENT\s+(?:BY\s+)?(-?\d+))?\s*;?$""").r
     val dropSeqRe = ("""(?is)^DROP\s+SEQUENCE\s+""" + Q + """(\w+)\s*;?$""").r
@@ -1159,6 +1192,20 @@ class GraftSession(val spark: SparkSession, root: String) {
     def empty = spark.emptyDataFrame
     stmt match {
       case setTzRe(tz) => setTimezone(tz); empty
+      // catalog introspection (the reference's pg_class/pg_attribute
+      // system-table surface — catalog_oids.hpp well-known OIDs —
+      // exposed in the relkind vocabulary: r/g/v/m)
+      case showTablesRe() =>
+        discoverTables()
+        val rels = tables.toSeq.map { case (n, st) =>
+          (n, if (views.contains(n)) "m" else if (st.dynamic) "g" else "r")
+        } ++ views.keys.filterNot(tables.contains).toSeq.map(v => (v, "v"))
+        catalogDf(rels.sortBy(_._1), "relname", "relkind")
+      case describeRe(tbl) =>
+        val st = state(tbl)
+        catalogDf(st.schema.fields.filterNot(f => st.tombstones(f.name))
+          .map(f => (f.name, f.dataType.sql.toLowerCase)).toSeq,
+          "column_name", "data_type")
       case s if s.matches("(?is)^(?:BEGIN|COMMIT|ROLLBACK|ABORT)\\b.*") =>
         // MVCC/transactions are dropped by design (SURVEY §1.3): fail with
         // the documented reason instead of a Spark parse error
@@ -1509,6 +1556,16 @@ class GraftSession(val spark: SparkSession, root: String) {
     tables(name) = st
     loadConstraints(name)
     Some(st)
+  }
+
+  /** Two-string-column local frame for catalog introspection results. */
+  private def catalogDf(rows: Seq[(String, String)], c1: String,
+                        c2: String): DataFrame = {
+    val jrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.foreach { case (a, b) =>
+      jrows.add(org.apache.spark.sql.Row(a, b)) }
+    spark.createDataFrame(jrows, StructType(Seq(
+      StructField(c1, StringType), StructField(c2, StringType))))
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -73,6 +73,21 @@ object Demo {
     println("bucketed join shuffle-free: " +
       !joinPlan.contains("Exchange hashpartitioning"))
 
+    // catalog introspection (pg_class relkind vocabulary)
+    g.execute("SHOW TABLES").show()
+    g.execute("DESCRIBE items").show()
+
+    // WITH RECURSIVE through the SQL surface
+    g.sql("""
+      WITH RECURSIVE t(n) AS (
+        SELECT CAST(1 AS BIGINT) AS n
+        UNION ALL
+        SELECT n + 1 AS n FROM t WHERE n < 5)
+      SELECT sum(n) AS s FROM t""").show()
+
+    // size-tiered maintenance: fold the small-batch tail only
+    g.compactSmall("items")
+
     // session niceties
     g.setTimezone("UTC")
     println(g.explainPlan(

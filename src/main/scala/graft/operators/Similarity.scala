@@ -81,31 +81,49 @@ object Similarity {
              nCells: Int = 16, nProbe: Int = 4,
              maxLiteralCells: Int = 128): DataFrame = {
     val spark = corpus.sparkSession
-    // type-generic centroid extraction: ids normalized to long, embeddings
-    // to double — array<float> or array<double> corpora and any integral
-    // id type all work (the schema used to be hard-coded getLong/Seq[Float])
-    val cents: Seq[(Long, Seq[Double], Double)] =
-      corpus.orderBy(col("vec_id")).limit(nCells)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-        .collect().toSeq.map { r =>
-          val cid = r.get(0) match {
-            case n: java.lang.Number => n.longValue
-            case x => throw new IllegalArgumentException(
-              s"ivfKnn: vec_id must be numeric, got ${x.getClass.getName}")
-          }
-          // |c|² folded on the driver with the same left-to-right double
-          // sum as the engines use, so the score is deterministic
-          val emb = r.getSeq[Any](1).map {
-            case f: Float => f.toDouble
-            case d: Double => d
-            case n: java.lang.Number => n.doubleValue
-          }
-          (cid, emb, emb.foldLeft(0.0)((s, v) => s + v * v))
-        }
+    val cents = centroidStats(corpus, nCells)
+    val (assigned, probes) = cellAssignments(
+      corpus, queries, cents, nProbe, maxLiteralCells)
+    rankTopK(
+      broadcast(probes).join(assigned, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim",
+          cosineAuto(spark)(col("q_emb"), col("n_emb"))),
+      k)
+  }
 
-    // Per-centroid score is |c|² − 2·a·c (argmin-equivalent to L2 since
-    // |a|² is constant per row). Two physical strategies, identical output:
-    val (assigned, probes) =
+  /** Type-generic centroid extraction: ids normalized to long, embeddings
+    * to double — array<float> or array<double> corpora and any integral
+    * id type all work. `|c|²` is folded on the driver with the same
+    * left-to-right double sum as the engines use (deterministic score). */
+  private def centroidStats(corpus: DataFrame,
+                            nCells: Int): Seq[(Long, Seq[Double], Double)] =
+    corpus.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .collect().toSeq.map { r =>
+        val cid = r.get(0) match {
+          case n: java.lang.Number => n.longValue
+          case x => throw new IllegalArgumentException(
+            s"ivfKnn: vec_id must be numeric, got ${x.getClass.getName}")
+        }
+        val emb = r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case n: java.lang.Number => n.doubleValue
+        }
+        (cid, emb, emb.foldLeft(0.0)((s, v) => s + v * v))
+      }
+
+  /** The IVF core shared by the one-shot [[ivfKnn]] and the persisted
+    * index ([[buildIvfIndex]]/[[queryIvfIndex]]): corpus → (cell, n_id,
+    * n_emb) assignment and queries → (cell, q_id, q_emb) probes.
+    * Per-centroid score is |c|² − 2·a·c (argmin-equivalent to L2 since
+    * |a|² is constant per row). Two physical strategies, identical
+    * output. */
+  private def cellAssignments(corpus: DataFrame, queries: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)], nProbe: Int,
+      maxLiteralCells: Int): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
       if (cents.length <= maxLiteralCells) {
         // Literal-tree argmin: a NARROW projection, zero shuffle, fully
         // codegen'd. The tree is O(nCells·dim) expression nodes, so it is
@@ -156,6 +174,51 @@ object Similarity {
           .select(explode(col("ps")).as("p"), col("q_id"), col("q_emb"))
           .select(col("p.c_id").as("cell"), col("q_id"), col("q_emb")))
       }
+  }
+
+  /** Builds and PERSISTS an IVF index — the build-once/query-many shape a
+    * similarity deployment actually runs at 100 TB (one-shot [[ivfKnn]]
+    * re-assigns the whole corpus per call). Layout:
+    *
+    *   path/centroids/  — nCells rows (c_id, c_emb, c_norm): tiny metadata
+    *   path/cells/      — the corpus re-written `partitionBy("cell")`
+    *
+    * Because `cell` is a PARTITION column of the index layout, a query
+    * joining on it after [[queryIvfIndex]]'s probe selection reads only
+    * the probed cells' directories (partition pruning) — per-query I/O is
+    * ~ |corpus| · nProbe / nCells, not a full scan. Build is one pass. */
+  def buildIvfIndex(corpus: DataFrame, path: String, nCells: Int = 16,
+                    maxLiteralCells: Int = 128): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroidStats(corpus, nCells)
+    cents.toDF("c_id", "c_emb", "c_norm").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val emptyQ = corpus.limit(0)
+    val (assigned, _) =
+      cellAssignments(corpus, emptyQ, cents, 1, maxLiteralCells)
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells")
+  }
+
+  /** Top-k cosine ANN against a persisted [[buildIvfIndex]] index. The
+    * centroid read is bounded metadata (nCells rows); probes select
+    * nProbe cells per query and the `cell` join prunes the index scan to
+    * those partitions. Results are identical to [[ivfKnn]] with the same
+    * parameters (same centroids, same probe order). */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int, nProbe: Int = 4,
+                    maxLiteralCells: Int = 128): DataFrame = {
+    val cents: Seq[(Long, Seq[Double], Double)] =
+      spark.read.parquet(s"$path/centroids")
+        .select(col("c_id"), col("c_emb"), col("c_norm"))
+        .collect().toSeq.map(r => (r.getLong(0),
+          r.getSeq[Double](1).toSeq, r.getDouble(2)))
+    val assigned = spark.read.parquet(s"$path/cells")
+    val emptyCorpus = assigned.select(col("n_id").as("vec_id"),
+      col("n_emb").as("embedding")).limit(0)
+    val (_, probes) =
+      cellAssignments(emptyCorpus, queries, cents, nProbe, maxLiteralCells)
     rankTopK(
       broadcast(probes).join(assigned, Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))

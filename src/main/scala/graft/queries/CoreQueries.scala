@@ -342,6 +342,57 @@ object CoreQueries {
         .orderBy(col("h"))
     }),
 
+    // --- window-function vocabulary: lag/lead/first_value + framed
+    // moving sum (decimal-exact so the frame fold matches DuckDB) ---
+    "q30_window_vocab" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("first_key", first(col("o_orderkey")).over(w))
+        .withColumn("mov_sum",
+          sum(col("o_totalprice").cast(D))
+            .over(w.rowsBetween(-2, 0)).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("prev_price"),
+          col("next_key"), col("first_key"), col("mov_sum"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // --- string library, second batch: left/right/reverse/lpad/replace/
+    // position/trim ---
+    "q31_string_vocab" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          expr("left(p_name, 4)").as("l4"),
+          expr("right(p_name, 3)").as("r3"),
+          reverse(col("p_brand")).as("rev"),
+          lpad(col("p_brand"), 12, "*").as("pad"),
+          regexp_replace(col("p_type"), "O", "0").as("repl"),
+          instr(col("p_name"), "re").cast("bigint").as("pos"),
+          trim(col("p_name")).as("tr"))
+        .orderBy(col("p_partkey"))
+        .limit(500)
+    }),
+
+    // --- datetime library, second batch: quarter/last_day/date_add/
+    // datediff/dayofyear ---
+    "q32_datetime_vocab" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          quarter(col("o_orderdate")).cast("int").as("q"),
+          last_day(col("o_orderdate")).as("ld"),
+          date_add(col("o_orderdate"), 7).as("plus7"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
+            .cast("bigint").as("dd"),
+          dayofyear(col("o_orderdate")).cast("int").as("doy"))
+        .orderBy(col("o_orderkey"))
+        .limit(500)
+    }),
+
     // --- JSON path navigation over a JSON string column (the reference's
     // jsonb ->/->> surface; see graft.functions.Jsonb for the DSL) ---
     "q27_json_extract" -> ((s, dir) => {
@@ -521,6 +572,35 @@ object CoreQueries {
       SELECT k % 10 AS kmod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k FROM (
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events) x
-      GROUP BY 1 ORDER BY kmod"""
+      GROUP BY 1 ORDER BY kmod""",
+    "q30_window_vocab" -> """
+      SELECT o_custkey, o_orderkey,
+        lag(o_totalprice, 1) OVER w AS prev_price,
+        lead(o_orderkey, 1) OVER w AS next_key,
+        first_value(o_orderkey) OVER w AS first_key,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
+    "q31_string_vocab" -> """
+      SELECT p_partkey,
+        left(p_name, 4) AS l4,
+        right(p_name, 3) AS r3,
+        reverse(p_brand) AS rev,
+        lpad(p_brand, 12, '*') AS pad,
+        regexp_replace(p_type, 'O', '0', 'g') AS repl,
+        CAST(strpos(p_name, 're') AS BIGINT) AS pos,
+        trim(p_name) AS tr
+      FROM part ORDER BY p_partkey LIMIT 500""",
+    "q32_datetime_vocab" -> """
+      SELECT o_orderkey,
+        CAST(quarter(o_orderdate) AS INT) AS q,
+        last_day(CAST(o_orderdate AS DATE)) AS ld,
+        CAST(o_orderdate + INTERVAL 7 DAY AS DATE) AS plus7,
+        date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS dd,
+        CAST(dayofyear(o_orderdate) AS INT) AS doy
+      FROM orders ORDER BY o_orderkey LIMIT 500"""
   )
 }

@@ -182,15 +182,16 @@ object ScaleQueries {
     }),
 
     // --- regexp-heavy filter + extract-all aggregation (ClickBench's
-    // URL-regexp family). Digit-run pattern is dialect-neutral between
-    // Java regex and RE2 ---
+    // URL-regexp family). Double-vowel pattern is dialect-neutral
+    // between Java regex and RE2 and matches at every scale factor
+    // (the synthetic corpus has no digits) ---
     "c9_regex_agg" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
-        .filter(col("text").rlike("[0-9]"))
+        .filter(col("text").rlike("[aeiou]{2}"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
-            .cast("bigint")).as("n_numbers"))
+          sum(size(regexp_extract_all(col("text"), lit("[aeiou]{2}"), lit(0)))
+            .cast("bigint")).as("n_matches"))
         .orderBy(col("lang"))
     }),
 
@@ -334,10 +335,10 @@ object ScaleQueries {
       FROM events GROUP BY event_type ORDER BY event_type""",
     "c9_regex_agg" -> """
       SELECT lang, COUNT(*) AS n_docs,
-        CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
-          AS n_numbers
+        CAST(SUM(len(regexp_extract_all(text, '[aeiou]{2}'))) AS BIGINT)
+          AS n_matches
       FROM documents
-      WHERE regexp_matches(text, '[0-9]')
+      WHERE regexp_matches(text, '[aeiou]{2}')
       GROUP BY lang ORDER BY lang""",
     "c10_quantile_bands" -> """
       SELECT event_type,

@@ -67,6 +67,18 @@ object EventPipeline {
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * a STATIC dimension frame (no state, no watermark needed — the static
+    * side is re-read per batch if its source changed). At cluster scale
+    * the static side is broadcast when small (AQE size check, no forced
+    * hint — same rule as the batch corpus) so the stream never shuffles
+    * for the enrichment; a large dim degrades to a shuffled join per
+    * micro-batch. This is the streaming face of the reference's
+    * dimension-join pipelines. */
+  def enrich(events: DataFrame, dim: DataFrame,
+             keys: Seq[String]): DataFrame =
+    events.join(dim, keys, "left")
+
   /** Batch sessionization via flatMapGroupsWithState: groups per user,
     * closes a session after `gapMinutes` of inactivity, and FLUSHES the
     * still-open trailing session so batch results are complete. For

@@ -143,6 +143,33 @@ class GraftSessionSpec extends SparkSpec {
     assert(g2.table("t").columns.toSeq == Seq("_id"))
   }
 
+  test("compactSmall folds only the small-batch tail") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft").toString
+    val g = GraftSession(spark, root)
+    g.createTable("ct", StructType(Seq(StructField("k", LongType))))
+    g.insert("ct", spark.range(5000).select(col("id").as("k"))) // large
+    g.insert("ct", Seq(9001L).toDF("k"))                        // small
+    g.insert("ct", Seq(9002L, 9003L).toDF("k"))                 // small
+    val dataDir = java.nio.file.Paths.get(root, "ct", "data")
+    def dirs() = Files.list(dataDir).iterator.asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    val before = dirs()
+    assert(before.size == 3)
+    g.compactSmall("ct", smallBytes = 10000L)
+    val after = dirs()
+    assert(after.contains(before(0)), "large batch must stay in place")
+    assert(!after.contains(before(1)) && !after.contains(before(2)),
+      "small batches must fold into one new batch")
+    assert(after.size == 2)
+    assert(g.table("ct").count() == 5003)
+    assert(g.table("ct").filter(col("k") >= 9001L).count() == 3)
+    // a second pass with only one small batch left is a no-op
+    val stable = dirs()
+    g.compactSmall("ct", smallBytes = 10000L)
+    assert(dirs() == stable)
+  }
+
   test("sql registers only the relations the statement references") {
     val g = freshSession()
     val schema = StructType(Seq(StructField("k", LongType)))

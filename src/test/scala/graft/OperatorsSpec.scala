@@ -154,6 +154,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.groupBy(_.getLong(0)).values.forall(_.length <= 4))
   }
 
+  test("persisted IVF index: build once, query matches one-shot ivfKnn") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.buildIvfIndex(emb, path, nCells = 16)
+    val q = emb.filter(col("vec_id") < 2)
+    val fromIndex = Similarity.queryIvfIndex(spark, path, q, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val oneShot = Similarity.ivfKnn(emb, q, k = 4, nCells = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(fromIndex.sorted == oneShot.sorted)
+    // the index layout is cell-partitioned: probed queries must not need
+    // every cell directory
+    val cellDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(path, "cells")).iterator()
+    var n = 0
+    while (cellDirs.hasNext) {
+      if (cellDirs.next().getFileName.toString.startsWith("cell=")) n += 1
+    }
+    assert(n > 1, "index must be partitioned by cell")
+  }
+
   test("ivf knn: join-based path (nCells > maxLiteralCells) is identical") {
     val q = emb.filter(col("vec_id") < 2)
     val literal = Similarity.ivfKnn(emb, q, k = 4, nCells = 16)

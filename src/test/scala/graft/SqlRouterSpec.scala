@@ -262,6 +262,22 @@ class SqlRouterSpec extends SparkSpec {
     }
   }
 
+  test("SHOW TABLES / DESCRIBE expose the catalog (relkind vocabulary)") {
+    val s = g
+    s.execute("CREATE TABLE fixed (id BIGINT, name STRING)")
+    s.execute("CREATE DYNAMIC TABLE dyn2")
+    s.execute("CREATE VIEW v2 AS SELECT id FROM fixed")
+    s.execute("INSERT INTO fixed VALUES (1, 'a')")
+    s.execute("CREATE MATERIALIZED VIEW mv2 AS SELECT count(*) AS n FROM fixed")
+    val rels = s.execute("SHOW TABLES").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rels("fixed") == "r" && rels("dyn2") == "g"
+      && rels("v2") == "v" && rels("mv2") == "m")
+    val cols = s.execute("DESCRIBE fixed").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cols == Seq(("id", "bigint"), ("name", "string")))
+  }
+
   test("WITH RECURSIVE (UNION ALL): integer series through execute") {
     val out = g.execute("""
       WITH RECURSIVE t(n) AS (

@@ -47,6 +47,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join (MemoryStream x static dim)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq(("click", "interactive"), ("view", "passive"))
+      .toDF("event_type", "kind")
+    val q = EventPipeline.enrich(mem.toDF(), dim, Seq("event_type"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .select("user_id", "kind").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(rows.toSeq == Seq((1L, "interactive"), (1L, "interactive"),
+        (1L, "interactive"), (2L, "passive")))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
