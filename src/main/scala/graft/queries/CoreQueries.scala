@@ -289,6 +289,37 @@ object CoreQueries {
         .orderBy(col("g"), col("c_mktsegment"))
     }),
 
+    // --- CUBE grouping sets (all four combinations of two keys) ---
+    "q33_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("int").as("gs"),
+          grouping(col("o_orderpriority")).cast("int").as("gp"))
+        .orderBy(col("gs"), col("gp"), col("o_orderstatus"),
+          col("o_orderpriority"))
+    }),
+
+    // --- EXCEPT ALL / INTERSECT ALL (bag semantics, multiplicity-aware;
+    // the reference rejects set ops entirely — first-class here) ---
+    "q34_except_all" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").select(col("l_returnflag"))
+      val b = t(s, dir, "lineitem").filter(col("l_quantity") > 10)
+        .select(col("l_returnflag"))
+      a.exceptAll(b)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q35_intersect_all" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").filter(col("l_quantity") <= 30)
+        .select(col("l_returnflag"))
+      val b = t(s, dir, "lineitem").filter(col("l_quantity") > 10)
+        .select(col("l_returnflag"))
+      a.intersectAll(b)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // --- string function library ---
     "q24_string_funcs" -> ((s, dir) => {
       t(s, dir, "part")
@@ -536,6 +567,24 @@ object CoreQueries {
         CAST(GROUPING(c_mktsegment) AS INT) AS g
       FROM customer GROUP BY ROLLUP(c_mktsegment)
       ORDER BY g, c_mktsegment""",
+    "q33_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(GROUPING(o_orderstatus) AS INT) AS gs,
+        CAST(GROUPING(o_orderpriority) AS INT) AS gp
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY gs, gp, o_orderstatus, o_orderpriority""",
+    "q34_except_all" -> """
+      SELECT l_returnflag, COUNT(*) AS n FROM (
+        SELECT l_returnflag FROM lineitem
+        EXCEPT ALL
+        SELECT l_returnflag FROM lineitem WHERE l_quantity > 10) x
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q35_intersect_all" -> """
+      SELECT l_returnflag, COUNT(*) AS n FROM (
+        SELECT l_returnflag FROM lineitem WHERE l_quantity <= 30
+        INTERSECT ALL
+        SELECT l_returnflag FROM lineitem WHERE l_quantity > 10) x
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q24_string_funcs" -> """
       SELECT p_partkey,
         substring(p_name, 2, 6) AS sub,
