@@ -533,7 +533,24 @@ class GraftSession(val spark: SparkSession, root: String) {
       .select((base.columns ++ srcExtra).map(col).toSeq: _*)
     validateUpdate(name,
       returning.select(base.columns.map(col).toSeq: _*), resolved.keySet)
-    overwrite(name, updated, returning)
+    // predicate-pruned path: only batches with join matches rewrite (the
+    // wide transform re-derives on the matched-batch union; unmatched
+    // rows of those batches pass through via the left join). The
+    // RETURNING frame stays the whole-table spelling — identical rows,
+    // since only matched rows survive its filter.
+    val baseCols = base.columns.toSeq
+    prunedRewrite(name,
+      cur => cur.as(name).join(tagged, joinCond, "left_semi"),
+      frame => {
+        val f = frame.as(name)
+        val m = f.join(tagged, joinCond, "left")
+        m.select(baseCols.map { c =>
+          resolved.get(c).map(v => when(hit, v).otherwise(f(c)).as(c))
+            .getOrElse(f(c).as(c))
+        }.toSeq: _*)
+      },
+      returning)
+      .getOrElse(overwrite(name, updated, returning))
   }
 
   /** Compacts all ingest batches into one (the reference's vacuum/

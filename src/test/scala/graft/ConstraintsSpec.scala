@@ -288,10 +288,20 @@ class ConstraintsSpec extends SparkSpec {
     g.delete("pt", col("k") === 999L)
     assert(dirs() == preNoop)
 
+    // UPDATE ... FROM (join form) touching only the batch holding k=6
+    val src = Seq((6L, 1000L)).toDF("k_src", "newv")
+    val fpB = fp(before(0))
+    g.updateFrom("pt", src, col("pt.k") === col("k_src"),
+      Map("v" -> col("newv")))
+    assert(dirs().contains(before(0)) && fp(before(0)) == fpB,
+      "unmatched batch dirs must be byte-identical after UPDATE...FROM")
+    assert(g.table("pt").filter(col("k") === 6L).select("v")
+      .collect().head.getLong(0) == 1000L)
+
     // type-evolving SET falls back to the full rewrite and stays correct
     g.update("pt", Map("v" -> (col("v") + lit(0.5))), col("k") === 1L)
     val out = g.table("pt").orderBy("k").select("v")
       .collect().map(_.getDouble(0)).toSeq
-    assert(out == Seq(10.5, 20.0, 99.0, 40.0, 60.0))
+    assert(out == Seq(10.5, 20.0, 99.0, 40.0, 1000.0))
   }
 }
