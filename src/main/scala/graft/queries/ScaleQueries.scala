@@ -222,6 +222,43 @@ object ScaleQueries {
         .orderBy(col("d"))
     }),
 
+    // --- year-over-year revenue growth per segment (TPC-DS-style
+    // window-over-aggregate; the lag window runs on the already-reduced
+    // (segment, year) frame, not the fact table) ---
+    "a1_yoy_growth" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val yearly = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"),
+          year(col("o_orderdate")).cast("int").as("y"))
+        .agg(sum(col("o_totalprice").cast(D)).cast("double").as("rev"))
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("y"))
+      yearly.withColumn("prev", lag(col("rev"), 1).over(w))
+        .select(col("c_mktsegment"), col("y"), col("rev"),
+          (col("rev") - col("prev")).as("delta"))
+        .orderBy(col("c_mktsegment"), col("y"))
+    }),
+
+    // --- revenue share of each nation within its region (analytic
+    // contribution ratio; partition-sum window over the reduced frame) ---
+    "a2_nation_share" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = broadcast(Tables.load(s, dir, "nation"))
+      val r = broadcast(Tables.load(s, dir, "region"))
+      val rev = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("o_totalprice").cast(D)).as("rev"))
+      val w = Window.partitionBy(col("r_name"))
+      rev.select(col("r_name"), col("n_name"),
+          col("rev").cast("double").as("rev"),
+          (col("rev").cast("double") /
+            sum(col("rev")).over(w).cast("double")).as("share"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     // --- HLL sketch. Inherently engine-specific: approx_count_distinct is
     // a HyperLogLog++ ESTIMATE whose value depends on Spark's hash and
     // register layout — DuckDB's approx_distinct implements a different
@@ -327,6 +364,29 @@ object ScaleQueries {
         SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
         FROM documents) x
       GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "a1_yoy_growth" -> """
+      WITH yearly AS (
+        SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS y,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2)
+      SELECT c_mktsegment, y, rev,
+        rev - lag(rev, 1) OVER (PARTITION BY c_mktsegment ORDER BY y)
+          AS delta
+      FROM yearly ORDER BY c_mktsegment, y""",
+    "a2_nation_share" -> """
+      WITH rev AS (
+        SELECT r_name, n_name,
+          SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+        FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2)
+      SELECT r_name, n_name, CAST(rev AS DOUBLE) AS rev,
+        CAST(rev AS DOUBLE) /
+          CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+      FROM rev ORDER BY r_name, n_name""",
     "c8_argmax" -> """
       SELECT event_type,
         arg_max(user_id, event_id) AS last_user,
