@@ -57,6 +57,40 @@ class JsonbSpec extends SparkSpec {
     assert(deleted == """{"k":"7"}""")
   }
 
+  test("property: literal content is NEVER altered by the rewriter") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // arbitrary content including operator spellings, braces, dollars —
+    // embedded as a correctly ''-escaped SQL literal it must survive
+    // rewrite byte-for-byte
+    val hazard = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("->", "->>", "#>", "#>>", "#-", "::?", "'", "{", "}", "$1",
+        ",", " "),
+      Gen.alphaNumStr.map(_.take(6)))).map(_.mkString)
+    val p = Prop.forAll(hazard) { content =>
+      val lit = "'" + content.replace("'", "''") + "'"
+      val q = s"SELECT * FROM t WHERE note = $lit AND flag = true"
+      Jsonb.rewrite(q) == q
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: simple chains always lower to get_json_object") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val key = Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(8))
+    val p = Prop.forAll(key, key, Gen.oneOf(true, false)) { (k1, k2, deep) =>
+      val q = if (deep) s"SELECT props->'$k1'->>'$k2' FROM t"
+              else s"SELECT props->>'$k1' FROM t"
+      val expect = if (deep) s"SELECT get_json_object(props, '$$.$k1.$k2') FROM t"
+                   else s"SELECT get_json_object(props, '$$.$k1') FROM t"
+      Jsonb.rewrite(q) == expect
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("column DSL on struct and json-string columns") {
     import Jsonb._
     val df = Seq((1L, """{"a": {"b": 5}}""")).toDF("id", "js")
