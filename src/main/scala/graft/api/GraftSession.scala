@@ -571,7 +571,13 @@ class GraftSession(val spark: SparkSession, root: String) {
     * place. [[compact]] is O(table) — correct but unaffordable as routine
     * maintenance at 100 TB, where ingest and (pruned) DML leave a long
     * tail of small batch dirs; this is O(small tail) and keeps the
-    * batch count bounded between full compactions. */
+    * batch count bounded between full compactions.
+    *
+    * Same documented divergence as [[compact]], scoped to the FOLDED
+    * batches only: folding writes the normalized visible schema, so
+    * tombstoned-column data and pre-rename physical names of the folded
+    * batches are physically dropped (a later re-add of a dropped column
+    * resurfaces values only from batches never folded). */
   def compactSmall(name: String, smallBytes: Long = 128L << 20): Unit = {
     def dirSize(p: Path): Long = Files.walk(p).iterator.asScala
       .filter(Files.isRegularFile(_)).map(Files.size(_)).sum
@@ -739,11 +745,22 @@ class GraftSession(val spark: SparkSession, root: String) {
       returning: DataFrame): Option[DataFrame] = {
     val batches = normalizedBatches(name)
     if (batches.size <= 1) return None
-    require(!state(name).schema.fieldNames.exists(_.startsWith("__graft_")),
-      "column names starting with __graft_ are reserved")
+    // a user column in the reserved prefix only blocks the TAG column
+    // this path adds — fall back to the full rewrite, don't fail
+    if (state(name).schema.fieldNames.exists(_.startsWith("__graft_")))
+      return None
     val tagged = batches.map { case (p, df) =>
       df.withColumn("__graft_batch", lit(p.getFileName.toString))
     }.reduce(_ union _)
+    // schema-stability check FIRST (pure analysis, no job): a
+    // type-evolving SET must take the full-rewrite path regardless of
+    // which batches match, both to widen every batch and to avoid
+    // staging the RETURNING result twice
+    val visible = table(name).schema
+    val wholeSample = survivorsOf(batches.map(_._2).reduce(_ union _))
+    if (wholeSample.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+        visible.fields.map(f => (f.name, f.dataType)).toSeq)
+      return None
     val hitTags = matchedOf(tagged).select("__graft_batch").distinct()
       .collect().map(_.getString(0)).toSet
     if (hitTags.size == batches.size) return None // nothing pruned
@@ -764,10 +781,6 @@ class GraftSession(val spark: SparkSession, root: String) {
     }
     val matched = batches.filter { case (p, _) => hitTags(p.getFileName.toString) }
     val survivors = survivorsOf(matched.map(_._2).reduce(_ union _))
-    val visible = table(name).schema
-    if (survivors.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
-        visible.fields.map(f => (f.name, f.dataType)).toSeq)
-      return None // type-evolving SET: the whole table must rewrite
     val staging = tableDir(name).resolve("_staging")
     deleteRecursively(staging)
     survivors.write.mode(SaveMode.Overwrite).parquet(staging.toString)
@@ -1004,19 +1017,34 @@ class GraftSession(val spark: SparkSession, root: String) {
     val m = recursiveHeadRe.findPrefixMatchOf(stmt).getOrElse(return None)
     val cteName = m.group(1)
     val colList = Option(m.group(2)).map(_.split(",").map(_.trim).toSeq)
-    // matching close paren of the CTE body (single-quote-literal aware;
-    // '' escapes double-toggle, which lands back inside the literal)
+    // matching close paren of the CTE body (single-quote-literal aware —
+    // '' escapes double-toggle, which lands back inside the literal —
+    // and comment-aware: a ')' or apostrophe inside `-- …` / `/* … */`
+    // must not count)
+    def skipComment(s: String, at: Int): Int =
+      if (s.startsWith("--", at)) {
+        val nl = s.indexOf('\n', at); if (nl < 0) s.length else nl + 1
+      } else if (s.startsWith("/*", at)) {
+        val end = s.indexOf("*/", at + 2)
+        if (end < 0) s.length else end + 2
+      } else at
     var depth = 1; var i = m.end; var inLit = false
     while (i < stmt.length && depth > 0) {
       val c = stmt.charAt(i)
-      if (inLit) { if (c == '\'') inLit = false }
-      else c match {
-        case '\'' => inLit = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
+      if (inLit) { if (c == '\'') inLit = false; i += 1 }
+      else {
+        val skipped = skipComment(stmt, i)
+        if (skipped != i) i = skipped
+        else {
+          c match {
+            case '\'' => inLit = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
       }
-      i += 1
     }
     require(depth == 0, "WITH RECURSIVE: unbalanced parentheses")
     val body = stmt.substring(m.end, i - 1)
@@ -1025,30 +1053,35 @@ class GraftSession(val spark: SparkSession, root: String) {
     // WITH on the outer query
     val outerSql =
       if (rest.startsWith(",")) "WITH " + rest.substring(1).trim else rest
-    // last top-level UNION [ALL] splits seed from step
+    // last top-level UNION [ALL] splits seed from step (same literal- and
+    // comment-awareness as the paren scan: UNION inside a comment is text)
     var unionPos = -1; var stepStart = -1; var unionAll = false
     var j = 0; depth = 0; inLit = false
     while (j < body.length) {
       val c = body.charAt(j)
       if (inLit) { if (c == '\'') inLit = false; j += 1 }
-      else c match {
-        case '\'' => inLit = true; j += 1
-        case '(' => depth += 1; j += 1
-        case ')' => depth -= 1; j += 1
-        case 'u' | 'U' if depth == 0 &&
-            body.regionMatches(true, j, "UNION", 0, 5) &&
-            (j == 0 || !Character.isLetterOrDigit(body.charAt(j - 1))) &&
-            (j + 5 >= body.length ||
-              !Character.isLetterOrDigit(body.charAt(j + 5))) =>
-          unionPos = j
-          var k = j + 5
-          while (k < body.length && body.charAt(k).isWhitespace) k += 1
-          unionAll = body.regionMatches(true, k, "ALL", 0, 3) &&
-            (k + 3 >= body.length ||
-              !Character.isLetterOrDigit(body.charAt(k + 3)))
-          stepStart = if (unionAll) k + 3 else j + 5
-          j += 5
-        case _ => j += 1
+      else {
+        val skipped = skipComment(body, j)
+        if (skipped != j) j = skipped
+        else c match {
+          case '\'' => inLit = true; j += 1
+          case '(' => depth += 1; j += 1
+          case ')' => depth -= 1; j += 1
+          case 'u' | 'U' if depth == 0 &&
+              body.regionMatches(true, j, "UNION", 0, 5) &&
+              (j == 0 || !Character.isLetterOrDigit(body.charAt(j - 1))) &&
+              (j + 5 >= body.length ||
+                !Character.isLetterOrDigit(body.charAt(j + 5))) =>
+            unionPos = j
+            var k = j + 5
+            while (k < body.length && body.charAt(k).isWhitespace) k += 1
+            unionAll = body.regionMatches(true, k, "ALL", 0, 3) &&
+              (k + 3 >= body.length ||
+                !Character.isLetterOrDigit(body.charAt(k + 3)))
+            stepStart = if (unionAll) k + 3 else j + 5
+            j += 5
+          case _ => j += 1
+        }
       }
     }
     require(unionPos >= 0,
@@ -1062,6 +1095,11 @@ class GraftSession(val spark: SparkSession, root: String) {
       cte.createOrReplaceTempView(cteName)
       spark.sql(sqlText)
     }
+    // a pre-existing user temp view with the CTE's name gets shadowed for
+    // the statement (PG CTE scoping) — remember, so cleanup below doesn't
+    // DELETE the user's name outright (the closure stays bound to it; the
+    // shadowing itself is inherent to the temp-view lowering)
+    val preExisting = spark.catalog.tableExists(cteName)
     registerRelationsFor(seedSql)
     val seed0 = spark.sql(seedSql)
     val seed = colList.map(cs => seed0.toDF(cs: _*)).getOrElse(seed0)
@@ -1073,7 +1111,9 @@ class GraftSession(val spark: SparkSession, root: String) {
       else graft.operators.RecursiveCte.fixpoint(
         seed, d => runWithCte(stepSql, d), maxIter)
     val out = runWithCte(outerSql, closure)
-    spark.catalog.dropTempView(cteName) // out is analyzed; binding not needed
+    // out is analyzed; binding not needed — but never drop a name that
+    // existed before the statement
+    if (!preExisting) spark.catalog.dropTempView(cteName)
     Some(out)
   }
 
@@ -1218,11 +1258,23 @@ class GraftSession(val spark: SparkSession, root: String) {
           (n, if (views.contains(n)) "m" else if (st.dynamic) "g" else "r")
         } ++ views.keys.filterNot(tables.contains).toSeq.map(v => (v, "v"))
         catalogDf(rels.sortBy(_._1), "relname", "relkind")
-      case describeRe(tbl) =>
-        val st = state(tbl)
-        catalogDf(st.schema.fields.filterNot(f => st.tombstones(f.name))
-          .map(f => (f.name, f.dataType.sql.toLowerCase)).toSeq,
-          "column_name", "data_type")
+      case describeRe(tbl) if tables.contains(tbl) ||
+          views.keys.exists(_.equalsIgnoreCase(tbl)) || {
+            discoverTables(); tables.contains(tbl) } =>
+        // views (relkind 'v') describe via their analyzed body schema;
+        // tables/matviews via catalog metadata
+        if (!tables.contains(tbl))
+          catalogDf(sql(views.collectFirst {
+            case (v, body) if v.equalsIgnoreCase(tbl) => body }.get)
+            .schema.fields
+            .map(f => (f.name, f.dataType.sql.toLowerCase)).toSeq,
+            "column_name", "data_type")
+        else {
+          val st = state(tbl)
+          catalogDf(st.schema.fields.filterNot(f => st.tombstones(f.name))
+            .map(f => (f.name, f.dataType.sql.toLowerCase)).toSeq,
+            "column_name", "data_type")
+        }
       case s if s.matches("(?is)^(?:BEGIN|COMMIT|ROLLBACK|ABORT)\\b.*") =>
         // MVCC/transactions are dropped by design (SURVEY §1.3): fail with
         // the documented reason instead of a Spark parse error

@@ -62,67 +62,83 @@ object Jsonb {
     params.zipWithIndex.sortBy(-_._2).foreach { case (v, i) =>
       q = q.replace("$" + (i + 1), sqlLiteral(v))
     }
-    // Mask every complete string literal (handling '' escapes) behind an
-    // indexed n placeholder. The operator keys ARE literals,
-    // so the patterns below reference them BY placeholder — which means a
-    // `->>`/`#>` spelled INSIDE a larger literal (`WHERE note =
-    // 'a->>''k'''`) can never fire: the whole literal is one opaque
-    // token. Same single-quote-aware tokenization as
-    // GraftSession.stripDbQualifiers. Unconsumed placeholders are
+    // Mask every complete string literal (handling '' escapes) AND every
+    // SQL comment (`-- ...` / `/* ... */`) behind an indexed
+    // <n> placeholder, scanning left to right so an
+    // apostrophe inside a comment (`-- can't`) cannot mis-pair with a
+    // later quote. The operator keys ARE literals, so the patterns below
+    // reference them BY placeholder -- a `->>`/`#>` spelled INSIDE a
+    // larger literal (say 'a->>k' with escaped quotes) or a comment can
+    // never fire: the whole token is opaque. Unconsumed placeholders are
     // restored verbatim at the end.
     val lits = scala.collection.mutable.ArrayBuffer.empty[String]
-    q = "'(?:[^']|'')*'".r.replaceAllIn(q, m => {
+    q = "(?s)'(?:[^']|'')*'|--[^\n]*|/\\*.*?\\*/".r.replaceAllIn(q, m => {
       lits += m.matched
       Regex.quoteReplacement("" + (lits.size - 1) + "")
     })
-    // literal content with '' unescaped
-    def content(idx: String): String = {
+    // literal content with '' unescaped; None when the placeholder holds
+    // a comment, not a literal (operators never take a comment as a key)
+    def litContent(idx: String): Option[String] = {
       val raw = lits(idx.toInt)
-      raw.substring(1, raw.length - 1).replace("''", "'")
+      if (raw.startsWith("'"))
+        Some(raw.substring(1, raw.length - 1).replace("''", "'"))
+      else None
     }
     // re-escape for splicing into a generated single-quoted literal
     def esc(s: String): String = s.replace("'", "''")
     val P = "(\\d+)"
     // ident->'k1'->'k2'->>'k3' chains (any mix; last op decides nothing
-    // here — get_json_object always returns text, matching ->> semantics;
+    // here -- get_json_object always returns text, matching ->> semantics;
     // -> midway through a chain is pure navigation either way)
     val chain = ("""([A-Za-z_][\w.]*)((?:\s*->>?\s*""" + P + ")+)").r
     q = chain.replaceAllIn(q, m => {
-      val keys = P.r.findAllMatchIn(m.group(2)).map(mm => content(mm.group(1)))
-      Regex.quoteReplacement(
-        s"get_json_object(${m.group(1)}, '$$.${esc(keys.mkString("."))}')")
+      val keys = P.r.findAllMatchIn(m.group(2))
+        .map(mm => litContent(mm.group(1))).toSeq
+      if (keys.forall(_.isDefined))
+        Regex.quoteReplacement(s"get_json_object(${m.group(1)}, " +
+          s"'$$.${esc(keys.flatten.mkString("."))}')")
+      else Regex.quoteReplacement(m.matched)
     })
-    // #> / #>> '{a,b}' paths (only a {…}-shaped literal is a path — any
-    // other content restores untouched)
+    // #> / #>> '{a,b}' paths (only a {...}-shaped literal is a path --
+    // any other content restores untouched)
     val hashPath = ("""([A-Za-z_][\w.]*)\s*#>>?\s*""" + P).r
     q = hashPath.replaceAllIn(q, m => {
-      val c = content(m.group(2))
-      if (c.startsWith("{") && c.endsWith("}")) {
-        val path = c.substring(1, c.length - 1)
-          .split(",").map(_.trim).mkString(".")
-        Regex.quoteReplacement(
-          s"get_json_object(${m.group(1)}, '$$.${esc(path)}')")
-      } else Regex.quoteReplacement(m.matched)
+      litContent(m.group(2)) match {
+        case Some(c) if c.startsWith("{") && c.endsWith("}") =>
+          val path = c.substring(1, c.length - 1)
+            .split(",").map(_.trim).mkString(".")
+          Regex.quoteReplacement(
+            s"get_json_object(${m.group(1)}, '$$.${esc(path)}')")
+        case _ => Regex.quoteReplacement(m.matched)
+      }
     })
     // key deletion on flat JSON objects. ONLY the unambiguous #- operator
     // is rewritten textually: a bare `col - 'literal'` is routinely real
     // SQL (`ts - '1 hour'` interval arithmetic) and a regex cannot know
-    // the column is JSON — plain `-` deletion stays in the column DSL
+    // the column is JSON -- plain `-` deletion stays in the column DSL
     // (deleteField) where the type is known.
     val del = ("""([A-Za-z_][\w.]*)\s*#-\s*""" + P).r
     q = del.replaceAllIn(q, m => {
-      val key = content(m.group(2)).stripPrefix("{").stripSuffix("}")
-      Regex.quoteReplacement(
-        s"to_json(map_filter(from_json(${m.group(1)}, 'map<string,string>'), " +
-          s"(k, v) -> k != '${esc(key)}'))")
+      litContent(m.group(2)) match {
+        case Some(c) =>
+          val key = c.stripPrefix("{").stripSuffix("}")
+          Regex.quoteReplacement(
+            s"to_json(map_filter(from_json(${m.group(1)}, 'map<string,string>'), " +
+              s"(k, v) -> k != '${esc(key)}'))")
+        case None => Regex.quoteReplacement(m.matched)
+      }
     })
     // ::? 'type' assertions (quoted or bare type name)
     val assertCast = ("""::\?\s*(?:""" + P + """|([A-Za-z ()0-9,]+))""").r
     q = assertCast.replaceAllIn(q, m => {
-      val t = if (m.group(1) != null) content(m.group(1)) else m.group(2)
-      Regex.quoteReplacement(s"::$t")
+      val t =
+        if (m.group(1) != null) litContent(m.group(1)) else Option(m.group(2))
+      t match {
+        case Some(tt) => Regex.quoteReplacement(s"::$tt")
+        case None => Regex.quoteReplacement(m.matched)
+      }
     })
-    // restore the literals the operators did not consume
+    // restore the literals/comments the operators did not consume
     P.r.replaceAllIn(q, m => Regex.quoteReplacement(lits(m.group(1).toInt)))
   }
 

@@ -57,6 +57,20 @@ class JsonbSpec extends SparkSpec {
     assert(deleted == """{"k":"7"}""")
   }
 
+  test("rewrite: comments are opaque (apostrophes/operators inside)") {
+    // an unpaired apostrophe in a -- comment must not mis-pair with a
+    // later literal quote and swallow the operator chain
+    val q1 = "SELECT 1 -- can't\n, props->>'k' FROM t"
+    assert(Jsonb.rewrite(q1)
+      == "SELECT 1 -- can't\n, get_json_object(props, '$.k') FROM t")
+    // operator spellings inside block comments stay untouched
+    val q2 = "SELECT /* a->>'k' */ x FROM t"
+    assert(Jsonb.rewrite(q2) == q2)
+    // an operator whose "key" is a comment is not a chain: pass through
+    val q3 = "SELECT props ->> /* not a key */ 'k' FROM t"
+    assert(Jsonb.rewrite(q3) == q3)
+  }
+
   test("property: literal content is NEVER altered by the rewriter") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // arbitrary content including operator spellings, braces, dollars —

@@ -276,6 +276,10 @@ class SqlRouterSpec extends SparkSpec {
     val cols = s.execute("DESCRIBE fixed").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     assert(cols == Seq(("id", "bigint"), ("name", "string")))
+    // plain views describe via their analyzed body schema
+    val vcols = s.execute("DESCRIBE v2").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(vcols == Seq(("id", "bigint")))
   }
 
   test("WITH RECURSIVE (UNION ALL): integer series through execute") {
@@ -316,6 +320,16 @@ class SqlRouterSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("did not converge"))
     } finally spark.conf.unset("spark.graft.recursive.maxIterations")
+  }
+
+  test("WITH RECURSIVE: comments with parens/UNION do not confuse parsing") {
+    val out = g.sql("""
+      WITH RECURSIVE t(n) AS (
+        SELECT CAST(1 AS BIGINT) AS n -- seed :) union?
+        UNION ALL
+        SELECT n + 1 AS n /* step ( */ FROM t WHERE n < 4)
+      SELECT sum(n) AS s FROM t""")
+    assert(out.collect().head.getLong(0) == 10L)
   }
 
   test("WITH RECURSIVE followed by a plain CTE and literal hazards") {
