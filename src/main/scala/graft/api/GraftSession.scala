@@ -936,12 +936,13 @@ class GraftSession(val spark: SparkSession, root: String) {
         ("(?i)\\b" + java.util.regex.Pattern.quote(db) + "\\.(\\w)").r
           .replaceAllIn(q, m => m.group(1))
       }
-      // rewrite only OUTSIDE single-quoted literals — a string containing
-      // 'bench.events' must pass through untouched
-      val literal = "'(?:[^']|'')*'".r
+      // rewrite only OUTSIDE single-quoted literals and comments — a
+      // string containing 'bench.events' (or a comment naming it) must
+      // pass through untouched; left-to-right scan keeps an apostrophe
+      // inside a comment from mis-pairing with a later quote
       val out = new StringBuilder
       var last = 0
-      literal.findAllMatchIn(query).foreach { m =>
+      opaqueRe.findAllMatchIn(query).foreach { m =>
         out.append(strip(query.substring(last, m.start)))
         out.append(m.matched)
         last = m.end
@@ -949,6 +950,15 @@ class GraftSession(val spark: SparkSession, root: String) {
       out.append(strip(query.substring(last)))
       out.toString
     }
+
+  /** String literals (with '' escapes) and SQL comments — the regions the
+    * textual affordance layer must never rewrite. Alternation order plus
+    * left-to-right scanning makes an apostrophe inside `-- …` inert. */
+  private val opaqueRe = "(?s)'(?:[^']|'')*'|--[^\n]*|/\\*.*?\\*/".r
+
+  /** True when index `at` of `s` falls inside a literal or comment. */
+  private def inOpaque(s: String, at: Int): Boolean =
+    opaqueRe.findAllMatchIn(s).exists(m => m.start <= at && at < m.end)
 
   /** Monotonic sequence (reference node_sequence): file-backed counter
     * with PG START/INCREMENT options (reference `CREATE SEQUENCE ... START
@@ -1424,9 +1434,12 @@ class GraftSession(val spark: SparkSession, root: String) {
       macros.foreach { case (name, (params, body)) =>
         def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
         // advance past occurrences embedded in longer identifiers
-        // (net_price must not block a later bare price(...) call)
+        // (net_price must not block a later bare price(...) call) and
+        // past occurrences inside literals/comments (macro spellings in
+        // data must stay data)
         var idx = out.indexOf(name + "(")
-        while (idx > 0 && isIdentChar(out.charAt(idx - 1)))
+        while (idx > 0 && (isIdentChar(out.charAt(idx - 1)) ||
+            inOpaque(out, idx)))
           idx = out.indexOf(name + "(", idx + 1)
         if (idx >= 0) {
           var depth = 0

@@ -152,6 +152,30 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(out2.getDouble(0) == 1.0 + 1.8)
   }
 
+  test("macro spellings inside literals and comments stay data") {
+    val g = freshSession()
+    g.createMacro("price", Seq("p"), "p * 0.9")
+    Seq((1.0, 2.0)).toDF("net_price", "v").createOrReplaceTempView("mt")
+    // a macro-call spelling in a string literal must not expand
+    val s = g.sql("SELECT 'price(9)' AS lit, price(v) AS pv FROM mt").head()
+    assert(s.getString(0) == "price(9)" && s.getDouble(1) == 1.8)
+    // nor in a comment (and the comment's apostrophe must stay inert)
+    val c = g.sql("SELECT price(v) AS pv -- don't price(1)\nFROM mt").head()
+    assert(c.getDouble(0) == 1.8)
+  }
+
+  test("db-qualifier stripping skips comments (apostrophes inert)") {
+    val g = freshSession()
+    g.execute("CREATE DATABASE bench")
+    g.execute("CREATE TABLE bench.ev (k BIGINT)")
+    g.execute("INSERT INTO bench.ev VALUES (7)")
+    // the comment's apostrophe must not mis-pair; bench.ev in the comment
+    // stays text while the real reference is stripped and resolved
+    val out = g.sql(
+      "SELECT k -- can't touch 'bench.ev' here\nFROM bench.ev").head()
+    assert(out.getLong(0) == 7L)
+  }
+
   test("UPDATE...FROM with a null-safe condition leaves unmatched NULLs alone") {
     val g = freshSession()
     g.createTable("t", StructType(Seq(StructField("k", LongType),
