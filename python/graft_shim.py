@@ -104,6 +104,12 @@ class Relation:
     def sort(self, *exprs):
         return Relation(self.df.orderBy(*[e.col() for e in exprs]))
 
+    def map_in_pandas(self, func, schema):
+        """Arrow-batched per-partition transform (the reference's
+        multimodal decode/feature-extract shape: binary columns in,
+        typed features out, executed as pandas batches)."""
+        return Relation(self.df.mapInPandas(func, schema))
+
     def select(self, *exprs):
         return Relation(self.df.select(*[e.col() for e in exprs]))
 

@@ -127,6 +127,30 @@ class GraftPythonSurface(unittest.TestCase):
         self.assertEqual(projected.columns, ["a", "c"])
         self.assertEqual(projected.fetchall(), [(1, 5), (2, 6)])
 
+    # -- multimodal decode plumbing: mapInPandas over binary payloads --
+    def test_map_in_pandas_binary_decode(self):
+        # opaque binary payloads + typed metadata in; per-batch pandas
+        # "decode" (deterministic stand-in for an image/audio codec,
+        # which this container lacks) extracts typed features out
+        rel = self.conn.from_df(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "payload": [b"\x00\x01\x02", b"\xff" * 5, b""],
+        }))
+
+        def decode(batches):
+            for pdf in batches:
+                out = pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "checksum": pdf["payload"].map(lambda b: sum(b) % 251),
+                })
+                yield out
+
+        decoded = rel.map_in_pandas(
+            decode, "doc_id bigint, n_bytes bigint, checksum bigint")
+        rows = sorted(decoded.fetchall())
+        self.assertEqual(rows, [(1, 3, 3), (2, 5, (255 * 5) % 251), (3, 0, 0)])
+
     # -- Scala session layer through py4j ----------------------------
     def test_sql_router_round_trip(self):
         self.conn.execute(

@@ -79,6 +79,23 @@ object EventPipeline {
              keys: Seq[String]): DataFrame =
     events.join(dim, keys, "left")
 
+  /** Stream-STREAM interval join: two unbounded sources joined on a key
+    * with an event-time band (right row lands within [left.t, left.t +
+    * `band`]). Both sides carry watermarks, so the join state is evicted
+    * once the watermark passes a row's band — bounded state at any
+    * scale, the stateful-join shape Structured Streaming is built for.
+    * Column names must be disjoint apart from the key. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTime: String = "t", rightTime: String = "rt",
+                   band: String = "10 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    l.join(r, l(key) === r(key) &&
+      r(rightTime) >= l(leftTime) &&
+      r(rightTime) <= l(leftTime) + expr(s"INTERVAL $band"))
+  }
+
   /** Batch sessionization via flatMapGroupsWithState: groups per user,
     * closes a session after `gapMinutes` of inactivity, and FLUSHES the
     * still-open trailing session so batch results are complete. For

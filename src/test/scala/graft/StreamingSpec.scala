@@ -66,6 +66,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join with watermark-bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val l = clicks.toDF().select(col("user_id"), col("t"))
+    val right = buys.toDF().toDF("user_id", "rt", "amount")
+    val q = EventPipeline.intervalJoin(l, right,
+        key = "user_id", band = "10 minutes")
+      .select(l("user_id"), col("t"), col("rt"), col("amount"))
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Event(1L, "click", ts(0), 1.0),
+        Event(2L, "click", ts(0), 1.0))
+      // u1 buys inside the band; u2 buys 20 min later (outside)
+      buys.addData((1L, ts(5), 9.99), (2L, ts(20), 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("ij_out")
+        .select("user_id", "amount").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.toSeq == Seq((1L, 9.99)))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
