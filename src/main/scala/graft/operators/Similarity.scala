@@ -49,16 +49,29 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: corpus is pre-bucketed by sign-LSH; a query probes
-    * only its own bucket (plus optional multi-probe neighbors), so the scan
-    * per query is corpus/2^planes on average — the 100 TB path. Recall is
-    * tunable via nPlanes (fewer planes → bigger buckets → higher recall). */
+    * its own bucket plus (optionally) every bucket at Hamming distance 1
+    * — classic multi-probe LSH: vectors near a hyperplane land on either
+    * side, and flipping one sign bit recovers them without shrinking the
+    * plane count. Scan per query is (1+multiProbe·nPlanes)/2^nPlanes of
+    * the corpus on average — still the 100 TB path (candidates confined
+    * to bucket equi-joins; the probe explode is on the SMALL query
+    * side). Recall is tunable via nPlanes (fewer planes → bigger
+    * buckets) and multiProbe. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+             nPlanes: Int = 8, dim: Int = 64,
+             multiProbe: Boolean = false): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       lshBucket(col("embedding"), planes).as("bucket"))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      lshBucket(col("embedding"), planes).as("bucket"))
+    val own = lshBucket(col("embedding"), planes)
+    val probeSet: Column =
+      if (multiProbe)
+        array((own +: (0 until nPlanes).map(i =>
+          own.bitwiseXOR(lit(1L << i)))): _*)
+      else array(own)
+    val q = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        explode(probeSet).as("bucket"))
     rankTopK(
       broadcast(q).join(c, Seq("bucket"))
         .filter(col("q_id") =!= col("n_id"))

@@ -147,6 +147,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
   }
 
+  test("multi-probe lsh recall is at least single-probe recall") {
+    val q = emb.filter(col("vec_id") < 3)
+    def hits(mp: Boolean) = Similarity
+      .lshKnn(emb, q, k = 5, nPlanes = 4, multiProbe = mp)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.bruteForceKnn(emb, q, k = 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = hits(mp = false)
+    val multi = hits(mp = true)
+    // candidates(multi) is a superset, and exact-cosine ranking means any
+    // displaced candidate is displaced by a truth member — recall can
+    // only grow
+    assert(multi.intersect(truth).size >= single.intersect(truth).size)
+    assert(multi.size >= single.size)
+  }
+
   test("ivf knn probes cells and ranks by cosine") {
     val q = emb.filter(col("vec_id") < 2)
     val out = Similarity.ivfKnn(emb, q, k = 4).collect()
