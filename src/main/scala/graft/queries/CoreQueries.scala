@@ -235,13 +235,13 @@ object CoreQueries {
         .orderBy(col("o_orderkey"))
     }),
 
-    // --- IN (subquery) ---
+    // --- IN (subquery) --- (no broadcast hint: the filtered key set is
+    // selective but still scale-proportional; AQE decides by size)
     "q20_in_subquery" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
       val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
         .select(col("o_orderkey"))
-      l.join(big.hint("broadcast"), l("l_orderkey") === big("o_orderkey"),
-          "left_semi")
+      l.join(big, l("l_orderkey") === big("o_orderkey"), "left_semi")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))

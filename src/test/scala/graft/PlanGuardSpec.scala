@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Plan-shape tripwire for the relational corpus: a `broadcast()` hint on
+  * a scale-proportional table bypasses AQE's size check and OOMs the
+  * executors at 100x (round-4 verdict "What's wrong" #1 — the hints were
+  * deleted in round 5; this spec keeps them out). A hint is legitimate
+  * only when its subtree is bounded BY CONSTRUCTION: it scans nothing but
+  * nation/region (25/5 rows by spec) or it is a global (ungrouped)
+  * aggregate, which yields at most one row.
+  *
+  * Scope: the SQL-corpus prefixes. The ANN/dedup operators (e*, d*)
+  * broadcast their query/probe side under a DOCUMENTED small-side
+  * contract, which is a different invariant. */
+class PlanGuardSpec extends SparkSpec {
+
+  private val guarded = Seq("q", "h", "sb", "c", "a", "j", "k", "s", "m", "p")
+  private val boundedScans = Set("nation.parquet", "region.parquet")
+
+  private def scanFiles(p: LogicalPlan): Seq[String] =
+    p.collect { case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.map(_.getName).toSeq
+      case _ => Nil
+    }}.flatten
+
+  private def isBounded(p: LogicalPlan): Boolean = {
+    val globalAgg = p.collectFirst {
+      case a: Aggregate if a.groupingExpressions.isEmpty => a
+    }.isDefined
+    globalAgg || scanFiles(p).forall(boundedScans)
+  }
+
+  test("no broadcast hints on scale-proportional relations in the corpus") {
+    val offenders = scala.collection.mutable.Buffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => guarded.exists(pfx =>
+        n.startsWith(pfx) && n.drop(pfx.length).headOption.exists(_.isDigit)) }
+      .foreach { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.analyzed
+        plan.collect { case h: ResolvedHint => h }.foreach { h =>
+          if (!isBounded(h.child))
+            offenders += s"$name: hint over ${scanFiles(h.child).mkString(",")}"
+        }
+      }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
