@@ -47,4 +47,22 @@ object Ingest {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, schema)
   }
+
+  /** Hive-style partitioned parquet layout (`path/col=value/…`) — the
+    * canonical 100 TB storage idiom: a filter on a partition column
+    * prunes whole directories at PLANNING time (the scan's
+    * `PartitionFilters`, no file I/O for pruned values), where a
+    * same-cardinality filter on a data column still lists and
+    * footer-checks every file. Partition by low-cardinality,
+    * always-filtered columns (date, source, language); high-cardinality
+    * partitioning explodes the file count. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** Read back a partitioned layout; partition columns come from the
+    * directory structure and stay prunable. */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }
