@@ -222,6 +222,32 @@ object ScaleQueries {
         .orderBy(col("d"))
     }),
 
+    // --- conversion funnel: purchases within 1h of a preceding view
+    // (event-sequence analytics). Scale shape: ONE window pass per user
+    // carrying the latest-view time — never the all-pairs self-join the
+    // naive SQL spelling implies (for a fixed purchase, the min gap over
+    // all preceding views IS the gap to the latest one, so the window
+    // form is pair-exact). All arithmetic in the µs domain to match the
+    // oracle's µs-truncated timestamps ---
+    "c12_funnel" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hourUs = 3600L * 1000000L
+      e.withColumn("last_view",
+          max(when(col("event_type") === "view", col("us"))).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("last_view").isNotNull &&
+          col("us") > col("last_view") &&
+          col("us") <= col("last_view") + hourUs)
+        .groupBy(col("user_id"))
+        .agg(min(col("us") - col("last_view")).as("min_gap_us"))
+        .agg(count(lit(1)).as("converted"),
+          min(col("min_gap_us")).cast("bigint").as("fastest_us"))
+    }),
+
     // --- year-over-year revenue growth per segment (TPC-DS-style
     // window-over-aggregate; the lag window runs on the already-reduced
     // (segment, year) frame, not the fact table) ---
@@ -364,6 +390,19 @@ object ScaleQueries {
         SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
         FROM documents) x
       GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "c12_funnel" -> """
+      WITH pairs AS (
+        SELECT a.user_id,
+          MIN(epoch_us(CAST(b.ts AS TIMESTAMP))
+            - epoch_us(CAST(a.ts AS TIMESTAMP))) AS min_gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        GROUP BY a.user_id)
+      SELECT COUNT(*) AS converted,
+        CAST(MIN(min_gap_us) AS BIGINT) AS fastest_us
+      FROM pairs""",
     "a1_yoy_growth" -> """
       WITH yearly AS (
         SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS y,
