@@ -1194,7 +1194,10 @@ class GraftSession(val spark: SparkSession, root: String) {
     * CREATE/DROP DATABASE (db.table qualifiers accepted everywhere and
     * stripped — single-namespace session), CREATE/DROP INDEX
     * (metadata-only), ALTER TABLE ADD/DROP/RENAME COLUMN,
-    * CHECKPOINT/VACUUM [table] → compact, INSERT INTO ... VALUES / SELECT,
+    * CHECKPOINT/VACUUM [table] → compact, TRUNCATE [TABLE] (schema and
+    * constraints survive), SHOW TABLES / DESCRIBE (pg_class-style
+    * introspection), WITH RECURSIVE (via [[sql]]'s fixpoint lowering),
+    * INSERT INTO ... VALUES / SELECT,
     * UPDATE ... SET ... [FROM src] [WHERE ...] [RETURNING ...],
     * DELETE FROM ... [USING src] [WHERE ...] [RETURNING ...]. */
   def execute(statement: String, params: Seq[Any] = Nil): DataFrame = {
@@ -1233,6 +1236,8 @@ class GraftSession(val spark: SparkSession, root: String) {
     val setTzRe =
       """(?is)^SET\s+TIME\s*ZONE\s+(?:TO\s+)?'?([\w/+-:]+)'?\s*;?$""".r
     val showTablesRe = """(?is)^SHOW\s+TABLES\s*;?$""".r
+    val truncateRe =
+      ("""(?is)^TRUNCATE\s+(?:TABLE\s+)?""" + Q + """(\w+)\s*;?$""").r
     val describeRe =
       ("""(?is)^DESC(?:RIBE)?\s+(?:TABLE\s+)?""" + Q + """(\w+)\s*;?$""").r
     val createSeqRe =
@@ -1301,6 +1306,14 @@ class GraftSession(val spark: SparkSession, root: String) {
       case checkpointRe(tbl) =>
         Option(tbl).map(Seq(_)).getOrElse(tables.keys.toSeq)
           .foreach(compact); empty
+      case truncateRe(tbl) =>
+        // schema survives, every batch dir goes — PG TRUNCATE semantics
+        // minus MVCC; O(batches) directory removal, no data scan
+        state(tbl) // unknown table errors before anything is deleted
+        listBatches(tbl).foreach(deleteRecursively)
+        bumpGeneration(tbl)
+        persistMeta(tbl)
+        empty
       case alterAddRe(tbl, column, tpe) =>
         addColumn(tbl, column,
           org.apache.spark.sql.types.DataType.fromDDL(tpe)); empty

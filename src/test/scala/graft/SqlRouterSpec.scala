@@ -282,6 +282,19 @@ class SqlRouterSpec extends SparkSpec {
     assert(vcols == Seq(("id", "bigint")))
   }
 
+  test("TRUNCATE empties the table but keeps schema and constraints") {
+    val s = g
+    s.execute("CREATE TABLE tt (id BIGINT, name STRING)")
+    s.execute("INSERT INTO tt VALUES (1, 'a'), (2, 'b')")
+    s.execute("TRUNCATE TABLE tt")
+    assert(s.execute("SELECT count(*) AS n FROM tt").as[Long].head() == 0L)
+    // schema intact: inserts still validate against it
+    s.execute("INSERT INTO tt VALUES (3, 'c')")
+    assert(s.execute("SELECT id, name FROM tt").as[(Long, String)]
+      .collect().toSeq == Seq((3L, "c")))
+    intercept[Exception] { s.execute("TRUNCATE missing_table") }
+  }
+
   test("WITH RECURSIVE (UNION ALL): integer series through execute") {
     val out = g.execute("""
       WITH RECURSIVE t(n) AS (
