@@ -160,6 +160,25 @@ object TextQueries {
           sha2(col("payload"), 256).as("payload_sha"),
           col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- frame-sampling generator end to end: k pseudo-frames explode
+    // per media row (narrow flatMap, no shuffle). The decoded features
+    // are the documented stub, so the ORACLE-checkable contract is the
+    // generator's cardinality and id algebra plus feature-vector shape ---
+    "m2_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      val rows = graft.multimodal.Multimodal.withMedia(media, "doc_id",
+        "payload").as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.sampleFrames(rows, k = 3)
+        .toDF()
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("id")).as("n_ids"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+          min(size(col("features"))).cast("bigint").as("dim_lo"),
+          max(size(col("features"))).cast("bigint").as("dim_hi"))
     })
   )
 
@@ -298,6 +317,14 @@ object TextQueries {
         CAST(length(text) AS BIGINT) AS n_bytes,
         sha256(text) AS payload_sha,
         source
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+    "m2_frame_sample" -> """
+      SELECT COUNT(*) * 3 AS n_frames,
+        COUNT(*) * 3 AS n_ids,
+        CAST(MIN(doc_id) * 1000 AS BIGINT) AS min_id,
+        CAST(MAX(doc_id) * 1000 + 2 AS BIGINT) AS max_id,
+        CAST(8 AS BIGINT) AS dim_lo,
+        CAST(8 AS BIGINT) AS dim_hi
+      FROM documents"""
   )
 }
