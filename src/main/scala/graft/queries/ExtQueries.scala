@@ -14,10 +14,14 @@ import graft.operators.RecursiveCte
 object ExtQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // --- WITH RECURSIVE via the driver-side fixpoint loop ---
+    // --- WITH RECURSIVE via the driver-side fixpoint loop. UNION ALL
+    // semantics to match the oracle exactly: the step yields fresh rows
+    // every wave, so the accumulate-all variant is correct AND skips the
+    // per-iteration `except` anti-join the dedup fixpoint pays (the
+    // dedup path is exercised by x10's cyclic closure) ---
     "x1_recursive_cte" -> ((s, dir) => {
       import s.implicits._
-      RecursiveCte.fixpoint(
+      RecursiveCte.fixpointAll(
         Seq(1L).toDF("n"),
         d => d.filter(col("n") < 25).select((col("n") + 1).as("n")))
         .orderBy(col("n"))
