@@ -242,6 +242,36 @@ class ConstraintsSpec extends SparkSpec {
     assert(rows.toSeq == Seq((10L, None), (12L, Some(2L))))
   }
 
+  test("pruned DML keeps rename resolution for untouched batches") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft").toString
+    val g = GraftSession(spark, root)
+    g.createTable("rt", StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType))))
+    g.insert("rt", Seq((1L, 10L), (2L, 20L)).toDF("k", "v")) // physical: v
+    g.renameColumn("rt", "v", "w")
+    g.insert("rt", Seq((3L, 30L), (4L, 40L)).toDF("k", "w")) // physical: w
+    val dataDir = java.nio.file.Paths.get(root, "rt", "data")
+    def dirs() = Files.list(dataDir).iterator.asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    val before = dirs()
+    // selective UPDATE matches only the post-rename batch; the
+    // pre-rename batch dir must stay in place with its OLD physical
+    // column name still resolving through the rename map
+    g.update("rt", Map("w" -> lit(99L)), col("k") === 3L)
+    assert(dirs().contains(before(0)), "pre-rename batch must be untouched")
+    assert(!dirs().contains(before(1)))
+    assert(g.table("rt").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 10L), (2L, 20L), (3L, 99L), (4L, 40L)))
+    // and a selective update matching the PRE-rename batch rewrites it
+    // to the new physical name without disturbing the other batches
+    g.update("rt", Map("w" -> lit(11L)), col("k") === 1L)
+    assert(g.table("rt").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 11L), (2L, 20L), (3L, 99L), (4L, 40L)))
+  }
+
   test("selective UPDATE/DELETE rewrite only batches containing matches") {
     import scala.jdk.CollectionConverters._
     val root = Files.createTempDirectory("graft").toString
