@@ -62,9 +62,16 @@ object JsonBenchQueries {
         .as("kind"),
       struct(collectionExpr.as("collection"), operationExpr.as("operation"))
         .as("commit"))).as("line"))
-    val parsed = s.read.json(lines.select(col("line")).as(Encoders.STRING))
-    g.createDynamicTable("bsky")
-    g.insert("bsky", parsed)
+    // cache the serialized lines: read.json's schema-inference pass and
+    // the parse pass would otherwise each recompute the whole serialize
+    // pipeline (at warehouse scale the lines would land on disk instead;
+    // the double-scan-vs-materialize trade is the same)
+    val lineDs = lines.select(col("line")).as(Encoders.STRING).cache()
+    try {
+      val parsed = s.read.json(lineDs)
+      g.createDynamicTable("bsky")
+      g.insert("bsky", parsed)
+    } finally lineDs.unpersist(blocking = false)
     g
   }
 
