@@ -1213,6 +1213,10 @@ class GraftSession(val spark: SparkSession, root: String) {
     // accepted and dropped
     val createTableRe =
       ("""(?is)^CREATE\s+TABLE\s+""" + Q + """(\w+)\s*(?:\((.*)\))?\s*;?$""").r
+    val ctasRe =
+      ("""(?is)^CREATE\s+TABLE\s+""" + Q + """(\w+)\s+AS\s+(\(?\s*SELECT\s+.*?)\s*;?$""").r
+    val refreshMvRe =
+      ("""(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Q + """(\w+)\s*;?$""").r
     val createDynRe =
       ("""(?is)^CREATE\s+DYNAMIC\s+TABLE\s+""" + Q + """(\w+)\s*;?$""").r
     val dropRe = ("""(?is)^DROP\s+TABLE\s+""" + Q + """(\w+)\s*;?$""").r
@@ -1331,6 +1335,17 @@ class GraftSession(val spark: SparkSession, root: String) {
         createMacro(name,
           ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq, body); empty
       case createDynRe(name) => createDynamicTable(name); empty
+      // CTAS (reference T_CreateTableAsStmt): schema from the analyzed
+      // query, rows through the catalog insert path
+      case ctasRe(name, body0) =>
+        val b = body0.trim
+        val body = if (b.startsWith("(") && b.endsWith(")"))
+          b.substring(1, b.length - 1) else b
+        val df = sql(body)
+        createTable(name, df.schema)
+        insert(name, df)
+        empty
+      case refreshMvRe(name) => refreshMatView(name); empty
       case createTableRe(name, null) => createDynamicTable(name); empty
       case createTableRe(name, colsDdl) =>
         val (schema, enumChecks) = resolveEnumDdl(colsDdl)

@@ -282,6 +282,19 @@ class SqlRouterSpec extends SparkSpec {
     assert(vcols == Seq(("id", "bigint")))
   }
 
+  test("CREATE TABLE AS SELECT and REFRESH MATERIALIZED VIEW") {
+    val s = g
+    s.execute("CREATE TABLE src (v BIGINT)")
+    s.execute("INSERT INTO src VALUES (1), (2), (3)")
+    s.execute("CREATE TABLE tgt AS SELECT v * 2 AS d FROM src")
+    assert(s.execute("SELECT sum(d) AS sd FROM tgt").as[Long].head() == 12L)
+    s.execute("CREATE MATERIALIZED VIEW mv AS SELECT sum(v) AS s FROM src")
+    s.execute("INSERT INTO src VALUES (10)")
+    assert(s.execute("SELECT s FROM mv").as[Long].head() == 6L) // stale
+    s.execute("REFRESH MATERIALIZED VIEW mv")
+    assert(s.execute("SELECT s FROM mv").as[Long].head() == 16L)
+  }
+
   test("TRUNCATE empties the table but keeps schema and constraints") {
     val s = g
     s.execute("CREATE TABLE tt (id BIGINT, name STRING)")
