@@ -85,14 +85,22 @@ object TextFunctions {
 
   def bpeTokenCount(c: Column): Column = size(bpeTokens(c)).cast("bigint")
 
+  /** First 60 bits of md5(c) as a non-negative bigint. md5 is the one hash
+    * every engine shares, so values derived from it are oracle-matchable
+    * (DuckDB: `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`); 15 hex digits
+    * keep the value under 2^60, ANSI-safe for further long arithmetic. */
+  def md5Bits60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
   /** Rolling polynomial fingerprint over tokens (Karp-Rabin style):
-    * acc ← (acc·31 + |xxhash64(token)| mod p) mod p. Stays below 2^62 so
-    * ANSI-mode long arithmetic cannot overflow. */
+    * acc ← (acc·31 + (md5-derived token hash) mod p) mod p. Stays below
+    * 2^62 so ANSI-mode long arithmetic cannot overflow; md5-derived token
+    * hashes (not xxhash64) keep the value reproducible in any engine. */
   def fingerprintRolling(c: Column): Column = {
     val p = 1000000007L
     bind(tokens(c)) { t =>
       aggregate(t, lit(1L),
-        (acc, tok) => pmod(acc * 31L + pmod(xxhash64(tok), lit(p)), lit(p)))
+        (acc, tok) => pmod(acc * 31L + pmod(md5Bits60(tok), lit(p)), lit(p)))
     }
   }
 
@@ -150,17 +158,38 @@ object TextFunctions {
     }
 
   /** 64-bit SimHash over tokens: bit i of the signature is the sign of
-    * sum over tokens of (bit i of xxhash64(token) ? +1 : -1). */
+    * sum over tokens of (bit i of the token hash ? +1 : -1).
+    *
+    * The per-token hash is the first 16 hex digits of md5(token), so the
+    * signature is reproducible in any engine with md5 (the DuckDB oracle
+    * recomputes it digit-by-digit). Each token is hashed ONCE into a
+    * 16-element digit-value array (the outer bind), so the 64 per-bit vote
+    * aggregates only do array lookups + shifts. Output is a fixed-width
+    * 16-char lowercase hex string (MSB-first), compatible with
+    * [[hammingHex]]. */
   def simHash(c: Column): Column =
-    bind(transform(tokens(c), tok => xxhash64(tok))) { th =>
+    bind(transform(tokens(c), tok =>
+      bind(substring(md5(tok), 1, 16)) { h =>
+        transform(sequence(lit(1), lit(16)),
+          j => conv(h.substr(j, lit(1)), 16, 10).cast("bigint"))
+      })) { th =>
       val bitCols = (0 until 64).map { i =>
+        // bit i (MSB-first) lives in hex digit i/4 at position 3 - i%4
+        val j = i / 4 + 1
+        val b = 3 - (i % 4)
         val votes = aggregate(th, lit(0L),
-          (acc, h) =>
-            acc + when((shiftright(h, i) % 2) =!= 0, 1L).otherwise(-1L))
+          (acc, ds) =>
+            acc + when((shiftright(element_at(ds, j), b) % 2) =!= 0, 1L)
+              .otherwise(-1L))
         when(votes > 0, lit(1L)).otherwise(lit(0L))
       }
-      // Assemble as bit-string → avoids 2^63 overflow under ANSI mode.
-      conv(concat(bitCols.reverse.map(b => b.cast("string")): _*), 2, 16)
+      // assemble nibble-by-nibble into fixed-width lowercase hex
+      val hexChars = (0 until 16).map { d =>
+        val v = bitCols(d * 4) * 8 + bitCols(d * 4 + 1) * 4 +
+          bitCols(d * 4 + 2) * 2 + bitCols(d * 4 + 3)
+        lit("0123456789abcdef").substr((v + 1).cast("int"), lit(1))
+      }
+      concat(hexChars: _*)
     }
 
   /** Hamming distance between two hex SimHash signatures. */

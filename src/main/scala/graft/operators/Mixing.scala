@@ -57,18 +57,25 @@ object Mixing {
   }
 
   /** Deterministic stratified sample: per-stratum fractions with a fixed
-    * seed (rebalancing a language/source mix). Uses hash-based row
-    * selection, so results are stable across partitionings and retries —
-    * unlike rand()-based sampling. */
+    * seed (rebalancing a language/source mix). Row selection hashes
+    * `keyCols` (default: all columns) + seed through md5, so results are
+    * stable across partitionings and retries — unlike rand()-based
+    * sampling — AND reproducible in any engine with md5 (the DuckDB
+    * oracle recomputes the same selection). Pass an explicit unique key
+    * (e.g. the id column) to avoid hashing wide payload columns. */
   def stratifiedSample(df: DataFrame, stratumCol: String,
                        fractions: Map[String, Double],
-                       seed: Long = 42L): DataFrame = {
+                       seed: Long = 42L,
+                       keyCols: Seq[String] = Nil): DataFrame = {
     val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
       when(col(stratumCol) === k, f).otherwise(acc)
     }
-    // uniform [0,1) from a 64-bit hash of the full row + seed
-    val u = (pmod(xxhash64(struct(df.columns.map(col): _*), lit(seed)),
-      lit(1000000007L)).cast("double") / 1000000007.0)
+    val keys = if (keyCols.nonEmpty) keyCols else df.columns.toSeq
+    val keyStr = concat_ws("\u0001",
+      keys.map(k => col(k).cast("string")) :+ lit(seed.toString): _*)
+    // uniform [0,1) from the top 60 bits of md5(keys + seed)
+    val u = pmod(TextFunctions.md5Bits60(keyStr), lit(1000000007L))
+      .cast("double") / 1000000007.0
     df.filter(u < frac)
   }
 }

@@ -55,10 +55,9 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // --- rolling polynomial fingerprint. Inherently engine-specific: the
-    // Karp-Rabin accumulator seeds from per-token xxhash64 (Spark's seeded
-    // XXH64 variant), which DuckDB does not expose, so no cross-engine
-    // oracle can reproduce the values — rows-only check here; the
+    // --- rolling polynomial fingerprint. The Karp-Rabin accumulator seeds
+    // from md5-derived token hashes, which DuckDB reproduces exactly
+    // (list_reduce over the same mod-p fold) — full hash-exact check; the
     // algebraic rolling property is unit-tested in TextFunctionsSpec ---
     "d10_rolling_fp" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -301,6 +300,15 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact replica of TextFunctions.fingerprintRolling: fold tokens
+    // through acc <- (acc*31 + (md5-60-bit hash mod p)) mod p, acc0 = 1
+    "d10_rolling_fp" -> """
+      SELECT doc_id, list_reduce(
+        list_prepend(CAST(1 AS BIGINT),
+          list_transform(string_split_regex(trim(text), '\s+'),
+            t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1000000007)),
+        (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      FROM documents ORDER BY doc_id""",
     // the salted plan must be indistinguishable from the plain aggregation
     "k1_salted_stats" -> """
       SELECT event_type,

@@ -80,11 +80,10 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // --- SimHash signatures. Inherently engine-specific: the signature is
-    // built from per-token xxhash64 bits (Spark's seeded XXH64), which
-    // DuckDB does not expose — no cross-engine oracle can reproduce the
-    // values, so the driver's rows-only check is the strongest available.
-    // The *semantics* (Hamming-close signatures ⇔ near-dup text) are
+    // --- SimHash signatures. Per-token hashes are md5-derived (the one
+    // hash both engines share), so the DuckDB oracle reproduces the exact
+    // 64-bit signature digit-by-digit — full hash-exact check. The
+    // semantics (Hamming-close signatures ⇔ near-dup text) are
     // property-tested in DedupSpec ---
     "d7_simhash" -> ((s, dir) => {
       Dedup.simHashSignatures(docs(s, dir), "text", "doc_id")
@@ -116,16 +115,16 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
-    // --- stratified sampling. Engine-specific by construction: row
-    // selection hashes the full row with Spark's seeded xxhash64 (stable
-    // across partitionings/retries, unlike rand()), which no other engine
-    // reproduces — rows-only check; the per-stratum fraction property is
-    // asserted in MixingSpec ---
+    // --- stratified sampling. Row selection hashes (doc_id, seed) through
+    // md5 (stable across partitionings/retries, unlike rand()), which the
+    // DuckDB oracle reproduces bit-exactly — full hash-exact check. The
+    // per-stratum fraction property is additionally asserted in SkewSpec ---
     "d12_stratified_sample" -> ((s, dir) => {
       graft.operators.Mixing.stratifiedSample(
           docs(s, dir), "lang",
           Map("en" -> 0.5, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0,
-            "de" -> 1.0))
+            "de" -> 1.0),
+          keyCols = Seq("doc_id"))
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))
     }),
@@ -182,7 +181,45 @@ object TextQueries {
     })
   )
 
+  /** DuckDB replica of [[graft.functions.TextFunctions.simHash]]: per
+    * token, the first 16 hex digits of md5; per bit i (MSB-first), a ±1
+    * vote from hex digit i/4 bit 3-i%4; sign of the vote sum is the
+    * signature bit; nibbles re-assembled into lowercase hex. Generated
+    * (64 vote exprs + 16 nibble lookups) rather than hand-written. */
+  private def simhashOracle: String = {
+    val votes = (0 until 64).map { i =>
+      val j = i / 4 + 1
+      val b = 3 - (i % 4)
+      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN " +
+        s"((CAST('0x' || substr(h, $j, 1) AS BIGINT) >> $b) & 1) = 1 " +
+        s"THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END AS b$i"
+    }.mkString(",\n        ")
+    val hexSel = (0 until 16).map { d =>
+      s"substr('0123456789abcdef', " +
+        s"b${d * 4} * 8 + b${d * 4 + 1} * 4 + b${d * 4 + 2} * 2 + b${d * 4 + 3} + 1, 1)"
+    }.mkString(" || ")
+    s"""
+      WITH t AS (
+        SELECT doc_id AS id,
+          list_transform(string_split_regex(trim(text), '\\s+'),
+                         tok -> substr(md5(tok), 1, 16)) AS hs
+        FROM documents),
+      v AS (SELECT id,
+        $votes
+        FROM t)
+      SELECT id, $hexSel AS sig FROM v ORDER BY id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "d7_simhash" -> simhashOracle,
+    "d12_stratified_sample" -> """
+      SELECT lang, COUNT(*) AS n FROM documents
+      WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || '42'), 1, 15) AS BIGINT)
+             % 1000000007) / 1000000007.0
+            < (CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 1.0
+                 WHEN 'es' THEN 1.0 WHEN 'zh' THEN 1.0 WHEN 'de' THEN 1.0
+                 ELSE 0.0 END)
+      GROUP BY lang ORDER BY lang""",
     // all-pairs exact ground truth: the LSH path must find exactly these
     "d6_minhash_lsh" -> """
       WITH sh AS (

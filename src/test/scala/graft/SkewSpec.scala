@@ -88,6 +88,16 @@ class SkewSpec extends SparkSpec {
       countDistinct(col("user_id")).as("x")).head()
     val (a, x) = (both.getLong(0).toDouble, both.getLong(1).toDouble)
     assert(math.abs(a - x) / x < 0.05, s"approx=$a exact=$x")
+    // the k4 registry query's exact-distinct companion bound: the HLL
+    // estimate must hold per group too, not just globally
+    val perType = e.groupBy(col("event_type")).agg(
+      approx_count_distinct(col("user_id")).as("a"),
+      countDistinct(col("user_id")).as("x")).collect()
+    perType.foreach { r =>
+      val (ga, gx) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(ga - gx) / gx < 0.05,
+        s"event_type ${r.getString(0)}: approx=$ga exact=$gx")
+    }
   }
 
   test("salted join equals plain join") {
