@@ -3,7 +3,8 @@ package graft.api
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, monotonically_increasing_id, when}
+import org.apache.spark.sql.functions.{col, count, lit, monotonically_increasing_id, raise_error, when}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.sources.DynamicSchema
 
@@ -425,6 +426,13 @@ class GraftSession(val spark: SparkSession, root: String) {
 
   /** INSERT: appends a batch. Dynamic tables merge schemas
     * (NEW / SAME-TYPE / TYPE-EVOLUTION); fixed tables validate + cast. */
+  /** Batch-count ceiling before an insert auto-triggers [[compactSmall]].
+    * Every `batch_*` dir is one union arm in [[table]]'s plan and one
+    * entry in every pruned-DML tag scan, so unbounded growth degrades
+    * PLANNING linearly even when the data is tiny — a pathological insert
+    * loop must not be able to build a 10^4-arm plan. ≤ 0 disables. */
+  var autoCompactThreshold: Int = 32
+
   def insert(name: String, df: DataFrame): Unit = {
     val st = state(name)
     if (st.dynamic) {
@@ -437,6 +445,12 @@ class GraftSession(val spark: SparkSession, root: String) {
     val batch = dataDir(name).resolve(f"batch_${bumpGeneration(name)}%08d")
     df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
     persistMeta(name)
+    // compaction POLICY (round-5 gap: the mechanism existed, nothing
+    // called it): fold the small-batch tail once the count crosses the
+    // threshold. O(small tail), not O(table) — large batches stay put.
+    if (autoCompactThreshold > 0 &&
+        listBatches(name).size > autoCompactThreshold)
+      compactSmall(name)
   }
 
   /** UPDATE ... SET ... WHERE ... [RETURNING]: read → transform → staged
@@ -509,13 +523,6 @@ class GraftSession(val spark: SparkSession, root: String) {
     // not force-broadcast an unbounded frame; AQE broadcasts small ones.
     val tagged = other.withColumn("__graft_hit", lit(1))
     val matched = current.join(tagged, joinCond, "left")
-    // a target row matching >1 source row would be duplicated by the join
-    // and silently persisted twice — refuse, like PG's ON-conflict rule
-    val dups = matched.groupBy(col("__graft_rid"))
-      .agg(count(lit(1)).as("__graft_n"))
-      .filter(col("__graft_n") > 1).count()
-    require(dups == 0,
-      s"UPDATE...FROM: $dups target row(s) match multiple source rows")
     val srcExtra = other.columns
       .filterNot(c => base.columns.contains(c) || c.startsWith("__graft_"))
     // simultaneous assignment from the pre-update row (matches update()).
@@ -527,30 +534,56 @@ class GraftSession(val spark: SparkSession, root: String) {
     val updatedAll = matched.select((base.columns.map { c =>
       resolved.get(c).map(v => when(hit, v).otherwise(current(c)).as(c))
         .getOrElse(current(c).as(c))
-    } ++ srcExtra.map(c => tagged(c)) :+ hit.as("__graft_matched")).toSeq: _*)
+    } ++ srcExtra.map(c => tagged(c))
+      :+ hit.as("__graft_matched")
+      :+ current("__graft_rid").as("__graft_rid")).toSeq: _*)
     val updated = updatedAll.select(base.columns.map(col).toSeq: _*)
+    // a target row matching >1 source row would be duplicated by the join
+    // and silently persisted twice — refuse, like PG's one-source-row
+    // rule. The guard is FUSED into the RETURNING frame instead of being
+    // a separate count job that re-runs the whole join: every
+    // multi-matching row is by construction a matched row, and RETURNING
+    // is always staged BEFORE any directory swap (both the pruned and the
+    // full-overwrite path), so a window join-copy count over the row id
+    // plus a raising filter fails that first write action and leaves the
+    // table untouched.
+    val nMatch = count(lit(1)).over(Window.partitionBy(col("__graft_rid")))
     val returning = updatedAll.filter(col("__graft_matched"))
+      .withColumn("__graft_nmatch", nMatch)
+      .filter(when(col("__graft_nmatch") > 1,
+        raise_error(lit(GraftSession.MultiMatchMsg)).cast("boolean"))
+        .otherwise(lit(true)))
       .select((base.columns ++ srcExtra).map(col).toSeq: _*)
-    validateUpdate(name,
-      returning.select(base.columns.map(col).toSeq: _*), resolved.keySet)
-    // predicate-pruned path: only batches with join matches rewrite (the
-    // wide transform re-derives on the matched-batch union; unmatched
-    // rows of those batches pass through via the left join). The
-    // RETURNING frame stays the whole-table spelling — identical rows,
-    // since only matched rows survive its filter.
-    val baseCols = base.columns.toSeq
-    prunedRewrite(name,
-      cur => cur.as(name).join(tagged, joinCond, "left_semi"),
-      frame => {
-        val f = frame.as(name)
-        val m = f.join(tagged, joinCond, "left")
-        m.select(baseCols.map { c =>
-          resolved.get(c).map(v => when(hit, v).otherwise(f(c)).as(c))
-            .getOrElse(f(c).as(c))
-        }.toSeq: _*)
-      },
-      returning)
-      .getOrElse(overwrite(name, updated, returning))
+    try {
+      validateUpdate(name,
+        returning.select(base.columns.map(col).toSeq: _*), resolved.keySet)
+      // predicate-pruned path: only batches with join matches rewrite (the
+      // wide transform re-derives on the matched-batch union; unmatched
+      // rows of those batches pass through via the left join). The
+      // RETURNING frame stays the whole-table spelling — identical rows,
+      // since only matched rows survive its filter.
+      val baseCols = base.columns.toSeq
+      prunedRewrite(name,
+        cur => cur.as(name).join(tagged, joinCond, "left_semi"),
+        frame => {
+          val f = frame.as(name)
+          val m = f.join(tagged, joinCond, "left")
+          m.select(baseCols.map { c =>
+            resolved.get(c).map(v => when(hit, v).otherwise(f(c)).as(c))
+              .getOrElse(f(c).as(c))
+          }.toSeq: _*)
+        },
+        returning)
+        .getOrElse(overwrite(name, updated, returning))
+    } catch {
+      // surface the fused guard's executor-side raise as the API-level
+      // IllegalArgumentException contract (the raise arrives wrapped in
+      // SparkException layers from the failed write job)
+      case e: Throwable if GraftSession.causeChain(e)
+          .exists(t => Option(t.getMessage)
+            .exists(_.contains(GraftSession.MultiMatchMsg))) =>
+        throw new IllegalArgumentException(GraftSession.MultiMatchMsg, e)
+    }
   }
 
   /** Compacts all ingest batches into one (the reference's vacuum/
@@ -599,6 +632,28 @@ class GraftSession(val spark: SparkSession, root: String) {
       deleteRecursively(staging)
       bumpGeneration(name)
     }
+    persistMeta(name)
+  }
+
+  /** TRUNCATE: schema and constraints survive, every batch dir goes — PG
+    * TRUNCATE semantics minus MVCC; O(batches) directory removal, no data
+    * scan. Like PG, refuses when another table references `name` by FK
+    * (regardless of the FK's delete action or whether referencing rows
+    * exist — DELETE is the path that fires FK actions; a directory-drop
+    * that skipped them would leave dangling child references).
+    * Self-referential FKs don't block: all rows vanish together. */
+  def truncateTable(name: String): Unit = {
+    state(name) // unknown table errors before anything is deleted
+    val referencing = fks.toSeq.collect {
+      case (child, childFks)
+          if child != name && childFks.exists(_.parent == name) => child
+    }.sorted
+    if (referencing.nonEmpty) throw new IllegalStateException(
+      s"cannot TRUNCATE $name: referenced by foreign key(s) from " +
+        s"${referencing.mkString(", ")} — use DELETE (fires FK actions) " +
+        "or drop the referencing constraint first")
+    listBatches(name).foreach(deleteRecursively)
+    bumpGeneration(name)
     persistMeta(name)
   }
 
@@ -1010,40 +1065,30 @@ class GraftSession(val spark: SparkSession, root: String) {
     }
   }
 
-  private val recursiveHeadRe =
-    """(?is)^\s*WITH\s+RECURSIVE\s+(\w+)\s*(?:\(([^)]*)\))?\s*AS\s*\(""".r
+  private val recursiveKwRe = """(?is)^\s*WITH\s+RECURSIVE\s+""".r
+  private val cteItemRe = """(?is)^\s*(\w+)\s*(?:\(([^)]*)\))?\s*AS\s*\(""".r
 
-  /** `WITH RECURSIVE name [(cols)] AS (seed UNION [ALL] step) outer`
-    * through the SQL surface (reference transform_select.cpp:26-58 parses
-    * the RECURSIVE flag; test_subqueries.cpp:1209). Catalyst has no
-    * recursive-CTE execution, so the spelling lowers to the driver-side
-    * fixpoint ([[graft.operators.RecursiveCte]]): UNION → dedup fixpoint
-    * (cycle-safe), UNION ALL → accumulate-all. Each iteration re-binds
-    * `name` as a temp view over the previous delta — PG's working-table
-    * semantics. Non-SELECT text and non-recursive WITH fall through to
-    * Catalyst untouched. `spark.graft.recursive.maxIterations` (default
-    * 100) bounds non-converging queries with a clear error. */
-  private def recursiveWith(stmt: String): Option[DataFrame] = {
-    val m = recursiveHeadRe.findPrefixMatchOf(stmt).getOrElse(return None)
-    val cteName = m.group(1)
-    val colList = Option(m.group(2)).map(_.split(",").map(_.trim).toSeq)
-    // matching close paren of the CTE body (single-quote-literal aware —
-    // '' escapes double-toggle, which lands back inside the literal —
-    // and comment-aware: a ')' or apostrophe inside `-- …` / `/* … */`
-    // must not count)
-    def skipComment(s: String, at: Int): Int =
-      if (s.startsWith("--", at)) {
-        val nl = s.indexOf('\n', at); if (nl < 0) s.length else nl + 1
-      } else if (s.startsWith("/*", at)) {
-        val end = s.indexOf("*/", at + 2)
-        if (end < 0) s.length else end + 2
-      } else at
-    var depth = 1; var i = m.end; var inLit = false
-    while (i < stmt.length && depth > 0) {
-      val c = stmt.charAt(i)
+  /** Comment skipper shared by the CTE scanners: returns the index just
+    * past a line or block comment starting at `at`, or `at` itself. */
+  private def skipSqlComment(s: String, at: Int): Int =
+    if (s.startsWith("--", at)) {
+      val nl = s.indexOf('\n', at); if (nl < 0) s.length else nl + 1
+    } else if (s.startsWith("/*", at)) {
+      val end = s.indexOf("*/", at + 2)
+      if (end < 0) s.length else end + 2
+    } else at
+
+  /** Index just past the ')' closing the group that is open (depth 1) at
+    * `from`. Single-quote-literal aware ('' escapes double-toggle, which
+    * lands back inside the literal) and comment-aware: a ')' or
+    * apostrophe inside a line or block comment must not count. */
+  private def closeParen(s: String, from: Int): Int = {
+    var depth = 1; var i = from; var inLit = false
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
       if (inLit) { if (c == '\'') inLit = false; i += 1 }
       else {
-        val skipped = skipComment(stmt, i)
+        val skipped = skipSqlComment(s, i)
         if (skipped != i) i = skipped
         else {
           c match {
@@ -1057,21 +1102,98 @@ class GraftSession(val spark: SparkSession, root: String) {
       }
     }
     require(depth == 0, "WITH RECURSIVE: unbalanced parentheses")
-    val body = stmt.substring(m.end, i - 1)
-    val rest = stmt.substring(i).trim
-    // further (non-recursive) CTEs after the recursive one become a plain
-    // WITH on the outer query
-    val outerSql =
-      if (rest.startsWith(",")) "WITH " + rest.substring(1).trim else rest
+    i
+  }
+
+  /** One parsed `name [(cols)] AS (body)` item of a WITH list. */
+  private case class CteItem(name: String, cols: Option[Seq[String]],
+                             body: String) {
+    def render: String =
+      name + cols.map(_.mkString(" (", ", ", ")")).getOrElse("") +
+        " AS (" + body + ")"
+  }
+
+  /** `WITH RECURSIVE … ctes … outer` through the SQL surface (reference
+    * transform_select.cpp:26-58 parses the RECURSIVE flag;
+    * test_subqueries.cpp:1209). Catalyst has no recursive-CTE execution,
+    * so the self-referencing member lowers to the driver-side fixpoint
+    * ([[graft.operators.RecursiveCte]]): UNION → dedup fixpoint
+    * (cycle-safe), UNION ALL → accumulate-all. Each iteration re-binds
+    * the name as a temp view over the previous delta — PG's working-table
+    * semantics.
+    *
+    * PG scoping rules honored here: the RECURSIVE flag scopes the WHOLE
+    * WITH list, so the recursive member may sit at ANY position;
+    * preceding CTEs become a plain WITH prefix on the seed/step/outer
+    * queries, trailing ones a plain WITH on the outer query. A list with
+    * NO self-referencing member is plain WITH semantics (re-rendered
+    * without the keyword, Catalyst takes it). More than one recursive
+    * member is refused with a clear error. Non-SELECT text and
+    * non-recursive WITH fall through to Catalyst untouched.
+    * `spark.graft.recursive.maxIterations` (default 100) bounds
+    * non-converging queries with a clear error. */
+  private def recursiveWith(stmt: String): Option[DataFrame] = {
+    val kw = recursiveKwRe.findPrefixMatchOf(stmt).getOrElse(return None)
+    // parse the full CTE list
+    val ctes = scala.collection.mutable.ArrayBuffer[CteItem]()
+    var pos = kw.end
+    var more = true
+    while (more) {
+      val m = cteItemRe.findPrefixMatchOf(stmt.substring(pos)).getOrElse(
+        throw new IllegalArgumentException(
+          "WITH RECURSIVE: expected `name [(cols)] AS (…)` at: " +
+            stmt.substring(pos).take(60)))
+      val bodyStart = pos + m.end
+      val end = closeParen(stmt, bodyStart)
+      ctes += CteItem(m.group(1),
+        Option(m.group(2)).map(_.split(",").map(_.trim).toSeq),
+        stmt.substring(bodyStart, end - 1))
+      // a top-level ',' after the close paren means another CTE follows
+      var k = end
+      var scanning = true
+      while (scanning) {
+        while (k < stmt.length && stmt.charAt(k).isWhitespace) k += 1
+        val sk = skipSqlComment(stmt, k)
+        if (sk != k) k = sk else scanning = false
+      }
+      if (k < stmt.length && stmt.charAt(k) == ',') pos = k + 1
+      else { pos = k; more = false }
+    }
+    val outerRemainder = stmt.substring(pos)
+    // self-reference test is parser-level (subqueries included), textual
+    // word-boundary fallback if the body alone doesn't parse
+    def selfRef(c: CteItem): Boolean =
+      referencedRelations(c.body)
+        .map(_.contains(c.name.toLowerCase))
+        .getOrElse(("(?i)\\b" + java.util.regex.Pattern.quote(c.name) +
+          "\\b").r.findFirstIn(c.body).isDefined)
+    val recIdxs = ctes.zipWithIndex.collect { case (c, i) if selfRef(c) => i }
+    if (recIdxs.size > 1) throw new IllegalArgumentException(
+      "WITH RECURSIVE: at most one recursive CTE per statement is " +
+        s"supported (found: ${recIdxs.map(ctes(_).name).mkString(", ")})")
+    if (recIdxs.isEmpty) {
+      // RECURSIVE flag present but nothing self-references: plain WITH
+      val plain =
+        "WITH " + ctes.map(_.render).mkString(", ") + " " + outerRemainder
+      registerRelationsFor(plain)
+      return Some(spark.sql(plain))
+    }
+    val recIdx = recIdxs.head
+    val CteItem(cteName, colList, body) = ctes(recIdx)
+    val leading = ctes.take(recIdx).toSeq
+    val trailing = ctes.drop(recIdx + 1).toSeq
+    val prefix =
+      if (leading.isEmpty) ""
+      else "WITH " + leading.map(_.render).mkString(", ") + " "
     // last top-level UNION [ALL] splits seed from step (same literal- and
     // comment-awareness as the paren scan: UNION inside a comment is text)
     var unionPos = -1; var stepStart = -1; var unionAll = false
-    var j = 0; depth = 0; inLit = false
+    var j = 0; var depth = 0; var inLit = false
     while (j < body.length) {
       val c = body.charAt(j)
       if (inLit) { if (c == '\'') inLit = false; j += 1 }
       else {
-        val skipped = skipComment(body, j)
+        val skipped = skipSqlComment(body, j)
         if (skipped != j) j = skipped
         else c match {
           case '\'' => inLit = true; j += 1
@@ -1096,8 +1218,13 @@ class GraftSession(val spark: SparkSession, root: String) {
     }
     require(unionPos >= 0,
       "WITH RECURSIVE: body must be 'seed UNION [ALL] step'")
-    val seedSql = body.substring(0, unionPos)
-    val stepSql = body.substring(stepStart)
+    val seedSql = prefix + body.substring(0, unionPos)
+    val stepSql = prefix + body.substring(stepStart)
+    val outerSql =
+      if (leading.nonEmpty || trailing.nonEmpty)
+        "WITH " + (leading ++ trailing).map(_.render).mkString(", ") +
+          " " + outerRemainder
+      else outerRemainder
     // real relations register first so the CTE binding shadows any
     // same-named catalog table (PG scoping)
     def runWithCte(sqlText: String, cte: DataFrame): DataFrame = {
@@ -1105,11 +1232,13 @@ class GraftSession(val spark: SparkSession, root: String) {
       cte.createOrReplaceTempView(cteName)
       spark.sql(sqlText)
     }
-    // a pre-existing user temp view with the CTE's name gets shadowed for
-    // the statement (PG CTE scoping) — remember, so cleanup below doesn't
-    // DELETE the user's name outright (the closure stays bound to it; the
-    // shadowing itself is inherent to the temp-view lowering)
-    val preExisting = spark.catalog.tableExists(cteName)
+    // a pre-existing temp view with the CTE's name gets shadowed for the
+    // statement (PG CTE scoping) and RESTORED after — snapshotting its
+    // frame now keeps the user's binding from being permanently rebound
+    // to the recursive closure
+    val preExisting =
+      if (spark.catalog.tableExists(cteName)) Some(spark.table(cteName))
+      else None
     registerRelationsFor(seedSql)
     val seed0 = spark.sql(seedSql)
     val seed = colList.map(cs => seed0.toDF(cs: _*)).getOrElse(seed0)
@@ -1121,9 +1250,11 @@ class GraftSession(val spark: SparkSession, root: String) {
       else graft.operators.RecursiveCte.fixpoint(
         seed, d => runWithCte(stepSql, d), maxIter)
     val out = runWithCte(outerSql, closure)
-    // out is analyzed; binding not needed — but never drop a name that
-    // existed before the statement
-    if (!preExisting) spark.catalog.dropTempView(cteName)
+    // out is analyzed; the binding is no longer needed
+    preExisting match {
+      case Some(saved) => saved.createOrReplaceTempView(cteName)
+      case None => spark.catalog.dropTempView(cteName)
+    }
     Some(out)
   }
 
@@ -1140,7 +1271,8 @@ class GraftSession(val spark: SparkSession, root: String) {
       case None =>
         tables.keys.foreach(n => table(n).createOrReplaceTempView(n))
         registerViewsInDependencyOrder(
-          views.toSeq.filterNot { case (n, _) => tables.contains(n) })
+          views.toSeq.filterNot { case (n, _) => tables.contains(n) },
+          strict = false)
       case Some(names) =>
         // transitive closure: a referenced view pulls in its own references
         val needed = scala.collection.mutable.Set[String]()
@@ -1161,21 +1293,42 @@ class GraftSession(val spark: SparkSession, root: String) {
   }
 
   /** View bodies are analyzed eagerly at registration, so a view over
-    * another view must register after its dependency: retry in passes
-    * until a full pass makes no progress (any survivor surfaces its real
-    * error from the main statement's analysis instead). */
+    * another view must register after its dependency. The order is
+    * TOPOLOGICAL, computed from the parsed bodies ([[referencedRelations]]
+    * already does the parse) — one pass, O(V+E), instead of the previous
+    * O(V²) exception-driven retry. A registration that still fails did so
+    * for a real (non-ordering) reason: in `strict` mode — the referenced-
+    * only path, where every pending view is needed by the statement — the
+    * failure is rethrown annotated with the view's name, so the user sees
+    * the body's actual analysis error instead of a generic "table or view
+    * not found". The register-all fallback (statement didn't parse) stays
+    * lenient: an unrelated broken view must not mask the main statement's
+    * own error. */
   private def registerViewsInDependencyOrder(
-      pending0: Seq[(String, String)]): Unit = {
-    var pending = pending0
-    var progressed = true
-    while (pending.nonEmpty && progressed) {
-      progressed = false
-      pending = pending.filter { case (n, body) =>
-        try {
-          spark.sql(body).createOrReplaceTempView(n)
-          progressed = true
-          false
-        } catch { case scala.util.control.NonFatal(_) => true }
+      pending0: Seq[(String, String)], strict: Boolean = true): Unit = {
+    if (pending0.isEmpty) return
+    val byName = pending0.map(p => p._1.toLowerCase -> p).toMap
+    val done = scala.collection.mutable.Set[String]()
+    val visiting = scala.collection.mutable.Set[String]()
+    val order = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def visit(key: String): Unit =
+      if (!done(key) && !visiting(key))
+        byName.get(key).foreach { case (n, body) =>
+          visiting += key
+          referencedRelations(body).getOrElse(Set.empty)
+            .map(_.toLowerCase).foreach(visit)
+          visiting -= key
+          done += key
+          order += ((n, body))
+        }
+    byName.keys.toSeq.sorted.foreach(visit)
+    order.foreach { case (n, body) =>
+      try spark.sql(body).createOrReplaceTempView(n)
+      catch {
+        case scala.util.control.NonFatal(e) if strict =>
+          throw new IllegalStateException(
+            s"view $n failed to register: ${e.getMessage}", e)
+        case scala.util.control.NonFatal(_) => // lenient: see scaladoc
       }
     }
   }
@@ -1310,14 +1463,7 @@ class GraftSession(val spark: SparkSession, root: String) {
       case checkpointRe(tbl) =>
         Option(tbl).map(Seq(_)).getOrElse(tables.keys.toSeq)
           .foreach(compact); empty
-      case truncateRe(tbl) =>
-        // schema survives, every batch dir goes — PG TRUNCATE semantics
-        // minus MVCC; O(batches) directory removal, no data scan
-        state(tbl) // unknown table errors before anything is deleted
-        listBatches(tbl).foreach(deleteRecursively)
-        bumpGeneration(tbl)
-        persistMeta(tbl)
-        empty
+      case truncateRe(tbl) => truncateTable(tbl); empty
       case alterAddRe(tbl, column, tpe) =>
         addColumn(tbl, column,
           org.apache.spark.sql.types.DataType.fromDDL(tpe)); empty
@@ -1686,4 +1832,12 @@ class GraftSession(val spark: SparkSession, root: String) {
 object GraftSession {
   def apply(spark: SparkSession, root: String): GraftSession =
     new GraftSession(spark, root)
+
+  /** Marker message of the fused UPDATE…FROM multi-match guard; also the
+    * needle used to recognize it inside SparkException cause chains. */
+  private[api] val MultiMatchMsg =
+    "UPDATE...FROM: a target row matches multiple source rows"
+
+  private[api] def causeChain(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16).toSeq
 }

@@ -50,6 +50,28 @@ class ConstraintsSpec extends SparkSpec {
     assert(g.table("parent").count() == 2)
   }
 
+  test("TRUNCATE refuses an FK-referenced parent, like PG") {
+    val g = sessionWithParentChild()
+    g.addForeignKey("child", "pid", "parent", "id", g.Restrict)
+    // refusal is based on the constraint's existence, not on rows: PG
+    // refuses even when the child table is empty
+    intercept[IllegalStateException] { g.truncateTable("parent") }
+    assert(g.table("parent").count() == 3) // untouched
+    // the child side (not referenced by anything) truncates fine
+    g.insert("child", Seq((10L, 1L)).toDF("id", "pid"))
+    g.truncateTable("child")
+    assert(g.table("child").count() == 0)
+    // a self-referential FK does not block: all rows vanish together
+    val g2 = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    g2.createTable("tree", StructType(Seq(
+      StructField("id", LongType), StructField("up", LongType))))
+    g2.addForeignKey("tree", "up", "tree", "id", g2.Cascade)
+    g2.insert("tree", Seq((1L, Option.empty[Long])).toDF("id", "up"))
+    g2.insert("tree", Seq((2L, Some(1L))).toDF("id", "up"))
+    g2.truncateTable("tree")
+    assert(g2.table("tree").count() == 0)
+  }
+
   test("FK CASCADE deletes children with the parent") {
     val g = sessionWithParentChild()
     g.addForeignKey("child", "pid", "parent", "id", g.Cascade)

@@ -170,6 +170,47 @@ class GraftSessionSpec extends SparkSpec {
     assert(dirs() == stable)
   }
 
+  test("insert auto-compacts above the batch-count threshold") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft").toString
+    val g = GraftSession(spark, root)
+    g.autoCompactThreshold = 8
+    g.createTable("ac", StructType(Seq(StructField("k", LongType))))
+    (1L to 100L).foreach(i => g.insert("ac", Seq(i).toDF("k")))
+    val dataDir = java.nio.file.Paths.get(root, "ac", "data")
+    val n = Files.list(dataDir).iterator.asScala.size
+    assert(n <= 8, s"batch count $n exceeds the 8-batch policy ceiling")
+    // nothing lost or duplicated by the repeated folds
+    assert(g.table("ac").count() == 100)
+    assert(g.table("ac").agg(sum(col("k"))).head().getLong(0) == 5050L)
+    // plan width is bounded too: one scan arm per surviving batch dir
+    val arms = g.table("ac").queryExecution.optimizedPlan.collectLeaves().size
+    assert(arms <= 8, s"$arms plan leaves for an 8-batch ceiling")
+  }
+
+  test("3-level view chain registers topologically, adverse names included") {
+    val g = freshSession()
+    g.createTable("vt", StructType(Seq(StructField("k", LongType))))
+    g.insert("vt", Seq(1L, 2L, 3L).toDF("k"))
+    // alphabetical order (a_top, b_mid, c_base) is the REVERSE of the
+    // dependency order — only a real topological sort registers these in
+    // one pass
+    g.createView("c_base", "SELECT k FROM vt WHERE k > 1")
+    g.createView("b_mid", "SELECT k + 10 AS k FROM c_base")
+    g.createView("a_top", "SELECT sum(k) AS s FROM b_mid")
+    assert(g.sql("SELECT s FROM a_top").as[Long].head() == 25L)
+  }
+
+  test("a referenced view's real analysis error surfaces, not 'not found'") {
+    val g = freshSession()
+    g.createTable("et", StructType(Seq(StructField("k", LongType))))
+    g.insert("et", Seq(1L).toDF("k"))
+    g.createView("ev", "SELECT missing_col FROM et")
+    val e = intercept[IllegalStateException] { g.sql("SELECT * FROM ev") }
+    assert(e.getMessage.contains("ev"))
+    assert(e.getMessage.toLowerCase.contains("missing_col"))
+  }
+
   test("sql registers only the relations the statement references") {
     val g = freshSession()
     val schema = StructType(Seq(StructField("k", LongType)))

@@ -318,6 +318,64 @@ class SqlRouterSpec extends SparkSpec {
     assert(out.as[Long].collect().toSeq == (1L to 10L))
   }
 
+  test("WITH RECURSIVE: recursive CTE in second position works (PG scoping)") {
+    val out = g.execute("""
+      WITH RECURSIVE base(n0) AS (SELECT CAST(2 AS BIGINT) AS n0),
+      t(n) AS (
+        SELECT n0 AS n FROM base
+        UNION ALL
+        SELECT n + 1 AS n FROM t WHERE n < 6)
+      SELECT n FROM t ORDER BY n""")
+    assert(out.as[Long].collect().toSeq == (2L to 6L))
+  }
+
+  test("WITH RECURSIVE: leading + trailing CTEs around the recursive one") {
+    val out = g.execute("""
+      WITH RECURSIVE lo(a) AS (SELECT CAST(1 AS BIGINT) AS a),
+      t(n) AS (
+        SELECT a AS n FROM lo
+        UNION ALL
+        SELECT n + 1 AS n FROM t WHERE n < 5),
+      hi(m) AS (SELECT max(n) AS m FROM t)
+      SELECT m FROM hi""")
+    assert(out.as[Long].head() == 5L)
+  }
+
+  test("WITH RECURSIVE with no self-reference is plain WITH semantics") {
+    val out = g.execute("""
+      WITH RECURSIVE a(x) AS (SELECT CAST(7 AS BIGINT) AS x),
+      b(y) AS (SELECT x + 1 AS y FROM a)
+      SELECT y FROM b""")
+    assert(out.as[Long].head() == 8L)
+  }
+
+  test("WITH RECURSIVE: two recursive CTEs are refused with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      g.execute("""
+        WITH RECURSIVE p(n) AS (
+          SELECT CAST(1 AS BIGINT) AS n UNION ALL SELECT n + 1 FROM p WHERE n < 3),
+        q(m) AS (
+          SELECT CAST(1 AS BIGINT) AS m UNION ALL SELECT m + 1 FROM q WHERE m < 3)
+        SELECT * FROM p JOIN q ON p.n = q.m""")
+    }
+    assert(e.getMessage.contains("at most one recursive CTE"))
+  }
+
+  test("WITH RECURSIVE restores a shadowed pre-existing temp view") {
+    spark.range(3).toDF("v").createOrReplaceTempView("shadowed")
+    g.execute("""
+      WITH RECURSIVE shadowed(n) AS (
+        SELECT CAST(100 AS BIGINT) AS n
+        UNION ALL
+        SELECT n + 1 AS n FROM shadowed WHERE n < 102)
+      SELECT n FROM shadowed""")
+    // the user's binding must survive the statement, not stay rebound to
+    // the recursive closure
+    assert(spark.table("shadowed").count() == 3)
+    assert(spark.table("shadowed").columns.toSeq == Seq("v"))
+    spark.catalog.dropTempView("shadowed")
+  }
+
   test("WITH RECURSIVE (UNION): cycle terminates via dedup fixpoint") {
     val s = g
     s.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
