@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.TpchQueries.queries ++
     graft.queries.ScaleQueries.queries ++
     graft.queries.JsonBenchQueries.queries ++
-    graft.queries.SsbQueries.queries
+    graft.queries.SsbQueries.queries ++
+    graft.queries.DsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -35,5 +36,6 @@ object SparkEntry {
     graft.queries.TpchQueries.oracles ++
     graft.queries.ScaleQueries.oracles ++
     graft.queries.JsonBenchQueries.oracles ++
-    graft.queries.SsbQueries.oracles
+    graft.queries.SsbQueries.oracles ++
+    graft.queries.DsQueries.oracles
 }

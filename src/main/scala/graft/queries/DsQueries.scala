@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** TPC-DS-style analytic shapes over the driver schema.
+  *
+  * The reference ships the full TPC-DS corpus as a runnable workload
+  * (/root/reference/benchmark/tpcds/, benchmark/SOURCES.md:1-20); the full
+  * 24-table schema is out of scope for the driver's 8-table layout, but the
+  * signature query *shapes* are not:
+  *
+  *   - ds1: grouping-sets hierarchy rollup with GROUPING()-derived level +
+  *     rank-within-level (TPC-DS q36's lochierarchy pattern)
+  *   - ds2: rank-within-category top-k over an aggregated join
+  *     (q67's rank() <= k pruning pattern)
+  *   - ds3: period-over-period delta via lag() on a calendar rollup
+  *     (q89-family month-vs-prior-month deltas)
+  *   - ds4: deviation-from-period-average selection (q47's
+  *     avg-over-partition comparison pattern)
+  *
+  * Scale notes: every shape is one shuffle (the groupBy) plus a window over
+  * the *aggregated* (small) result — the window never sees base-table rows,
+  * so partition width at 100 TB is bounded by group cardinality, not data
+  * volume. Ratios are computed decimal-sum-first, cast to double only at
+  * the end, so results are bit-reproducible across engines.
+  */
+object DsQueries {
+  private val D = DecimalType(28, 6)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- q36 shape: margin rollup with lochierarchy + rank in level ---
+    "ds1_margin_rollup" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val agg = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .rollup(col("o_orderpriority"), col("l_returnflag"))
+        .agg(
+          (sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D))
+             .cast("double") /
+           sum(col("l_extendedprice").cast(D)).cast("double")).as("margin"),
+          (grouping(col("o_orderpriority")) + grouping(col("l_returnflag")))
+            .cast("int").as("lochierarchy"))
+      val w = Window
+        .partitionBy(col("lochierarchy"),
+          when(col("lochierarchy") === 0, col("o_orderpriority")))
+        .orderBy(col("margin"), col("o_orderpriority"), col("l_returnflag"))
+      agg
+        .withColumn("rk", rank().over(w).cast("int"))
+        .select(col("o_orderpriority"), col("l_returnflag"),
+          round(col("margin"), 6).as("margin"), col("lochierarchy"), col("rk"))
+        .orderBy(col("lochierarchy").desc, col("o_orderpriority"), col("rk"))
+    }),
+
+    // --- q67 shape: revenue rank within category, keep top-3 per brand ---
+    "ds2_category_topk" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      val agg = l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(D)).cast("double").as("rev"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("rev").desc, col("p_partkey"))
+      agg
+        .withColumn("rk", rank().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("p_brand"), col("rk"))
+    }),
+
+    // --- q89 shape: month-over-month revenue delta per priority ---
+    "ds3_period_delta" -> ((s, dir) => {
+      val m = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(sum(col("o_totalprice").cast(D)).as("rev_d"))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("m"))
+      m.withColumn("prev_d", lag(col("rev_d"), 1).over(w))
+        .select(col("o_orderpriority"), col("m"),
+          col("rev_d").cast("double").as("rev"),
+          (col("rev_d") - col("prev_d")).cast("double").as("delta"),
+          round(col("rev_d").cast("double") / col("prev_d").cast("double")
+            - 1.0, 6).as("pct"))
+        .orderBy(col("o_orderpriority"), col("m"))
+    }),
+
+    // --- q47 shape: daily totals deviating >5% from the period average.
+    // The average is decimal-sum / count (order-independent), cast to
+    // double only for the final ratio — reproducible in any engine. ---
+    "ds4_avg_deviation" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("t")).as("d"))
+        .agg(sum(col("value").cast(D)).as("tot_d"))
+      val w = Window.partitionBy(col("event_type"))
+      val ratioed = daily
+        .withColumn("avg_tot",
+          sum(col("tot_d")).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double"))
+        .withColumn("ratio", col("tot_d").cast("double") / col("avg_tot"))
+      ratioed
+        .filter(abs(col("ratio") - 1.0) > 0.05)
+        .select(col("event_type"), col("d"),
+          col("tot_d").cast("double").as("tot"),
+          round(col("avg_tot"), 6).as("avg_tot"),
+          round(col("ratio"), 6).as("ratio"))
+        .orderBy(col("event_type"), col("d"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "ds1_margin_rollup" -> """
+      WITH agg AS (
+        SELECT o_orderpriority, l_returnflag,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,6))) AS DOUBLE) /
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+            AS margin,
+          CAST(GROUPING(o_orderpriority) + GROUPING(l_returnflag) AS INT)
+            AS lochierarchy
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY ROLLUP(o_orderpriority, l_returnflag))
+      SELECT o_orderpriority, l_returnflag, ROUND(margin, 6) AS margin,
+        lochierarchy,
+        CAST(RANK() OVER (
+          PARTITION BY lochierarchy,
+            CASE WHEN lochierarchy = 0 THEN o_orderpriority END
+          ORDER BY margin, o_orderpriority, l_returnflag) AS INT) AS rk
+      FROM agg
+      ORDER BY lochierarchy DESC, o_orderpriority, rk""",
+    "ds2_category_topk" -> """
+      WITH agg AS (
+        SELECT p_brand, p_partkey,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,6))) AS DOUBLE) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey)
+      SELECT p_brand, p_partkey, rev,
+        CAST(rk AS INT) AS rk
+      FROM (
+        SELECT *, RANK() OVER (PARTITION BY p_brand
+                               ORDER BY rev DESC, p_partkey) AS rk
+        FROM agg) x
+      WHERE rk <= 3 ORDER BY p_brand, rk""",
+    "ds3_period_delta" -> """
+      WITH m AS (
+        SELECT o_orderpriority,
+          CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+               AS TIMESTAMP) AS m,
+          SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev_d
+        FROM orders GROUP BY 1, 2)
+      SELECT o_orderpriority, m,
+        CAST(rev_d AS DOUBLE) AS rev,
+        CAST(rev_d - lag(rev_d) OVER w AS DOUBLE) AS delta,
+        ROUND(CAST(rev_d AS DOUBLE) /
+              CAST(lag(rev_d) OVER w AS DOUBLE) - 1.0, 6) AS pct
+      FROM m
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY m)
+      ORDER BY o_orderpriority, m""",
+    "ds4_avg_deviation" -> """
+      WITH daily AS (
+        SELECT event_type,
+          CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d,
+          SUM(CAST(value AS DECIMAL(28,6))) AS tot_d
+        FROM events GROUP BY 1, 2),
+      ratioed AS (
+        SELECT event_type, d, tot_d,
+          CAST(SUM(tot_d) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)
+            AS avg_tot
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type))
+      SELECT event_type, d, CAST(tot_d AS DOUBLE) AS tot,
+        ROUND(avg_tot, 6) AS avg_tot,
+        ROUND(CAST(tot_d AS DOUBLE) / avg_tot, 6) AS ratio
+      FROM ratioed
+      WHERE ABS(CAST(tot_d AS DOUBLE) / avg_tot - 1.0) > 0.05
+      ORDER BY event_type, d""")
+}
