@@ -126,6 +126,73 @@ class Relation:
         return [tuple(r) for r in self.df.collect()]
 
 
+class Cursor:
+    """PEP 249-shaped cursor over the Scala router — the shim mirror of the
+    reference's DB-API cursor surface (otterbrix client.execute returning a
+    len()-able, closeable cursor: /root/reference/integration/python/tests/
+    test_collection_sql.py). Statements route through GraftSession.execute,
+    so DDL/DML/SELECT plus $n parameters all work; results are fetched
+    lazily into the cursor on execute()."""
+
+    arraysize = 1
+
+    def __init__(self, conn):
+        self._conn = conn
+        self._rows = None
+        self._pos = 0
+        self.description = None
+        self.rowcount = -1
+
+    def execute(self, statement, params=None):
+        rel = self._conn.execute(statement, params)
+        df = rel.df
+        self.description = [
+            (f.name, f.dataType.simpleString().upper(),
+             None, None, None, None, f.nullable)
+            for f in df.schema.fields]
+        self._rows = [tuple(r) for r in df.collect()]
+        self._pos = 0
+        self.rowcount = len(self._rows)
+        return self
+
+    def executemany(self, statement, seq_of_params):
+        for params in seq_of_params:
+            self.execute(statement, params)
+        return self
+
+    def fetchone(self):
+        if self._rows is None or self._pos >= len(self._rows):
+            return None
+        row = self._rows[self._pos]
+        self._pos += 1
+        return row
+
+    def fetchmany(self, size=None):
+        size = self.arraysize if size is None else size
+        out = self._rows[self._pos:self._pos + size] if self._rows else []
+        self._pos += len(out)
+        return out
+
+    def fetchall(self):
+        out = self._rows[self._pos:] if self._rows else []
+        self._pos = len(self._rows) if self._rows else 0
+        return out
+
+    def __iter__(self):
+        while True:
+            row = self.fetchone()
+            if row is None:
+                return
+            yield row
+
+    def __len__(self):
+        return 0 if self._rows is None else len(self._rows)
+
+    def close(self):
+        self._rows = None
+        self.description = None
+
+
 class Connection:
     """The reference's connection object: frame ingest + SQL entry points.
 
@@ -145,15 +212,28 @@ class Connection:
         """Ingest a pandas frame (reference test fixture `conn.from_df`)."""
         return Relation(self.spark.createDataFrame(pdf))
 
-    def execute(self, statement):
+    def execute(self, statement, params=None):
         jdf = self._jsession.execute(
             statement,
-            self._jvm.PythonUtils.toSeq([]))
+            self._jvm.PythonUtils.toSeq(params or []))
         return Relation(SparkDataFrame(jdf, self.spark))
 
-    def sql(self, query):
-        jdf = self._jsession.sql(query, self._jvm.PythonUtils.toSeq([]))
+    def sql(self, query, params=None):
+        jdf = self._jsession.sql(query,
+                                 self._jvm.PythonUtils.toSeq(params or []))
         return Relation(SparkDataFrame(jdf, self.spark))
+
+    def cursor(self):
+        """DB-API entry point (PEP 249 `Connection.cursor()`)."""
+        return Cursor(self)
+
+    def to_arrow_stream(self, relation):
+        """Self-describing Arrow IPC stream (schema + batches + EOS) for a
+        relation; consumable by stock `pyarrow.ipc.open_stream` with no
+        out-of-band schema."""
+        jbytes = self._jvm.org.apache.spark.sql.graftarrow.ArrowBridge \
+            .toArrowStream(relation.df._jdf)
+        return bytes(jbytes)
 
 
 def connect(app_name="graft-python", root=None):

@@ -11,7 +11,7 @@ import unittest
 import pandas as pd
 
 from graft_shim import (ColumnExpression, ConstantExpression,
-                        CountExpression, connect)
+                        CountExpression, Relation, connect)
 
 
 class GraftPythonSurface(unittest.TestCase):
@@ -150,6 +150,126 @@ class GraftPythonSurface(unittest.TestCase):
             decode, "doc_id bigint, n_bytes bigint, checksum bigint")
         rows = sorted(decoded.fetchall())
         self.assertEqual(rows, [(1, 3, 3), (2, 5, (255 * 5) % 251), (3, 0, 0)])
+
+    # -- self-describing Arrow IPC stream export ---------------------
+    def test_arrow_stream_opens_in_stock_pyarrow(self):
+        import pyarrow as pa
+        rel = self.conn.from_df(pd.DataFrame({
+            "id": [1, 2, 3, 4],
+            "name": ["a", "b", "c", "d"],
+            "score": [1.5, 2.5, 3.5, 4.5],
+        }))
+        buf = self.conn.to_arrow_stream(rel)
+        # the ONLY input is the byte stream — schema must travel in-band
+        table = pa.ipc.open_stream(buf).read_all()
+        self.assertEqual(table.schema.names, ["id", "name", "score"])
+        self.assertEqual(table.num_rows, 4)
+        self.assertEqual(table.column("name").to_pylist(), ["a", "b", "c", "d"])
+        self.assertEqual(table.column("score").to_pylist(),
+                         [1.5, 2.5, 3.5, 4.5])
+
+    def test_arrow_stream_multi_batch(self):
+        import pyarrow as pa
+        self.conn.spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+        try:
+            rel = Relation(self.conn.spark.range(300).toDF("id"))
+            reader = pa.ipc.open_stream(self.conn.to_arrow_stream(rel))
+            batches = list(reader)
+            self.assertGreater(len(batches), 1)  # really multiple batches
+            ids = sorted(x for b in batches for x in b.column("id").to_pylist())
+            self.assertEqual(ids, list(range(300)))
+        finally:
+            self.conn.spark.conf.unset(
+                "spark.sql.execution.arrow.maxRecordsPerBatch")
+
+    # -- DB-API (PEP 249) cursor surface -----------------------------
+    def _cursor_table(self):
+        cur = self.conn.cursor()
+        cur.execute("CREATE TABLE dbapi_t (id BIGINT, name STRING, "
+                    "qty BIGINT)")
+        cur.execute("INSERT INTO dbapi_t VALUES (1, 'ann', 10), "
+                    "(2, 'bob', 20), (3, 'cho', 30), (4, 'dee', 40)")
+        return cur
+
+    def test_cursor_fetchone_exhausts(self):
+        cur = self._cursor_table()
+        try:
+            cur.execute("SELECT id, name FROM dbapi_t ORDER BY id")
+            self.assertEqual(cur.rowcount, 4)
+            self.assertEqual(cur.fetchone(), (1, "ann"))
+            self.assertEqual(cur.fetchone(), (2, "bob"))
+            cur.fetchone(), cur.fetchone()
+            self.assertIsNone(cur.fetchone())  # past the end -> None
+        finally:
+            cur.execute("DROP TABLE dbapi_t")
+
+    def test_cursor_fetchmany_and_fetchall(self):
+        cur = self._cursor_table()
+        try:
+            cur.execute("SELECT id FROM dbapi_t ORDER BY id")
+            self.assertEqual(cur.fetchmany(3), [(1,), (2,), (3,)])
+            self.assertEqual(cur.fetchall(), [(4,)])  # remainder only
+            self.assertEqual(cur.fetchall(), [])
+        finally:
+            cur.execute("DROP TABLE dbapi_t")
+
+    def test_cursor_description(self):
+        cur = self._cursor_table()
+        try:
+            cur.execute("SELECT id, name, qty FROM dbapi_t")
+            names = [d[0] for d in cur.description]
+            types = [d[1] for d in cur.description]
+            self.assertEqual(names, ["id", "name", "qty"])
+            self.assertEqual(types, ["BIGINT", "STRING", "BIGINT"])
+        finally:
+            cur.execute("DROP TABLE dbapi_t")
+
+    def test_cursor_numbered_parameters(self):
+        cur = self._cursor_table()
+        try:
+            cur.execute("SELECT name FROM dbapi_t WHERE qty > $1 "
+                        "AND name <> $2 ORDER BY name", [15, "cho"])
+            self.assertEqual(cur.fetchall(), [("bob",), ("dee",)])
+        finally:
+            cur.execute("DROP TABLE dbapi_t")
+
+    def test_cursor_dml_rowcount_mirrors_reference(self):
+        # the reference's cursor is len()-able over affected rows
+        # (test_collection_sql.py delete/update assertions)
+        cur = self._cursor_table()
+        try:
+            cur.execute("UPDATE dbapi_t SET qty = qty + 1 WHERE id >= 3")
+            self.assertEqual(cur.rowcount, 2)
+            self.assertEqual(len(cur), 2)
+            cur.execute("DELETE FROM dbapi_t WHERE qty > 35")
+            self.assertEqual(cur.rowcount, 1)  # only (4, dee, 41)
+            cur.execute("SELECT COUNT(*) AS n FROM dbapi_t")
+            self.assertEqual(cur.fetchone(), (3,))
+        finally:
+            cur.execute("DROP TABLE dbapi_t")
+
+    def test_cursor_iteration_protocol(self):
+        cur = self._cursor_table()
+        try:
+            cur.execute("SELECT id FROM dbapi_t ORDER BY id")
+            self.assertEqual([r[0] for r in cur], [1, 2, 3, 4])
+        finally:
+            cur.execute("DROP TABLE dbapi_t")
+
+    def test_cursor_executemany_and_close(self):
+        cur = self.conn.cursor()
+        cur.execute("CREATE TABLE dbapi_m (id BIGINT, v STRING)")
+        try:
+            cur.executemany("INSERT INTO dbapi_m VALUES ($1, $2)",
+                            [[1, "x"], [2, "y"], [3, "z"]])
+            cur.execute("SELECT COUNT(*) AS n FROM dbapi_m")
+            self.assertEqual(cur.fetchone(), (3,))
+            cur.close()
+            self.assertIsNone(cur.description)
+            self.assertIsNone(cur.fetchone())
+        finally:
+            self.conn.execute("DROP TABLE dbapi_m")
 
     # -- Scala session layer through py4j ----------------------------
     def test_sql_router_round_trip(self):

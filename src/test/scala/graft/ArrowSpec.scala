@@ -41,4 +41,35 @@ class ArrowSpec extends SparkSpec {
     assert(back.orderBy("n_nationkey").collect().toSeq
       == nation.orderBy("n_nationkey").collect().toSeq)
   }
+
+  test("self-describing IPC stream round-trips with no out-of-band schema") {
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try {
+      val df = spark.range(500).repartition(3).select(
+        col("id"),
+        concat(lit("v"), col("id")).as("s"),
+        (col("id").cast("double") * 1.5).as("d"))
+      val stream = ArrowBridge.toArrowStream(df)
+      // IPC framing: every message starts with the 0xFFFFFFFF continuation
+      // token; the stream ends with token + zero-length (EOS)
+      assert(stream.take(4).forall(_ == -1), "missing continuation token")
+      assert(stream.takeRight(8).toSeq ==
+        Seq[Byte](-1, -1, -1, -1, 0, 0, 0, 0), "missing EOS marker")
+      // the ONLY inputs are the bytes — schema travels in-band
+      val back = ArrowBridge.fromArrowStream(spark, stream)
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq
+        == df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      assert(back.orderBy("id").collect().toSeq
+        == df.orderBy("id").collect().toSeq)
+    } finally spark.conf
+      .unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+  }
+
+  test("IPC stream of a real table parses from bytes alone") {
+    val nation = Tables.load(spark, sf, "nation")
+    val back = ArrowBridge.fromArrowStream(spark,
+      ArrowBridge.toArrowStream(nation))
+    assert(back.orderBy("n_nationkey").collect().toSeq
+      == nation.orderBy("n_nationkey").collect().toSeq)
+  }
 }
