@@ -3,7 +3,7 @@ package graft.api
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, monotonically_increasing_id, raise_error, when}
+import org.apache.spark.sql.functions.{col, count, lit, monotonically_increasing_id, raise_error, row_number, when}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.sources.DynamicSchema
@@ -583,6 +583,194 @@ class GraftSession(val spark: SparkSession, root: String) {
           .exists(t => Option(t.getMessage)
             .exists(_.contains(GraftSession.MultiMatchMsg))) =>
         throw new IllegalArgumentException(GraftSession.MultiMatchMsg, e)
+    }
+  }
+
+  /** MERGE INTO (SQL:2003; PG 15 brings it to the dialect the reference
+    * speaks — the reference itself stops at UPDATE…FROM, so this exceeds
+    * its surface). WHEN arms evaluate in statement order as a chained
+    * CASE: the first applicable arm wins per row, matching PG.
+    *
+    * Scale shape: the UPDATE/DELETE side rewrites only batches with join
+    * matches (pruned-DML path); the INSERT arm lands as one appended
+    * batch derived from the STAGED returning frame (never re-read from
+    * the already-swapped table); the one-source-row rule ("MERGE command
+    * cannot affect row a second time") is the same fused window-count
+    * guard as UPDATE…FROM — no separate guard join. When the matched arms
+    * always affect every matched row (common upsert: an unconditional
+    * UPDATE arm last), the rewrite is a narrow select over the join with
+    * NO added shuffle; only conditional/NOTHING arms need a per-rid
+    * window to collapse multi-match pass-through copies.
+    *
+    * Returns the affected rows (target columns + `merge_action` ∈
+    * UPDATE/DELETE/INSERT — the PG 17 `merge_action()` surface). */
+  def merge(name: String, source: DataFrame, on: Column,
+            whens: Seq[GraftSession.MergeWhen],
+            targetAlias: Option[String] = None): DataFrame = {
+    import GraftSession._
+    require(whens.nonEmpty, "MERGE needs at least one WHEN clause")
+    val alias = targetAlias.getOrElse(name)
+    val base = table(name).as(alias)
+    val baseCols = base.columns.toSeq
+    require(!baseCols.exists(_.startsWith("__graft_")),
+      "column names starting with __graft_ are reserved")
+    val matchedWhens = whens.filter(_.matched)
+    val insertWhens = whens.filterNot(_.matched)
+    matchedWhens.foreach(w => require(!w.action.isInstanceOf[MergeInsert],
+      "WHEN MATCHED cannot INSERT"))
+    insertWhens.foreach(w => require(
+      w.action.isInstanceOf[MergeInsert] || w.action == MergeNothing,
+      "WHEN NOT MATCHED supports INSERT or DO NOTHING"))
+    // resolve every UPDATE arm's SET map once (case-insensitive keys,
+    // collision-checked) + the touched-column set for re-validation
+    val resolvedArms: Seq[(MergeWhen, Map[String, Column])] =
+      matchedWhens.map { w =>
+        w -> (w.action match {
+          case MergeUpdate(s) => resolveSetKeys(baseCols, s)
+          case _ => Map.empty[String, Column]
+        })
+      }
+    val updateKeys = resolvedArms.flatMap(_._2.keySet).toSet
+    val tagged = source.withColumn("__graft_hit", lit(1))
+    val hit = tagged("__graft_hit").isNotNull
+    def armCond(w: MergeWhen): Column = hit && w.pred.getOrElse(lit(true))
+    def actionName(a: MergeAction): String = a match {
+      case MergeUpdate(_) => "UPDATE"
+      case MergeDelete => "DELETE"
+      case _ => "NOTHING"
+    }
+    // chained CASE, first arm wins — evaluation order IS statement order
+    def chain(arms: Seq[(Column, Column)], default: Column): Column =
+      arms.foldRight(default) { case ((c, v), acc) => when(c, v).otherwise(acc) }
+    def actionOf: Column = chain(resolvedArms.map { case (w, _) =>
+      armCond(w) -> lit(actionName(w.action)) }, lit(null).cast("string"))
+    // post-merge image of one target frame (whole table or a pruned batch
+    // union): per-column chained CASE over the arms; f-qualified refs so
+    // the same builder serves both rewrite paths
+    def imageCols(f: DataFrame): Seq[Column] = baseCols.map { c =>
+      chain(resolvedArms.map { case (w, set) =>
+        armCond(w) -> set.getOrElse(c, f(c)) }, f(c)).as(c)
+    }
+    // an arm-chain where every matched row necessarily fires an affecting
+    // arm needs no dedup: a multi-matched row always trips the guard
+    // first, so survivors carry one copy per rid by construction
+    val needsDedup = !(matchedWhens.nonEmpty &&
+      matchedWhens.last.pred.isEmpty &&
+      matchedWhens.forall(_.action != MergeNothing))
+    def survivorsOf(f0: DataFrame): DataFrame = {
+      val f = f0.as(alias).withColumn("__graft_rid",
+        monotonically_increasing_id())
+      val j = f.join(tagged, on, "left")
+      val rows = j.select((imageCols(f)
+        :+ actionOf.as("__graft_action")
+        :+ f("__graft_rid").as("__graft_rid")).toSeq: _*)
+      val deduped = if (!needsDedup) rows else {
+        // collapse multi-match join copies of rows NO affecting arm took
+        // (pass-through / DO NOTHING): prefer the affected copy, keep one
+        val w = Window.partitionBy(col("__graft_rid"))
+          .orderBy(when(col("__graft_action").isNotNull &&
+            col("__graft_action") =!= "NOTHING", 0).otherwise(1))
+        rows.withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1)
+      }
+      deduped
+        .filter(col("__graft_action").isNull ||
+          col("__graft_action") =!= "DELETE")
+        .select(baseCols.map(col).toSeq: _*)
+    }
+    // --- affected-row (returning) frame, full-table spelling, with the
+    // fused one-source-row guard; staged before any swap ---
+    val current = base.withColumn("__graft_rid", monotonically_increasing_id())
+    val jFull = current.join(tagged, on, "left")
+    val allRows = jFull.select((imageCols(current)
+      :+ actionOf.as("__graft_action")
+      :+ current("__graft_rid").as("__graft_rid")).toSeq: _*)
+    val nAffected = count(lit(1)).over(Window.partitionBy(col("__graft_rid")))
+    val affectedTarget = allRows
+      .filter(col("__graft_action").isNotNull &&
+        col("__graft_action") =!= "NOTHING")
+      .withColumn("__graft_nmatch", nAffected)
+      .filter(when(col("__graft_nmatch") > 1,
+        raise_error(lit(GraftSession.MergeMultiMsg)).cast("boolean"))
+        .otherwise(lit(true)))
+      .select((baseCols.map(col)
+        :+ col("__graft_action").as("merge_action")).toSeq: _*)
+    // --- INSERT arm: source rows with no target match, first applicable
+    // NOT MATCHED arm wins; values cast to the target column types ---
+    val insArm: Option[DataFrame] =
+      if (insertWhens.isEmpty) None
+      else {
+        val insRows = tagged.join(base, on, "left_anti")
+        val selector = insertWhens.zipWithIndex.foldRight(lit(0)) {
+          case ((w, i), acc) =>
+            val tag = if (w.action == MergeNothing) -1 else i + 1
+            when(w.pred.getOrElse(lit(true)), lit(tag)).otherwise(acc)
+        }
+        def valueFor(a: MergeAction, c: String, dt: DataType): Column =
+          a match {
+            case MergeInsert(cols, values) =>
+              val idx =
+                if (cols.nonEmpty) cols.indexWhere(_.equalsIgnoreCase(c))
+                else baseCols.indexOf(c)
+              if (idx >= 0 && idx < values.length) values(idx).cast(dt)
+              else lit(null).cast(dt)
+            case _ => lit(null).cast(dt)
+          }
+        insertWhens.foreach {
+          case MergeWhen(_, _, MergeInsert(cols, values)) =>
+            val width = if (cols.nonEmpty) cols.length else baseCols.length
+            require(values.length == width,
+              s"MERGE INSERT arm: ${values.length} value(s) for $width " +
+                "column(s)")
+            val unknown = cols.filterNot(c =>
+              baseCols.exists(_.equalsIgnoreCase(c)))
+            require(unknown.isEmpty,
+              s"MERGE INSERT arm: unknown column(s) ${unknown.mkString(",")}")
+          case _ =>
+        }
+        Some(insRows.withColumn("__graft_ins", selector)
+          .filter(col("__graft_ins") > 0)
+          .select(base.schema.fields.map { fld =>
+            chain(insertWhens.zipWithIndex.map { case (w, i) =>
+              (col("__graft_ins") === i + 1,
+                valueFor(w.action, fld.name, fld.dataType))
+            }, lit(null).cast(fld.dataType)).as(fld.name)
+          }.toSeq: _*))
+      }
+    val returning = insArm match {
+      case Some(ins) => affectedTarget.unionByName(
+        ins.withColumn("merge_action", lit("INSERT")))
+      case None => affectedTarget
+    }
+    try {
+      // pre-swap validation: CHECK/FK on the update image and the insert
+      // arm BEFORE anything commits, FK delete actions (RESTRICT first)
+      // for rows a DELETE arm removes
+      validateUpdate(name, affectedTarget
+        .filter(col("merge_action") === "UPDATE")
+        .select(baseCols.map(col).toSeq: _*), updateKeys)
+      insArm.foreach(validateInsert(name, _))
+      if (matchedWhens.exists(_.action == MergeDelete))
+        applyFkDeleteActions(name, allRows
+          .filter(col("__graft_action") === "DELETE")
+          .select(baseCols.map(col).toSeq: _*))
+      val staged = prunedRewrite(name,
+        cur => cur.as(alias).join(tagged, on, "left_semi"),
+        survivorsOf, returning)
+        .getOrElse(overwrite(name, survivorsOf(table(name)), returning))
+      // INSERT arm appends from the STAGED frame — the pre-swap lazy plan
+      // would re-read the now-rewritten table
+      if (insArm.isDefined) {
+        val ins = staged.filter(col("merge_action") === "INSERT")
+          .select(baseCols.map(col).toSeq: _*)
+        insert(name, ins)
+      }
+      staged
+    } catch {
+      case e: Throwable if GraftSession.causeChain(e)
+          .exists(t => Option(t.getMessage)
+            .exists(_.contains(GraftSession.MergeMultiMsg))) =>
+        throw new IllegalArgumentException(GraftSession.MergeMultiMsg, e)
     }
   }
 
@@ -1381,6 +1569,8 @@ class GraftSession(val spark: SparkSession, root: String) {
       ("""(?is)^INSERT\s+INTO\s+""" + Q + """(\w+)\s+(SELECT\s+.*?);?$""").r
     val updateRe =
       ("""(?is)^UPDATE\s+""" + Q + """(\w+)\s+SET\s+(.*?)\s*;?$""").r
+    val mergeRe =
+      ("""(?is)^MERGE\s+INTO\s+""" + Q + """(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s*;?$""").r
     val deleteRe =
       ("""(?is)^DELETE\s+FROM\s+""" + Q + """(\w+)\s*(.*?)\s*;?$""").r
     val createTypeRe =
@@ -1551,6 +1741,65 @@ class GraftSession(val spark: SparkSession, root: String) {
             val result = update(name, setMap, where)
             retList.map(applyReturning(result.as(name), _)).getOrElse(result)
         }
+      case mergeRe(name, aliasOrNull, rest) =>
+        // MERGE INTO t [AS a] USING src [AS s] ON cond WHEN ... [WHEN ...]
+        val (srcSpec, afterOn) = splitAtTopLevelKeyword(rest, "ON")
+        require(afterOn.isDefined, "MERGE: missing ON <join condition>")
+        val (onCond, whenText) = splitAtTopLevelKeyword(afterOn.get, "WHEN")
+        require(whenText.isDefined, "MERGE: missing WHEN clause(s)")
+        val srcDf = {
+          val t0 = srcSpec.trim
+          if (t0.startsWith("(")) {
+            // (SELECT ...) [AS] alias — subquery source
+            val close = t0.lastIndexOf(')')
+            val inner = t0.substring(1, close)
+            val aliasToks = t0.substring(close + 1).trim.split("\\s+")
+              .filterNot(t => t.isEmpty || t.equalsIgnoreCase("AS"))
+            require(aliasToks.nonEmpty, "MERGE: subquery source needs an alias")
+            sql(inner).as(aliasToks(0))
+          } else parseTableRef(t0)
+        }
+        def splitWhens(s: String): Seq[String] =
+          splitAtTopLevelKeyword(s, "WHEN") match {
+            case (head, Some(tail)) => head +: splitWhens(tail)
+            case (head, None) => Seq(head)
+          }
+        import org.apache.spark.sql.functions.expr
+        val whens = splitWhens(whenText.get).map { clause =>
+          val (condPart, thenPart) = splitAtTopLevelKeyword(clause, "THEN")
+          require(thenPart.isDefined, s"MERGE: WHEN without THEN: $clause")
+          val (matchWord, predText) = splitAtTopLevelKeyword(condPart, "AND")
+          val isMatched = matchWord.trim match {
+            case w if w.matches("(?i)MATCHED") => true
+            case w if w.matches("(?i)NOT\\s+MATCHED") => false
+            case w => throw new IllegalArgumentException(
+              s"MERGE: expected [NOT] MATCHED, got '$w'")
+          }
+          val updateActRe = """(?is)^UPDATE\s+SET\s+(.*)$""".r
+          val insertActRe =
+            """(?is)^INSERT\s*(?:\(([^)]*)\))?\s*VALUES\s*\((.*)\)$""".r
+          val action = thenPart.get.trim match {
+            case updateActRe(sets) =>
+              GraftSession.MergeUpdate(splitTopLevel(sets).map { kv =>
+                val Array(c, e) = kv.split("=", 2)
+                c.trim -> expr(e.trim)
+              }.toMap)
+            case a if a.matches("(?is)^DELETE$") => GraftSession.MergeDelete
+            case a if a.matches("(?is)^DO\\s+NOTHING$") =>
+              GraftSession.MergeNothing
+            case insertActRe(colsOrNull, values) =>
+              GraftSession.MergeInsert(
+                Option(colsOrNull).map(_.split(",").map(_.trim)
+                  .filter(_.nonEmpty).toSeq).getOrElse(Nil),
+                splitTopLevel(values).map(v => expr(v.trim)))
+            case a => throw new IllegalArgumentException(
+              s"MERGE: unsupported action '$a' (UPDATE SET / DELETE / " +
+                "INSERT ... VALUES / DO NOTHING)")
+          }
+          GraftSession.MergeWhen(isMatched, predText.map(p => expr(p)), action)
+        }
+        merge(name, srcDf, expr(onCond), whens,
+          Option(aliasOrNull))
       case deleteRe(name, rest) =>
         // DELETE FROM t [USING src [alias]] [WHERE cond] [RETURNING list]
         val (beforeRet, retList) = splitAtTopLevelKeyword(rest, "RETURNING")
@@ -1838,6 +2087,30 @@ object GraftSession {
   private[api] val MultiMatchMsg =
     "UPDATE...FROM: a target row matches multiple source rows"
 
+  /** Same fused-guard marker for MERGE's one-source-row rule (PG: "MERGE
+    * command cannot affect row a second time"). */
+  private[api] val MergeMultiMsg =
+    "MERGE: a target row is affected by multiple source rows"
+
   private[api] def causeChain(t: Throwable): Seq[Throwable] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16).toSeq
+
+  // ---- MERGE WHEN-clause model (SQL:2003 / PG 15 MERGE) ----
+  sealed trait MergeAction
+  /** WHEN [NOT] MATCHED ... THEN UPDATE SET col = expr, ... */
+  final case class MergeUpdate(set: Map[String, Column]) extends MergeAction
+  /** WHEN MATCHED ... THEN DELETE */
+  case object MergeDelete extends MergeAction
+  /** WHEN NOT MATCHED ... THEN INSERT [(cols)] VALUES (exprs); empty
+    * `cols` = positional against the target's declared column order. */
+  final case class MergeInsert(cols: Seq[String], values: Seq[Column])
+    extends MergeAction
+  /** WHEN ... THEN DO NOTHING */
+  case object MergeNothing extends MergeAction
+
+  /** One WHEN arm: `matched` selects the join side, `pred` is the
+    * optional AND condition, arms evaluate in statement order
+    * (first applicable wins, like a chained CASE). */
+  final case class MergeWhen(matched: Boolean, pred: Option[Column],
+                             action: MergeAction)
 }

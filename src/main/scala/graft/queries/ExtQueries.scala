@@ -167,6 +167,34 @@ object ExtQueries {
         .orderBy(col("event_type"))
     }),
 
+    // --- MERGE INTO through the SQL router (exceeds the reference's DML:
+    // delete + conditional update + insert arms in one statement). The
+    // source's key remap makes heavy customers (cnt >= 8) miss the join,
+    // exercising the INSERT arm; the oracle recomputes the post-merge
+    // table state in plain SQL. ---
+    "x11_merge_upsert" -> ((s, dir) => {
+      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      g.createTable("c", cust.schema)
+      g.insert("c", cust)
+      val src = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+        .select(when(col("cnt") >= 8, col("o_custkey") + 1000000)
+          .otherwise(col("o_custkey")).as("k"), col("cnt"))
+      g.createTable("src", src.schema)
+      g.insert("src", src)
+      g.execute("""
+        MERGE INTO c USING src ON c.c_custkey = src.k
+        WHEN MATCHED AND c_acctbal < 0 THEN DELETE
+        WHEN MATCHED AND c_acctbal < 1000 THEN
+          UPDATE SET c_acctbal = c_acctbal + cnt
+        WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal) VALUES (k, cnt)
+      """)
+      g.table("c").select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // --- runtime UDF registration (reference register_udf surface) ---
     "x5_udf" -> ((s, dir) => {
       s.udf.register("graft_discounted",
@@ -195,6 +223,24 @@ object ExtQueries {
         SELECT CAST((n_nationkey + 5) % 25 AS BIGINT) AS node
         FROM nation JOIN reach ON n_nationkey = reach.node)
       SELECT node FROM reach ORDER BY node""",
+    "x11_merge_upsert" -> """
+      WITH src AS (
+        SELECT CASE WHEN COUNT(*) >= 8 THEN o_custkey + 1000000
+                    ELSE o_custkey END AS k,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY o_custkey),
+      m AS (
+        SELECT c_custkey, c_acctbal, k, cnt
+        FROM customer LEFT JOIN src ON c_custkey = k)
+      SELECT c_custkey,
+        CASE WHEN k IS NOT NULL AND c_acctbal >= 0 AND c_acctbal < 1000
+             THEN c_acctbal + cnt ELSE c_acctbal END AS c_acctbal
+      FROM m
+      WHERE NOT (k IS NOT NULL AND c_acctbal < 0)
+      UNION ALL
+      SELECT k AS c_custkey, CAST(cnt AS DOUBLE) AS c_acctbal
+      FROM src WHERE k NOT IN (SELECT c_custkey FROM customer)
+      ORDER BY c_custkey""",
     "x2_update_returning" -> """
       SELECT c_custkey, c_acctbal * 1.1 AS c_acctbal
       FROM customer WHERE c_acctbal < 0 ORDER BY c_custkey""",
