@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.ScaleQueries.queries ++
     graft.queries.JsonBenchQueries.queries ++
     graft.queries.SsbQueries.queries ++
-    graft.queries.DsQueries.queries
+    graft.queries.DsQueries.queries ++
+    graft.queries.BreadthQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -37,5 +38,6 @@ object SparkEntry {
     graft.queries.ScaleQueries.oracles ++
     graft.queries.JsonBenchQueries.oracles ++
     graft.queries.SsbQueries.oracles ++
-    graft.queries.DsQueries.oracles
+    graft.queries.DsQueries.oracles ++
+    graft.queries.BreadthQueries.oracles
 }

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Corpus breadth beyond the named benchmark suites: explicit window
+  * frames (ROWS BETWEEN moving aggregates, distribution functions),
+  * ordered string aggregation, and a JOB-style selective multi-dim star
+  * join (the join-order-benchmark shape: many selective dimension filters
+  * feeding MIN aggregates — /root/reference/benchmark/job/ runs the
+  * original over IMDB; this is the same optimizer stress expressed on the
+  * driver schema).
+  *
+  * Scale notes: the moving-average window partitions by priority over the
+  * aggregated months frame (tiny); the distribution functions partition by
+  * event_type over per-user aggregates (bounded by user cardinality);
+  * string_agg runs over group-local sorted arrays (no driver collect);
+  * job1 is filter-pushdown + join-reorder food — every predicate reaches
+  * its scan and AQE picks build sides.
+  */
+object BreadthQueries {
+  private val D = DecimalType(28, 6)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- explicit ROWS frame: trailing 3-month moving average ---
+    "w1_moving_avg" -> ((s, dir) => {
+      val m = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(sum(col("o_totalprice").cast(D)).as("rev_d"),
+          count(lit(1)).as("n"))
+      val w3 = Window.partitionBy(col("o_orderpriority")).orderBy(col("m"))
+        .rowsBetween(-2, Window.currentRow)
+      m.select(col("o_orderpriority"), col("m"),
+          col("rev_d").cast("double").as("rev"),
+          (sum(col("rev_d")).over(w3).cast("double") /
+            sum(col("n")).over(w3).cast("double")).as("avg3m_per_order"))
+        .orderBy(col("o_orderpriority"), col("m"))
+    }),
+
+    // --- distribution window functions: ntile / percent_rank /
+    // cume_dist / first_value, PARTITIONED by event_type so the window
+    // sort shards instead of collapsing to one global partition ---
+    "w2_frame_funcs" -> ((s, dir) => {
+      val perUser = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D)).as("spend_d"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n"), col("user_id"))
+      perUser.select(col("event_type"), col("user_id"), col("n"),
+          col("spend_d").cast("double").as("spend"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          first_value(col("user_id")).over(w).as("least_active"))
+        .orderBy(col("event_type"), col("n"), col("user_id"))
+    }),
+
+    // --- ordered string aggregation (group-local sort, no collect) ---
+    "f1_string_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(array_join(array_sort(collect_set(col("source"))), ",")
+            .as("sources"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
+    // --- JOB-style: selective filters on several dimensions of a star,
+    // MIN/argmin outputs (join-reorder + pushdown stress) ---
+    "job1_star_filters" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_discount") > 0.08 && col("l_quantity") < 10)
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val n = broadcast(Tables.load(s, dir, "nation"))
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_size") < 15)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(p, l("l_partkey") === p("p_partkey"))
+        .agg(min(col("n_name")).as("first_nation"),
+          min(col("p_name")).as("first_part"),
+          min(col("o_orderdate")).as("earliest"),
+          count(lit(1)).as("n"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "w1_moving_avg" -> """
+      WITH m AS (
+        SELECT o_orderpriority,
+          CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+               AS TIMESTAMP) AS m,
+          SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev_d,
+          COUNT(*) AS n
+        FROM orders GROUP BY 1, 2)
+      SELECT o_orderpriority, m, CAST(rev_d AS DOUBLE) AS rev,
+        CAST(SUM(rev_d) OVER w3 AS DOUBLE) /
+          CAST(SUM(n) OVER w3 AS DOUBLE) AS avg3m_per_order
+      FROM m
+      WINDOW w3 AS (PARTITION BY o_orderpriority ORDER BY m
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderpriority, m""",
+    "w2_frame_funcs" -> """
+      WITH per_user AS (
+        SELECT event_type, user_id, COUNT(*) AS n,
+          SUM(CAST(value AS DECIMAL(28,6))) AS spend_d
+        FROM events GROUP BY event_type, user_id)
+      SELECT event_type, user_id, n, CAST(spend_d AS DOUBLE) AS spend,
+        CAST(NTILE(4) OVER w AS INT) AS quartile,
+        ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        ROUND(CUME_DIST() OVER w, 6) AS cd,
+        FIRST_VALUE(user_id) OVER w AS least_active
+      FROM per_user
+      WINDOW w AS (PARTITION BY event_type ORDER BY n, user_id)
+      ORDER BY event_type, n, user_id""",
+    "f1_string_agg" -> """
+      SELECT lang,
+        array_to_string(list_sort(list_distinct(list(source))), ',')
+          AS sources,
+        COUNT(*) AS n
+      FROM documents GROUP BY lang ORDER BY lang""",
+    "job1_star_filters" -> """
+      SELECT MIN(n_name) AS first_nation, MIN(p_name) AS first_part,
+        MIN(CAST(o_orderdate AS TIMESTAMP)) AS earliest, COUNT(*) AS n
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN part ON l_partkey = p_partkey
+      WHERE l_discount > 0.08 AND l_quantity < 10
+        AND o_orderpriority = '1-URGENT'
+        AND c_mktsegment = 'BUILDING'
+        AND p_size < 15""")
+}
