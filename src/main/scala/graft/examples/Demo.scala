@@ -77,6 +77,24 @@ object Demo {
     g.execute("SHOW TABLES").show()
     g.execute("DESCRIBE items").show()
 
+    // MERGE INTO: conditional update + insert arms in one statement
+    g.execute("CREATE TABLE merge_src (sid BIGINT, delta BIGINT)")
+    g.execute("INSERT INTO merge_src VALUES (2, 5), (7, 70)")
+    g.execute("""
+      MERGE INTO items USING merge_src ON items.id = merge_src.sid
+      WHEN MATCHED THEN UPDATE SET qty = qty + delta
+      WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (sid, delta)
+    """).show() // affected rows + merge_action (UPDATE / INSERT)
+
+    // self-describing Arrow IPC stream (schema travels in-band; readable
+    // by any stock Arrow consumer, e.g. pyarrow.ipc.open_stream)
+    val stream = org.apache.spark.sql.graftarrow.ArrowBridge
+      .toArrowStream(g.table("items"))
+    val parsed = org.apache.spark.sql.graftarrow.ArrowBridge
+      .fromArrowStream(spark, stream)
+    println(s"arrow stream: ${stream.length} bytes -> " +
+      s"${parsed.count()} rows, schema ${parsed.schema.simpleString}")
+
     // WITH RECURSIVE through the SQL surface
     g.sql("""
       WITH RECURSIVE t(n) AS (
