@@ -257,6 +257,26 @@ class GraftPythonSurface(unittest.TestCase):
         finally:
             cur.execute("DROP TABLE dbapi_t")
 
+    def test_cursor_merge_into(self):
+        cur = self._cursor_table()
+        try:
+            cur.execute("CREATE TABLE dbapi_src (sid BIGINT, delta BIGINT)")
+            cur.execute("INSERT INTO dbapi_src VALUES (2, 5), (9, 90)")
+            cur.execute(
+                "MERGE INTO dbapi_t USING dbapi_src ON dbapi_t.id = sid "
+                "WHEN MATCHED THEN UPDATE SET qty = qty + delta "
+                "WHEN NOT MATCHED THEN INSERT (id, name, qty) "
+                "VALUES (sid, 'merged', delta)")
+            self.assertEqual(cur.rowcount, 2)  # one UPDATE + one INSERT
+            actions = {r[-1] for r in cur.fetchall()}
+            self.assertEqual(actions, {"UPDATE", "INSERT"})
+            cur.execute("SELECT id, qty FROM dbapi_t ORDER BY id")
+            self.assertEqual(cur.fetchall(),
+                             [(1, 10), (2, 25), (3, 30), (4, 40), (9, 90)])
+        finally:
+            cur.execute("DROP TABLE dbapi_src")
+            cur.execute("DROP TABLE dbapi_t")
+
     def test_cursor_executemany_and_close(self):
         cur = self.conn.cursor()
         cur.execute("CREATE TABLE dbapi_m (id BIGINT, v STRING)")
