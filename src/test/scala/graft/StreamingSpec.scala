@@ -117,4 +117,48 @@ class StreamingSpec extends SparkSpec {
     assert(stream.isStreaming)
     assert(stream.schema.fieldNames.contains("t"))
   }
+
+  test("streaming upsert: foreachBatch MERGEs each micro-batch into a table") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.DataFrame
+    import graft.api.GraftSession
+    import graft.api.GraftSession.{MergeInsert, MergeUpdate, MergeWhen}
+    implicit val sqlCtx = spark.sqlContext
+    val g = GraftSession(spark,
+      Files.createTempDirectory("graft_stream_merge").toString)
+    g.execute("CREATE TABLE tally (user_id BIGINT, total DOUBLE, n BIGINT)")
+    val mem = MemoryStream[Event]
+    // the streaming-materialized-upsert pattern: aggregate the micro-batch,
+    // MERGE the delta — update existing keys, insert new ones. State lives
+    // in the TABLE, not in streaming state: restarts replay idempotently
+    // from the sink's perspective and the table is queryable mid-stream.
+    val q = mem.toDF().writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val delta = df.groupBy(col("user_id"))
+          .agg(sum(col("value")).as("dtotal"), count(lit(1)).as("dn"))
+          .as("d")
+        g.merge("tally", delta,
+          expr("tally.user_id = d.user_id"),
+          Seq(
+            MergeWhen(matched = true, None, MergeUpdate(Map(
+              "total" -> expr("total + dtotal"),
+              "n" -> expr("n + dn")))),
+            MergeWhen(matched = false, None, MergeInsert(
+              Seq("user_id", "total", "n"),
+              Seq(expr("d.user_id"), expr("dtotal"), expr("dn"))))))
+        ()
+      }
+      .start()
+    try {
+      mem.addData(Event(1L, "click", ts(0), 1.0),
+        Event(1L, "click", ts(1), 2.0), Event(2L, "view", ts(2), 8.0))
+      q.processAllAvailable()
+      mem.addData(Event(1L, "buy", ts(3), 4.0),
+        Event(3L, "click", ts(4), 16.0))
+      q.processAllAvailable()
+      val rows = g.table("tally").orderBy("user_id")
+        .as[(Long, Double, Long)].collect().toSeq
+      assert(rows == Seq((1L, 7.0, 3L), (2L, 8.0, 1L), (3L, 16.0, 1L)))
+    } finally q.stop()
+  }
 }
