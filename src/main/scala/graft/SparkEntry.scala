@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.JsonBenchQueries.queries ++
     graft.queries.SsbQueries.queries ++
     graft.queries.DsQueries.queries ++
-    graft.queries.BreadthQueries.queries
+    graft.queries.BreadthQueries.queries ++
+    graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -39,5 +40,6 @@ object SparkEntry {
     graft.queries.JsonBenchQueries.oracles ++
     graft.queries.SsbQueries.oracles ++
     graft.queries.DsQueries.oracles ++
-    graft.queries.BreadthQueries.oracles
+    graft.queries.BreadthQueries.oracles ++
+    graft.queries.AnalyticsQueries.oracles
 }

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Analytic reshaping + statistics breadth: PIVOT / UNPIVOT, exact
+  * interpolated percentiles, correlated LATERAL joins, time-series
+  * gap-filling, and the statistical aggregate kernels
+  * (corr/covar/stddev/variance). These are everyday shapes for an OLAP
+  * user of the reference (its cursor surface returns whatever the plan
+  * produces — pivoting/melting is done client-side there; here they're
+  * engine-native plans).
+  *
+  * Scale notes: pivot compiles to one hash aggregate with a fixed (3-arm)
+  * value list — no extra shuffle vs the plain groupBy; unpivot is a
+  * narrow Expand (rows × 2, no shuffle); percentile is a single
+  * sort-based aggregate sharded by group key; the lateral top-k
+  * decorrelates to a window per nation (no per-row subquery execution);
+  * gap-fill's month spine is ~tens of rows exploded from one aggregate
+  * row — the left join broadcasts the aggregated side, never the scan;
+  * the stats kernels are one-pass algebraic moments (partial+final).
+  */
+object AnalyticsQueries {
+  private val D = DecimalType(28, 6)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- PIVOT: monthly revenue spread across order-status columns.
+    // Explicit value list keeps the plan a single aggregate (no
+    // distinct-scan to discover pivot values) — at 100 TB the
+    // value-discovery pass is the difference between one scan and two. ---
+    "pv1_pivot" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(round(sum(col("o_totalprice").cast(D)).cast("double"), 2))
+        .orderBy(col("m"))
+    }),
+
+    // --- UNPIVOT (melt): wide per-priority metrics to (metric, value)
+    // rows. Expand node: narrow, rows×2, no shuffle. ---
+    "pv2_unpivot" -> ((s, dir) => {
+      val wide = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("double").as("cnt"),
+          round(sum(col("o_totalprice").cast(D)).cast("double"), 2)
+            .as("rev"))
+      wide.unpivot(Array(col("o_orderpriority")),
+          Array(col("cnt"), col("rev")), "metric", "value")
+        .orderBy(col("o_orderpriority"), col("metric"))
+    }),
+
+    // --- exact interpolated percentiles (PG percentile_cont /
+    // DuckDB quantile_cont semantics) per group ---
+    "pc1_percentile" -> ((s, dir) => {
+      def pct(p: Double, as: String): Column =
+        round(expr(s"percentile(value, $p)"), 6).as(as)
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"),
+          pct(0.9, "p90"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- correlated LATERAL subquery with ORDER BY + LIMIT: top-2
+    // orders per nation. Catalyst decorrelates to a lateral join over a
+    // windowed inner plan — one pass over orders, not 25 subquery runs. ---
+    "lt1_lateral_topk" -> ((s, dir) => {
+      Seq("nation", "customer", "orders")
+        .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+      s.sql("""
+        SELECT n.n_name, t.o_orderkey, t.price
+        FROM nation n, LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice AS price
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+        ORDER BY n.n_name, t.price DESC, t.o_orderkey""")
+    }),
+
+    // --- time-series gap-fill: month spine from one (min,max) aggregate
+    // row exploded with sequence(); sparse high-value months LEFT-joined
+    // onto it, absent months zero-filled. The spine side is O(months) —
+    // broadcast by construction regardless of fact size. ---
+    "ts1_gapfill" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val spine = o.agg(
+          date_trunc("month", min(col("o_orderdate"))).as("mn"),
+          date_trunc("month", max(col("o_orderdate"))).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 1 MONTH"))).as("m"))
+      val sparse = o.filter(col("o_totalprice") > 499000)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast(D)).cast("double"), 2)
+            .as("rev"))
+      spine.join(sparse, Seq("m"), "left")
+        .select(col("m"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+          coalesce(col("rev"), lit(0.0)).as("rev"))
+        .orderBy(col("m"))
+    }),
+
+    // --- statistical aggregate kernels: corr / covar_samp / stddev_samp
+    // / var_pop — one-pass algebraic moments, partial+final split ---
+    "st1_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+            .as("cov_qd"),
+          round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+          round(var_pop(col("l_tax")), 6).as("var_tax"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "pv1_pivot" -> """
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+             AS TIMESTAMP) AS m,
+        ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+          THEN CAST(o_totalprice AS DECIMAL(28,6)) END) AS DOUBLE), 2)
+          AS "O",
+        ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+          THEN CAST(o_totalprice AS DECIMAL(28,6)) END) AS DOUBLE), 2)
+          AS "F",
+        ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+          THEN CAST(o_totalprice AS DECIMAL(28,6)) END) AS DOUBLE), 2)
+          AS "P"
+      FROM orders GROUP BY 1 ORDER BY m""",
+    "pv2_unpivot" -> """
+      WITH wide AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS DOUBLE) AS cnt,
+          ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+            AS DOUBLE), 2) AS rev
+        FROM orders GROUP BY 1)
+      SELECT o_orderpriority, 'cnt' AS metric, cnt AS value FROM wide
+      UNION ALL
+      SELECT o_orderpriority, 'rev' AS metric, rev AS value FROM wide
+      ORDER BY o_orderpriority, metric""",
+    "pc1_percentile" -> """
+      SELECT event_type,
+        ROUND(quantile_cont(value, 0.25), 6) AS p25,
+        ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        ROUND(quantile_cont(value, 0.75), 6) AS p75,
+        ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "lt1_lateral_topk" -> """
+      SELECT n.n_name, t.o_orderkey, t.price
+      FROM nation n, LATERAL (
+        SELECT o.o_orderkey, o.o_totalprice AS price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+      ORDER BY n.n_name, t.price DESC, t.o_orderkey""",
+    "ts1_gapfill" -> """
+      WITH span AS (
+        SELECT date_trunc('month', CAST(min(o_orderdate) AS TIMESTAMP))
+            AS mn,
+          date_trunc('month', CAST(max(o_orderdate) AS TIMESTAMP)) AS mx
+        FROM orders),
+      months AS (
+        SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS m
+        FROM span),
+      agg AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS m,
+          COUNT(*) AS cnt,
+          ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+            AS DOUBLE), 2) AS rev
+        FROM orders WHERE o_totalprice > 499000 GROUP BY 1)
+      SELECT months.m, COALESCE(cnt, 0) AS cnt,
+        COALESCE(rev, 0.0) AS rev
+      FROM months LEFT JOIN agg ON months.m = agg.m
+      ORDER BY months.m""",
+    "st1_stats" -> """
+      SELECT l_returnflag,
+        ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
+        ROUND(stddev_samp(l_discount), 6) AS sd_disc,
+        ROUND(var_pop(l_tax), 6) AS var_tax,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+}

@@ -96,6 +96,25 @@ object EventPipeline {
       r(rightTime) <= l(leftTime) + expr(s"INTERVAL $band"))
   }
 
+  /** Native session-window aggregation: Spark's built-in `session_window`
+    * merges gap-based sessions inside the state store itself — the
+    * declarative alternative to [[sessionizeStream]] whenever the
+    * per-session output is plain aggregates (no custom state
+    * transitions). Prefer this form: it stays whole-stage-codegen'd in
+    * batch mode and uses the purpose-built merging session store in
+    * streaming mode, where custom flatMapGroupsWithState state is opaque
+    * to the engine. Window end is last-event-time + gap (Spark
+    * semantics). Same plan works on batch and `readStream` frames;
+    * watermark bounds streaming state. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("t", watermark)
+      .groupBy(session_window(col("t"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n_events"), col("total"))
+
   /** Batch sessionization via flatMapGroupsWithState: groups per user,
     * closes a session after `gapMinutes` of inactivity, and FLUSHES the
     * still-open trailing session so batch results are complete. For

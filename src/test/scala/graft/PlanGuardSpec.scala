@@ -16,7 +16,8 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * contract, which is a different invariant. */
 class PlanGuardSpec extends SparkSpec {
 
-  private val guarded = Seq("q", "h", "sb", "c", "a", "j", "k", "s", "m", "p")
+  private val guarded = Seq("q", "h", "sb", "c", "a", "j", "k", "s", "m", "p",
+    "pv", "pc", "lt", "ts", "st", "w", "f", "ds", "job")
   private val boundedScans = Set("nation.parquet", "region.parquet")
 
   private def scanFiles(p: LogicalPlan): Seq[String] =

@@ -33,6 +33,37 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(2).user_id == 2L)
   }
 
+  test("native session_window agrees with the custom sessionizer (batch)") {
+    val sw = EventPipeline.sessionWindowAgg(batch.toDF(), "30 minutes")
+      .collect().sortBy(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val custom = EventPipeline.sessionize(batch.toDS(), gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.start.getTime))
+    assert(sw.length == custom.length)
+    sw.zip(custom).foreach { case (r, s) =>
+      assert(r.getLong(0) == s.user_id && r.getTimestamp(1) == s.start)
+      // session_window end = last event + gap; the sessionizer records
+      // the last event time itself
+      assert(r.getTimestamp(2).getTime == s.end.getTime + 30 * 60 * 1000L)
+      assert(r.getLong(3) == s.n_events && r.getDouble(4) == s.total)
+    }
+  }
+
+  test("session_window aggregation over an unbounded stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipeline.sessionWindowAgg(
+        input.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sw_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val rows = spark.table("sw_stream").collect()
+      assert(rows.length == 3) // two sessions for user 1, one for user 2
+      assert(rows.map(_.getLong(3)).sum == 4)
+    } finally q.stop()
+  }
+
   test("windowed counts over a real unbounded stream (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
