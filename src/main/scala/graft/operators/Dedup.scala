@@ -159,6 +159,75 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Connected components over an undirected edge set — the
+    * cluster-collapse step of a near-dup pipeline. LSH / Jaccard / simhash
+    * emit candidate PAIRS; deduplication needs GROUPS (one canonical doc
+    * per transitive cluster: a~b, b~c ⇒ {a,b,c} keep one).
+    *
+    * Hash-min label propagation: every node starts labelled with itself;
+    * each round pushes labels across edges and keeps the minimum;
+    * fixpoint when no label changes. Rounds = O(cluster diameter) — dup
+    * clusters are near-cliques (LSH connects most member pairs directly),
+    * so this converges in a handful of rounds even at 100 TB, where each
+    * round is one equi-join + one min-aggregate, both hash-partitioned on
+    * node id. Labels are monotonically non-increasing, so convergence is
+    * detected by one narrow sum-aggregate per round (no extra join).
+    * Lineage is truncated per round with localCheckpoint — the iterative-
+    * Spark plan-growth failure mode. For graphs with long chains (not the
+    * dedup shape) a large-star/small-star variant would cut rounds to
+    * O(log n); diameter-bound propagation is the right trade here.
+    *
+    * Returns one row per node that appears in any edge:
+    * (node, component) with component = min node id in the cluster. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst",
+                          maxIterations: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val adj = edges
+      .select(col(srcCol).cast("long").as("node"),
+        col(dstCol).cast("long").as("nbr"))
+      .union(edges.select(col(dstCol).cast("long").as("node"),
+        col(srcCol).cast("long").as("nbr")))
+      .distinct()
+      .localCheckpoint() // scanned every round — materialize once
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("component").cast(DecimalType(38, 0))))
+        .head.getDecimal(0)
+    var prev = labelSum(labels)
+    var i = 0
+    var converged = false
+    while (i < maxIterations && !converged) {
+      val pushed = adj.join(labels, "node")
+        .select(col("nbr").as("node"), col("component"))
+      val next = labels.union(pushed)
+        .groupBy(col("node")).agg(min(col("component")).as("component"))
+        .localCheckpoint(false)
+      val cur = labelSum(next)
+      converged = cur.compareTo(prev) == 0
+      labels = next
+      prev = cur
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in " +
+      s"$maxIterations rounds — pathological chain graph? " +
+      "(dup clusters converge in O(diameter))")
+    labels
+  }
+
+  /** Canonical-keep: given near-dup candidate pairs, drop every cluster
+    * member except the minimum-id one. Rows never mentioned in a pair
+    * survive untouched (left-anti join against the doomed set). */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val doomed = connectedComponents(pairs, aCol, bCol)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold among pairs sharing a
     * sign-LSH bucket. Same banded-join shape as MinHash LSH. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,

@@ -115,6 +115,39 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // --- near-dup cluster collapse: candidate pairs → transitive
+    // components via hash-min label propagation. The edge set here is
+    // deterministic (consecutive doc_ids sharing a language) so DuckDB
+    // can replay the transitive closure with a recursive CTE; production
+    // edges come from minHashLshVerified/simHashPairs, same operator. ---
+    "d14_dup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"))
+      val nxt = d.select((col("doc_id") - 1).as("src"),
+        col("doc_id").as("dst"), col("lang").as("l2"))
+      val edges = d.join(nxt,
+          col("doc_id") === col("src") && col("lang") === col("l2"))
+        .select(col("src"), col("dst"))
+      Dedup.connectedComponents(edges)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"), max(col("node")).as("last_doc"))
+        .orderBy(col("component"))
+    }),
+
+    // --- canonical-keep: survivors after collapsing each cluster to its
+    // min-id member (everything not in a pair survives untouched) ---
+    "d15_canonical_keep" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"))
+      val nxt = d.select((col("doc_id") - 1).as("a_id"),
+        col("doc_id").as("b_id"), col("lang").as("l2"))
+      val pairs = d.join(nxt,
+          col("doc_id") === col("a_id") && col("lang") === col("l2"))
+        .select(col("a_id"), col("b_id"))
+      Dedup.keepCanonical(docs(s, dir), "doc_id", pairs)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    }),
+
     // --- stratified sampling. Row selection hashes (doc_id, seed) through
     // md5 (stable across partitionings/retries, unlike rand()), which the
     // DuckDB oracle reproduces bit-exactly — full hash-exact check. The
@@ -349,6 +382,40 @@ object TextQueries {
         CAST(len(toks[s+1:s+64]) AS INT) AS n_tok
       FROM st WHERE len(toks[s+1:s+64]) > 0
       ORDER BY doc_id, chunk_id""",
+    "d14_dup_clusters" -> """
+      WITH RECURSIVE edges AS (
+        SELECT d1.doc_id AS src, d2.doc_id AS dst
+        FROM documents d1 JOIN documents d2
+          ON d2.doc_id = d1.doc_id + 1 AND d1.lang = d2.lang),
+      sym AS (
+        SELECT src, dst FROM edges
+        UNION SELECT dst AS src, src AS dst FROM edges),
+      nodes AS (SELECT DISTINCT src AS node FROM sym),
+      reach(root, node) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.root, s.dst FROM reach r JOIN sym s ON s.src = r.node),
+      label AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
+      SELECT component, COUNT(*) AS n_docs, MAX(node) AS last_doc
+      FROM label GROUP BY component ORDER BY component""",
+    "d15_canonical_keep" -> """
+      WITH RECURSIVE edges AS (
+        SELECT d1.doc_id AS src, d2.doc_id AS dst
+        FROM documents d1 JOIN documents d2
+          ON d2.doc_id = d1.doc_id + 1 AND d1.lang = d2.lang),
+      sym AS (
+        SELECT src, dst FROM edges
+        UNION SELECT dst AS src, src AS dst FROM edges),
+      nodes AS (SELECT DISTINCT src AS node FROM sym),
+      reach(root, node) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.root, s.dst FROM reach r JOIN sym s ON s.src = r.node),
+      label AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
+      SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars
+      FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM label WHERE node <> component)
+      GROUP BY lang ORDER BY lang""",
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CAST(length(text) AS BIGINT) AS n_bytes,

@@ -227,3 +227,50 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 }
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains, cycles and cliques collapse to min-id components") {
+    // component {1,2,3,4}: chain + cycle back-edge; {10,11,12}: clique;
+    // {20,21}: single edge; diameter-3 chain forces >1 propagation round
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 2L,
+      10L -> 11L, 11L -> 12L, 10L -> 12L, 21L -> 20L).toDF("src", "dst")
+    val cc = Dedup.connectedComponents(edges).as[(Long, Long)]
+      .collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("label propagation crosses long chains (diameter > 2 rounds)") {
+    val n = 12L
+    val edges = (1L until n).map(i => i -> (i + 1)).toDF("src", "dst")
+    val cc = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(cc.length == n && cc.forall(_._2 == 1L))
+  }
+
+  test("keepCanonical drops every cluster member but the min id") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq(1L -> 2L, 2L -> 3L).toDF("a_id", "b_id")
+    val kept = Dedup.keepCanonical(df, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 2,3 collapse into 1; 4 and 9 never appear in a pair and survive
+    assert(kept == Seq(1L, 4L, 9L))
+  }
+
+  test("end-to-end: minhash pairs -> components -> canonical survivors") {
+    // near-identical trio (one canonical survivor) + two distinct docs
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val df = Seq(
+      (1L, base), (2L, base + "extra tail"), (3L, base + "another tail"),
+      (7L, "completely different text about spark physical planning"),
+      (8L, "unrelated content concerning parquet column pruning"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshVerified(df, "text", "doc_id",
+      threshold = 0.6)
+    val kept = Dedup.keepCanonical(df, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 7L, 8L))
+  }
+}
