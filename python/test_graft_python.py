@@ -305,6 +305,23 @@ class GraftPythonSurface(unittest.TestCase):
         self.assertEqual(rows, [(1, 10), (2, 25), (3, 35)])
         self.conn.execute("DROP TABLE pyt")
 
+    def test_cursor_copy_to_from(self):
+        import tempfile
+        out = tempfile.mkdtemp(prefix="graft_copy_py")
+        cur = self.conn.cursor()
+        cur.execute("CREATE TABLE cpy (id BIGINT, name STRING)")
+        try:
+            cur.execute("INSERT INTO cpy VALUES (1, 'a'), (2, 'b')")
+            cur.execute(f"COPY cpy TO '{out}/t' (FORMAT parquet)")
+            self.assertEqual(cur.fetchone()[1], "2")  # (path, rows)
+            cur.execute("CREATE TABLE cpy2 (id BIGINT, name STRING)")
+            cur.execute(f"COPY cpy2 FROM '{out}/t'")
+            cur.execute("SELECT id FROM cpy2 ORDER BY id")
+            self.assertEqual([r[0] for r in cur.fetchall()], [1, 2])
+        finally:
+            self.conn.execute("DROP TABLE cpy")
+            self.conn.execute("DROP TABLE cpy2")
+
 
 if __name__ == "__main__":
     unittest.main(verbosity=2)

@@ -823,6 +823,29 @@ class GraftSession(val spark: SparkSession, root: String) {
     persistMeta(name)
   }
 
+  private def copyWrite(df: DataFrame, path: String,
+                        fmt: Option[String]): Unit =
+    fmt.map(_.toLowerCase).getOrElse("parquet") match {
+      case "parquet" => df.write.mode("overwrite").parquet(path)
+      case "csv" => graft.sources.Ingest.writeCsv(df, path)
+      case "json" => graft.sources.Ingest.writeJson(df, path)
+      case "orc" => graft.sources.Ingest.writeOrc(df, path)
+      case other => throw new IllegalArgumentException(
+        s"COPY: unsupported FORMAT $other (parquet|csv|json|orc)")
+    }
+
+  private def copyRead(path: String, fmt: Option[String],
+                       schema: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame =
+    fmt.map(_.toLowerCase).getOrElse("parquet") match {
+      case "parquet" => spark.read.parquet(path)
+      case "csv" => graft.sources.Ingest.readCsv(spark, path, schema)
+      case "json" => graft.sources.Ingest.readJson(spark, path, schema)
+      case "orc" => spark.read.orc(path)
+      case other => throw new IllegalArgumentException(
+        s"COPY: unsupported FORMAT $other (parquet|csv|json|orc)")
+    }
+
   /** TRUNCATE: schema and constraints survive, every batch dir goes — PG
     * TRUNCATE semantics minus MVCC; O(batches) directory removal, no data
     * scan. Like PG, refuses when another table references `name` by FK
@@ -1602,6 +1625,10 @@ class GraftSession(val spark: SparkSession, root: String) {
     val dropIndexRe = """(?is)^DROP\s+INDEX\s+(\w+)\s*;?$""".r
     val checkpointRe =
       ("""(?is)^(?:CHECKPOINT|VACUUM)(?:\s+""" + Q + """(\w+))?\s*;?$""").r
+    val copyToRe =
+      ("""(?is)^COPY\s+(\(.+\)|""" + Q + """\w+)\s+TO\s+'([^']+)'\s*(?:(?:WITH\s*)?\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*;?$""").r
+    val copyFromRe =
+      ("""(?is)^COPY\s+""" + Q + """(\w+)\s+FROM\s+'([^']+)'\s*(?:(?:WITH\s*)?\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*;?$""").r
     val alterAddRe =
       ("""(?is)^ALTER\s+TABLE\s+""" + Q + """(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()<>, ]+?)\s*;?$""").r
     val alterDropRe =
@@ -1654,6 +1681,26 @@ class GraftSession(val spark: SparkSession, root: String) {
         Option(tbl).map(Seq(_)).getOrElse(tables.keys.toSeq)
           .foreach(compact); empty
       case truncateRe(tbl) => truncateTable(tbl); empty
+      // COPY <table|(query)> TO '<path>' [(FORMAT parquet|csv|json|orc)]
+      // — PG/DuckDB export idiom over Spark's native writers. A
+      // distributed write (one file per partition), not a driver funnel;
+      // COPY FROM reads with the target table's declared schema so
+      // CSV/JSON round-trips don't depend on inference.
+      case copyToRe(src, path, fmtOrNull) =>
+        val df = {
+          val t = src.trim
+          if (t.startsWith("(")) sql(t.substring(1, t.length - 1))
+          else table(stripDbQualifiers(t))
+        }
+        val n = df.count()
+        copyWrite(df, path, Option(fmtOrNull))
+        catalogDf(Seq((path, n.toString)), "path", "rows")
+      case copyFromRe(tbl, path, fmtOrNull) =>
+        val declared = state(tbl).schema
+        val df = copyRead(path, Option(fmtOrNull),
+          if (declared.fields.nonEmpty) Some(declared) else None)
+        insert(tbl, df)
+        empty
       case alterAddRe(tbl, column, tpe) =>
         addColumn(tbl, column,
           org.apache.spark.sql.types.DataType.fromDDL(tpe)); empty

@@ -429,4 +429,34 @@ class SqlRouterSpec extends SparkSpec {
     import spark.implicits._
     assert(out.as[Long].head() == 12L) // (1+2+3)*2
   }
+
+  test("COPY TO / COPY FROM round-trips tables and query results") {
+    val s = g
+    val out = Files.createTempDirectory("graft_copy")
+    s.execute("CREATE TABLE src (id BIGINT, name STRING)")
+    s.execute("INSERT INTO src (id, name) VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+
+    // table export, default parquet; returns (path, rows)
+    val exported = s.execute(s"COPY src TO '$out/t' (FORMAT parquet)")
+    assert(exported.collect().head.getString(1) == "3")
+
+    // query export with explicit format
+    s.execute(s"COPY (SELECT id, name FROM src WHERE id > 1) " +
+      s"TO '$out/q' (FORMAT csv)")
+
+    // COPY FROM reads with the target's declared schema (no inference
+    // drift on csv) and appends through the normal insert path
+    s.execute("CREATE TABLE back (id BIGINT, name STRING)")
+    s.execute(s"COPY back FROM '$out/q' (FORMAT csv)")
+    import spark.implicits._
+    assert(s.execute("SELECT id FROM back ORDER BY id")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+
+    s.execute(s"COPY back FROM '$out/t'") // parquet default, appends
+    assert(s.execute("SELECT count(*) AS n FROM back").as[Long].head() == 5)
+
+    intercept[IllegalArgumentException] {
+      s.execute(s"COPY src TO '$out/x' (FORMAT avro)")
+    }
+  }
 }
