@@ -1625,6 +1625,8 @@ class GraftSession(val spark: SparkSession, root: String) {
     val dropIndexRe = """(?is)^DROP\s+INDEX\s+(\w+)\s*;?$""".r
     val checkpointRe =
       ("""(?is)^(?:CHECKPOINT|VACUUM)(?:\s+""" + Q + """(\w+))?\s*;?$""").r
+    val explainRe =
+      """(?is)^EXPLAIN\s+(?:(ANALYZE|FORMATTED|EXTENDED)\s+)?(SELECT\s+.*|WITH\s+.*)\s*;?$""".r
     val copyToRe =
       ("""(?is)^COPY\s+(\(.+\)|""" + Q + """\w+)\s+TO\s+'([^']+)'\s*(?:(?:WITH\s*)?\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*;?$""").r
     val copyFromRe =
@@ -1681,6 +1683,25 @@ class GraftSession(val spark: SparkSession, root: String) {
         Option(tbl).map(Seq(_)).getOrElse(tables.keys.toSeq)
           .foreach(compact); empty
       case truncateRe(tbl) => truncateTable(tbl); empty
+      // EXPLAIN [ANALYZE|FORMATTED|EXTENDED] <query> — one text row per
+      // plan line, consumable through the DB-API cursor. FORMATTED is the
+      // default (physical plan + node details); ANALYZE executes and
+      // reports observed metrics via Spark's cost mode.
+      case explainRe(modeOrNull, body) =>
+        val df = sql(body)
+        val text = Option(modeOrNull).map(_.toUpperCase) match {
+          case Some("EXTENDED") =>
+            df.queryExecution.toString
+          case Some("ANALYZE") =>
+            df.collect() // execute so AQE finalizes the plan
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.CostMode)
+          case _ =>
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+        }
+        import spark.implicits._
+        spark.createDataset(text.linesIterator.toSeq).toDF("plan")
       // COPY <table|(query)> TO '<path>' [(FORMAT parquet|csv|json|orc)]
       // — PG/DuckDB export idiom over Spark's native writers. A
       // distributed write (one file per partition), not a driver funnel;

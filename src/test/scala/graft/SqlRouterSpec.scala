@@ -459,4 +459,20 @@ class SqlRouterSpec extends SparkSpec {
       s.execute(s"COPY src TO '$out/x' (FORMAT avro)")
     }
   }
+
+  test("EXPLAIN returns the plan as rows through the router") {
+    val s = g
+    s.execute("CREATE TABLE ex (id BIGINT, v DOUBLE)")
+    s.execute("INSERT INTO ex (id, v) VALUES (1, 1.5), (2, 2.5)")
+    val plan = s.execute(
+      "EXPLAIN SELECT id, sum(v) AS sv FROM ex GROUP BY id")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Physical Plan"))
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"))
+    val analyzed = s.execute(
+      "EXPLAIN ANALYZE SELECT count(*) AS n FROM ex")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(analyzed.nonEmpty)
+    s.execute("DROP TABLE ex")
+  }
 }
