@@ -65,4 +65,22 @@ object Ingest {
     * directory structure and stay prunable. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Range-clustered parquet layout for scan-time data skipping — the
+    * high-cardinality complement to [[writePartitioned]]: partition
+    * directories prune low-cardinality columns (date, lang) at PLANNING
+    * time; range clustering prunes high-cardinality columns (ids,
+    * timestamps) at SCAN time. Rows are range-partitioned then sorted
+    * within each partition on `sortCols`, so every output file covers a
+    * disjoint key range and parquet column-chunk min/max statistics let a
+    * pushed range predicate skip whole row groups — at 100 TB a selective
+    * id/time filter reads a handful of files instead of all of them.
+    * `numFiles` sizes the layout: aim for 128–1024 MB per file at scale. */
+  def writeClustered(df: DataFrame, path: String, sortCols: Seq[String],
+                     numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -53,4 +53,24 @@ class BucketingSpec extends SparkSpec {
     assert(df.select(col("v").variantPath("$.a.b", "int")).as[Int].head() == 7)
     assert(df.select(col("v").variantPath("$.tag", "string")).as[String].head() == "t1")
   }
+
+  test("writeClustered yields disjoint per-file key ranges (skippable)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_clu").toString
+    graft.sources.Ingest.writeClustered(
+      Tables.load(spark, sf, "lineitem"), out, Seq("l_orderkey"),
+      numFiles = 4)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length >= 3) // range partitioner may merge tiny tails
+    // every file covers a disjoint l_orderkey range → parquet min/max
+    // stats can skip whole files/row-groups for range predicates
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("l_orderkey")), max(col("l_orderkey"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    ranges.sortBy(_._1).sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._1, s"overlapping file ranges $a / $b")
+    }
+  }
 }
