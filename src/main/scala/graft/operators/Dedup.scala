@@ -202,8 +202,19 @@ object Dedup {
     while (i < maxIterations && !converged) {
       val pushed = adj.join(labels, "node")
         .select(col("nbr").as("node"), col("component"))
-      val next = labels.union(pushed)
+      val minNext = labels.union(pushed)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
+      // pointer-halving shortcut: a component id IS a node id, so
+      // relabelling through the label's own label compresses two hops
+      // into one — chains converge in O(log diameter) rounds instead of
+      // O(diameter), at the cost of one extra equi-join per round
+      val parents = minNext.select(col("node").as("p_node"),
+        col("component").as("p_comp"))
+      val next = minNext
+        .join(parents, col("component") === col("p_node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("p_comp"), col("component")))
+            .as("component"))
         .localCheckpoint(false)
       val cur = labelSum(next)
       converged = cur.compareTo(prev) == 0
