@@ -259,6 +259,40 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 9L))
   }
 
+  test("property: components match brute-force union-find on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEdges = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (a, b))
+      if edges.nonEmpty
+    } yield edges
+    def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val prop = Prop.forAll(genEdges) { edges =>
+      val expect = unionFind(edges)
+      val got = Dedup.connectedComponents(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      got == expect
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("end-to-end: minhash pairs -> components -> canonical survivors") {
     // near-identical trio (one canonical survivor) + two distinct docs
     val base = "the quick brown fox jumps over the lazy dog " * 4

@@ -34,6 +34,47 @@ class PlanGuardSpec extends SparkSpec {
     globalAgg || scanFiles(p).forall(boundedScans)
   }
 
+  test("no unbounded cartesian/nested-loop joins in the corpus") {
+    // a CartesianProduct or BroadcastNestedLoopJoin is O(|L|·|R|) work —
+    // fine when one side is bounded by construction (nation/region,
+    // 1-row scalar aggregate) or the query IS the theta/cross operator
+    // row (q4/q7); anywhere else it's a scale-killer that AQE cannot fix
+    val exempt = Set("q4_theta_join", "q7_cross_join")
+    val offenders = scala.collection.mutable.Buffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => guarded.exists(pfx =>
+        n.startsWith(pfx) && n.drop(pfx.length).headOption.exists(_.isDigit)) }
+      .filterNot { case (n, _) => exempt(n) }
+      .foreach { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        plan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+              if j.condition.isEmpty ||
+                !j.condition.exists(hasEquiPart(j, _)) => j
+        }.foreach { j =>
+          if (!isBounded(j.left) && !isBounded(j.right))
+            offenders += s"$name: non-equi join of two unbounded sides"
+        }
+      }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  private def hasEquiPart(
+      j: org.apache.spark.sql.catalyst.plans.logical.Join,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, EqualNullSafe}
+    val leftOut = j.left.outputSet
+    val rightOut = j.right.outputSet
+    cond.collectFirst {
+      case e @ EqualTo(l, r)
+          if (l.references.subsetOf(leftOut) && r.references.subsetOf(rightOut)) ||
+            (l.references.subsetOf(rightOut) && r.references.subsetOf(leftOut)) => e
+      case e @ EqualNullSafe(l, r)
+          if (l.references.subsetOf(leftOut) && r.references.subsetOf(rightOut)) ||
+            (l.references.subsetOf(rightOut) && r.references.subsetOf(leftOut)) => e
+    }.isDefined
+  }
+
   test("no broadcast hints on scale-proportional relations in the corpus") {
     val offenders = scala.collection.mutable.Buffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
