@@ -139,12 +139,14 @@ class Cursor:
     def __init__(self, conn):
         self._conn = conn
         self._rows = None
+        self._rel = None
         self._pos = 0
         self.description = None
         self.rowcount = -1
 
     def execute(self, statement, params=None):
         rel = self._conn.execute(statement, params)
+        self._rel = rel
         df = rel.df
         self.description = [
             (f.name, f.dataType.simpleString().upper(),
@@ -188,8 +190,25 @@ class Cursor:
     def __len__(self):
         return 0 if self._rows is None else len(self._rows)
 
+    def fetch_arrow_table(self):
+        """Last result as a `pyarrow.Table`, via the self-describing Arrow
+        IPC stream (columnar hand-off, no per-row py4j traffic — the
+        DuckDB-cursor `fetch_arrow_table` idiom)."""
+        import pyarrow as pa
+        if self._rel is None:
+            return None
+        data = self._conn.to_arrow_stream(self._rel)
+        with pa.ipc.open_stream(data) as reader:
+            return reader.read_all()
+
+    def fetch_df(self):
+        """Last result as a pandas DataFrame (through Arrow)."""
+        table = self.fetch_arrow_table()
+        return None if table is None else table.to_pandas()
+
     def close(self):
         self._rows = None
+        self._rel = None
         self.description = None
 
 

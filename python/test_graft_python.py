@@ -305,6 +305,21 @@ class GraftPythonSurface(unittest.TestCase):
         self.assertEqual(rows, [(1, 10), (2, 25), (3, 35)])
         self.conn.execute("DROP TABLE pyt")
 
+    def test_cursor_fetch_arrow_and_pandas(self):
+        cur = self.conn.cursor()
+        cur.execute("CREATE TABLE arrt (id BIGINT, v DOUBLE)")
+        try:
+            cur.execute("INSERT INTO arrt VALUES (1, 1.5), (2, 2.5), (3, 4.0)")
+            cur.execute("SELECT id, v FROM arrt ORDER BY id")
+            table = cur.fetch_arrow_table()
+            self.assertEqual(table.num_rows, 3)
+            self.assertEqual(table.column_names, ["id", "v"])
+            self.assertEqual(table.column("id").to_pylist(), [1, 2, 3])
+            pdf = cur.fetch_df()
+            self.assertEqual(list(pdf["v"]), [1.5, 2.5, 4.0])
+        finally:
+            self.conn.execute("DROP TABLE arrt")
+
     def test_cursor_copy_to_from(self):
         import tempfile
         out = tempfile.mkdtemp(prefix="graft_copy_py")

@@ -88,12 +88,16 @@ object EventPipeline {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTime: String = "t", rightTime: String = "rt",
                    band: String = "10 minutes",
-                   watermark: String = "1 hour"): DataFrame = {
+                   watermark: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTime, watermark)
     val r = right.withWatermark(rightTime, watermark)
+    // outer variants emit the NULL-padded row only once the watermark
+    // proves no in-band partner can still arrive — the time-bound
+    // condition is what makes stream-stream outer joins legal at all
     l.join(r, l(key) === r(key) &&
       r(rightTime) >= l(leftTime) &&
-      r(rightTime) <= l(leftTime) + expr(s"INTERVAL $band"))
+      r(rightTime) <= l(leftTime) + expr(s"INTERVAL $band"), joinType)
   }
 
   /** Native session-window aggregation: Spark's built-in `session_window`

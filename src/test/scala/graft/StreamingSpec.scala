@@ -121,6 +121,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join null-pads after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val l = clicks.toDF().select(col("user_id"), col("t"))
+    val right = buys.toDF().toDF("user_id", "rt", "amount")
+    val q = EventPipeline.intervalJoin(l, right,
+        key = "user_id", band = "10 minutes", watermark = "30 minutes",
+        joinType = "left_outer")
+      .select(l("user_id"), col("amount"))
+      .writeStream.format("memory").queryName("ij_outer")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Event(1L, "click", ts(0), 1.0),
+        Event(2L, "click", ts(0), 1.0))
+      buys.addData((1L, ts(5), 9.99))
+      q.processAllAvailable()
+      // advance both watermarks far past u2's band so the engine can
+      // prove no partner is coming and emit the null-padded row
+      clicks.addData(Event(9L, "click",
+        Timestamp.valueOf("2024-01-01 12:00:00"), 1.0))
+      buys.addData((9L, Timestamp.valueOf("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      clicks.addData(Event(8L, "click",
+        Timestamp.valueOf("2024-01-01 13:00:00"), 1.0))
+      buys.addData((8L, Timestamp.valueOf("2024-01-01 13:00:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ij_outer")
+        .filter(col("user_id").isin(1L, 2L))
+        .collect().map(r => (r.getLong(0), Option(r.get(1))))
+      assert(rows.toSet == Set((1L, Some(9.99)), (2L, None)))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
