@@ -70,6 +70,38 @@ object BreadthQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- edit-distance fuzzy matching (levenshtein is codegen'd): the
+    // cheap exact-verify companion to the LSH candidate generators for
+    // SHORT strings (names, titles) — banded self-join keeps it O(n·gap)
+    // like d8, never all-pairs ---
+    "f2_edit_distance" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
+      graft.operators.TimeJoins.bandedSelfJoinPairs(d, "doc_id", maxGap = 5)
+        .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+          levenshtein(col("a_head"), col("b_head")).as("dist"))
+        .filter(col("dist") <= 30)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // --- lag/lead/nth_value over ordered partitions: the offset window
+    // family (ds3 covers lag for deltas; this pins the full set incl.
+    // frame-dependent nth_value) ---
+    "w3_offset_funcs" -> ((s, dir) => {
+      val m = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("m"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      m.select(col("o_orderpriority"), col("m"), col("n"),
+          lag(col("n"), 1).over(w).as("prev_n"),
+          lead(col("n"), 1).over(w).as("next_n"),
+          nth_value(col("n"), 3).over(wAll).as("third_n"))
+        .orderBy(col("o_orderpriority"), col("m"))
+    }),
+
     // --- JOB-style: selective filters on several dimensions of a star,
     // MIN/argmin outputs (join-reorder + pushdown stress) ---
     "job1_star_filters" -> ((s, dir) => {
@@ -127,6 +159,32 @@ object BreadthQueries {
           AS sources,
         COUNT(*) AS n
       FROM documents GROUP BY lang ORDER BY lang""",
+    "f2_edit_distance" -> """
+      WITH d AS (
+        SELECT doc_id, substring(text, 1, 40) AS head
+        FROM documents WHERE doc_id < 60)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        levenshtein(a.head, b.head) AS dist
+      FROM d a JOIN d b
+        ON b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 5
+      WHERE levenshtein(a.head, b.head) <= 30
+      ORDER BY a_id, b_id""",
+    "w3_offset_funcs" -> """
+      WITH m AS (
+        SELECT o_orderpriority,
+          CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+               AS TIMESTAMP) AS m,
+          COUNT(*) AS n
+        FROM orders GROUP BY 1, 2)
+      SELECT o_orderpriority, m, n,
+        LAG(n, 1) OVER w AS prev_n,
+        LEAD(n, 1) OVER w AS next_n,
+        NTH_VALUE(n, 3) OVER (PARTITION BY o_orderpriority ORDER BY m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          AS third_n
+      FROM m
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY m)
+      ORDER BY o_orderpriority, m""",
     "job1_star_filters" -> """
       SELECT MIN(n_name) AS first_nation, MIN(p_name) AS first_part,
         MIN(CAST(o_orderdate AS TIMESTAMP)) AS earliest, COUNT(*) AS n
