@@ -3,7 +3,7 @@ package graft.api
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, monotonically_increasing_id, raise_error, row_number, when}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, monotonically_increasing_id, raise_error, row_number, sum, when}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.sources.DynamicSchema
@@ -1162,11 +1162,150 @@ class GraftSession(val spark: SparkSession, root: String) {
   }
 
   def refreshMatView(name: String): Unit = {
+    if (incViews.contains(name) || loadIncSpec(name).isDefined) {
+      refreshIncrementalMatView(name); return
+    }
     val body = views(name)
     // rebuild cycle, not a user drop: views defined over this matview
     // must survive the refresh
     dropTable(name, dropDependents = false)
     createMatView(name, body)
+  }
+
+  // ---------------------------------------- incremental matviews
+  // Aggregate matviews over one base table, kept fresh by folding ONLY
+  // batches appended since the last refresh — O(delta), not O(table).
+  // At 100 TB a full re-aggregation per refresh is the difference
+  // between rescanning the lake and scanning the day's partition. Only
+  // algebraic aggregates participate (count/sum/min/max — each merges
+  // batch-locally); avg = sum/count in a view over the matview.
+  // Non-append history changes (UPDATE/DELETE rewrote batches,
+  // compaction folded them) are detected by batch-set mismatch and fall
+  // back to a full rebuild — still correct, just not incremental.
+
+  /** (base, groupCols, (func, col, alias)*) per incremental matview. */
+  private val incViews = scala.collection.mutable.Map[
+    String, (String, Seq[String], Seq[(String, String, String)])]()
+
+  private def incDir = { val d = rootPath.resolve("_views")
+    Files.createDirectories(d); d }
+
+  private def persistIncSpec(name: String): Unit = {
+    val (base, keys, aggs) = incViews(name)
+    Files.writeString(incDir.resolve(s"$name.inc"),
+      (Seq(base, keys.mkString(",")) ++
+        aggs.map { case (f, c, a) => s"$f:$c:$a" }).mkString("\n"))
+  }
+
+  private def loadIncSpec(name: String)
+      : Option[(String, Seq[String], Seq[(String, String, String)])] =
+    incViews.get(name).orElse {
+      val f = incDir.resolve(s"$name.inc")
+      if (!Files.exists(f)) None
+      else {
+        val lines = Files.readString(f).split("\n").toSeq
+        val spec = (lines.head,
+          lines(1).split(",").filter(_.nonEmpty).toSeq,
+          lines.drop(2).map { l =>
+            val Array(fn, c, a) = l.split(":", 3); (fn, c, a) })
+        incViews(name) = spec
+        Some(spec)
+      }
+    }
+
+  private def seenFile(name: String) = incDir.resolve(s"$name.seen")
+
+  private def recordSeen(name: String, base: String): Unit =
+    Files.writeString(seenFile(name),
+      listBatches(base).map(_.getFileName.toString).mkString("\n"))
+
+  private def readSeen(name: String): Set[String] =
+    if (!Files.exists(seenFile(name))) Set.empty
+    else Files.readString(seenFile(name)).split("\n")
+      .filter(_.nonEmpty).toSet
+
+  /** First-pass aggregate of raw rows (count counts, sum sums…). */
+  private def incAggExprs(aggs: Seq[(String, String, String)]): Seq[Column] =
+    aggs.map {
+      case ("count", _, alias) => count(lit(1)).as(alias)
+      case ("sum", c, alias) => sum(col(c)).as(alias)
+      case ("min", c, alias) => min(col(c)).as(alias)
+      case ("max", c, alias) => max(col(c)).as(alias)
+      case (f, _, _) => throw new IllegalArgumentException(
+        s"incremental matview: non-algebraic aggregate $f " +
+          "(count/sum/min/max merge; derive avg as sum/count in a view)")
+    }
+
+  /** Merge-pass aggregate over already-aggregated rows: counts combine
+    * by SUM, everything else by its own function. */
+  private def incMergeExprs(aggs: Seq[(String, String, String)]): Seq[Column] =
+    aggs.map {
+      case ("count", _, alias) => sum(col(alias)).cast("long").as(alias)
+      case ("sum", _, alias) => sum(col(alias)).as(alias)
+      case ("min", _, alias) => min(col(alias)).as(alias)
+      case ("max", _, alias) => max(col(alias)).as(alias)
+      case (f, _, _) => throw new IllegalArgumentException(f)
+    }
+
+  private def incAggregate(df: DataFrame, keys: Seq[String],
+                           aggs: Seq[(String, String, String)]): DataFrame = {
+    val es = incAggExprs(aggs)
+    df.groupBy(keys.map(col): _*).agg(es.head, es.tail: _*)
+  }
+
+  /** Create an incremental aggregate matview. `aggs` = (func, column,
+    * alias) with func one of count/sum/min/max (column ignored for
+    * count). The initial build is a full aggregation; refreshes fold
+    * only new batches. */
+  def createIncrementalMatView(name: String, base: String,
+      groupCols: Seq[String],
+      aggs: Seq[(String, String, String)]): Unit = {
+    state(base) // must exist
+    incAggExprs(aggs) // validate funcs up front
+    incViews(name) = (base, groupCols, aggs)
+    persistIncSpec(name)
+    val full = incAggregate(table(base), groupCols, aggs)
+    createTable(name, full.schema)
+    insert(name, full)
+    recordSeen(name, base)
+  }
+
+  /** Refresh by folding only appended batches; returns the mode taken:
+    * "noop" (nothing new), "incremental(n)" (n new batches folded), or
+    * "full" (history rewritten — rebuilt from scratch). */
+  def refreshIncrementalMatView(name: String): String = {
+    val (base, keys, aggs) = loadIncSpec(name).getOrElse(
+      throw new IllegalArgumentException(s"no incremental matview $name"))
+    val current = listBatches(base).map(_.getFileName.toString)
+    val seen = readSeen(name)
+    val mode =
+      if (!seen.subsetOf(current.toSet)) {
+        // UPDATE/DELETE/compaction rewrote batch dirs under us — the
+        // stored partials no longer tile the table; rebuild
+        val full = incAggregate(table(base), keys, aggs).localCheckpoint()
+        truncateTable(name)
+        insert(name, full)
+        "full"
+      } else {
+        val deltaDirs = normalizedBatches(base)
+          .filterNot(p => seen(p._1.getFileName.toString))
+        if (deltaDirs.isEmpty) "noop"
+        else {
+          val delta = incAggregate(
+            deltaDirs.map(_._2).reduce(_ union _), keys, aggs)
+          val ms = incMergeExprs(aggs)
+          // merged must be materialized BEFORE truncate deletes the
+          // matview batches it reads from
+          val merged = table(name).union(delta)
+            .groupBy(keys.map(col): _*).agg(ms.head, ms.tail: _*)
+            .localCheckpoint()
+          truncateTable(name)
+          insert(name, merged)
+          s"incremental(${deltaDirs.size})"
+        }
+      }
+    recordSeen(name, base)
+    mode
   }
 
   /** SET TIMEZONE (reference node_set_timezone / session_tz): session-wide
@@ -1613,6 +1752,8 @@ class GraftSession(val spark: SparkSession, root: String) {
     val createSeqRe =
       ("""(?is)^CREATE\s+SEQUENCE\s+""" + Q + """(\w+)(?:\s+START\s+(?:WITH\s+)?(-?\d+))?(?:\s+INCREMENT\s+(?:BY\s+)?(-?\d+))?\s*;?$""").r
     val dropSeqRe = ("""(?is)^DROP\s+SEQUENCE\s+""" + Q + """(\w+)\s*;?$""").r
+    val createIncMvRe =
+      ("""(?is)^CREATE\s+INCREMENTAL\s+MATERIALIZED\s+VIEW\s+""" + Q + """(\w+)\s+AS\s+SELECT\s+(.*?)\s+FROM\s+""" + Q + """(\w+)\s+GROUP\s+BY\s+.*?;?$""").r
     val createMatViewRe =
       ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+""" + Q + """(\w+)\s+AS\s+(.*?);?$""").r
     val createViewRe =
@@ -1732,6 +1873,25 @@ class GraftSession(val spark: SparkSession, root: String) {
           Option(start).map(_.toLong).getOrElse(1L),
           Option(inc).map(_.toLong).getOrElse(1L)); empty
       case dropSeqRe(name) => dropSequence(name); empty
+      // CREATE INCREMENTAL MATERIALIZED VIEW mv AS
+      //   SELECT k, count(*) AS n, sum(c) AS s FROM base GROUP BY k
+      // — select list restricted to bare group columns + algebraic
+      // aggregates with mandatory aliases (the merge needs stable names)
+      case createIncMvRe(name, selectList, base) =>
+        val aggRe =
+          """(?i)^(count|sum|min|max)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)$""".r
+        val colRe = """^(\w+)$""".r
+        val (keys, aggs) = splitTopLevel(selectList).map(_.trim).foldLeft(
+          (Seq.empty[String], Seq.empty[(String, String, String)])) {
+          case ((ks, as), aggRe(f, c, alias)) =>
+            (ks, as :+ (f.toLowerCase, c, alias))
+          case ((ks, as), colRe(k)) => (ks :+ k, as)
+          case (_, item) => throw new IllegalArgumentException(
+            "INCREMENTAL MATERIALIZED VIEW select items must be bare " +
+              s"group columns or count/sum/min/max(...) AS alias — got: $item")
+        }
+        createIncrementalMatView(name, base, keys, aggs)
+        empty
       case createMatViewRe(name, body) => createMatView(name, body); empty
       case createViewRe(name, body) => createView(name, body); empty
       case dropViewRe(name) => dropView(name); empty
