@@ -305,6 +305,22 @@ class GraftPythonSurface(unittest.TestCase):
         self.assertEqual(rows, [(1, 10), (2, 25), (3, 35)])
         self.conn.execute("DROP TABLE pyt")
 
+    def test_incremental_matview_through_cursor(self):
+        cur = self.conn.cursor()
+        cur.execute("CREATE TABLE imv_base (lang STRING, n BIGINT)")
+        try:
+            cur.execute("INSERT INTO imv_base VALUES ('en', 1), ('de', 2)")
+            cur.execute(
+                "CREATE INCREMENTAL MATERIALIZED VIEW imv AS "
+                "SELECT lang, count(*) AS c, sum(n) AS s "
+                "FROM imv_base GROUP BY lang")
+            cur.execute("INSERT INTO imv_base VALUES ('en', 10)")
+            cur.execute("REFRESH MATERIALIZED VIEW imv")
+            cur.execute("SELECT lang, c, s FROM imv ORDER BY lang")
+            self.assertEqual(cur.fetchall(), [("de", 1, 2), ("en", 2, 11)])
+        finally:
+            self.conn.execute("DROP TABLE imv_base")
+
     def test_cursor_fetch_arrow_and_pandas(self):
         cur = self.conn.cursor()
         cur.execute("CREATE TABLE arrt (id BIGINT, v DOUBLE)")

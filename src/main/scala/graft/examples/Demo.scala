@@ -106,6 +106,25 @@ object Demo {
     // size-tiered maintenance: fold the small-batch tail only
     g.compactSmall("items")
 
+    // COPY export/import through the router (PG/DuckDB idiom)
+    val copyDir = java.nio.file.Files.createTempDirectory("demo_copy")
+    g.execute(s"COPY items TO '$copyDir/items_out' (FORMAT parquet)").show()
+    g.execute("CREATE TABLE items_back (id BIGINT, qty BIGINT)")
+    g.execute(s"COPY items_back FROM '$copyDir/items_out'")
+    g.execute("SELECT count(*) AS copied FROM items_back").show()
+
+    // incremental matview: refresh folds only appended batches
+    g.execute("""CREATE INCREMENTAL MATERIALIZED VIEW item_stats AS
+      SELECT qty, count(*) AS n, sum(id) AS ids
+      FROM items GROUP BY qty""")
+    g.execute("INSERT INTO items (id, qty) VALUES (100, 9)")
+    println("refresh mode: " + g.refreshIncrementalMatView("item_stats"))
+    g.execute("SELECT * FROM item_stats ORDER BY qty").show(5)
+
+    // EXPLAIN through the router (plan rows for DB-API consumers)
+    g.execute("EXPLAIN SELECT qty, count(*) AS n FROM items GROUP BY qty")
+      .show(8, truncate = false)
+
     // session niceties
     g.setTimezone("UTC")
     println(g.explainPlan(
