@@ -190,8 +190,10 @@ object Dedup {
         col(srcCol).cast("long").as("nbr")))
       .distinct()
       .localCheckpoint() // scanned every round — materialize once
-    var labels = adj.select(col("node")).distinct()
-      .withColumn("component", col("node"))
+    // initial label = min(self, neighbors) — folds what would otherwise
+    // be the whole first propagation round into the node-list aggregate
+    var labels = adj.groupBy(col("node"))
+      .agg(least(col("node"), min(col("nbr"))).as("component"))
       .localCheckpoint()
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("component").cast(DecimalType(38, 0))))
