@@ -78,4 +78,26 @@ object Mixing {
       .cast("double") / 1000000007.0
     df.filter(u < frac)
   }
+
+  /** Weighted dataset mixing under a token budget — the "mix sources to
+    * target proportions" step of a training-data pipeline. Given target
+    * mixture weights per stratum and a total token budget, the per-stratum
+    * sampling rate is derived from the AVAILABLE token mass:
+    * rate = min(1, weight·budget / availableTokens); rows are then
+    * selected with the same deterministic md5 keying as
+    * [[stratifiedSample]] (stable across retries/partitionings,
+    * reproducible in the DuckDB oracle). Strata not in `weights` are
+    * dropped. The collected per-stratum aggregate is O(#strata) — bounded
+    * metadata, never data — so the plan stays two scans of the corpus
+    * (one aggregate, one filtered pass), both fully distributed. */
+  def mixByWeights(df: DataFrame, stratumCol: String, tokenCol: Column,
+                   weights: Map[String, Double], tokenBudget: Long,
+                   keyCols: Seq[String], seed: Long = 42L): DataFrame = {
+    val avail = df.groupBy(col(stratumCol))
+      .agg(sum(tokenCol).cast("double").as("tok"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rates = weights.flatMap { case (k, w) =>
+      avail.get(k).map(t => k -> math.min(1.0, w * tokenBudget / t)) }
+    stratifiedSample(df, stratumCol, rates, seed, keyCols)
+  }
 }

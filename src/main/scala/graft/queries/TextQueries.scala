@@ -162,6 +162,21 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- weighted dataset mixing: sample each language toward target
+    // mixture weights under a 10k-token budget; rates derive from the
+    // available token mass, selection is the deterministic md5 key ---
+    "d16_weighted_mix" -> ((s, dir) => {
+      graft.operators.Mixing.mixByWeights(
+          docs(s, dir), "lang", tokenCount(col("text")),
+          Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15,
+            "es" -> 0.1, "zh" -> 0.05),
+          tokenBudget = 10000, keyCols = Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(tokenCount(col("text"))).as("tok"))
+        .orderBy(col("lang"))
+    }),
+
     // --- the whole preprocessing pipeline as ONE declarative plan:
     // exact-dedup → quality filter → sequence packing → per-source stats.
     // Catalyst fuses it: one scan, dedup semi-join, filter, one window ---
@@ -253,6 +268,24 @@ object TextQueries {
                  WHEN 'es' THEN 1.0 WHEN 'zh' THEN 1.0 WHEN 'de' THEN 1.0
                  ELSE 0.0 END)
       GROUP BY lang ORDER BY lang""",
+    "d16_weighted_mix" -> """
+      WITH toks AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+        FROM documents),
+      avail AS (
+        SELECT lang, CAST(SUM(tok) AS DOUBLE) AS t FROM toks GROUP BY lang),
+      rates AS (
+        SELECT lang, LEAST(1.0,
+          (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+             WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.1 WHEN 'zh' THEN 0.05
+             ELSE 0.0 END) * 10000 / t) AS r
+        FROM avail)
+      SELECT d.lang, COUNT(*) AS n, SUM(d.tok) AS tok
+      FROM toks d JOIN rates USING (lang)
+      WHERE (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || chr(1) || '42'), 1, 15) AS BIGINT)
+             % 1000000007) / 1000000007.0 < r
+      GROUP BY d.lang ORDER BY d.lang""",
     // all-pairs exact ground truth: the LSH path must find exactly these
     "d6_minhash_lsh" -> """
       WITH sh AS (

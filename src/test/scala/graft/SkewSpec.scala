@@ -26,6 +26,35 @@ class SkewSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("mixByWeights: rates derive from token mass and clamp at 1.0") {
+    import graft.operators.Mixing
+    val rows = (1 to 400).map { i =>
+      val lang = if (i % 4 == 0) "de" else "en" // en has 3x de's mass
+      (i.toLong, lang, "tok " * 10)
+    }
+    val df = rows.toDF("id", "lang", "body")
+    val tok = lit(10L)
+    // budget >= total mass of both strata at their weights → keep all
+    val all = Mixing.mixByWeights(df, "lang", tok,
+      Map("en" -> 0.5, "de" -> 0.5), tokenBudget = 100000,
+      keyCols = Seq("id"))
+    assert(all.count() == 400)
+    // tight budget: each stratum keeps ≈ weight·budget tokens
+    val mixed = Mixing.mixByWeights(df, "lang", tok,
+      Map("en" -> 0.7, "de" -> 0.3), tokenBudget = 1000,
+      keyCols = Seq("id"))
+    val byLang = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected ≈ 70 and 30 rows (10 tokens each); deterministic hash →
+    // binomial noise only, generous bounds
+    assert(byLang("en") > 40 && byLang("en") < 100, byLang.toString)
+    assert(byLang("de") > 10 && byLang("de") < 50, byLang.toString)
+    // unmapped stratum is dropped
+    val dropped = Mixing.mixByWeights(df, "lang", tok,
+      Map("en" -> 1.0), tokenBudget = 100000, keyCols = Seq("id"))
+    assert(dropped.filter(col("lang") === "de").count() == 0)
+  }
+
   test("chunking: windows cover every token with the configured overlap") {
     import graft.operators.Mixing
     import spark.implicits._
