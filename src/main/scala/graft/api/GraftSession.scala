@@ -778,7 +778,9 @@ class GraftSession(val spark: SparkSession, root: String) {
     * checkpoint analogue): O(table) rewrite, schema becomes the current
     * union, tombstoned columns are physically dropped. */
   def compact(name: String): Unit = {
-    val snapshot = table(name)
+    // rewrites cluster on the indexed columns (see createIndex) — this
+    // is where an index becomes physically real
+    val snapshot = clusterByIndex(name, table(name))
     overwrite(name, snapshot, spark.emptyDataFrame.limit(0))
     // vacuum the staged RETURNING dirs of past DML statements (their lazy
     // result frames are dead after a compact — documented divergence)
@@ -805,7 +807,7 @@ class GraftSession(val spark: SparkSession, root: String) {
     val small = normalizedBatches(name)
       .filter { case (p, _) => dirSize(p) < smallBytes }
     if (small.size <= 1) return // nothing worth folding
-    val union = small.map(_._2).reduce(_ union _)
+    val union = clusterByIndex(name, small.map(_._2).reduce(_ union _))
     val staging = tableDir(name).resolve("_staging")
     deleteRecursively(staging)
     union.write.mode(SaveMode.Overwrite).parquet(staging.toString)
@@ -1319,14 +1321,49 @@ class GraftSession(val spark: SparkSession, root: String) {
       org.apache.spark.sql.execution.FormattedMode)
 
   /** CREATE INDEX accepted as metadata-only (SURVEY §2.11: Spark has no
-    * secondary indexes; scan pruning fills the role). Recorded so DROP
-    * INDEX and catalog introspection behave. */
-  def createIndex(index: String, table: String, columns: Seq[String]): Unit =
+    * secondary indexes; scan pruning fills the role) — but it is not a
+    * pure no-op either: the index IS the layout. Whenever an indexed
+    * table's data is rewritten (compact / compactSmall), rows are
+    * range-clustered and sorted on the indexed columns, so parquet
+    * min/max column statistics let pushed equality/range predicates skip
+    * whole row groups — the Spark-native index_scan. No separate index
+    * structure exists to maintain or go stale. Persisted (survives
+    * restarts) so maintenance keeps clustering long after CREATE. */
+  def createIndex(index: String, table: String, columns: Seq[String]): Unit = {
     indexes(index) = (table, columns)
-  def dropIndex(index: String): Unit = indexes.remove(index)
+    persistIndexes()
+  }
+  def dropIndex(index: String): Unit = {
+    indexes.remove(index); persistIndexes()
+  }
   def listIndexes: Map[String, (String, Seq[String])] = indexes.toMap
   private val indexes =
     scala.collection.mutable.Map[String, (String, Seq[String])]()
+  locally {
+    val f = rootPath.resolve("_indexes")
+    if (Files.exists(f))
+      Files.readString(f).split("\n").filter(_.nonEmpty).foreach { l =>
+        val Array(ix, t, cols) = l.split("\\|", 3)
+        indexes(ix) = (t, cols.split(",").filter(_.nonEmpty).toSeq)
+      }
+  }
+  private def persistIndexes(): Unit =
+    Files.writeString(rootPath.resolve("_indexes"),
+      indexes.map { case (ix, (t, cs)) => s"$ix|$t|${cs.mkString(",")}" }
+        .mkString("\n"))
+
+  /** Range-cluster + sort a frame on `name`'s indexed columns (identity
+    * when no index covers the table). */
+  private def clusterByIndex(name: String, df: DataFrame): DataFrame =
+    indexes.values.collectFirst {
+      case (t, cols) if t == name && cols.forall(df.columns.contains) =>
+        cols
+    } match {
+      case Some(cols) =>
+        df.repartitionByRange(cols.map(col): _*)
+          .sortWithinPartitions(cols.map(col): _*)
+      case None => df
+    }
 
   /** Databases accepted as namespaces (reference CREATE DATABASE +
     * db.table addressing everywhere, e.g. jsonbench's `bench.events`).
