@@ -226,4 +226,40 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Seq((1L, 7.0, 3L), (2L, 8.0, 1L), (3L, 16.0, 1L)))
     } finally q.stop()
   }
+
+  test("streaming ingest keeps an incremental matview fresh per batch") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.DataFrame
+    import graft.api.GraftSession
+    implicit val sqlCtx = spark.sqlContext
+    val g = GraftSession(spark,
+      Files.createTempDirectory("graft_stream_imv").toString)
+    g.execute("CREATE TABLE ev (event_type STRING, value DOUBLE)")
+    g.createIncrementalMatView("evagg", "ev", Seq("event_type"),
+      Seq(("count", "*", "n"), ("sum", "value", "total")))
+    val modes = scala.collection.mutable.Buffer[String]()
+    val mem = MemoryStream[Event]
+    // landing + aggregate maintenance in one foreachBatch: each
+    // micro-batch appends one batch dir, and the matview folds exactly
+    // that delta — the refresh never rescans landed history
+    val q = mem.toDF().select(col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        g.insert("ev", df)
+        modes += g.refreshIncrementalMatView("evagg")
+        ()
+      }
+      .start()
+    try {
+      mem.addData(Event(1L, "click", ts(0), 1.0),
+        Event(2L, "click", ts(1), 2.0), Event(3L, "view", ts(2), 8.0))
+      q.processAllAvailable()
+      mem.addData(Event(4L, "click", ts(3), 4.0))
+      q.processAllAvailable()
+      assert(modes.toSeq == Seq("incremental(1)", "incremental(1)"))
+      val rows = g.table("evagg").orderBy("event_type")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(rows == Seq(("click", 3L, 7.0), ("view", 1L, 8.0)))
+    } finally q.stop()
+  }
 }
