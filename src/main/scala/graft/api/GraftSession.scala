@@ -22,7 +22,7 @@ import graft.sources.DynamicSchema
   * overwrite semantics with staged directory swaps (documented divergence
   * from the reference's OLTP half).
   */
-class GraftSession(val spark: SparkSession, root: String) {
+class GraftSession(val spark: SparkSession, val root: String) {
   private val rootPath = Paths.get(root)
   Files.createDirectories(rootPath)
 
@@ -451,6 +451,24 @@ class GraftSession(val spark: SparkSession, root: String) {
     if (autoCompactThreshold > 0 &&
         listBatches(name).size > autoCompactThreshold)
       compactSmall(name)
+  }
+
+  /** Idempotent insert for streaming sinks: lands `df` only if `epochId`
+    * has not been applied to `name` before, recording applied epochs in a
+    * per-table commit log. foreachBatch re-delivers a micro-batch after a
+    * failure with the SAME epoch id — with plain insert that lands rows
+    * twice; with this, replays are no-ops and the table is exactly-once
+    * from the sink's perspective. The log is one line per epoch, O(epochs)
+    * metadata, never data. Returns true when the batch was applied. */
+  def insertIfNew(name: String, epochId: Long, df: DataFrame): Boolean = {
+    val log = tableDir(name).resolve("_stream_commits")
+    val seen = if (Files.exists(log))
+      Files.readString(log).split("\n").filter(_.nonEmpty).map(_.toLong).toSet
+    else Set.empty[Long]
+    if (seen(epochId)) return false
+    insert(name, df)
+    Files.writeString(log, (seen + epochId).toSeq.sorted.mkString("\n"))
+    true
   }
 
   /** UPDATE ... SET ... WHERE ... [RETURNING]: read → transform → staged

@@ -227,6 +227,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("insertIfNew makes foreachBatch landing exactly-once on replay") {
+    import java.nio.file.Files
+    import graft.api.GraftSession
+    val g = GraftSession(spark,
+      Files.createTempDirectory("graft_once").toString)
+    g.execute("CREATE TABLE landed (id BIGINT)")
+    val b0 = Seq(1L, 2L).toDF("id")
+    val b1 = Seq(3L).toDF("id")
+    assert(g.insertIfNew("landed", 0L, b0))
+    assert(!g.insertIfNew("landed", 0L, b0)) // replayed epoch → no-op
+    assert(g.insertIfNew("landed", 1L, b1))
+    assert(!g.insertIfNew("landed", 1L, b1))
+    assert(g.table("landed").count() == 3)
+    // the commit log survives a session restart
+    val g2 = GraftSession(spark, g.root)
+    assert(!g2.insertIfNew("landed", 1L, b1))
+    assert(g2.table("landed").count() == 3)
+  }
+
   test("streaming ingest keeps an incremental matview fresh per batch") {
     import java.nio.file.Files
     import org.apache.spark.sql.DataFrame
