@@ -227,9 +227,25 @@ class Connection:
             spark._jsparkSession, root)
         self._jvm = jvm
 
-    def from_df(self, pdf):
-        """Ingest a pandas frame (reference test fixture `conn.from_df`)."""
-        return Relation(self.spark.createDataFrame(pdf))
+    def from_df(self, df):
+        """Ingest a dataframe (reference test fixture `conn.from_df`).
+
+        Accepts pandas, and — mirroring the reference's polars ingest
+        (integration/python/tests/test_polars_ingest.py, which goes
+        through its Arrow export in scan/pandas_arrow_prepare.cpp) — any
+        Arrow-native frame: a `pyarrow.Table`, a polars DataFrame (its
+        `to_arrow()` is a zero-copy export), or any object speaking the
+        Arrow PyCapsule protocol (`__arrow_c_stream__`). Arrow-native
+        frames reach Spark as Arrow batches directly; pandas is never in
+        that path."""
+        import pyarrow as pa
+        if not isinstance(df, pa.Table):
+            to_arrow = getattr(df, "to_arrow", None)
+            if callable(to_arrow):  # polars-style Arrow export
+                df = to_arrow()
+            elif hasattr(df, "__arrow_c_stream__"):  # PyCapsule protocol
+                df = pa.table(df)
+        return Relation(self.spark.createDataFrame(df))
 
     def execute(self, statement, params=None):
         jdf = self._jsession.execute(

@@ -353,6 +353,65 @@ class GraftPythonSurface(unittest.TestCase):
             self.conn.execute("DROP TABLE cpy")
             self.conn.execute("DROP TABLE cpy2")
 
+    # --- polars-style Arrow-native ingest (reference
+    # integration/python/tests/test_polars_ingest.py). polars itself is
+    # not in this container, so the tests drive the exact code path a
+    # polars frame takes — its `to_arrow()` zero-copy export — with a
+    # pyarrow-backed stand-in; a pyarrow.Table and a PyCapsule-only
+    # object cover the other two Arrow-native entrances. Pandas is never
+    # in the path (the stand-ins would raise on any pandas call).
+
+    class _ArrowFrame:
+        """Stand-in with polars' ingest-relevant surface: to_arrow()."""
+
+        def __init__(self, table):
+            self._table = table
+
+        def to_arrow(self):
+            return self._table
+
+        def __getattr__(self, name):  # any pandas-path call explodes
+            raise AssertionError(f"pandas-path call leaked: {name}")
+
+    class _CapsuleFrame:
+        """Stand-in speaking only the Arrow PyCapsule protocol."""
+
+        def __init__(self, table):
+            self._table = table
+
+        def __arrow_c_stream__(self, requested_schema=None):
+            return self._table.__arrow_c_stream__(requested_schema)
+
+    def test_polars_style_ingest_round_trip(self):
+        import pyarrow as pa
+        table = pa.table({"id": [1, 2, 3], "name": ["a", "b", "c"]})
+        for frame in (self._ArrowFrame(table), table,
+                      self._CapsuleFrame(table)):
+            rel = self.conn.from_df(frame)
+            self.assertEqual(rel.columns, ["id", "name"])
+            self.assertEqual(sorted(rel.fetchall()),
+                             [(1, "a"), (2, "b"), (3, "c")])
+
+    def test_polars_style_ingest_dtype_mapping(self):
+        import datetime
+        import pyarrow as pa
+        table = pa.table({
+            "i64": pa.array([1, None], type=pa.int64()),
+            "i32": pa.array([7, 8], type=pa.int32()),
+            "f64": pa.array([1.5, 2.5], type=pa.float64()),
+            "s": pa.array(["x", None], type=pa.string()),
+            "b": pa.array([True, False], type=pa.bool_()),
+            "ts": pa.array([datetime.datetime(2024, 1, 1, 12), None],
+                           type=pa.timestamp("us")),
+        })
+        rel = self.conn.from_df(self._ArrowFrame(table))
+        self.assertEqual(
+            rel.types,
+            ["BIGINT", "INT", "DOUBLE", "STRING", "BOOLEAN", "TIMESTAMP"])
+        rows = rel.fetchall()
+        self.assertEqual(rows[0][:5], (1, 7, 1.5, "x", True))
+        self.assertEqual(rows[1][0], None)  # nulls survive the ingest
+
 
 if __name__ == "__main__":
     unittest.main(verbosity=2)

@@ -453,21 +453,43 @@ class GraftSession(val spark: SparkSession, val root: String) {
       compactSmall(name)
   }
 
-  /** Idempotent insert for streaming sinks: lands `df` only if `epochId`
-    * has not been applied to `name` before, recording applied epochs in a
-    * per-table commit log. foreachBatch re-delivers a micro-batch after a
-    * failure with the SAME epoch id — with plain insert that lands rows
-    * twice; with this, replays are no-ops and the table is exactly-once
-    * from the sink's perspective. The log is one line per epoch, O(epochs)
-    * metadata, never data. Returns true when the batch was applied. */
-  def insertIfNew(name: String, epochId: Long, df: DataFrame): Boolean = {
+  /** Idempotent insert for streaming sinks: lands `df` only if
+    * (`queryId`, `epochId`) has not been applied to `name` before,
+    * recording applied epochs in a per-table commit log. foreachBatch
+    * re-delivers a micro-batch after a failure with the SAME epoch id —
+    * with plain insert that lands rows twice; with this, replays are
+    * no-ops and the table is exactly-once from the sink's perspective.
+    *
+    * Epoch ids are PER-QUERY (every streaming query numbers its batches
+    * from 0), so the log key includes the query id — two streaming
+    * queries landing in the same table must not drop each other's
+    * batches. Pass the stream's `query.id` as `queryId`; the default ""
+    * keeps a single-writer table working unchanged. The log rewrite goes
+    * through a temp file + ATOMIC_MOVE, so a torn write can't lose
+    * already-committed epochs. Remaining crash window (documented): a
+    * crash BETWEEN insert() and the log move re-applies that one epoch on
+    * replay — closing it fully would need the data batch and the log
+    * entry to land in one atomic directory move, coupling the sink to the
+    * batch layout; the window is one micro-batch wide, never unbounded.
+    * The log is one line per epoch, O(epochs) metadata, never data.
+    * Returns true when the batch was applied. */
+  def insertIfNew(name: String, epochId: Long, df: DataFrame,
+                  queryId: String = ""): Boolean = {
+    require(!queryId.contains("\n"), "queryId must be single-line")
     val log = tableDir(name).resolve("_stream_commits")
+    // legacy lines are bare epoch longs (single anonymous writer) —
+    // normalize to the keyed form on read
     val seen = if (Files.exists(log))
-      Files.readString(log).split("\n").filter(_.nonEmpty).map(_.toLong).toSet
-    else Set.empty[Long]
-    if (seen(epochId)) return false
+      Files.readString(log).split("\n").filter(_.nonEmpty)
+        .map(l => if (l.contains(":")) l else s":$l").toSet
+    else Set.empty[String]
+    val key = s"$queryId:$epochId"
+    if (seen(key)) return false
     insert(name, df)
-    Files.writeString(log, (seen + epochId).toSeq.sorted.mkString("\n"))
+    val tmp = tableDir(name).resolve("_stream_commits.tmp")
+    Files.writeString(tmp, (seen + key).toSeq.sorted.mkString("\n"))
+    Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     true
   }
 
@@ -792,14 +814,64 @@ class GraftSession(val spark: SparkSession, val root: String) {
     }
   }
 
+  // ------------------------------------------------ compaction fold log
+  // Append-only record of PURE batch folds (compaction only — DML
+  // rewrites change rows and must NOT be recorded): one line per fold,
+  // `new|old1,old2,...`, empty `new` when the folded batches held no
+  // rows and produced no dir. Incremental matview refresh resolves seen
+  // batches through this log, so routine compaction no longer downgrades
+  // an O(delta) refresh to a full rebuild. O(compactions) metadata.
+
+  private def foldLogFile(name: String): Path =
+    tableDir(name).resolve("_fold_log")
+
+  private def recordFold(name: String, newBatch: String,
+                         olds: Seq[String]): Unit =
+    if (olds.nonEmpty)
+      Files.writeString(foldLogFile(name),
+        s"$newBatch|${olds.mkString(",")}\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+
+  /** (newBatch, foldedBatches) pairs, oldest first. */
+  private def readFoldLog(name: String): Seq[(String, Seq[String])] = {
+    val f = foldLogFile(name)
+    if (!Files.exists(f)) Nil
+    else Files.readString(f).split("\n").filter(_.nonEmpty).toSeq.map { l =>
+      val Array(n, olds) = l.split("\\|", 2)
+      (n, olds.split(",").filter(_.nonEmpty).toSeq)
+    }
+  }
+
+  /** Names of incremental matviews whose base is `base` (persisted specs
+    * included — a restart must not forget a dependent). */
+  private def incViewsOver(base: String): Seq[String] = {
+    val d = rootPath.resolve("_views")
+    if (!Files.exists(d)) Nil
+    else Files.list(d).iterator.asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".inc"))
+      .map(_.stripSuffix(".inc")).toSeq.sorted
+      .filter(n => loadIncSpec(n).exists(_._1 == base))
+  }
+
   /** Compacts all ingest batches into one (the reference's vacuum/
     * checkpoint analogue): O(table) rewrite, schema becomes the current
     * union, tombstoned columns are physically dropped. */
   def compact(name: String): Unit = {
+    // fold pending deltas into dependent incremental matviews FIRST:
+    // after the rewrite the delta batches are gone, and a fold mixing
+    // seen and unseen rows is unrecoverable (forces a full rebuild)
+    incViewsOver(name).foreach(refreshIncrementalMatView)
+    val olds = listBatches(name).map(_.getFileName.toString)
     // rewrites cluster on the indexed columns (see createIndex) — this
     // is where an index becomes physically real
     val snapshot = clusterByIndex(name, table(name))
     overwrite(name, snapshot, spark.emptyDataFrame.limit(0))
+    listBatches(name).map(_.getFileName.toString) match {
+      case Seq(nb) => recordFold(name, nb, olds)
+      case Seq() => recordFold(name, "", olds)
+      case _ => () // unexpected layout — refresh falls back to rebuild
+    }
     // vacuum the staged RETURNING dirs of past DML statements (their lazy
     // result frames are dead after a compact — documented divergence)
     Files.list(tableDir(name)).iterator.asScala.toSeq
@@ -825,6 +897,9 @@ class GraftSession(val spark: SparkSession, val root: String) {
     val small = normalizedBatches(name)
       .filter { case (p, _) => dirSize(p) < smallBytes }
     if (small.size <= 1) return // nothing worth folding
+    // same ordering rule as compact(): dependent incremental matviews
+    // fold their pending deltas before the delta batches disappear
+    incViewsOver(name).foreach(refreshIncrementalMatView)
     val union = clusterByIndex(name, small.map(_._2).reduce(_ union _))
     val staging = tableDir(name).resolve("_staging")
     deleteRecursively(staging)
@@ -832,13 +907,15 @@ class GraftSession(val spark: SparkSession, val root: String) {
     small.foreach { case (p, _) => deleteRecursively(p) }
     val hasParts = Files.list(staging).iterator.asScala
       .exists(_.getFileName.toString.startsWith("part-"))
-    if (hasParts)
-      Files.move(staging,
-        dataDir(name).resolve(f"batch_${bumpGeneration(name)}%08d"),
-        StandardCopyOption.ATOMIC_MOVE)
-    else {
+    val foldedNames = small.map(_._1.getFileName.toString)
+    if (hasParts) {
+      val dest = dataDir(name).resolve(f"batch_${bumpGeneration(name)}%08d")
+      Files.move(staging, dest, StandardCopyOption.ATOMIC_MOVE)
+      recordFold(name, dest.getFileName.toString, foldedNames)
+    } else {
       deleteRecursively(staging)
       bumpGeneration(name)
+      recordFold(name, "", foldedNames)
     }
     persistMeta(name)
   }
@@ -1244,10 +1321,13 @@ class GraftSession(val spark: SparkSession, val root: String) {
     else Files.readString(seenFile(name)).split("\n")
       .filter(_.nonEmpty).toSet
 
-  /** First-pass aggregate of raw rows (count counts, sum sums…). */
+  /** First-pass aggregate of raw rows (count counts, sum sums…).
+    * COUNT(*) counts rows; COUNT(col) follows SQL and skips NULLs —
+    * both merge by SUM, so the incremental fold is unchanged. */
   private def incAggExprs(aggs: Seq[(String, String, String)]): Seq[Column] =
     aggs.map {
-      case ("count", _, alias) => count(lit(1)).as(alias)
+      case ("count", c, alias) if c == "*" => count(lit(1)).as(alias)
+      case ("count", c, alias) => count(col(c)).as(alias)
       case ("sum", c, alias) => sum(col(c)).as(alias)
       case ("min", c, alias) => min(col(c)).as(alias)
       case ("max", c, alias) => max(col(c)).as(alias)
@@ -1292,23 +1372,57 @@ class GraftSession(val spark: SparkSession, val root: String) {
 
   /** Refresh by folding only appended batches; returns the mode taken:
     * "noop" (nothing new), "incremental(n)" (n new batches folded), or
-    * "full" (history rewritten — rebuilt from scratch). */
+    * "full" (history rewritten — rebuilt from scratch).
+    *
+    * Compaction-aware: a seen batch that disappeared because compaction
+    * FOLDED it (recorded in the fold log) is not history rewriting — the
+    * fold product carries exactly the seen rows, so it counts as seen
+    * and routine auto-compaction keeps refreshes O(delta). Only a
+    * genuine rewrite (UPDATE/DELETE replaced batch dirs with changed
+    * rows — never fold-logged) or a fold that mixed seen with unseen
+    * rows (can't happen via compact/compactSmall, which refresh
+    * dependents first) still forces the full rebuild. */
   def refreshIncrementalMatView(name: String): String = {
     val (base, keys, aggs) = loadIncSpec(name).getOrElse(
       throw new IllegalArgumentException(s"no incremental matview $name"))
     val current = listBatches(base).map(_.getFileName.toString)
+    val currentSet = current.toSet
     val seen = readSeen(name)
+    val folds = readFoldLog(base)
+    // children: fold product -> batches it folded; parent: the inverse
+    val children: Map[String, Seq[String]] =
+      folds.filter(_._1.nonEmpty).toMap
+    val parent: Map[String, String] =
+      folds.flatMap { case (n, olds) => olds.map(_ -> n) }.toMap
+    // a seen batch is accounted for if it still exists or its fold chain
+    // ends in a live batch (or in an empty fold, "" — zero rows lost)
+    @annotation.tailrec
+    def accounted(b: String): Boolean =
+      if (b.isEmpty || currentSet(b)) true
+      else parent.get(b) match {
+        case Some(p) => accounted(p)
+        case None => false
+      }
+    // a live batch is fully seen if recorded directly or a fold of
+    // exclusively seen batches; it overlaps seen if ANY origin was seen
+    def covered(b: String): Boolean = seen(b) ||
+      children.get(b).exists(olds => olds.nonEmpty && olds.forall(covered))
+    def overlaps(b: String): Boolean = seen(b) ||
+      children.get(b).exists(_.exists(overlaps))
+    val historyIntact = seen.forall(accounted) &&
+      current.forall(b => covered(b) || !overlaps(b))
     val mode =
-      if (!seen.subsetOf(current.toSet)) {
-        // UPDATE/DELETE/compaction rewrote batch dirs under us — the
-        // stored partials no longer tile the table; rebuild
+      if (!historyIntact) {
+        // UPDATE/DELETE rewrote batch dirs under us (or a fold mixed
+        // seen and unseen rows) — the stored partials no longer tile
+        // the table; rebuild
         val full = incAggregate(table(base), keys, aggs).localCheckpoint()
         truncateTable(name)
         insert(name, full)
         "full"
       } else {
         val deltaDirs = normalizedBatches(base)
-          .filterNot(p => seen(p._1.getFileName.toString))
+          .filterNot(p => covered(p._1.getFileName.toString))
         if (deltaDirs.isEmpty) "noop"
         else {
           val delta = incAggregate(
@@ -1808,7 +1922,7 @@ class GraftSession(val spark: SparkSession, val root: String) {
       ("""(?is)^CREATE\s+SEQUENCE\s+""" + Q + """(\w+)(?:\s+START\s+(?:WITH\s+)?(-?\d+))?(?:\s+INCREMENT\s+(?:BY\s+)?(-?\d+))?\s*;?$""").r
     val dropSeqRe = ("""(?is)^DROP\s+SEQUENCE\s+""" + Q + """(\w+)\s*;?$""").r
     val createIncMvRe =
-      ("""(?is)^CREATE\s+INCREMENTAL\s+MATERIALIZED\s+VIEW\s+""" + Q + """(\w+)\s+AS\s+SELECT\s+(.*?)\s+FROM\s+""" + Q + """(\w+)\s+GROUP\s+BY\s+.*?;?$""").r
+      ("""(?is)^CREATE\s+INCREMENTAL\s+MATERIALIZED\s+VIEW\s+""" + Q + """(\w+)\s+AS\s+SELECT\s+(.*?)\s+FROM\s+""" + Q + """(\w+)\s+GROUP\s+BY\s+(.*?)\s*;?$""").r
     val createMatViewRe =
       ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+""" + Q + """(\w+)\s+AS\s+(.*?);?$""").r
     val createViewRe =
@@ -1909,8 +2023,12 @@ class GraftSession(val spark: SparkSession, val root: String) {
           if (t.startsWith("(")) sql(t.substring(1, t.length - 1))
           else table(stripDbQualifiers(t))
         }
-        val n = df.count()
+        // write ONCE, then count the written output: a count() before
+        // the write would execute the source twice (double scan) and
+        // could disagree with the written data for a non-deterministic
+        // query
         copyWrite(df, path, Option(fmtOrNull))
+        val n = copyRead(path, Option(fmtOrNull), Some(df.schema)).count()
         catalogDf(Seq((path, n.toString)), "path", "rows")
       case copyFromRe(tbl, path, fmtOrNull) =>
         val declared = state(tbl).schema
@@ -1932,7 +2050,7 @@ class GraftSession(val spark: SparkSession, val root: String) {
       //   SELECT k, count(*) AS n, sum(c) AS s FROM base GROUP BY k
       // — select list restricted to bare group columns + algebraic
       // aggregates with mandatory aliases (the merge needs stable names)
-      case createIncMvRe(name, selectList, base) =>
+      case createIncMvRe(name, selectList, base, groupList) =>
         val aggRe =
           """(?i)^(count|sum|min|max)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)$""".r
         val colRe = """^(\w+)$""".r
@@ -1945,6 +2063,13 @@ class GraftSession(val spark: SparkSession, val root: String) {
             "INCREMENTAL MATERIALIZED VIEW select items must be bare " +
               s"group columns or count/sum/min/max(...) AS alias — got: $item")
         }
+        // group keys come from the bare select columns; a GROUP BY list
+        // that differs must error, not silently compute another grouping
+        val declared = splitTopLevel(groupList).map(_.trim)
+        require(declared.map(_.toLowerCase) == keys.map(_.toLowerCase),
+          "INCREMENTAL MATERIALIZED VIEW: GROUP BY list " +
+            s"(${declared.mkString(", ")}) must equal the bare select " +
+            s"columns (${keys.mkString(", ")})")
         createIncrementalMatView(name, base, keys, aggs)
         empty
       case createMatViewRe(name, body) => createMatView(name, body); empty

@@ -93,9 +93,16 @@ object Mixing {
   def mixByWeights(df: DataFrame, stratumCol: String, tokenCol: Column,
                    weights: Map[String, Double], tokenBudget: Long,
                    keyCols: Seq[String], seed: Long = 42L): DataFrame = {
-    val avail = df.groupBy(col(stratumCol))
+    // stratum cast to string (non-string group keys must not ClassCast),
+    // NULL/zero token masses dropped: a stratum with no token mass has
+    // nothing to sample and a rate of budget/0 = Inf would silently
+    // clamp to take-everything
+    val avail = df.groupBy(col(stratumCol).cast("string").as("s"))
       .agg(sum(tokenCol).cast("double").as("tok"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .collect()
+      .flatMap(r => Option(r.getAs[String]("s")).flatMap(k =>
+        Option(r.getAs[Any]("tok")).map(t => k -> t.asInstanceOf[Double])))
+      .filter(_._2 > 0d).toMap
     val rates = weights.flatMap { case (k, w) =>
       avail.get(k).map(t => k -> math.min(1.0, w * tokenBudget / t)) }
     stratifiedSample(df, stratumCol, rates, seed, keyCols)

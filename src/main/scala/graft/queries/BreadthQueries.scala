@@ -164,7 +164,7 @@ object BreadthQueries {
         SELECT doc_id, substring(text, 1, 40) AS head
         FROM documents WHERE doc_id < 60)
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        levenshtein(a.head, b.head) AS dist
+        CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
       FROM d a JOIN d b
         ON b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 5
       WHERE levenshtein(a.head, b.head) <= 30

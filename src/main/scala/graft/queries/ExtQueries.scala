@@ -45,6 +45,46 @@ object ExtQueries {
         SELECT node FROM reach ORDER BY node""")
     }),
 
+    // --- LDBC SNB BI-style multi-hop reachability (the reference ships
+    // LDBC SNB BI as a runnable corpus: /root/reference/benchmark/
+    // SOURCES.md:18-19; the full social schema is outside the driver's
+    // 8 tables, so the k-hop SHAPE runs over an edge projection of
+    // customer: k → {k+1, k+10} within the same nation). BFS from seed
+    // customers bounded at 3 hops, aggregated per nation. Scale shape:
+    // the edge build is an exploded two-key EQUI join (never an OR-join
+    // that would degrade to nested-loop), and the fixpoint is
+    // frontier-only — work per wave is O(newly reached pairs), the
+    // LDBC-at-scale answer, not an all-pairs closure ---
+    "ldbc1_khop" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_nationkey").cast("bigint").as("nat"))
+      // candidate targets exploded, then validated by equi-join on
+      // (dst, nat) — hash-joinable at any scale
+      val cand = c.select(col("k").as("src"), col("nat"),
+        explode(array(col("k") + 1, col("k") + 10)).as("dst"))
+      val edges = cand
+        .join(c.select(col("k").as("dst"), col("nat")), Seq("dst", "nat"))
+        .select(col("src"), col("dst"))
+      val seeds = c.filter(col("k") % 100 === 1)
+        .select(col("k").as("seed"), col("nat"))
+      val reach = RecursiveCte.fixpoint(
+        seeds.select(col("seed"), col("seed").as("node"),
+          lit(0).as("hop")),
+        d => d.filter(col("hop") < 3)
+          .join(edges, col("node") === col("src"))
+          .select(col("seed"), col("dst").as("node"),
+            (col("hop") + 1).as("hop")))
+      val perSeed = reach.groupBy(col("seed"))
+        .agg((countDistinct(col("node")) - 1).as("n_reach"))
+      perSeed.join(seeds, "seed")
+        .groupBy(col("nat"))
+        .agg(count(lit(1)).as("n_seeds"),
+          sum(col("n_reach")).cast("bigint").as("sum_reach"),
+          max(col("n_reach")).as("max_reach"))
+        .orderBy(col("nat"))
+    }),
+
     // --- UPDATE ... RETURNING through the session write path ---
     "x2_update_returning" -> ((s, dir) => {
       val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
@@ -223,6 +263,30 @@ object ExtQueries {
         SELECT CAST((n_nationkey + 5) % 25 AS BIGINT) AS node
         FROM nation JOIN reach ON n_nationkey = reach.node)
       SELECT node FROM reach ORDER BY node""",
+    "ldbc1_khop" -> """
+      WITH RECURSIVE
+      c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                   CAST(c_nationkey AS BIGINT) AS nat
+            FROM customer),
+      edges AS (
+        SELECT a.k AS src, b.k AS dst
+        FROM c a JOIN c b
+          ON b.nat = a.nat AND (b.k = a.k + 1 OR b.k = a.k + 10)),
+      seeds AS (SELECT k AS seed, nat FROM c WHERE k % 100 = 1),
+      reach(seed, node, hop) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION
+        SELECT r.seed, e.dst, r.hop + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hop < 3),
+      per_seed AS (
+        SELECT seed, COUNT(DISTINCT node) - 1 AS n_reach
+        FROM reach GROUP BY seed)
+      SELECT s.nat, COUNT(*) AS n_seeds,
+        CAST(SUM(p.n_reach) AS BIGINT) AS sum_reach,
+        CAST(MAX(p.n_reach) AS BIGINT) AS max_reach
+      FROM per_seed p JOIN seeds s ON s.seed = p.seed
+      GROUP BY s.nat ORDER BY s.nat""",
     "x11_merge_upsert" -> """
       WITH src AS (
         SELECT CASE WHEN COUNT(*) >= 8 THEN o_custkey + 1000000

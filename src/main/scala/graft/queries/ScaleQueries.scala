@@ -284,16 +284,18 @@ object ScaleQueries {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
-    // --- HLL sketch. Inherently engine-specific: approx_count_distinct is
-    // a HyperLogLog++ ESTIMATE whose value depends on Spark's hash and
-    // register layout — DuckDB's approx_distinct implements a different
-    // sketch, so equality across engines is undefined by construction.
-    // Rows-only check here; the spec asserts <5% relative error vs the
-    // exact COUNT(DISTINCT), which is the meaningful contract ---
+    // --- distinct-user kernel. The registry row is the EXACT
+    // COUNT(DISTINCT) (oracle-checkable against DuckDB); the HLL sketch
+    // (approx_count_distinct) is inherently engine-specific — Spark's
+    // HyperLogLog++ estimate depends on its hash and register layout, and
+    // DuckDB's approx_distinct is a different sketch, so cross-engine
+    // equality is undefined by construction. The approximate operator
+    // stays under spec test with its error bound (SkewSpec: <5% relative
+    // error vs this exact count) ---
     "k4_approx_distinct" -> ((s, dir) => {
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     })
@@ -309,6 +311,11 @@ object ScaleQueries {
             t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1000000007)),
         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
       FROM documents ORDER BY doc_id""",
+    "k4_approx_distinct" -> """
+      SELECT event_type,
+        COUNT(DISTINCT user_id) AS n_users,
+        COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""",
     // the salted plan must be indistinguishable from the plain aggregation
     "k1_salted_stats" -> """
       SELECT event_type,

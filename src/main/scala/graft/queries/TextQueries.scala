@@ -281,7 +281,7 @@ object TextQueries {
              WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.1 WHEN 'zh' THEN 0.05
              ELSE 0.0 END) * 10000 / t) AS r
         FROM avail)
-      SELECT d.lang, COUNT(*) AS n, SUM(d.tok) AS tok
+      SELECT d.lang, COUNT(*) AS n, CAST(SUM(d.tok) AS BIGINT) AS tok
       FROM toks d JOIN rates USING (lang)
       WHERE (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || chr(1) || '42'), 1, 15) AS BIGINT)
              % 1000000007) / 1000000007.0 < r
@@ -445,7 +445,7 @@ object TextQueries {
         UNION
         SELECT r.root, s.dst FROM reach r JOIN sym s ON s.src = r.node),
       label AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
-      SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars
+      SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars
       FROM documents
       WHERE doc_id NOT IN (SELECT node FROM label WHERE node <> component)
       GROUP BY lang ORDER BY lang""",

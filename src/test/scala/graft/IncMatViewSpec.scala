@@ -78,6 +78,69 @@ class IncMatViewSpec extends SparkSpec {
     }
   }
 
+  test("auto-compaction does not downgrade refresh to a full rebuild") {
+    val s = g
+    s.execute("CREATE TABLE base (lang STRING, n_chars BIGINT)")
+    s.execute("INSERT INTO base VALUES ('en', 1)")
+    s.createIncrementalMatView("mv", "base", Seq("lang"),
+      Seq(("count", "*", "n"), ("sum", "n_chars", "chars")))
+    // 40 sequential inserts cross autoCompactThreshold (32) at least
+    // once — compaction folds the small-batch tail, and the fold log +
+    // refresh-before-compact must keep every refresh incremental/noop
+    var total = 1L
+    (1 to 40).foreach { i =>
+      s.execute(s"INSERT INTO base VALUES ('en', $i)")
+      total += i
+      val mode = s.refreshIncrementalMatView("mv")
+      assert(mode == "noop" || mode.startsWith("incremental"),
+        s"insert $i downgraded refresh to $mode")
+    }
+    assert(docs(s) == Seq(("en", 41L, total)))
+    // explicit full compaction is also fold-logged: still no rebuild
+    s.execute("INSERT INTO base VALUES ('de', 5)")
+    s.compact("base")
+    val afterCompact = s.refreshIncrementalMatView("mv")
+    assert(afterCompact == "noop" || afterCompact.startsWith("incremental"),
+      s"compact downgraded refresh to $afterCompact")
+    assert(docs(s) == Seq(("de", 1L, 5L), ("en", 41L, total)))
+    // a genuine rewrite still falls back to full
+    s.execute("UPDATE base SET n_chars = n_chars + 1 WHERE lang = 'de'")
+    assert(s.refreshIncrementalMatView("mv") == "full")
+    assert(docs(s) == Seq(("de", 1L, 6L), ("en", 41L, total)))
+  }
+
+  test("COUNT(col) skips NULLs (SQL semantics), COUNT(*) counts rows") {
+    val s = g
+    s.execute("CREATE TABLE base (lang STRING, n_chars BIGINT)")
+    s.execute("INSERT INTO base VALUES ('en', 10), ('en', NULL), ('de', 5)")
+    s.createIncrementalMatView("mv", "base", Seq("lang"),
+      Seq(("count", "*", "n_rows"), ("count", "n_chars", "n_vals")))
+    val rows = s.table("mv").orderBy(col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("de", 1L, 1L), ("en", 2L, 1L)))
+    // the split survives an incremental fold
+    s.execute("INSERT INTO base VALUES ('en', NULL), ('en', 3)")
+    assert(s.refreshIncrementalMatView("mv").startsWith("incremental"))
+    val rows2 = s.table("mv").orderBy(col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows2 == Seq(("de", 1L, 1L), ("en", 4L, 2L)))
+  }
+
+  test("GROUP BY list must match the bare select columns") {
+    val s = g
+    s.execute("CREATE TABLE base (lang STRING, src STRING, n BIGINT)")
+    s.execute("INSERT INTO base VALUES ('en', 'web', 1)")
+    val e = intercept[IllegalArgumentException] {
+      s.execute("""CREATE INCREMENTAL MATERIALIZED VIEW bad AS
+        SELECT lang, count(*) AS n FROM base GROUP BY src""")
+    }
+    assert(e.getMessage.contains("GROUP BY"))
+    // matching list (case-insensitive) is accepted
+    s.execute("""CREATE INCREMENTAL MATERIALIZED VIEW ok AS
+      SELECT lang, count(*) AS n FROM base GROUP BY LANG""")
+    assert(s.table("ok").count() == 1)
+  }
+
   test("non-algebraic aggregate is rejected with a clear error") {
     val s = g
     s.execute("CREATE TABLE base (lang STRING, n_chars BIGINT)")

@@ -246,6 +246,24 @@ class StreamingSpec extends SparkSpec {
     assert(g2.table("landed").count() == 3)
   }
 
+  test("insertIfNew keys epochs per query — two streams share a table") {
+    import java.nio.file.Files
+    import graft.api.GraftSession
+    val g = GraftSession(spark,
+      Files.createTempDirectory("graft_once2").toString)
+    g.execute("CREATE TABLE landed (id BIGINT)")
+    val qa = "query-a"; val qb = "query-b"
+    // epoch ids are per-query (both number from 0): the same epoch id
+    // from a DIFFERENT query must land, a replay from the SAME query
+    // must not
+    assert(g.insertIfNew("landed", 0L, Seq(1L).toDF("id"), qa))
+    assert(g.insertIfNew("landed", 0L, Seq(2L).toDF("id"), qb))
+    assert(!g.insertIfNew("landed", 0L, Seq(1L).toDF("id"), qa))
+    assert(!g.insertIfNew("landed", 0L, Seq(2L).toDF("id"), qb))
+    assert(g.insertIfNew("landed", 1L, Seq(3L).toDF("id"), qa))
+    assert(g.table("landed").count() == 3)
+  }
+
   test("streaming ingest keeps an incremental matview fresh per batch") {
     import java.nio.file.Files
     import org.apache.spark.sql.DataFrame

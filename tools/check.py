@@ -3,6 +3,8 @@
 
 Runs graft.Verify on a scale-factor dir, then replays every oracle SQL in
 DuckDB over the same parquet tables and compares: column names (sorted),
+column TYPES (via DESCRIBE on both sides — the driver hashes typed values,
+so an uncast SUM() returning HUGEINT vs Spark's BIGINT must fail here too),
 row counts, and values (exact for ints/strings; exact-or-report for
 doubles). Strictly stricter than the driver's hash compare — if this
 passes, the driver's gate passes.
@@ -80,6 +82,26 @@ def compare():
         on = [c[0] for c in ocols]
         if sorted(sn) != sorted(on):
             print(f"FAIL {name}: columns differ spark={sorted(sn)} oracle={sorted(on)}")
+            nfail += 1
+            continue
+        # Typed compare: the driver hashes typed values, so HUGEINT vs BIGINT
+        # is a driver failure even when every value matches. DESCRIBE both
+        # relations and require per-column type equality.
+        try:
+            stypes = dict(con.execute(
+                f"SELECT column_name, column_type FROM "
+                f"(DESCRIBE SELECT * FROM read_parquet('{rdir}/*.parquet'))").fetchall())
+            otypes = dict(con.execute(
+                f"SELECT column_name, column_type FROM (DESCRIBE {oracle[name]})").fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: DESCRIBE error: {str(e)[:200]}")
+            nfail += 1
+            continue
+        tbad = [(c, stypes.get(c), otypes.get(c)) for c in sn
+                if stypes.get(c) != otypes.get(c)]
+        if tbad:
+            c, st, ot = tbad[0]
+            print(f"FAIL {name}: type mismatch col {c}: spark={st} oracle={ot}")
             nfail += 1
             continue
         # reorder oracle rows' values into spark column order
