@@ -114,6 +114,43 @@ object AnalyticsQueries {
           round(var_pop(col("l_tax")), 6).as("var_tax"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // --- higher central moments (skewness, excess kurtosis) computed
+    // from EXACT decimal power sums, not the engine built-ins: Spark's
+    // `skewness` is the population moment while DuckDB's is the
+    // bias-corrected sample statistic, so the built-ins can never agree
+    // cross-engine. Summing v, v², v³, v⁴ as DECIMAL(38,6) is exact and
+    // ALGEBRAIC — partials merge map-side, one shuffle of O(#groups)
+    // rows carries all four moments at any scale — and the final
+    // double-precision formula is evaluated identically by both
+    // engines (single-pass moment kernel, the textbook large-scale
+    // shape) ---
+    "st2_higher_moments" -> ((s, dir) => {
+      val dt = "decimal(38,6)"
+      val v = col("value")
+      val a = Tables.load(s, dir, "events")
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(v.cast(dt)).as("s1d"),
+          sum((v * v).cast(dt)).as("s2d"),
+          sum((v * v * v).cast(dt)).as("s3d"),
+          sum((v * v * v * v).cast(dt)).as("s4d"))
+      val b = a.select(col("event_type"), col("n"),
+        (col("s1d").cast("double") / col("n")).as("m1"),
+        (col("s2d").cast("double") / col("n")).as("p2"),
+        (col("s3d").cast("double") / col("n")).as("p3"),
+        (col("s4d").cast("double") / col("n")).as("p4"))
+      val c = b.withColumn("m2", col("p2") - col("m1") * col("m1"))
+      c.select(col("event_type"), col("n"),
+          round((col("p3") - lit(3.0) * col("m1") * col("p2")
+              + lit(2.0) * col("m1") * col("m1") * col("m1"))
+            / pow(col("m2"), 1.5), 6).as("skew"),
+          round((col("p4") - lit(4.0) * col("m1") * col("p3")
+              + lit(6.0) * col("m1") * col("m1") * col("p2")
+              - lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1"))
+            / (col("m2") * col("m2")) - lit(3.0), 6).as("kurt"))
+        .orderBy(col("event_type"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -175,6 +212,29 @@ object AnalyticsQueries {
         COALESCE(rev, 0.0) AS rev
       FROM months LEFT JOIN agg ON months.m = agg.m
       ORDER BY months.m""",
+    "st2_higher_moments" -> """
+      WITH a AS (
+        SELECT event_type, COUNT(*) AS n,
+          SUM(CAST(value AS DECIMAL(38,6))) AS s1d,
+          SUM(CAST(value * value AS DECIMAL(38,6))) AS s2d,
+          SUM(CAST(value * value * value AS DECIMAL(38,6))) AS s3d,
+          SUM(CAST(value * value * value * value AS DECIMAL(38,6))) AS s4d
+        FROM events GROUP BY event_type),
+      b AS (
+        SELECT event_type, n,
+          CAST(s1d AS DOUBLE) / n AS m1,
+          CAST(s2d AS DOUBLE) / n AS p2,
+          CAST(s3d AS DOUBLE) / n AS p3,
+          CAST(s4d AS DOUBLE) / n AS p4
+        FROM a),
+      c AS (SELECT *, p2 - m1 * m1 AS m2 FROM b)
+      SELECT event_type, n,
+        ROUND((p3 - 3.0 * m1 * p2 + 2.0 * m1 * m1 * m1)
+          / pow(m2, 1.5), 6) AS skew,
+        ROUND((p4 - 4.0 * m1 * p3 + 6.0 * m1 * m1 * p2
+            - 3.0 * m1 * m1 * m1 * m1)
+          / (m2 * m2) - 3.0, 6) AS kurt
+      FROM c ORDER BY event_type""",
     "st1_stats" -> """
       SELECT l_returnflag,
         ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,

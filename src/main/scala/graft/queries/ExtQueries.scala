@@ -85,6 +85,36 @@ object ExtQueries {
         .orderBy(col("nat"))
     }),
 
+    // --- LDBC-style triangle counting (SNB BI's clustering-coefficient
+    // family) over a denser edge projection: k → {k+1, k+2, k+3} within
+    // the same nation, so (a, a+1, a+2)-shaped triangles exist. The
+    // classic distributed enumeration — edges joined twice on vertex
+    // keys, both EQUI joins — counts each triangle once via the
+    // src<dst orientation of the projection. At 100 TB the candidate
+    // edge build is bounded at 3|V| by the explode, and both triangle
+    // joins shuffle on vertex keys (no broadcast of anything
+    // scale-proportional, never an all-pairs step) ---
+    "ldbc2_triangles" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_nationkey").cast("bigint").as("nat"))
+      val cand = c.select(col("k").as("src"), col("nat"),
+        explode(array(col("k") + 1, col("k") + 2, col("k") + 3))
+          .as("dst"))
+      val edges = cand
+        .join(c.select(col("k").as("dst"), col("nat")), Seq("dst", "nat"))
+        .select(col("src"), col("dst"), col("nat"))
+      val e2 = edges.select(col("src").as("b2"), col("dst").as("c2"))
+      val e3 = edges.select(col("src").as("a3"), col("dst").as("c3"))
+      edges.select(col("src").as("a"), col("dst").as("b"), col("nat"))
+        .join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c2") === col("c3"))
+        .groupBy(col("nat"))
+        .agg(count(lit(1)).as("n_triangles"),
+          countDistinct(col("a")).as("n_apex"))
+        .orderBy(col("nat"))
+    }),
+
     // --- UPDATE ... RETURNING through the session write path ---
     "x2_update_returning" -> ((s, dir) => {
       val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
@@ -207,6 +237,30 @@ object ExtQueries {
         .orderBy(col("event_type"))
     }),
 
+    // --- as-of join with a TOLERANCE bound (kdb/pandas merge_asof's
+    // `tolerance=`): matches older than 15 minutes are dropped, not
+    // carried forward. Same no-join-node union+window plan as j1; the
+    // tolerance is one more filter on the already-matched rows, checked
+    // here against DuckDB's native ASOF JOIN + gap predicate ---
+    "j2_asof_tolerance" -> ((s, dir) => {
+      val e = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("t"))
+      val rates = e.groupBy(col("event_type"),
+          date_trunc("hour", col("t")).as("h"))
+        .agg(count(lit(1)).as("rate"))
+      val joined = graft.operators.TimeJoins.asOfJoin(
+        e.select(col("event_type"), col("event_id"),
+          unix_micros(col("t")).as("lt")),
+        rates.select(col("event_type"), unix_micros(col("h")).as("rt"),
+          col("rate")),
+        key = "event_type", leftTime = "lt", rightTime = "rt",
+        tolerance = Some(15L * 60 * 1000000))
+      joined.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("rate")).as("sum_rate"))
+        .orderBy(col("event_type"))
+    }),
+
     // --- MERGE INTO through the SQL router (exceeds the reference's DML:
     // delete + conditional update + insert arms in one statement). The
     // source's key remap makes heavy customers (cnt >= 8) miss the join,
@@ -287,6 +341,22 @@ object ExtQueries {
         CAST(MAX(p.n_reach) AS BIGINT) AS max_reach
       FROM per_seed p JOIN seeds s ON s.seed = p.seed
       GROUP BY s.nat ORDER BY s.nat""",
+    "ldbc2_triangles" -> """
+      WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                        CAST(c_nationkey AS BIGINT) AS nat
+                 FROM customer),
+      edges AS (
+        SELECT a.k AS src, b.k AS dst, a.nat
+        FROM c a JOIN c b
+          ON b.nat = a.nat AND b.k IN (a.k + 1, a.k + 2, a.k + 3)),
+      tri AS (
+        SELECT e1.src AS a, e1.nat
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+      SELECT nat, COUNT(*) AS n_triangles,
+        COUNT(DISTINCT a) AS n_apex
+      FROM tri GROUP BY nat ORDER BY nat""",
     "x11_merge_upsert" -> """
       WITH src AS (
         SELECT CASE WHEN COUNT(*) >= 8 THEN o_custkey + 1000000
@@ -348,6 +418,20 @@ object ExtQueries {
         CAST(SUM(rate) AS BIGINT) AS sum_rate
       FROM e ASOF JOIN rates
         ON e.event_type = rates.event_type AND e.lt >= rates.rt
+      GROUP BY e.event_type ORDER BY e.event_type""",
+    "j2_asof_tolerance" -> """
+      WITH e AS (SELECT event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS lt
+                 FROM events),
+      rates AS (SELECT event_type,
+                  epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS rt,
+                  COUNT(*) AS rate
+                FROM events GROUP BY 1, 2)
+      SELECT e.event_type, COUNT(*) AS n_matched,
+        CAST(SUM(rate) AS BIGINT) AS sum_rate
+      FROM e ASOF JOIN rates
+        ON e.event_type = rates.event_type AND e.lt >= rates.rt
+      WHERE e.lt - rates.rt <= 900000000
       GROUP BY e.event_type ORDER BY e.event_type""",
     "x5_udf" -> """
       SELECT l_orderkey, l_linenumber,

@@ -177,6 +177,57 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- Gopher-style document quality gates (the public heuristic
+    // battery of Rae et al. 2021 "Scaling Language Models", appendix
+    // A1.1: word-count window, mean-word-length window, stopword
+    // presence). Every rule reduces to integer/boolean counts, so the
+    // oracle is exact; each rule is a narrow codegen'd projection over
+    // the scan — no shuffle before the per-language rollup, so at
+    // 100 TB this is one pass at I/O speed ---
+    "g1_gopher_quality" -> ((s, dir) => {
+      val words = split(trim(col("text")), "\\s+")
+      val nWords = size(words).cast("long")
+      val nLetters =
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+      val meanWl = nLetters.cast("double") / nWords.cast("double")
+      docs(s, dir).select(col("lang"),
+          nWords.between(50, 100000).as("pl"),
+          (meanWl >= 3.0 && meanWl <= 10.0).as("pw"),
+          (array_contains(words, "the") || array_contains(words, "a"))
+            .as("ps"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pl"), 1L).otherwise(0L)).as("n_len"),
+          sum(when(col("pw"), 1L).otherwise(0L)).as("n_wl"),
+          sum(when(col("ps"), 1L).otherwise(0L)).as("n_stop"),
+          sum(when(col("pl") && col("pw") && col("ps"), 1L)
+            .otherwise(0L)).as("n_pass"))
+        .orderBy(col("lang"))
+    }),
+
+    // --- vocabulary building: exact top-5 bigrams per language (count
+    // desc, bigram asc — a total order, so the result is deterministic).
+    // Explode + partial-aggregated count + per-key top-k window: the
+    // n-gram table a tokenizer-training pipeline materializes. At scale
+    // the count is map-side combined and only (lang, bigram) partials
+    // shuffle; the top-k window runs on the already-reduced frame ---
+    "ng1_top_bigrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bigrams = expr(
+        "transform(sequence(0, size(ws) - 2), i -> " +
+          "concat(ws[i], ' ', ws[i + 1]))")
+      docs(s, dir)
+        .select(col("lang"), split(trim(col("text")), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("lang"), explode(bigrams).as("bg"))
+        .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("cnt").desc, col("bg"))))
+        .filter(col("rk") <= 5)
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // --- the whole preprocessing pipeline as ONE declarative plan:
     // exact-dedup → quality filter → sequence packing → per-source stats.
     // Catalyst fuses it: one scan, dedup semi-join, filter, one window ---
@@ -259,6 +310,42 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "g1_gopher_quality" -> """
+      WITH t AS (
+        SELECT lang,
+          len(string_split_regex(trim(text), '\s+')) AS nw,
+          length(regexp_replace(text, '\s+', '', 'g')) AS nl,
+          string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+      f AS (
+        SELECT lang,
+          (nw BETWEEN 50 AND 100000) AS pl,
+          (CAST(nl AS DOUBLE) / nw >= 3.0
+            AND CAST(nl AS DOUBLE) / nw <= 10.0) AS pw,
+          (list_contains(ws, 'the') OR list_contains(ws, 'a')) AS ps
+        FROM t)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN pl THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+        CAST(SUM(CASE WHEN pw THEN 1 ELSE 0 END) AS BIGINT) AS n_wl,
+        CAST(SUM(CASE WHEN ps THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        CAST(SUM(CASE WHEN pl AND pw AND ps THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pass
+      FROM f GROUP BY lang ORDER BY lang""",
+    "ng1_top_bigrams" -> """
+      WITH t AS (
+        SELECT lang, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+      b AS (
+        SELECT lang, unnest(list_transform(range(1, len(ws)),
+          i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM t WHERE len(ws) >= 2),
+      c AS (SELECT lang, bg, COUNT(*) AS cnt FROM b GROUP BY lang, bg),
+      r AS (SELECT lang, bg, cnt,
+              CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY cnt DESC, bg) AS INTEGER) AS rk
+            FROM c)
+      SELECT lang, bg, cnt, rk FROM r WHERE rk <= 5
+      ORDER BY lang, rk""",
     "d7_simhash" -> simhashOracle,
     "d12_stratified_sample" -> """
       SELECT lang, COUNT(*) AS n FROM documents
