@@ -109,6 +109,26 @@ class IncMatViewSpec extends SparkSpec {
     assert(docs(s) == Seq(("de", 1L, 6L), ("en", 41L, total)))
   }
 
+  test("fold log and seen-set persist: refresh stays incremental across restart") {
+    val root = Files.createTempDirectory("graft_inc_rs").toString
+    val s1 = GraftSession(spark, root)
+    s1.execute("CREATE TABLE base (lang STRING, n_chars BIGINT)")
+    s1.execute("INSERT INTO base VALUES ('en', 1)")
+    s1.createIncrementalMatView("mv", "base", Seq("lang"),
+      Seq(("count", "*", "n"), ("sum", "n_chars", "chars")))
+    s1.execute("INSERT INTO base VALUES ('en', 2)")
+    s1.execute("INSERT INTO base VALUES ('en', 3)")
+    s1.compactSmall("base", smallBytes = Long.MaxValue) // folds all three
+    // a FRESH session must resolve the folded batches through the
+    // persisted fold log — not fall back to a full rebuild
+    val s2 = GraftSession(spark, root)
+    val mode = s2.refreshIncrementalMatView("mv")
+    assert(mode == "noop" || mode.startsWith("incremental"),
+      s"restart downgraded refresh to $mode")
+    val r = s2.table("mv").collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) == ("en", 3L, 6L))
+  }
+
   test("COUNT(col) skips NULLs (SQL semantics), COUNT(*) counts rows") {
     val s = g
     s.execute("CREATE TABLE base (lang STRING, n_chars BIGINT)")
