@@ -120,6 +120,23 @@ object Demo {
     g.execute("INSERT INTO items (id, qty) VALUES (100, 9)")
     println("refresh mode: " + g.refreshIncrementalMatView("item_stats"))
     g.execute("SELECT * FROM item_stats ORDER BY qty").show(5)
+    // ... and stays incremental across compaction (fold-logged rewrite)
+    g.execute("INSERT INTO items (id, qty) VALUES (101, 9)")
+    g.compactSmall("items", smallBytes = Long.MaxValue)
+    println("refresh after compact: " +
+      g.refreshIncrementalMatView("item_stats"))
+
+    // exactly-once streaming landing: replays of the same (query, epoch)
+    // are no-ops, distinct queries sharing the table both land
+    import spark.implicits._
+    g.execute("CREATE TABLE landed (id BIGINT)")
+    println("first land: " +
+      g.insertIfNew("landed", 0L, Seq(1L, 2L).toDF("id"), "stream-a"))
+    println("replay land: " +
+      g.insertIfNew("landed", 0L, Seq(1L, 2L).toDF("id"), "stream-a"))
+    println("other query: " +
+      g.insertIfNew("landed", 0L, Seq(3L).toDF("id"), "stream-b"))
+    g.execute("SELECT count(*) AS landed_rows FROM landed").show()
 
     // EXPLAIN through the router (plan rows for DB-API consumers)
     g.execute("EXPLAIN SELECT qty, count(*) AS n FROM items GROUP BY qty")
