@@ -126,6 +126,67 @@ class Relation:
         return [tuple(r) for r in self.df.collect()]
 
 
+def apply_pipeline(rel, stages):
+    """Mongo-style aggregation pipeline over a Relation — the executable
+    mirror of the reference's `to_aggregate` dict DSL
+    (/root/reference/integration/python/tests/test_convert.py: $match
+    with $eq/$lt/$lte/$gt/$gte/$ne/$regex and implicit AND, $group with
+    _id + $sum/$avg/$min/$max, $sort, $limit/$skip). The reference
+    converts these dicts to its internal aggregate string; here each
+    stage lowers directly onto the DataFrame plan, so the whole pipeline
+    is ONE Catalyst plan (filters push down, the group is a normal
+    partial/final aggregate)."""
+    ops = {"$lt": lambda c, v: c < v, "$lte": lambda c, v: c <= v,
+           "$gt": lambda c, v: c > v, "$gte": lambda c, v: c >= v,
+           "$ne": lambda c, v: c != v, "$eq": lambda c, v: c == v,
+           "$regex": lambda c, v: c.rlike(v)}
+    aggs = {"$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
+            "$count": lambda c: F.count(F.lit(1))}
+
+    def ref(v):  # "$field" references a column, bare values are literals
+        return F.col(v[1:]) if isinstance(v, str) and v.startswith("$") \
+            else F.lit(v)
+
+    df = rel.df
+    for stage in stages:
+        (kind, spec), = stage.items()
+        if kind == "$match":
+            for field, cond in spec.items():  # implicit AND across keys
+                if isinstance(cond, dict):
+                    for op, v in cond.items():
+                        df = df.filter(ops[op](F.col(field), v))
+                else:
+                    df = df.filter(F.col(field) == cond)
+        elif kind == "$group":
+            # "_id": "$f" groups by column f; a bare value is a constant
+            # key (one global group) — the reference's parameter form
+            keys = [ref(v).alias("_id") for k, v in spec.items()
+                    if k == "_id"]
+            cols = [aggs[op](ref(v)).alias(name)
+                    for name, expr in spec.items() if name != "_id"
+                    for op, v in expr.items()]
+            df = (df.groupBy(*keys) if keys else df.groupBy()).agg(*cols)
+        elif kind == "$sort":
+            df = df.orderBy(*[F.col(f).asc() if d >= 0 else F.col(f).desc()
+                              for f, d in spec.items()])
+        elif kind == "$limit":
+            df = df.limit(spec)
+        elif kind == "$skip":
+            df = df.offset(spec)
+        elif kind == "$project":
+            # {"f": 1} includes f; {"alias": "$f"} renames
+            cols = []
+            for name, v in spec.items():
+                if isinstance(v, str) and v.startswith("$"):
+                    cols.append(F.col(v[1:]).alias(name))
+                elif v:
+                    cols.append(F.col(name))
+            df = df.select(*cols)
+        else:
+            raise ValueError(f"unsupported pipeline stage {kind}")
+    return Relation(df)
+
+
 class Cursor:
     """PEP 249-shaped cursor over the Scala router — the shim mirror of the
     reference's DB-API cursor surface (otterbrix client.execute returning a

@@ -382,6 +382,56 @@ class GraftPythonSurface(unittest.TestCase):
         def __arrow_c_stream__(self, requested_schema=None):
             return self._table.__arrow_c_stream__(requested_schema)
 
+    # --- Mongo-style aggregation pipeline (reference `to_aggregate`,
+    # integration/python/tests/test_convert.py): same dict DSL, but
+    # lowered onto the DataFrame plan and EXECUTED instead of
+    # string-compared.
+
+    def _pipe_rel(self):
+        import pandas as pd
+        return self.conn.from_df(pd.DataFrame({
+            "name": ["ant", "bee", "cat", "dog", "eel"],
+            "size": ["medium", "small", "medium", "large", "small"],
+            "count": [4, 12, 7, 2, 9],
+        }))
+
+    def test_pipeline_match(self):
+        from graft_shim import apply_pipeline
+        rel = self._pipe_rel()
+        # implicit AND of eq + $lt + $regex — the reference's composite
+        # $match example
+        out = apply_pipeline(rel, [
+            {"$match": {"size": "medium", "count": {"$lt": 10},
+                        "name": {"$regex": "^c"}}}])
+        self.assertEqual(out.fetchall(), [("cat", "medium", 7)])
+
+    def test_pipeline_group_by_field(self):
+        from graft_shim import apply_pipeline
+        out = apply_pipeline(self._pipe_rel(), [
+            {"$group": {"_id": "$size", "total": {"$sum": "$count"},
+                        "n": {"$sum": 1}}},
+            {"$sort": {"_id": 1}}])
+        self.assertEqual(out.fetchall(),
+                         [("large", 2, 1), ("medium", 11, 2),
+                          ("small", 21, 2)])
+
+    def test_pipeline_group_constant_id(self):
+        from graft_shim import apply_pipeline
+        # bare "_id" value = constant key: one global group
+        out = apply_pipeline(self._pipe_rel(), [
+            {"$group": {"_id": "all", "mx": {"$max": "$count"},
+                        "mn": {"$min": "$count"}}}])
+        self.assertEqual(out.fetchall(), [("all", 12, 2)])
+
+    def test_pipeline_sort_skip_limit_project(self):
+        from graft_shim import apply_pipeline
+        out = apply_pipeline(self._pipe_rel(), [
+            {"$sort": {"count": -1}},
+            {"$skip": 1},
+            {"$limit": 2},
+            {"$project": {"name": 1, "c": "$count"}}])
+        self.assertEqual(out.fetchall(), [("eel", 9), ("cat", 7)])
+
     def test_polars_style_ingest_round_trip(self):
         import pyarrow as pa
         table = pa.table({"id": [1, 2, 3], "name": ["a", "b", "c"]})
