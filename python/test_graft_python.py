@@ -382,6 +382,39 @@ class GraftPythonSurface(unittest.TestCase):
         def __arrow_c_stream__(self, requested_schema=None):
             return self._table.__arrow_c_stream__(requested_schema)
 
+    def test_reference_connection_flow(self):
+        # end-to-end mirror of the reference's connection lifecycle
+        # (integration/python/tests/test_collection_connections.py):
+        # db-qualified DYNAMIC table, 100-row VALUES insert, len(cursor)
+        # after SELECT/DELETE/UPDATE = row / affected counts
+        def gen_id(num):
+            return str(num).rjust(24, "0")
+        cur = self.conn.cursor()
+        cur.execute("CREATE DATABASE schemax")
+        cur.execute("CREATE TABLE schemax.conns()")  # dynamic
+        try:
+            values = ", ".join(
+                f"('{gen_id(n + 1)}', 'Name {n}', {n})" for n in range(100))
+            cur.execute("INSERT INTO schemax.conns (_id, name, count) "
+                        f"VALUES {values}")
+            cur.execute("SELECT * FROM schemax.conns")
+            self.assertEqual(len(cur), 100)
+            cur.execute("SELECT * FROM schemax.conns WHERE count > 90")
+            self.assertEqual(len(cur), 9)
+            cur.execute("DELETE FROM schemax.conns WHERE count > 90")
+            self.assertEqual(len(cur), 9)
+            cur.execute("SELECT * FROM schemax.conns")
+            self.assertEqual(len(cur), 91)
+            cur.execute("UPDATE schemax.conns SET count = 1000 "
+                        "WHERE count < 20")
+            self.assertEqual(len(cur), 20)
+            cur.execute("SELECT * FROM schemax.conns WHERE count < 20")
+            self.assertEqual(len(cur), 0)
+            cur.execute("SELECT * FROM schemax.conns WHERE count = 1000")
+            self.assertEqual(len(cur), 20)
+        finally:
+            self.conn.execute("DROP TABLE schemax.conns")
+
     # --- Mongo-style aggregation pipeline (reference `to_aggregate`,
     # integration/python/tests/test_convert.py): same dict DSL, but
     # lowered onto the DataFrame plan and EXECUTED instead of

@@ -2090,7 +2090,11 @@ class GraftSession(val spark: SparkSession, val root: String) {
         insert(name, df)
         empty
       case refreshMvRe(name) => refreshMatView(name); empty
-      case createTableRe(name, null) => createDynamicTable(name); empty
+      // no column list OR an empty one — the reference's
+      // `CREATE TABLE db.t();` idiom — declares a DYNAMIC table
+      case createTableRe(name, colsDdl)
+          if colsDdl == null || colsDdl.trim.isEmpty =>
+        createDynamicTable(name); empty
       case createTableRe(name, colsDdl) =>
         val (schema, enumChecks) = resolveEnumDdl(colsDdl)
         createTable(name, schema)

@@ -37,6 +37,10 @@ class SqlRouterSpec extends SparkSpec {
     val out = s.execute("SELECT _id, a, b FROM docs ORDER BY _id")
     assert(out.columns.toSeq == Seq("_id", "a", "b"))
     assert(out.count() == 2)
+    // the reference's empty-column-list spelling means dynamic too
+    s.execute("CREATE TABLE docs2()")
+    s.execute("INSERT INTO docs2 (_id, a) VALUES ('z', 3)")
+    assert(s.execute("SELECT a FROM docs2").count() == 1)
   }
 
   test("SET TIMEZONE routes to the session config") {
