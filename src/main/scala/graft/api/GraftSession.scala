@@ -44,6 +44,17 @@ class GraftSession(val spark: SparkSession, val root: String) {
     var tombstones: Set[String])
   private val tables = scala.collection.mutable.Map[String, TableState]()
 
+  /** Per-table write locks. Streaming sinks run each query's
+    * foreachBatch on its own thread, so two queries landing in one table
+    * write concurrently; [[insert]]'s generation bump and
+    * [[insertIfNew]]'s check-then-commit are read-then-write sequences
+    * that must be serialized PER TABLE (never globally — independent
+    * tables keep full parallelism). */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def writeLock(name: String): Object =
+    tableLocks.computeIfAbsent(name, _ => new Object)
+
   // ---------------------------------------------------------------- DDL
 
   def createDatabase(name: String): Unit =
@@ -433,7 +444,7 @@ class GraftSession(val spark: SparkSession, val root: String) {
     * loop must not be able to build a 10^4-arm plan. ≤ 0 disables. */
   var autoCompactThreshold: Int = 32
 
-  def insert(name: String, df: DataFrame): Unit = {
+  def insert(name: String, df: DataFrame): Unit = writeLock(name).synchronized {
     val st = state(name)
     if (st.dynamic) {
       st.schema = DynamicSchema.merge(st.schema, df.schema)
@@ -464,33 +475,51 @@ class GraftSession(val spark: SparkSession, val root: String) {
     * from 0), so the log key includes the query id — two streaming
     * queries landing in the same table must not drop each other's
     * batches. Pass the stream's `query.id` as `queryId`; the default ""
-    * keeps a single-writer table working unchanged. The log rewrite goes
-    * through a temp file + ATOMIC_MOVE, so a torn write can't lose
-    * already-committed epochs. Remaining crash window (documented): a
-    * crash BETWEEN insert() and the log move re-applies that one epoch on
-    * replay — closing it fully would need the data batch and the log
+    * keeps a single-writer table working unchanged.
+    *
+    * Concurrency: the log is APPEND-ONLY — one `queryId:epochId` line per
+    * committed epoch (the [[recordFold]] pattern), so concurrent commits
+    * are commutative: neither writer can un-record the other's epoch, the
+    * failure mode of the earlier read-modify-rewrite log. The
+    * check + insert + append sequence additionally holds the per-table
+    * [[writeLock]] so a replay racing its own first delivery can't
+    * double-apply. Locks are per table — streams landing in DIFFERENT
+    * tables never serialize against each other.
+    *
+    * Remaining crash window (documented, pinned by StreamingSpec): a
+    * crash BETWEEN insert() and the log append re-applies that one epoch
+    * on replay — closing it fully would need the data batch and the log
     * entry to land in one atomic directory move, coupling the sink to the
     * batch layout; the window is one micro-batch wide, never unbounded.
     * The log is one line per epoch, O(epochs) metadata, never data.
+    *
+    * Migration: logs written before the keyed format hold bare epoch
+    * longs from a single anonymous writer. A bare line grandfathers that
+    * epoch for EVERY queryId — so a pre-upgrade stream that starts
+    * passing its real `query.id` still treats its old epochs as
+    * committed. One-time only: the keyed format always writes a ':', so
+    * new tables never produce bare lines.
     * Returns true when the batch was applied. */
   def insertIfNew(name: String, epochId: Long, df: DataFrame,
                   queryId: String = ""): Boolean = {
-    require(!queryId.contains("\n"), "queryId must be single-line")
+    require(!queryId.contains("\n") && !queryId.contains(":"),
+      "queryId must be single-line and ':'-free")
     val log = tableDir(name).resolve("_stream_commits")
-    // legacy lines are bare epoch longs (single anonymous writer) —
-    // normalize to the keyed form on read
-    val seen = if (Files.exists(log))
-      Files.readString(log).split("\n").filter(_.nonEmpty)
-        .map(l => if (l.contains(":")) l else s":$l").toSet
-    else Set.empty[String]
-    val key = s"$queryId:$epochId"
-    if (seen(key)) return false
-    insert(name, df)
-    val tmp = tableDir(name).resolve("_stream_commits.tmp")
-    Files.writeString(tmp, (seen + key).toSeq.sorted.mkString("\n"))
-    Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    true
+    writeLock(name).synchronized {
+      val lines = if (Files.exists(log))
+        Files.readString(log).split("\n").filter(_.nonEmpty).toSet
+      else Set.empty[String]
+      val key = s"$queryId:$epochId"
+      // keyed hit, or legacy bare-line grandfather (pre-keyed-format logs
+      // only; an anonymous writer's ':N' key stays scoped to queryId="")
+      if (lines(key) || lines(epochId.toString)) return false
+      insert(name, df)
+      Files.createDirectories(tableDir(name))
+      Files.writeString(log, key + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      true
+    }
   }
 
   /** UPDATE ... SET ... WHERE ... [RETURNING]: read → transform → staged

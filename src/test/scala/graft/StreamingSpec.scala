@@ -264,6 +264,75 @@ class StreamingSpec extends SparkSpec {
     assert(g.table("landed").count() == 3)
   }
 
+  test("insertIfNew survives two CONCURRENT writers — no lost epochs") {
+    // the round-7 log was read-modify-rewrite: two foreachBatch threads
+    // could read the same 'seen' set and the second rewrite dropped the
+    // first's committed epoch, so its replay landed twice. The log is
+    // append-only now (commits commute) and check+insert+append holds
+    // the per-table write lock — this race must stay deterministic.
+    import java.nio.file.Files
+    import graft.api.GraftSession
+    val g = GraftSession(spark,
+      Files.createTempDirectory("graft_race").toString)
+    g.execute("CREATE TABLE landed (id BIGINT)")
+    val epochs = 12
+    def run(qid: String, base: Long): Thread = {
+      val t = new Thread(() => (0 until epochs).foreach { e =>
+        assert(g.insertIfNew("landed", e.toLong,
+          Seq(base + e).toDF("id"), qid))
+      })
+      t.start(); t
+    }
+    val threads = Seq(run("query-a", 1000L), run("query-b", 2000L))
+    threads.foreach(_.join())
+    assert(g.table("landed").count() == 2L * epochs)
+    // post-race replay of EVERY epoch from BOTH queries is a no-op —
+    // with the rewrite log a dropped epoch re-applied here
+    for (q <- Seq("query-a", "query-b"); e <- 0 until epochs)
+      assert(!g.insertIfNew("landed", e.toLong, Seq(-1L).toDF("id"), q),
+        s"epoch $e of $q was lost by a concurrent commit")
+    assert(g.table("landed").count() == 2L * epochs)
+    assert(g.table("landed").filter(col("id") === -1L).count() == 0)
+  }
+
+  test("insertIfNew crash window: insert landed but log append did not") {
+    // Pin the documented one-micro-batch crash window: if the process
+    // dies BETWEEN insert() and the log append, the epoch is NOT
+    // recorded and foreachBatch's replay re-applies it — a duplicate.
+    // This spec exists so any silent change to that contract (either
+    // closing the window or widening it) fails loudly.
+    import java.nio.file.Files
+    import graft.api.GraftSession
+    val g = GraftSession(spark,
+      Files.createTempDirectory("graft_crashwin").toString)
+    g.execute("CREATE TABLE landed (id BIGINT)")
+    val b0 = Seq(1L, 2L).toDF("id")
+    g.insert("landed", b0) // the "crashed" delivery: data, no log entry
+    assert(g.insertIfNew("landed", 0L, b0, "q")) // replay re-applies...
+    assert(g.table("landed").count() == 4)       // ...window = 1 batch
+    assert(!g.insertIfNew("landed", 0L, b0, "q")) // then never again
+    assert(g.table("landed").count() == 4)
+  }
+
+  test("insertIfNew grandfathers pre-keyed-format bare-epoch log lines") {
+    // a table written before the keyed log holds bare epoch longs from a
+    // single anonymous writer; after upgrading, that stream passes its
+    // real query.id — replays of its OLD epochs must stay no-ops
+    import java.nio.file.{Files, Paths}
+    import graft.api.GraftSession
+    val g = GraftSession(spark,
+      Files.createTempDirectory("graft_legacy").toString)
+    g.execute("CREATE TABLE landed (id BIGINT)")
+    Files.writeString(
+      Paths.get(g.root, "landed", "_stream_commits"), "0\n1\n")
+    val b = Seq(9L).toDF("id")
+    assert(!g.insertIfNew("landed", 0L, b, "query-a")) // grandfathered
+    assert(!g.insertIfNew("landed", 1L, b))            // anonymous too
+    assert(g.insertIfNew("landed", 2L, b, "query-a"))  // new epoch lands
+    assert(!g.insertIfNew("landed", 2L, b, "query-a"))
+    assert(g.table("landed").count() == 1)
+  }
+
   test("streaming ingest keeps an incremental matview fresh per batch") {
     import java.nio.file.Files
     import org.apache.spark.sql.DataFrame
