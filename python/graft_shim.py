@@ -131,21 +131,78 @@ def apply_pipeline(rel, stages):
     mirror of the reference's `to_aggregate` dict DSL
     (/root/reference/integration/python/tests/test_convert.py: $match
     with $eq/$lt/$lte/$gt/$gte/$ne/$regex and implicit AND, $group with
-    _id + $sum/$avg/$min/$max, $sort, $limit/$skip). The reference
-    converts these dicts to its internal aggregate string; here each
-    stage lowers directly onto the DataFrame plan, so the whole pipeline
-    is ONE Catalyst plan (filters push down, the group is a normal
-    partial/final aggregate)."""
+    _id + $sum/$avg/$min/$max plus computed arithmetic, $sort,
+    $limit/$skip, $project). The reference converts these dicts to its
+    internal aggregate string; here each stage lowers directly onto the
+    DataFrame plan, so the whole pipeline is ONE Catalyst plan (filters
+    push down, the group is a normal partial/final aggregate).
+
+    Expression documents ({"$multiply": ["$price", "$count"]}, nested
+    freely) follow the reference's scalar op set
+    (expressions/scalar_expression.cpp:125-157: add/subtract/multiply/
+    divide/mod/pow/abs/ceil/floor/sqrt/round/coalesce/unary_minus) and
+    its $group routing (physical_plan_generator/impl/
+    create_plan_group.cpp:170-183): an arithmetic value whose column
+    refs all name OTHER $group outputs is a POST-aggregate computed per
+    group over the aggregated row; one referencing input columns is a
+    PRE-group computed column that becomes an extra group key. Aggregate
+    args may themselves be expression documents
+    ({"$sum": {"$multiply": [...]}} — operator_group's internal
+    aggregates)."""
     ops = {"$lt": lambda c, v: c < v, "$lte": lambda c, v: c <= v,
            "$gt": lambda c, v: c > v, "$gte": lambda c, v: c >= v,
            "$ne": lambda c, v: c != v, "$eq": lambda c, v: c == v,
            "$regex": lambda c, v: c.rlike(v)}
     aggs = {"$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
             "$count": lambda c: F.count(F.lit(1))}
+    # n-ary ops left-fold like Mongo ($add/$multiply are variadic there)
+    binary = {"$add": lambda a, b: a + b,
+              "$subtract": lambda a, b: a - b,
+              "$multiply": lambda a, b: a * b,
+              "$divide": lambda a, b: a / b,
+              "$mod": lambda a, b: a % b,
+              "$pow": F.pow}
+    unary = {"$abs": F.abs, "$ceil": F.ceil, "$floor": F.floor,
+             "$sqrt": F.sqrt, "$unary_minus": lambda c: -c}
 
     def ref(v):  # "$field" references a column, bare values are literals
         return F.col(v[1:]) if isinstance(v, str) and v.startswith("$") \
             else F.lit(v)
+
+    def is_expr_doc(v):
+        return (isinstance(v, dict) and len(v) == 1 and
+                next(iter(v)) in
+                (set(binary) | set(unary) | {"$round", "$coalesce"}))
+
+    def expr(v):
+        """Expression document / "$col" ref / literal -> Column."""
+        if not is_expr_doc(v):
+            return ref(v)
+        (op, args), = v.items()
+        args = args if isinstance(args, list) else [args]
+        if op in binary:
+            out = expr(args[0])
+            for nxt in args[1:]:
+                out = binary[op](out, expr(nxt))
+            return out
+        if op in unary:
+            return unary[op](expr(args[0]))
+        if op == "$round":
+            return F.round(expr(args[0]),
+                           args[1] if len(args) > 1 else 0)
+        return F.coalesce(*[expr(a) for a in args])
+
+    def col_refs(v):
+        """Column names referenced anywhere in an expression document."""
+        if isinstance(v, str) and v.startswith("$"):
+            return {v[1:]}
+        if isinstance(v, dict):
+            out = set()
+            for args in v.values():
+                for a in (args if isinstance(args, list) else [args]):
+                    out |= col_refs(a)
+            return out
+        return set()
 
     df = rel.df
     for stage in stages:
@@ -160,12 +217,33 @@ def apply_pipeline(rel, stages):
         elif kind == "$group":
             # "_id": "$f" groups by column f; a bare value is a constant
             # key (one global group) — the reference's parameter form
-            keys = [ref(v).alias("_id") for k, v in spec.items()
-                    if k == "_id"]
-            cols = [aggs[op](ref(v)).alias(name)
-                    for name, expr in spec.items() if name != "_id"
-                    for op, v in expr.items()]
-            df = (df.groupBy(*keys) if keys else df.groupBy()).agg(*cols)
+            keys, cols, post = [], [], []
+            for name, v in spec.items():
+                if name == "_id":
+                    keys.append(ref(v).alias("_id"))
+                elif isinstance(v, dict) and next(iter(v)) in aggs:
+                    (op, arg), = v.items()
+                    cols.append(aggs[op](expr(arg)).alias(name))
+                elif is_expr_doc(v):
+                    # reference routing: refs over sibling $group outputs
+                    # -> post-aggregate; refs over input columns -> extra
+                    # computed group key
+                    if col_refs(v) <= set(spec) - {name}:
+                        post.append((name, v))
+                    else:
+                        keys.append(expr(v).alias(name))
+                else:
+                    # bare constant output column ("type": "type" in the
+                    # reference's tests — a parameter, not a field ref)
+                    post.append((name, v))
+            if cols:
+                df = (df.groupBy(*keys) if keys else df.groupBy()) \
+                    .agg(*cols)
+            else:  # keys only, no accumulators: group = distinct keys
+                df = df.select(*keys).distinct()
+            for name, v in post:
+                df = df.withColumn(name, expr(v))
+            df = df.select(*[F.col(n) for n in spec])
         elif kind == "$sort":
             df = df.orderBy(*[F.col(f).asc() if d >= 0 else F.col(f).desc()
                               for f, d in spec.items()])
@@ -174,17 +252,73 @@ def apply_pipeline(rel, stages):
         elif kind == "$skip":
             df = df.offset(spec)
         elif kind == "$project":
-            # {"f": 1} includes f; {"alias": "$f"} renames
+            # {"f": 1} includes f; {"alias": "$f"} renames;
+            # {"alias": {"$op": [...]}} computes
             cols = []
             for name, v in spec.items():
-                if isinstance(v, str) and v.startswith("$"):
-                    cols.append(F.col(v[1:]).alias(name))
+                if is_expr_doc(v) or (isinstance(v, str)
+                                      and v.startswith("$")):
+                    cols.append(expr(v).alias(name))
                 elif v:
                     cols.append(F.col(name))
             df = df.select(*cols)
         else:
             raise ValueError(f"unsupported pipeline stage {kind}")
     return Relation(df)
+
+
+def _pandas_to_arrow(pdf):
+    """pandas -> pyarrow with the reference prepare-shim's dtype-edge
+    contract (integration/python/tests/fast/dataframe/
+    test_dtype_ingest.py, scan/pandas_arrow_prepare.cpp): the index is
+    dropped (never a column), duplicate column labels are deduplicated,
+    float NaN / nullable-int NA / datetime NaT become NULL, categoricals
+    ingest as their values, {"key": [...], "value": [...]} object
+    columns become MAP, generic dict columns STRUCT, list columns LIST,
+    and a mixed-scalar object column falls back leniently to STRING
+    (str() per non-null value) instead of raising ArrowInvalid."""
+    import numpy as np
+    import pyarrow as pa
+
+    def is_null(v):
+        return v is None or (isinstance(v, float) and np.isnan(v))
+
+    def column(col):
+        if col.dtype != object:
+            arr = pa.Array.from_pandas(col)
+            # dictionary-encoded (pandas Categorical) -> plain values;
+            # Spark has no dictionary column type
+            if pa.types.is_dictionary(arr.type):
+                arr = arr.cast(arr.type.value_type)
+            return arr
+        vals = col.tolist()
+        nn = [v for v in vals if not is_null(v)]
+        if nn and all(isinstance(v, dict) and set(v) == {"key", "value"}
+                      for v in nn):
+            # reference map-format: parallel key/value lists -> MAP
+            ktype = pa.array([k for v in nn for k in v["key"]]).type
+            vtype = pa.array([x for v in nn for x in v["value"]]).type
+            pairs = [None if is_null(v)
+                     else list(zip(v["key"], v["value"])) for v in vals]
+            return pa.array(pairs, type=pa.map_(ktype, vtype))
+        try:
+            # clean object columns: dicts -> STRUCT, lists -> LIST,
+            # homogeneous scalars -> their type
+            return pa.array(vals)
+        except (pa.ArrowInvalid, pa.ArrowTypeError,
+                pa.ArrowNotImplementedError):
+            # heterogeneous scalars: lenient STRING fallback
+            return pa.array([None if is_null(v) else str(v)
+                             for v in vals])
+
+    pdf = pdf.reset_index(drop=True)  # a named index is NOT a column
+    names, seen = [], {}
+    for c in map(str, pdf.columns):
+        n = seen.get(c, 0)
+        seen[c] = n + 1
+        names.append(c if n == 0 else f"{c}_{n}")
+    arrays = [column(pdf.iloc[:, j]) for j in range(pdf.shape[1])]
+    return pa.Table.from_arrays(arrays, names=names)
 
 
 class Cursor:
@@ -291,15 +425,35 @@ class Connection:
     def from_df(self, df):
         """Ingest a dataframe (reference test fixture `conn.from_df`).
 
-        Accepts pandas, and — mirroring the reference's polars ingest
-        (integration/python/tests/test_polars_ingest.py, which goes
-        through its Arrow export in scan/pandas_arrow_prepare.cpp) — any
-        Arrow-native frame: a `pyarrow.Table`, a polars DataFrame (its
-        `to_arrow()` is a zero-copy export), or any object speaking the
-        Arrow PyCapsule protocol (`__arrow_c_stream__`). Arrow-native
-        frames reach Spark as Arrow batches directly; pandas is never in
-        that path."""
+        Accepts pandas (through [[_pandas_to_arrow]], the mirror of the
+        reference's Arrow prepare shim — see its dtype-edge contract
+        there), a 2-D numpy ndarray (reference NDARRAY2D: each input ROW
+        becomes a column0..N column), and — mirroring the reference's
+        polars ingest (integration/python/tests/test_polars_ingest.py,
+        which goes through its Arrow export in
+        scan/pandas_arrow_prepare.cpp) — any Arrow-native frame: a
+        `pyarrow.Table`, a polars DataFrame (its `to_arrow()` is a
+        zero-copy export), or any object speaking the Arrow PyCapsule
+        protocol (`__arrow_c_stream__`). Everything reaches Spark as
+        Arrow batches; a pandas frame the prepare shim cannot convert
+        falls back to Spark's own pandas coercion, so no previously
+        working ingest breaks."""
         import pyarrow as pa
+        import numpy as np
+        if isinstance(df, np.ndarray) and df.ndim == 2:
+            df = pa.table({f"column{i}": pa.array(df[i, :])
+                           for i in range(df.shape[0])})
+        try:
+            import pandas as pd
+            is_pandas = isinstance(df, pd.DataFrame)
+        except ImportError:
+            is_pandas = False
+        if is_pandas:
+            try:
+                df = _pandas_to_arrow(df)
+            except Exception:
+                # lenient fallback: Spark's native pandas coercion
+                return Relation(self.spark.createDataFrame(df))
         if not isinstance(df, pa.Table):
             to_arrow = getattr(df, "to_arrow", None)
             if callable(to_arrow):  # polars-style Arrow export

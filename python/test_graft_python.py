@@ -456,6 +456,80 @@ class GraftPythonSurface(unittest.TestCase):
                         "mn": {"$min": "$count"}}}])
         self.assertEqual(out.fetchall(), [("all", 12, 2)])
 
+    def _priced_rel(self):
+        import pandas as pd
+        return self.conn.from_df(pd.DataFrame({
+            "name": ["ant", "bee", "ant", "dog", "bee"],
+            "price": [2.0, 3.0, 5.0, 1.0, 4.0],
+            "count": [4, 12, 7, 2, 9],
+        }))
+
+    def test_pipeline_group_agg_over_computed_expression(self):
+        # reference test_convert.py:103-118: {"_id": "$name",
+        # "type": "type", "total": {"$sum": {"$multiply": [...]}}} —
+        # the aggregate's arg is an expression document, and a bare
+        # string value is a CONSTANT output column (the reference turns
+        # it into parameter #0, not a field ref)
+        from graft_shim import apply_pipeline
+        out = apply_pipeline(self._priced_rel(), [
+            {"$group": {"_id": "$name", "type": "type",
+                        "total": {"$sum": {"$multiply":
+                                           ["$price", "$count"]}}}},
+            {"$sort": {"_id": 1}}])
+        self.assertEqual(out.fetchall(),
+                         [("ant", "type", 43.0), ("bee", "type", 72.0),
+                          ("dog", "type", 2.0)])
+
+    def test_pipeline_group_computed_key(self):
+        # reference test_convert.py:62-88: a bare arithmetic value in
+        # $group referencing INPUT columns is a pre-group computed
+        # column that becomes a group key (create_plan_group.cpp:180-183)
+        from graft_shim import apply_pipeline
+        out = apply_pipeline(self._priced_rel(), [
+            {"$group": {"total": {"$multiply": ["$price", 10]}}},
+            {"$sort": {"total": 1}}])
+        self.assertEqual(out.fetchall(),
+                         [(10.0,), (20.0,), (30.0,), (40.0,), (50.0,)])
+
+    def test_pipeline_group_post_aggregate(self):
+        # arithmetic whose refs name sibling $group outputs is a
+        # POST-aggregate evaluated per group over the aggregated row
+        # (operator_group.cpp:799-911)
+        from graft_shim import apply_pipeline
+        out = apply_pipeline(self._priced_rel(), [
+            {"$group": {"_id": "$name",
+                        "s": {"$sum": "$count"},
+                        "n": {"$count": 1},
+                        "per": {"$divide": ["$s", "$n"]}}},
+            {"$sort": {"_id": 1}}])
+        self.assertEqual(out.fetchall(),
+                         [("ant", 11, 2, 5.5), ("bee", 21, 2, 10.5),
+                          ("dog", 2, 1, 2.0)])
+
+    def test_pipeline_project_computed_expression(self):
+        from graft_shim import apply_pipeline
+        out = apply_pipeline(self._priced_rel(), [
+            {"$match": {"name": "dog"}},
+            {"$project": {"name": 1,
+                          "gross": {"$multiply": ["$price", "$count"]},
+                          "rounded": {"$round":
+                                      [{"$sqrt": "$count"}, 2]}}}])
+        self.assertEqual(out.fetchall(), [("dog", 2.0, 1.41)])
+
+    def test_pipeline_nested_arithmetic_ops(self):
+        # nested docs + the rest of the reference scalar op set
+        # (scalar_expression.cpp:125-157)
+        from graft_shim import apply_pipeline
+        out = apply_pipeline(self._priced_rel(), [
+            {"$match": {"name": "bee", "count": {"$gt": 10}}},
+            {"$project": {
+                "a": {"$add": ["$count", {"$unary_minus": "$price"}, 1]},
+                "m": {"$mod": ["$count", 5]},
+                "p": {"$pow": [2, {"$subtract": ["$price", 1.0]}]},
+                "f": {"$floor": {"$divide": ["$count", "$price"]}},
+                "c": {"$coalesce": [None, "$count"]}}}])
+        self.assertEqual(out.fetchall(), [(10.0, 2, 4.0, 4.0, 12)])
+
     def test_pipeline_sort_skip_limit_project(self):
         from graft_shim import apply_pipeline
         out = apply_pipeline(self._pipe_rel(), [
@@ -464,6 +538,97 @@ class GraftPythonSurface(unittest.TestCase):
             {"$limit": 2},
             {"$project": {"name": 1, "c": "$count"}}])
         self.assertEqual(out.fetchall(), [("eel", 9), ("cat", 7)])
+
+    # --- dtype-edge ingest matrix (reference fast/dataframe/
+    # test_dtype_ingest.py:13-97): the Arrow prepare-shim contract,
+    # pinned through from_df for pandas, numpy and Arrow frames.
+
+    def test_ingest_float_nan_becomes_null(self):
+        import numpy as np
+        import pandas as pd
+        rel = self.conn.from_df(pd.DataFrame({"x": [1.0, np.nan, 3.0]}))
+        self.assertEqual(rel.columns, ["x"])
+        self.assertEqual(rel.fetchall(), [(1.0,), (None,), (3.0,)])
+
+    def test_ingest_nullable_int_na_becomes_null(self):
+        import pandas as pd
+        rel = self.conn.from_df(pd.DataFrame(
+            {"x": pd.array([1, None, 3], dtype="Int64")}))
+        self.assertEqual(rel.columns, ["x"])
+        self.assertEqual(rel.fetchall(), [(1,), (None,), (3,)])
+
+    def test_ingest_datetime_nat_becomes_null(self):
+        import pandas as pd
+        rel = self.conn.from_df(pd.DataFrame(
+            {"t": pd.to_datetime(["2021-01-01", None, "2021-01-03"])}))
+        self.assertEqual(rel.columns, ["t"])
+        rows = rel.fetchall()
+        self.assertEqual(len(rows), 3)
+        self.assertIsNone(rows[1][0])
+
+    def test_ingest_mixed_object_falls_back_to_string(self):
+        # heterogeneous object column: lenient STRING fallback instead
+        # of ArrowInvalid (the reference's old pandas_analyzer behavior)
+        import pandas as pd
+        rel = self.conn.from_df(pd.DataFrame({"x": [1, "two", 3.0]}))
+        self.assertEqual(rel.columns, ["x"])
+        self.assertEqual(rel.types, ["STRING"])
+        self.assertEqual(rel.fetchall(), [("1",), ("two",), ("3.0",)])
+
+    def test_ingest_categorical(self):
+        import pandas as pd
+        rel = self.conn.from_df(pd.DataFrame(
+            {"c": pd.Categorical(["a", "b", "a"])}))
+        self.assertEqual(rel.columns, ["c"])
+        self.assertEqual(rel.fetchall(), [("a",), ("b",), ("a",)])
+
+    def test_ingest_map_format_dict_column(self):
+        # {"key": [...], "value": [...]} object columns -> MAP
+        import pandas as pd
+        rel = self.conn.from_df(pd.DataFrame(
+            {"m": [{"key": ["a", "b"], "value": [1, 2]},
+                   {"key": ["c"], "value": [3]}]}))
+        self.assertEqual(rel.columns, ["m"])
+        self.assertEqual(rel.types, ["MAP<STRING,BIGINT>"])
+        self.assertEqual(rel.fetchall(),
+                         [({"a": 1, "b": 2},), ({"c": 3},)])
+
+    def test_ingest_generic_dict_column_as_struct(self):
+        import pandas as pd
+        rel = self.conn.from_df(pd.DataFrame(
+            {"s": [{"a": 1, "b": 2}, {"a": 3, "b": 4}]}))
+        self.assertEqual(rel.columns, ["s"])
+        self.assertTrue(rel.types[0].startswith("STRUCT<"))
+        self.assertEqual(len(rel.fetchall()), 2)
+
+    def test_ingest_list_column(self):
+        import pandas as pd
+        rel = self.conn.from_df(pd.DataFrame({"l": [[1, 2], [3, 4]]}))
+        self.assertEqual(rel.columns, ["l"])
+        self.assertEqual(rel.fetchall(), [([1, 2],), ([3, 4],)])
+
+    def test_ingest_duplicate_column_names_deduplicated(self):
+        import pandas as pd
+        rel = self.conn.from_df(pd.DataFrame(
+            [[1, 2], [3, 4]], columns=["x", "x"]))
+        self.assertEqual(len(rel.columns), 2)
+        self.assertEqual(len(set(rel.columns)), 2)
+        self.assertEqual(rel.fetchall(), [(1, 2), (3, 4)])
+
+    def test_ingest_numpy_2d_rows_become_columns(self):
+        # reference NDARRAY2D quirk kept verbatim: each input ROW is a
+        # column0..N column
+        import numpy as np
+        rel = self.conn.from_df(np.array([[1, 2, 3], [4, 5, 6]]))
+        self.assertEqual(rel.columns, ["column0", "column1"])
+        self.assertEqual(rel.fetchall(), [(1, 4), (2, 5), (3, 6)])
+
+    def test_ingest_pandas_index_is_ignored(self):
+        import pandas as pd
+        rel = self.conn.from_df(pd.DataFrame(
+            {"x": [10, 20, 30]}, index=["alice", "bob", "carol"]))
+        self.assertEqual(rel.columns, ["x"])
+        self.assertEqual(rel.fetchall(), [(10,), (20,), (30,)])
 
     def test_polars_style_ingest_round_trip(self):
         import pyarrow as pa
