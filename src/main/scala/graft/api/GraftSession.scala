@@ -960,6 +960,28 @@ class GraftSession(val spark: SparkSession, val root: String) {
         s"COPY: unsupported FORMAT $other (parquet|csv|json|orc)")
     }
 
+  /** Row count of a written parquet dir from footer metadata alone —
+    * COPY TO reports rows without a second full pass over what it just
+    * wrote (at a 100 TB export the re-read doubles the I/O). O(#files)
+    * footer reads on the driver, no data pages touched. Non-parquet
+    * formats have no trustworthy in-file count and keep the re-read. */
+  private def parquetFooterRowCount(path: String): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+      else Seq(fs.getFileStatus(p))
+    files.map { st =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   private def copyRead(path: String, fmt: Option[String],
                        schema: Option[org.apache.spark.sql.types.StructType])
       : DataFrame =
@@ -1316,10 +1338,18 @@ class GraftSession(val spark: SparkSession, val root: String) {
   private def incDir = { val d = rootPath.resolve("_views")
     Files.createDirectories(d); d }
 
+  /** Spec-format version marker. v2 = count(col) partials follow SQL
+    * skip-NULLs semantics (round 7 change). A spec file WITHOUT the
+    * marker predates that change: its persisted partials counted every
+    * row, and merging them with skip-NULLs deltas would silently mix two
+    * count definitions — loading such a spec with a non-* count column
+    * forces one full rebuild, then upgrades the file. */
+  private val IncSpecVersion = "#v2"
+
   private def persistIncSpec(name: String): Unit = {
     val (base, keys, aggs) = incViews(name)
     Files.writeString(incDir.resolve(s"$name.inc"),
-      (Seq(base, keys.mkString(",")) ++
+      (Seq(IncSpecVersion, base, keys.mkString(",")) ++
         aggs.map { case (f, c, a) => s"$f:$c:$a" }).mkString("\n"))
   }
 
@@ -1329,12 +1359,26 @@ class GraftSession(val spark: SparkSession, val root: String) {
       val f = incDir.resolve(s"$name.inc")
       if (!Files.exists(f)) None
       else {
-        val lines = Files.readString(f).split("\n").toSeq
+        val all = Files.readString(f).split("\n").toSeq
+        val versioned = all.head == IncSpecVersion
+        val lines = if (versioned) all.tail else all
         val spec = (lines.head,
           lines(1).split(",").filter(_.nonEmpty).toSeq,
           lines.drop(2).map { l =>
             val Array(fn, c, a) = l.split(":", 3); (fn, c, a) })
         incViews(name) = spec
+        if (!versioned) {
+          // stored partials and new deltas must agree on count(col)
+          // semantics: poison the seen set so the NEXT refresh takes the
+          // full-rebuild path (an unknown seen batch fails `accounted`),
+          // then upgrade the spec so this happens exactly once
+          if (spec._3.exists { case (fn, c, _) => fn == "count" && c != "*" })
+            Files.writeString(seenFile(name),
+              "__legacy_count_semantics_rebuild__\n",
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.APPEND)
+          persistIncSpec(name)
+        }
         Some(spec)
       }
     }
@@ -2055,9 +2099,15 @@ class GraftSession(val spark: SparkSession, val root: String) {
         // write ONCE, then count the written output: a count() before
         // the write would execute the source twice (double scan) and
         // could disagree with the written data for a non-deterministic
-        // query
+        // query. Parquet answers the count from footer metadata alone;
+        // formats without in-file stats re-read what was written.
         copyWrite(df, path, Option(fmtOrNull))
-        val n = copyRead(path, Option(fmtOrNull), Some(df.schema)).count()
+        val n = Option(fmtOrNull).map(_.toLowerCase)
+          .getOrElse("parquet") match {
+          case "parquet" => parquetFooterRowCount(path)
+          case _ =>
+            copyRead(path, Option(fmtOrNull), Some(df.schema)).count()
+        }
         catalogDf(Seq((path, n.toString)), "path", "rows")
       case copyFromRe(tbl, path, fmtOrNull) =>
         val declared = state(tbl).schema
@@ -2093,9 +2143,12 @@ class GraftSession(val spark: SparkSession, val root: String) {
               s"group columns or count/sum/min/max(...) AS alias — got: $item")
         }
         // group keys come from the bare select columns; a GROUP BY list
-        // that differs must error, not silently compute another grouping
+        // that differs must error, not silently compute another
+        // grouping. Grouping is order-insensitive, so compare as sets —
+        // `SELECT a, b ... GROUP BY b, a` is the same view.
         val declared = splitTopLevel(groupList).map(_.trim)
-        require(declared.map(_.toLowerCase) == keys.map(_.toLowerCase),
+        require(declared.map(_.toLowerCase).toSet ==
+            keys.map(_.toLowerCase).toSet,
           "INCREMENTAL MATERIALIZED VIEW: GROUP BY list " +
             s"(${declared.mkString(", ")}) must equal the bare select " +
             s"columns (${keys.mkString(", ")})")

@@ -146,6 +146,35 @@ class IncMatViewSpec extends SparkSpec {
     assert(rows2 == Seq(("de", 1L, 1L), ("en", 4L, 2L)))
   }
 
+  test("pre-versioned count(col) spec forces one full rebuild on load") {
+    // a .inc spec persisted before the skip-NULLs count(col) change
+    // holds partials that counted every row; merging skip-NULLs deltas
+    // into them would silently mix two count definitions. Loading a
+    // version-markerless spec with a non-* count column must rebuild
+    // once, then upgrade the file so later refreshes stay incremental.
+    val root = Files.createTempDirectory("graft_inc_v1").toString
+    val s1 = GraftSession(spark, root)
+    s1.execute("CREATE TABLE base (lang STRING, n_chars BIGINT)")
+    s1.execute("INSERT INTO base VALUES ('en', 10), ('en', NULL)")
+    s1.createIncrementalMatView("mv", "base", Seq("lang"),
+      Seq(("count", "n_chars", "n_vals")))
+    // strip the version marker = simulate a pre-upgrade spec file
+    val spec = java.nio.file.Paths.get(root, "_views", "mv.inc")
+    Files.writeString(spec, Files.readString(spec)
+      .split("\n").filter(!_.startsWith("#")).mkString("\n"))
+    val s2 = GraftSession(spark, root)
+    s2.execute("INSERT INTO base VALUES ('en', 3)")
+    assert(s2.refreshIncrementalMatView("mv") == "full",
+      "legacy count(col) spec must force a one-time full rebuild")
+    val r = s2.table("mv").collect().head
+    assert((r.getString(0), r.getLong(1)) == ("en", 2L))
+    // one-time: the upgraded spec refreshes incrementally from here
+    s2.execute("INSERT INTO base VALUES ('en', 4)")
+    assert(s2.refreshIncrementalMatView("mv").startsWith("incremental"))
+    val r2 = s2.table("mv").collect().head
+    assert((r2.getString(0), r2.getLong(1)) == ("en", 3L))
+  }
+
   test("GROUP BY list must match the bare select columns") {
     val s = g
     s.execute("CREATE TABLE base (lang STRING, src STRING, n BIGINT)")
@@ -159,6 +188,11 @@ class IncMatViewSpec extends SparkSpec {
     s.execute("""CREATE INCREMENTAL MATERIALIZED VIEW ok AS
       SELECT lang, count(*) AS n FROM base GROUP BY LANG""")
     assert(s.table("ok").count() == 1)
+    // grouping is order-insensitive: GROUP BY src, lang is the same
+    // grouping as the select order lang, src
+    s.execute("""CREATE INCREMENTAL MATERIALIZED VIEW ok2 AS
+      SELECT lang, src, count(*) AS n FROM base GROUP BY src, lang""")
+    assert(s.table("ok2").count() == 1)
   }
 
   test("non-algebraic aggregate is rejected with a clear error") {

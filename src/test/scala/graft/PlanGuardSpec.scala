@@ -89,4 +89,23 @@ class PlanGuardSpec extends SparkSpec {
       }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("ng1 keeps the rank-limit pushdown below the shuffle") {
+    // ng1's `row_number() <= 5` must plan as WindowGroupLimit on BOTH
+    // sides of the rank exchange (Partial before, Final after) so each
+    // map task ships only its local top-5 per language — at 100 TB the
+    // difference between shuffling O(k·#langs) and the full bigram
+    // count table. The pushdown silently disappears if the window's
+    // orderBy ever becomes non-deterministic or the rank filter moves
+    // off the window output; this pins it.
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val phys = SparkEntry.queries("ng1_top_bigrams")(spark, sf)
+      .queryExecution.sparkPlan
+    val limits = phys.collect { case w: WindowGroupLimitExec => w }
+    assert(limits.size == 2,
+      s"expected Partial+Final WindowGroupLimit, got:\n$phys")
+    val modes = limits.map(_.mode.toString).sorted
+    assert(modes == Seq("Final", "Partial"),
+      s"expected one Partial (map-side) and one Final, got $modes")
+  }
 }

@@ -464,6 +464,50 @@ class SqlRouterSpec extends SparkSpec {
     }
   }
 
+  test("COPY TO parquet reports rows from footer metadata, not a re-read") {
+    // the count must come from parquet footers (O(#files) driver-side
+    // metadata), never a second scan of what was just written — at a
+    // 100 TB export the re-read doubles the I/O. Pin it by job count:
+    // parquet COPY runs the write job(s) only, csv COPY runs the same
+    // write plus a count-read job, so parquet must run strictly fewer.
+    val s = g
+    val out = Files.createTempDirectory("graft_copy_meta")
+    s.execute("CREATE TABLE msrc (id BIGINT)")
+    s.execute("INSERT INTO msrc VALUES (1), (2), (3)")
+    s.execute("INSERT INTO msrc VALUES (4), (5)")
+    def jobsFor(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      // job-start events land on the status store asynchronously — poll
+      // until the count is stable, never a bare sleep
+      val tracker = spark.sparkContext.statusTracker
+      val deadline = System.nanoTime + 5L * 1000 * 1000 * 1000
+      var last = tracker.getJobIdsForGroup(group).length
+      var stable = 0
+      while (System.nanoTime < deadline && stable < 5) {
+        Thread.sleep(50)
+        val cur = tracker.getJobIdsForGroup(group).length
+        if (cur == last) stable += 1 else { last = cur; stable = 0 }
+      }
+      last
+    }
+    var pq: org.apache.spark.sql.DataFrame = null
+    var cs: org.apache.spark.sql.DataFrame = null
+    val pqJobs = jobsFor("copy-pq") {
+      pq = s.execute(s"COPY msrc TO '$out/p' (FORMAT parquet)")
+    }
+    val csJobs = jobsFor("copy-csv") {
+      cs = s.execute(s"COPY msrc TO '$out/c' (FORMAT csv)")
+    }
+    // counts agree either way; the multi-batch insert above makes the
+    // parquet output multi-file, so the footer count is a real sum
+    assert(pq.collect().head.getString(1) == "5")
+    assert(cs.collect().head.getString(1) == "5")
+    assert(pqJobs < csJobs,
+      s"parquet COPY ran $pqJobs jobs vs csv's $csJobs — the parquet " +
+        "count must be footer-metadata-only, with no re-read job")
+  }
+
   test("EXPLAIN returns the plan as rows through the router") {
     val s = g
     s.execute("CREATE TABLE ex (id BIGINT, v DOUBLE)")
