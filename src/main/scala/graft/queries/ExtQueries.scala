@@ -115,6 +115,45 @@ object ExtQueries {
         .orderBy(col("nat"))
     }),
 
+    // --- LDBC BI shortest-path-length histogram (the path-length
+    // distribution family of LDBC SNB BI — reference corpus pointer:
+    // /root/reference/benchmark/SOURCES.md:18-19). Same bounded BFS
+    // machinery as ldbc1, but instead of reachable-set sizes it keeps
+    // the MINIMUM hop per (seed, node) pair and histograms pairs by
+    // that shortest path length — per-hop frontier decay. Scale shape:
+    // the min() collapse is one vertex-key shuffle over the reach set
+    // (which the fixpoint already bounded at O(pairs within 3 hops)),
+    // and the histogram is O(#hops) groups ---
+    "ldbc3_sp_hist" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_nationkey").cast("bigint").as("nat"))
+      // denser projection than ldbc1 (out-candidates k+1..k+20, same
+      // nation) and a wider seed set, so the histogram has mass at
+      // every hop and the per-hop decay is visible
+      val cand = c.select(col("k").as("src"), col("nat"),
+        explode(sequence(col("k") + 1, col("k") + 20)).as("dst"))
+      val edges = cand
+        .join(c.select(col("k").as("dst"), col("nat")), Seq("dst", "nat"))
+        .select(col("src"), col("dst"))
+      val seeds = c.filter(col("k") % 20 === 1)
+        .select(col("k").as("seed"))
+      val reach = RecursiveCte.fixpoint(
+        seeds.select(col("seed"), col("seed").as("node"),
+          lit(0).as("hop")),
+        d => d.filter(col("hop") < 3)
+          .join(edges, col("node") === col("src"))
+          .select(col("seed"), col("dst").as("node"),
+            (col("hop") + 1).as("hop")))
+      reach.filter(col("node") =!= col("seed"))
+        .groupBy(col("seed"), col("node"))
+        .agg(min(col("hop")).as("sp"))
+        .groupBy(col("sp"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("seed")).as("n_seeds"))
+        .orderBy(col("sp"))
+    }),
+
     // --- UPDATE ... RETURNING through the session write path ---
     "x2_update_returning" -> ((s, dir) => {
       val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
@@ -357,6 +396,29 @@ object ExtQueries {
       SELECT nat, COUNT(*) AS n_triangles,
         COUNT(DISTINCT a) AS n_apex
       FROM tri GROUP BY nat ORDER BY nat""",
+    "ldbc3_sp_hist" -> """
+      WITH RECURSIVE
+      c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                   CAST(c_nationkey AS BIGINT) AS nat
+            FROM customer),
+      edges AS (
+        SELECT a.k AS src, b.k AS dst
+        FROM c a JOIN c b
+          ON b.nat = a.nat
+         AND b.k BETWEEN a.k + 1 AND a.k + 20),
+      seeds AS (SELECT k AS seed FROM c WHERE k % 20 = 1),
+      reach(seed, node, hop) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION
+        SELECT r.seed, e.dst, r.hop + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hop < 3),
+      spl AS (
+        SELECT seed, node, MIN(hop) AS sp
+        FROM reach WHERE node <> seed GROUP BY seed, node)
+      SELECT sp, COUNT(*) AS n_pairs,
+        COUNT(DISTINCT seed) AS n_seeds
+      FROM spl GROUP BY sp ORDER BY sp""",
     "x11_merge_upsert" -> """
       WITH src AS (
         SELECT CASE WHEN COUNT(*) >= 8 THEN o_custkey + 1000000
