@@ -265,4 +265,54 @@ object Dedup {
       .select(col("a_id"), col("b_id"), cosineAuto(df.sparkSession)(col("a_v"), col("b_v")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Segment-level exact dedup (the paragraph-dedup stage of CCNet /
+    * RefinedWeb pipelines, in the fixed-width-window form of Lee et al.
+    * 2022 for text without structural paragraph breaks): chunk each
+    * document into non-overlapping `width`-word segments, count each
+    * distinct segment's global document frequency, and drop every
+    * occurrence of segments appearing in more than `maxDocFreq` docs
+    * (cross-document boilerplate), reassembling the surviving segments
+    * in original order.
+    *
+    * Scale shape: chunking is a narrow posexplode; the doc-frequency
+    * count is one shuffle on the segment text (uniformly distributed);
+    * the boilerplate set is the filtered minority so the mark-join back
+    * onto occurrences broadcasts under AQE; reassembly is one shuffle
+    * on the doc id. Nothing touches the driver.
+    *
+    * Output: (idCol, n_kept, n_dropped, clean_text).
+    */
+  def dropBoilerplateSegments(df: DataFrame, textCol: String, idCol: String,
+                              width: Int = 3, maxDocFreq: Int = 3): DataFrame = {
+    val words = array_remove(split(trim(col(textCol)), "\\s+"), "")
+    // sequence(0, -1) would step downward, so guard empty/null docs; the
+    // outer explode keeps them as a single null-segment row so no input
+    // row ever silently disappears from the output
+    val nSegs = floor((size(words) + lit(width - 1)) / lit(width)).cast("int")
+    val segArr = when(size(words) > 0,
+      transform(sequence(lit(0), nSegs - 1),
+        i => array_join(slice(words, i * width + 1, lit(width)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val segs = df.select(col(idCol),
+      posexplode_outer(segArr).as(Seq("seg_idx", "seg")))
+    val boiler = segs.filter(col("seg").isNotNull)
+      .groupBy(col("seg"))
+      .agg(countDistinct(col(idCol)).as("docfreq"))
+      .filter(col("docfreq") > maxDocFreq)
+      .select(col("seg"), lit(1).as("boiler"))
+    segs.join(boiler, Seq("seg"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("boiler").isNull && col("seg").isNotNull, 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("boiler").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("boiler").isNull && col("seg").isNotNull,
+                struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")),
+          " ").as("clean_text"))
+  }
 }

@@ -205,6 +205,19 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- segment-level exact dedup (CCNet/RefinedWeb paragraph-dedup
+    // stage, fixed-width-window form): drop 3-word segments occurring
+    // in more than 3 docs (cross-document boilerplate), reassemble the
+    // survivors, fingerprint the cleaned text. md5 is reproducible in
+    // both engines so the check is hash-exact end-to-end ---
+    "d17_segment_dedup" -> ((s, dir) => {
+      Dedup.dropBoilerplateSegments(docs(s, dir), "text", "doc_id",
+          width = 3, maxDocFreq = 3)
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- vocabulary building: exact top-5 bigrams per language (count
     // desc, bigram asc — a total order, so the result is deterministic).
     // Explode + partial-aggregated count + per-key top-k window: the
@@ -393,6 +406,26 @@ object TextQueries {
     "d1_exact_dedup" -> """
       SELECT md5(text) AS h, MIN(doc_id) AS keep, COUNT(*) AS n
       FROM documents GROUP BY md5(text) ORDER BY h""",
+    "d17_segment_dedup" -> """
+      WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(list_slice(ws, i*3+1, i*3+3), ' ') AS seg
+        FROM words, LATERAL unnest(generate_series(0,
+          CAST(ceil(len(ws) / 3.0) AS BIGINT) - 1)) AS t(i)),
+      boiler AS (
+        SELECT seg FROM segs GROUP BY seg
+        HAVING COUNT(DISTINCT doc_id) > 3),
+      marked AS (
+        SELECT s.doc_id, s.seg_idx, s.seg, b.seg IS NOT NULL AS bo
+        FROM segs s LEFT JOIN boiler b ON s.seg = b.seg)
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN bo THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN bo THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        md5(COALESCE(string_agg(CASE WHEN NOT bo THEN seg END, ' '
+                                ORDER BY seg_idx), '')) AS clean_hash
+      FROM marked GROUP BY doc_id ORDER BY doc_id""",
     "d2_token_stats" -> """
       SELECT lang,
         CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,

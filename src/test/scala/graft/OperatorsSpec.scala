@@ -112,6 +112,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 3L)) > 0.7)
     assert(pairs((4L, 5L)) < 0.2)
   }
+
+  test("segment dedup drops cross-doc boilerplate, keeps order, guards empties") {
+    // "a b" (width=2) appears in docs 1..4 -> boilerplate at maxDocFreq=3;
+    // every other segment is unique to its doc and must survive in order.
+    val df = Seq(
+      (1L, "a b u1 u2"), (2L, "a b v1 v2"), (3L, "a b w1 w2"),
+      (4L, "a b x1 x2"), (5L, "y1 y2 y3 y4"), (6L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateSegments(df, "text", "doc_id",
+        width = 2, maxDocFreq = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 1L, "u1 u2")))
+    assert(out(4L) == ((1L, 1L, "x1 x2")))
+    assert(out(5L) == ((2L, 0L, "y1 y2 y3 y4")))   // order preserved
+    assert(out(6L) == ((0L, 0L, "")))              // empty doc survives
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
