@@ -107,4 +107,56 @@ object Mixing {
       avail.get(k).map(t => k -> math.min(1.0, w * tokenBudget / t)) }
     stratifiedSample(df, stratumCol, rates, seed, keyCols)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the log-likelihood ratio of a hashed-n-gram bag-of-words model of a
+    * target distribution vs the raw distribution.
+    *
+    * Features are word unigrams + bigrams hashed into `buckets` buckets
+    * via md5 (engine-portable, uniformly distributed); both models are
+    * Laplace-smoothed bucket frequencies, the target estimated from rows
+    * where `isTarget`, the raw model from all rows. The per-doc weight is
+    * Σ_b c_doc(b) · [ln p̂_t(b) − ln p̂_r(b)]; docs resembling the target
+    * get positive weight. Each bucket's log-ratio is rounded to 6 dp and
+    * carried as DECIMAL so the weighted sum is order-independent and
+    * exactly reproducible cross-engine.
+    *
+    * Scale shape: feature hashing is a narrow explode; the two models are
+    * ONE shuffle onto `buckets` keys producing an O(buckets) frame that
+    * broadcasts back onto the per-(doc,bucket) counts; the final rollup
+    * shuffles on the doc id. No driver materialization.
+    *
+    * Output: (idCol, n_feats, w DECIMAL(28,6)).
+    */
+  def importanceWeights(df: DataFrame, textCol: String, idCol: String,
+                        isTarget: Column, buckets: Int = 64): DataFrame = {
+    import graft.functions.TextFunctions.md5Bits60
+    val base = df.select(col(idCol), isTarget.as("is_t"),
+      array_remove(split(trim(col(textCol)), "\\s+"), "").as("ws"))
+    val bigrams = expr(
+      "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))")
+    val featArr = when(size(col("ws")) >= 2, concat(col("ws"), bigrams))
+      .otherwise(col("ws"))
+    val occ = base.select(col(idCol), col("is_t"),
+        explode(featArr).as("feat"))
+      .select(col(idCol), col("is_t"),
+        pmod(md5Bits60(col("feat")), lit(buckets.toLong)).as("b"))
+    val stats = occ.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("t_b"),
+      count(lit(1)).as("r_b"))
+    val tot = stats.agg(sum(col("t_b")).as("t_tot"), sum(col("r_b")).as("r_tot"))
+    // ln((t_b+1)/(t_tot+B)) − ln((r_b+1)/(r_tot+B)), one ln of an exact
+    // double ratio; counts go through double BEFORE multiplying so the
+    // products can't overflow long at petabyte feature counts
+    val wB = stats.crossJoin(broadcast(tot)).select(col("b"),
+      round(log(((col("t_b") + 1L).cast("double") * (col("r_tot") + lit(buckets.toLong)).cast("double")) /
+                ((col("r_b") + 1L).cast("double") * (col("t_tot") + lit(buckets.toLong)).cast("double"))), 6)
+        .cast("decimal(20,6)").as("w_b"))
+    occ.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(wB), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("w_b")).cast("decimal(28,6)").as("w"))
+  }
 }

@@ -218,6 +218,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- DSIR-style importance weights: log-likelihood ratio of hashed
+    // unigram+bigram models, target = English docs vs raw = everything.
+    // Bucket log-ratios round to 6 dp and ride as DECIMAL so the doc
+    // rollup is order-independent — the oracle check is hash-exact ---
+    "d18_dsir_weights" -> ((s, dir) => {
+      graft.operators.Mixing.importanceWeights(
+          docs(s, dir), "text", "doc_id",
+          isTarget = col("lang") === "en", buckets = 64)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- vocabulary building: exact top-5 bigrams per language (count
     // desc, bigram asc — a total order, so the result is deterministic).
     // Explode + partial-aggregated count + per-key top-k window: the
@@ -406,6 +417,42 @@ object TextQueries {
     "d1_exact_dedup" -> """
       SELECT md5(text) AS h, MIN(doc_id) AS keep, COUNT(*) AS n
       FROM documents GROUP BY md5(text) ORDER BY h""",
+    "d18_dsir_weights" -> """
+      WITH base AS (
+        SELECT doc_id, lang = 'en' AS is_t,
+               string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+      feats AS (
+        SELECT doc_id, is_t, f
+        FROM base, LATERAL unnest(
+          list_concat(ws,
+            CASE WHEN len(ws) >= 2 THEN
+              list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+            ELSE [] END)) AS t(f)),
+      occ AS (
+        SELECT doc_id, is_t,
+               CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 64 AS b
+        FROM feats),
+      stats AS (
+        SELECT b,
+          CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+          COUNT(*) AS r_b
+        FROM occ GROUP BY b),
+      tot AS (
+        SELECT CAST(SUM(t_b) AS BIGINT) AS t_tot,
+               CAST(SUM(r_b) AS BIGINT) AS r_tot FROM stats),
+      w AS (
+        SELECT b, CAST(round(ln(
+            (CAST(t_b + 1 AS DOUBLE) * CAST(r_tot + 64 AS DOUBLE)) /
+            (CAST(r_b + 1 AS DOUBLE) * CAST(t_tot + 64 AS DOUBLE))), 6)
+          AS DECIMAL(20,6)) AS w_b
+        FROM stats, tot),
+      pd AS (SELECT doc_id, b, COUNT(*) AS c FROM occ GROUP BY doc_id, b)
+      SELECT doc_id,
+        CAST(SUM(c) AS BIGINT) AS n_feats,
+        CAST(SUM(c * w_b) AS DECIMAL(28,6)) AS w
+      FROM pd JOIN w USING (b)
+      GROUP BY doc_id ORDER BY doc_id""",
     "d17_segment_dedup" -> """
       WITH words AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -55,6 +55,26 @@ class SkewSpec extends SparkSpec {
     assert(dropped.filter(col("lang") === "de").count() == 0)
   }
 
+  test("importanceWeights: target-like docs score above off-target docs") {
+    import graft.operators.Mixing
+    // target docs share a vocabulary; doc 100 mimics it, doc 101 doesn't
+    val target = (1 to 20).map(i =>
+      (i.toLong, true, "alpha beta gamma delta alpha beta"))
+    val noise = (21 to 40).map(i =>
+      (i.toLong, false, s"rock$i paper$i scissors$i lizard$i spock$i x$i"))
+    val probes = Seq(
+      (100L, false, "alpha beta gamma delta"),
+      (101L, false, "quux corge grault garply"))
+    val df = (target ++ noise ++ probes).toDF("id", "is_t", "body")
+    val w = Mixing.importanceWeights(df, "body", "id", col("is_t"))
+      .collect().map(r => r.getLong(0) ->
+        r.getDecimal(2).doubleValue()).toMap
+    assert(w(100L) > 0, s"target-like probe should be positive: ${w(100L)}")
+    assert(w(100L) > w(101L))
+    // weight scales with evidence: the full target docs outrank the probe
+    assert(w(1L) > w(100L))
+  }
+
   test("chunking: windows cover every token with the configured overlap") {
     import graft.operators.Mixing
     import spark.implicits._
