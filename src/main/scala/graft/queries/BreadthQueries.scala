@@ -19,7 +19,10 @@ import graft.Tables
   * event_type over per-user aggregates (bounded by user cardinality);
   * string_agg runs over group-local sorted arrays (no driver collect);
   * job1 is filter-pushdown + join-reorder food — every predicate reaches
-  * its scan and AQE picks build sides.
+  * its scan and AQE picks build sides; job2 adds JOB's same-dim-twice
+  * aliasing (nation as customer-arm n1 AND supplier-arm n2) with LIKE
+  * filters, so join ORDER across two independent dimension arms is the
+  * whole game.
   */
 object BreadthQueries {
   private val D = DecimalType(28, 6)
@@ -122,6 +125,42 @@ object BreadthQueries {
           min(col("p_name")).as("first_part"),
           min(col("o_orderdate")).as("earliest"),
           count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's other signature: the SAME dimension table joined twice in
+    // different roles (IMDb's n1/n2 company/person aliases) plus LIKE
+    // pattern filters on dimension attributes. customer-nation and
+    // supplier-nation are independent arms off the fact row; the region
+    // filter prunes the customer arm through a broadcast, the LIKE
+    // filters push into the part/orders scans. MIN-star output like
+    // job1, so the optimizer's join order is the whole game ---
+    "job2_dual_dim" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority").like("%URGENT%"))
+      val c = Tables.load(s, dir, "customer")
+      val n1 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"),
+          col("n_name").as("cust_nation"), col("n_regionkey"))
+      val r = broadcast(Tables.load(s, dir, "region")
+        .filter(col("r_name") === "EUROPE"))
+      val sup = Tables.load(s, dir, "supplier")
+      val n2 = broadcast(Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"),
+          col("n_name").as("supp_nation")))
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("%bolt"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n1, c("c_nationkey") === col("n1_key"))
+        .join(r, col("n_regionkey") === r("r_regionkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(n2, sup("s_nationkey") === col("n2_key"))
+        .join(p, l("l_partkey") === p("p_partkey"))
+        .agg(min(col("cust_nation")).as("first_cust_nation"),
+          min(col("supp_nation")).as("first_supp_nation"),
+          min(col("p_name")).as("first_part"),
+          count(lit(1)).as("n"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -196,5 +235,20 @@ object BreadthQueries {
       WHERE l_discount > 0.08 AND l_quantity < 10
         AND o_orderpriority = '1-URGENT'
         AND c_mktsegment = 'BUILDING'
-        AND p_size < 15""")
+        AND p_size < 15""",
+    "job2_dual_dim" -> """
+      SELECT MIN(n1.n_name) AS first_cust_nation,
+        MIN(n2.n_name) AS first_supp_nation,
+        MIN(p_name) AS first_part, COUNT(*) AS n
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        JOIN part ON l_partkey = p_partkey
+      WHERE o_orderpriority LIKE '%URGENT%'
+        AND r_name = 'EUROPE'
+        AND p_name LIKE '%bolt'""")
 }

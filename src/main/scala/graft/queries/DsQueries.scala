@@ -21,6 +21,10 @@ import graft.Tables
   *     (q89-family month-vs-prior-month deltas)
   *   - ds4: deviation-from-period-average selection (q47's
   *     avg-over-partition comparison pattern)
+  *   - ds5: frequent-items two-level aggregation + best-customer top-k
+  *     (q23's cross_items / best_ss_customer pattern)
+  *   - ds6: multi-band counts in ONE conditional-aggregation scan
+  *     (q88's eight cross-joined scalar subqueries, re-expressed)
   *
   * Scale notes: every shape is one shuffle (the groupBy) plus a window over
   * the *aggregated* (small) result — the window never sees base-table rows,
@@ -107,9 +111,76 @@ object DsQueries {
           round(col("avg_tot"), 6).as("avg_tot"),
           round(col("ratio"), 6).as("ratio"))
         .orderBy(col("event_type"), col("d"))
+    }),
+
+    // --- q23 shape: "frequent items" two-level aggregation — parts sold
+    // in >= 4 distinct orders form the frequent set (first shuffle,
+    // distinct-on-key), sales restricted to that set via a semi-join
+    // (the frequent set is the filtered minority, so AQE broadcasts it),
+    // then best-customer rollup + deterministic top-10. The window never
+    // sees base rows, only the per-customer aggregate ---
+    "ds5_frequent_items" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val freq = l.groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 4)
+        .select(col("l_partkey"))
+      l.join(freq, Seq("l_partkey"), "left_semi")
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(D)).cast("double").as("spend"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("spend").desc, col("o_custkey"))
+        .limit(10)
+    }),
+
+    // --- q88 shape: the reference formulation is EIGHT scalar-count
+    // subqueries cross-joined into one row (one scan per band); the
+    // Spark-first re-expression is a single conditional-aggregation
+    // pass — one scan, zero joins, map-side combined, identical result.
+    // At 100 TB that's literally 8x less I/O than the textbook plan ---
+    "ds6_multi_band" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_discount") >= 0.02)
+      def band(lo: Int, hi: Int) =
+        sum(when(col("l_quantity") >= lo && col("l_quantity") < hi, 1L)
+          .otherwise(0L))
+      l.agg(
+        band(0, 7).as("b1"), band(7, 14).as("b2"),
+        band(14, 21).as("b3"), band(21, 28).as("b4"),
+        band(28, 35).as("b5"), band(35, 42).as("b6"),
+        band(42, 49).as("b7"), band(49, 1000).as("b8"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "ds5_frequent_items" -> """
+      WITH freq AS (
+        SELECT l_partkey FROM lineitem
+        GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 4)
+      SELECT o_custkey,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(28,6))) AS DOUBLE) AS spend,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(*) AS n_lines
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_partkey IN (SELECT l_partkey FROM freq)
+      GROUP BY o_custkey
+      ORDER BY spend DESC, o_custkey LIMIT 10""",
+    "ds6_multi_band" -> """
+      SELECT
+        CAST(SUM(CASE WHEN l_quantity >= 0 AND l_quantity < 7 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        CAST(SUM(CASE WHEN l_quantity >= 7 AND l_quantity < 14 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        CAST(SUM(CASE WHEN l_quantity >= 14 AND l_quantity < 21 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+        CAST(SUM(CASE WHEN l_quantity >= 21 AND l_quantity < 28 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+        CAST(SUM(CASE WHEN l_quantity >= 28 AND l_quantity < 35 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+        CAST(SUM(CASE WHEN l_quantity >= 35 AND l_quantity < 42 THEN 1 ELSE 0 END) AS BIGINT) AS b6,
+        CAST(SUM(CASE WHEN l_quantity >= 42 AND l_quantity < 49 THEN 1 ELSE 0 END) AS BIGINT) AS b7,
+        CAST(SUM(CASE WHEN l_quantity >= 49 AND l_quantity < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS b8
+      FROM lineitem WHERE l_discount >= 0.02""",
     "ds1_margin_rollup" -> """
       WITH agg AS (
         SELECT o_orderpriority, l_returnflag,
