@@ -1558,12 +1558,23 @@ class GraftSession(val spark: SparkSession, val root: String) {
         .mkString("\n"))
 
   /** Range-cluster + sort a frame on `name`'s indexed columns (identity
-    * when no index covers the table). */
+    * when no index covers the table). A COMPOSITE index over z-orderable
+    * columns clusters on the Morton-interleaved value instead of
+    * lexicographically — a lexicographic sort only lets parquet min/max
+    * stats skip on the LEADING column, while the z-curve layout skips on
+    * range predicates over EVERY indexed column (see [[graft.sources
+    * .ZOrder]]; proven read-side in ZOrderSpec). */
   private def clusterByIndex(name: String, df: DataFrame): DataFrame =
     indexes.values.collectFirst {
       case (t, cols) if t == name && cols.forall(df.columns.contains) =>
         cols
     } match {
+      case Some(cols)
+          if cols.size >= 2 &&
+            cols.forall(c => graft.sources.ZOrder.zOrderable(
+              df.schema(c).dataType)) =>
+        graft.sources.ZOrder.clusterByZOrder(df, cols,
+          bits = math.min(16, 63 / cols.size))
       case Some(cols) =>
         df.repartitionByRange(cols.map(col): _*)
           .sortWithinPartitions(cols.map(col): _*)
