@@ -126,7 +126,7 @@ class Relation:
         return [tuple(r) for r in self.df.collect()]
 
 
-def apply_pipeline(rel, stages):
+def apply_pipeline(rel, stages, conn=None):
     """Mongo-style aggregation pipeline over a Relation — the executable
     mirror of the reference's `to_aggregate` dict DSL
     (/root/reference/integration/python/tests/test_convert.py: $match
@@ -136,6 +136,16 @@ def apply_pipeline(rel, stages):
     internal aggregate string; here each stage lowers directly onto the
     DataFrame plan, so the whole pipeline is ONE Catalyst plan (filters
     push down, the group is a normal partial/final aggregate).
+
+    The reference's full stage enum (logical_plan/forward.hpp:107-122 —
+    count/group/limit/match/merge/out/project/skip/sort/unset/unwind) is
+    covered: `{"$count": "n"}` collapses to one row, `{"$unset": ...}`
+    drops columns, `{"$unwind": "$arr"}` explodes one row per element
+    (Mongo semantics: null/empty arrays drop the document). `$out` and
+    `$merge` are TERMINAL write stages and need `conn`: $out replaces the
+    named session table with the pipeline result; $merge upserts into it
+    through the session's MERGE (update matched keys, insert the rest —
+    pruned DML, never a table rewrite).
 
     Expression documents ({"$multiply": ["$price", "$count"]}, nested
     freely) follow the reference's scalar op set
@@ -262,6 +272,56 @@ def apply_pipeline(rel, stages):
                 elif v:
                     cols.append(F.col(name))
             df = df.select(*cols)
+        elif kind == "$count":
+            df = df.agg(F.count(F.lit(1)).alias(spec))
+        elif kind == "$unset":
+            df = df.drop(*(spec if isinstance(spec, list) else [spec]))
+        elif kind == "$unwind":
+            path = spec if isinstance(spec, str) else spec["path"]
+            field = path[1:] if path.startswith("$") else path
+            df = df.withColumn(field, F.explode(F.col(field)))
+        elif kind == "$out":
+            if conn is None:
+                raise ValueError("$out needs a connection")
+            tbl = spec if isinstance(spec, str) else spec["coll"]
+            try:
+                conn.execute(f"DROP TABLE {tbl}")
+            except Exception:
+                pass
+            conn.execute(f"CREATE TABLE {tbl} ()")
+            conn._jsession.insert(tbl, df._jdf)
+            df = conn.execute(f"SELECT * FROM {tbl}").df
+        elif kind == "$merge":
+            if conn is None:
+                raise ValueError("$merge needs a connection")
+            into = spec["into"] if isinstance(spec, dict) else spec
+            on = (spec.get("on", "_id") if isinstance(spec, dict)
+                  else "_id")
+            # stage the source with renamed columns so MERGE's
+            # unqualified refs can't collide with target names
+            stage_tbl = f"_pipe_merge_src_{os.getpid()}"
+            renamed = df.select(
+                *[F.col(c).alias(f"src_{c}") for c in df.columns])
+            try:
+                conn.execute(f"DROP TABLE {stage_tbl}")
+            except Exception:
+                pass
+            conn.execute(f"CREATE TABLE {stage_tbl} ()")
+            conn._jsession.insert(stage_tbl, renamed._jdf)
+            sets = ", ".join(f"{c} = src_{c}" for c in df.columns
+                             if c != on)
+            ins_cols = ", ".join(df.columns)
+            ins_vals = ", ".join(f"src_{c}" for c in df.columns)
+            matched = (f"WHEN MATCHED THEN UPDATE SET {sets} "
+                       if sets else "")
+            conn.execute(
+                f"MERGE INTO {into} USING {stage_tbl} "
+                f"ON {into}.{on} = src_{on} "
+                f"{matched}"
+                f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) "
+                f"VALUES ({ins_vals})")
+            conn.execute(f"DROP TABLE {stage_tbl}")
+            df = conn.execute(f"SELECT * FROM {into}").df
         else:
             raise ValueError(f"unsupported pipeline stage {kind}")
     return Relation(df)

@@ -539,6 +539,67 @@ class GraftPythonSurface(unittest.TestCase):
             {"$project": {"name": 1, "c": "$count"}}])
         self.assertEqual(out.fetchall(), [("eel", 9), ("cat", 7)])
 
+    # --- the rest of the reference's stage enum
+    # (logical_plan/forward.hpp:107-122): count/unset/unwind/out/merge ---
+
+    def test_pipeline_count_stage(self):
+        from graft_shim import apply_pipeline
+        out = apply_pipeline(self._pipe_rel(), [
+            {"$match": {"size": "medium"}},
+            {"$count": "n_medium"}])
+        self.assertEqual(out.columns, ["n_medium"])
+        self.assertEqual(out.fetchall(), [(2,)])
+
+    def test_pipeline_unset_drops_columns(self):
+        from graft_shim import apply_pipeline
+        out = apply_pipeline(self._pipe_rel(), [
+            {"$unset": ["size", "count"]},
+            {"$sort": {"name": 1}},
+            {"$limit": 1}])
+        self.assertEqual(out.columns, ["name"])
+        self.assertEqual(out.fetchall(), [("ant",)])
+
+    def test_pipeline_unwind_explodes(self):
+        import pandas as pd
+        from graft_shim import apply_pipeline
+        rel = self.conn.from_df(pd.DataFrame({
+            "doc": ["a", "b", "c"],
+            "tags": [["x", "y"], ["z"], []]}))  # empty drops the doc
+        out = apply_pipeline(rel, [
+            {"$unwind": "$tags"},
+            {"$sort": {"doc": 1, "tags": 1}}])
+        self.assertEqual(out.fetchall(),
+                         [("a", "x"), ("a", "y"), ("b", "z")])
+
+    def test_pipeline_out_writes_table(self):
+        import pandas as pd
+        from graft_shim import apply_pipeline
+        out = apply_pipeline(self._pipe_rel(), [
+            {"$group": {"_id": "$size", "total": {"$sum": "$count"}}},
+            {"$out": "pipe_out_t"}], conn=self.conn)
+        self.assertEqual(sorted(out.fetchall()),
+                         [("large", 2), ("medium", 11), ("small", 21)])
+        # terminal write is queryable through the session SQL surface
+        back = self.conn.execute(
+            "SELECT total FROM pipe_out_t WHERE _id = 'small'")
+        self.assertEqual(back.fetchall(), [(21,)])
+        self.conn.execute("DROP TABLE pipe_out_t")
+
+    def test_pipeline_merge_upserts(self):
+        import pandas as pd
+        from graft_shim import apply_pipeline
+        self.conn.execute("CREATE TABLE pipe_m (k STRING, v BIGINT)")
+        self.conn.execute(
+            "INSERT INTO pipe_m VALUES ('small', 0), ('stale', 1)")
+        src = self.conn.from_df(pd.DataFrame(
+            {"k": ["small", "large"], "v": [100, 200]}))
+        out = apply_pipeline(src, [{"$merge": {"into": "pipe_m",
+                                               "on": "k"}}],
+                             conn=self.conn)
+        self.assertEqual(sorted(out.fetchall()),
+                         [("large", 200), ("small", 100), ("stale", 1)])
+        self.conn.execute("DROP TABLE pipe_m")
+
     # --- dtype-edge ingest matrix (reference fast/dataframe/
     # test_dtype_ingest.py:13-97): the Arrow prepare-shim contract,
     # pinned through from_df for pandas, numpy and Arrow frames.
