@@ -205,6 +205,46 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- Gopher repetition gates (Rae et al. 2021 A1.1, the other half
+    // of the rule battery next to g1): drop docs dominated by their own
+    // repetition — most-common-2-gram token fraction > 1/10, and
+    // duplicated-5-gram occurrence fraction > 3/10 (token-count variant
+    // of the paper's character fractions; thresholds compared as exact
+    // INTEGER cross-products so the oracle is bit-stable — no doubles
+    // anywhere). Shape: two explode + (doc, gram) aggregations (uniform
+    // shuffle keys) collapsed per doc, then the per-language rollup ---
+    "g2_repetition" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("lang"),
+          split(trim(col("text")), "\\s+").as("ws"))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+      def grams(n: Int) = expr(
+        s"transform(sequence(0, size(ws) - $n), i -> " +
+          s"array_join(slice(ws, i + 1, $n), ' '))")
+      val top2 = base.select(col("doc_id"), explode(grams(2)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("max2"))
+      val dup5 = base.select(col("doc_id"), explode(grams(5)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup5"),
+          sum(col("c")).as("tot5"))
+      base.select(col("doc_id"), col("lang"), col("n_words"))
+        .join(top2, Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+        .select(col("lang"),
+          (coalesce(col("max2"), lit(0L)) * 10L <= col("n_words"))
+            .as("p2"),
+          (coalesce(col("dup5"), lit(0L)) * 10L <=
+            coalesce(col("tot5"), lit(0L)) * 3L).as("p5"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("p2"), 1L).otherwise(0L)).as("n_top2_ok"),
+          sum(when(col("p5"), 1L).otherwise(0L)).as("n_dup5_ok"),
+          sum(when(col("p2") && col("p5"), 1L).otherwise(0L))
+            .as("n_pass"))
+        .orderBy(col("lang"))
+    }),
+
     // --- segment-level exact dedup (CCNet/RefinedWeb paragraph-dedup
     // stage, fixed-width-window form): drop 3-word segments occurring
     // in more than 3 docs (cross-document boilerplate), reassemble the
@@ -417,6 +457,39 @@ object TextQueries {
     "d1_exact_dedup" -> """
       SELECT md5(text) AS h, MIN(doc_id) AS keep, COUNT(*) AS n
       FROM documents GROUP BY md5(text) ORDER BY h""",
+    "g2_repetition" -> """
+      WITH base AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+      top2 AS (
+        SELECT doc_id, MAX(c) AS max2 FROM (
+          SELECT doc_id, g, COUNT(*) AS c
+          FROM base, LATERAL unnest(
+            list_transform(range(1, len(ws)),
+                           i -> array_to_string(ws[i:i+1], ' '))) AS t(g)
+          GROUP BY doc_id, g) GROUP BY doc_id),
+      dup5 AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup5,
+          CAST(SUM(c) AS BIGINT) AS tot5 FROM (
+          SELECT doc_id, g, COUNT(*) AS c
+          FROM base, LATERAL unnest(
+            list_transform(range(1, len(ws) - 3),
+                           i -> array_to_string(ws[i:i+4], ' '))) AS t(g)
+          GROUP BY doc_id, g) GROUP BY doc_id),
+      flags AS (
+        SELECT b.lang,
+          COALESCE(t.max2, 0) * 10 <= len(b.ws) AS p2,
+          COALESCE(d.dup5, 0) * 10 <= COALESCE(d.tot5, 0) * 3 AS p5
+        FROM base b
+          LEFT JOIN top2 t ON b.doc_id = t.doc_id
+          LEFT JOIN dup5 d ON b.doc_id = d.doc_id)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS n_top2_ok,
+        CAST(SUM(CASE WHEN p5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup5_ok,
+        CAST(SUM(CASE WHEN p2 AND p5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pass
+      FROM flags GROUP BY lang ORDER BY lang""",
     "d18_dsir_weights" -> """
       WITH base AS (
         SELECT doc_id, lang = 'en' AS is_t,
