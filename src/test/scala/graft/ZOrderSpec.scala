@@ -30,6 +30,40 @@ class ZOrderSpec extends SparkSpec {
     assert(got((3L, 3L)) == 15L)
   }
 
+  test("zValue agrees with an independent Morton implementation (500 random tuples)") {
+    // reference interleave written separately from the Column expression:
+    // column j contributes bit i of its value to z bit i*k + j
+    def morton(vs: Seq[Long], bits: Int): Long =
+      (0 until bits).flatMap { i =>
+        vs.zipWithIndex.map { case (v, j) =>
+          ((v >> i) & 1L) << (i * vs.size + j)
+        }
+      }.reduce(_ | _)
+    val rnd = new scala.util.Random(29)
+    val top = 65535L
+    val pairs = Vector.fill(500)((rnd.nextLong(top + 1),
+      rnd.nextLong(top + 1)))
+    val df2 = pairs.toDF("a", "b")
+    val z2 = ZOrder.zValue(Seq(col("a"), col("b")),
+      Seq(LongType, LongType), Seq(0L, 0L), Seq(top, top))
+    df2.select(col("a"), col("b"), z2.as("z")).collect().foreach { r =>
+      assert(r.getLong(2) == morton(Seq(r.getLong(0), r.getLong(1)), 16),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // three columns — 48 z bits
+    val triples = Vector.fill(200)((rnd.nextLong(top + 1),
+      rnd.nextLong(top + 1), rnd.nextLong(top + 1)))
+    val df3 = triples.toDF("a", "b", "c")
+    val z3 = ZOrder.zValue(Seq(col("a"), col("b"), col("c")),
+      Seq(LongType, LongType, LongType),
+      Seq(0L, 0L, 0L), Seq(top, top, top))
+    df3.select(col("a"), col("b"), col("c"), z3.as("z")).collect()
+      .foreach { r =>
+        assert(r.getLong(3) ==
+          morton(Seq(r.getLong(0), r.getLong(1), r.getLong(2)), 16))
+      }
+  }
+
   test("clusterByZOrder is identity for non-orderable or empty frames") {
     val strs = Seq(("x", "y")).toDF("a", "b")
     assert(ZOrder.clusterByZOrder(strs, Seq("a", "b")) eq strs)
