@@ -3,7 +3,7 @@ package graft.api
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, monotonically_increasing_id, raise_error, row_number, sum, when}
+import org.apache.spark.sql.functions.{col, count, hll_sketch_agg, hll_union_agg, lit, max, min, monotonically_increasing_id, raise_error, row_number, sum, when}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.sources.DynamicSchema
@@ -1404,19 +1404,28 @@ class GraftSession(val spark: SparkSession, val root: String) {
       case ("sum", c, alias) => sum(col(c)).as(alias)
       case ("min", c, alias) => min(col(c)).as(alias)
       case ("max", c, alias) => max(col(c)).as(alias)
+      // COUNT(DISTINCT) is not algebraic — but its HLL sketch is: the
+      // stored column is the binary sketch (mergeable state), deltas
+      // union in, and readers take hll_sketch_estimate(alias). At 100 TB
+      // this is the only way an incremental distinct count exists at all.
+      case ("approx_distinct", c, alias) =>
+        hll_sketch_agg(col(c)).as(alias)
       case (f, _, _) => throw new IllegalArgumentException(
         s"incremental matview: non-algebraic aggregate $f " +
-          "(count/sum/min/max merge; derive avg as sum/count in a view)")
+          "(count/sum/min/max/approx_distinct merge; derive avg as " +
+          "sum/count in a view)")
     }
 
   /** Merge-pass aggregate over already-aggregated rows: counts combine
-    * by SUM, everything else by its own function. */
+    * by SUM, sketches by union, everything else by its own function. */
   private def incMergeExprs(aggs: Seq[(String, String, String)]): Seq[Column] =
     aggs.map {
       case ("count", _, alias) => sum(col(alias)).cast("long").as(alias)
       case ("sum", _, alias) => sum(col(alias)).as(alias)
       case ("min", _, alias) => min(col(alias)).as(alias)
       case ("max", _, alias) => max(col(alias)).as(alias)
+      case ("approx_distinct", _, alias) =>
+        hll_union_agg(col(alias)).as(alias)
       case (f, _, _) => throw new IllegalArgumentException(f)
     }
 
@@ -2142,7 +2151,7 @@ class GraftSession(val spark: SparkSession, val root: String) {
       // aggregates with mandatory aliases (the merge needs stable names)
       case createIncMvRe(name, selectList, base, groupList) =>
         val aggRe =
-          """(?i)^(count|sum|min|max)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)$""".r
+          """(?i)^(count|sum|min|max|approx_distinct)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)$""".r
         val colRe = """^(\w+)$""".r
         val (keys, aggs) = splitTopLevel(selectList).map(_.trim).foldLeft(
           (Seq.empty[String], Seq.empty[(String, String, String)])) {
@@ -2151,7 +2160,8 @@ class GraftSession(val spark: SparkSession, val root: String) {
           case ((ks, as), colRe(k)) => (ks :+ k, as)
           case (_, item) => throw new IllegalArgumentException(
             "INCREMENTAL MATERIALIZED VIEW select items must be bare " +
-              s"group columns or count/sum/min/max(...) AS alias — got: $item")
+              "group columns or count/sum/min/max/approx_distinct(...) " +
+              s"AS alias — got: $item")
         }
         // group keys come from the bare select columns; a GROUP BY list
         // that differs must error, not silently compute another

@@ -47,6 +47,38 @@ class IncMatViewSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2)) == (3L, 99L))
   }
 
+  test("approx_distinct: HLL sketches merge incrementally, estimate tracks exact") {
+    val s = g
+    s.execute("CREATE TABLE base (lang STRING, user_id BIGINT)")
+    s.execute("INSERT INTO base SELECT 'en' AS lang, " +
+      "CAST(id % 40 AS BIGINT) AS user_id FROM range(200)")
+    // DDL surface parses approx_distinct; stored column is the sketch
+    s.execute("CREATE INCREMENTAL MATERIALIZED VIEW mvh AS " +
+      "SELECT lang, approx_distinct(user_id) AS nd FROM base " +
+      "GROUP BY lang")
+    def estimate(lang: String): Long =
+      s.execute("SELECT lang, hll_sketch_estimate(nd) AS n FROM mvh " +
+          s"WHERE lang = '$lang'")
+        .collect().head.getLong(1)
+    assert(estimate("en") == 40L) // sparse-mode HLL is exact this small
+
+    // appends refresh INCREMENTALLY (sketch union, not rebuild): new
+    // users overlap old ones — a plain count could never merge this
+    s.execute("INSERT INTO base SELECT 'en' AS lang, " +
+      "CAST(id % 60 AS BIGINT) AS user_id FROM range(120)")
+    s.execute("INSERT INTO base SELECT 'fr' AS lang, " +
+      "CAST(id AS BIGINT) AS user_id FROM range(25)")
+    assert(s.refreshIncrementalMatView("mvh") == "incremental(2)")
+    assert(estimate("en") == 60L) // union of overlapping sets, not 100
+    assert(estimate("fr") == 25L)
+
+    // and the merged sketch agrees with a from-scratch aggregation
+    val fresh = s.execute(
+      "SELECT hll_sketch_estimate(hll_sketch_agg(user_id)) AS n " +
+        "FROM base WHERE lang = 'en'").collect().head.getLong(0)
+    assert(estimate("en") == fresh)
+  }
+
   test("rewritten history (UPDATE) falls back to a full rebuild") {
     val s = g
     s.execute("CREATE TABLE base (lang STRING, n_chars BIGINT)")
