@@ -142,6 +142,25 @@ object Demo {
     g.execute("EXPLAIN SELECT qty, count(*) AS n FROM items GROUP BY qty")
       .show(8, truncate = false)
 
+    // composite index = Z-order layout: after CHECKPOINT, parquet
+    // min/max stats skip row groups on EITHER of (x, y)
+    g.execute("CREATE TABLE points (x BIGINT, y BIGINT)")
+    g.execute("CREATE INDEX points_xy ON points (x, y)")
+    g.insert("points", (0L until 1000L).map(i => (i, 999L - i))
+      .toDF("x", "y"))
+    g.execute("CHECKPOINT points")
+    g.execute("SELECT count(*) AS in_box FROM points " +
+      "WHERE x BETWEEN 10 AND 20 AND y BETWEEN 979 AND 989").show()
+
+    // incremental COUNT(DISTINCT): the stored column is a mergeable HLL
+    // sketch; deltas union in, readers estimate
+    g.execute("CREATE INCREMENTAL MATERIALIZED VIEW item_users AS " +
+      "SELECT qty, approx_distinct(id) AS nd FROM items GROUP BY qty")
+    g.execute("INSERT INTO items (id, qty) VALUES (100, 9), (500, 9)")
+    println("hll refresh: " + g.refreshIncrementalMatView("item_users"))
+    g.execute("SELECT qty, hll_sketch_estimate(nd) AS users " +
+      "FROM item_users ORDER BY qty").show(5)
+
     // session niceties
     g.setTimezone("UTC")
     println(g.explainPlan(
