@@ -108,4 +108,30 @@ class PlanGuardSpec extends SparkSpec {
     assert(modes == Seq("Final", "Partial"),
       s"expected one Partial (map-side) and one Final, got $modes")
   }
+
+  test("ds6 stays a single scan (q88's eight subqueries fused into one pass)") {
+    // the whole point of the re-expression is 8x less I/O: all eight
+    // band counts must ride ONE parquet scan with the discount filter
+    // pushed. A regression to per-band subqueries multiplies the scans.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val phys = SparkEntry.queries("ds6_multi_band")(spark, sf)
+      .queryExecution.sparkPlan
+    val scans = phys.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"expected ONE scan, got ${scans.size}")
+    assert(scans.head.metadata("PushedFilters").contains("l_discount"),
+      scans.head.metadata("PushedFilters"))
+  }
+
+  test("job2's LIKE filters reach their scans as pushed predicates") {
+    // JOB's dimension selectivity only helps if the string patterns
+    // prune at the scan, not post-join
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val phys = SparkEntry.queries("job2_dual_dim")(spark, sf)
+      .queryExecution.sparkPlan
+    val pushed = phys.collect { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "") }.mkString(";")
+    assert(pushed.contains("StringEndsWith(p_name,bolt)"), pushed)
+    assert(pushed.contains("StringContains(o_orderpriority,URGENT)"),
+      pushed)
+  }
 }
