@@ -239,4 +239,38 @@ object Similarity {
           cosineAuto(spark)(col("q_emb"), col("n_emb"))),
       k)
   }
+
+  /** One distributed Lloyd (k-means) iteration over the corpus:
+    * centroids seed deterministically from the first `k` vectors by id,
+    * every vector is assigned to its nearest centroid through the SAME
+    * narrow argmin projection IVF uses (zero shuffle between scan and
+    * assignment), and the update step emits per-(cell, dim) means in row
+    * form — sums ride float→double→DECIMAL so the fold is
+    * order-independent, the mean divides once at the end.
+    *
+    * Scale shape: one narrow pass + ONE shuffle on (cell, dim) —
+    * O(k·dim) result rows. Iterating to convergence is just calling this
+    * with the previous step's means as centroids; each step costs the
+    * same one pass a production k-means does.
+    *
+    * Output: (cell, dim, mean, n_members) ordered by (cell, dim). */
+  def lloydStep(corpus: DataFrame, k: Int = 8,
+                maxLiteralCells: Int = 128): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = centroidStats(corpus, k)
+    val (assigned, _) = cellAssignments(
+      corpus, corpus.limit(0), cents, 1, maxLiteralCells)
+    assigned
+      .select(col("cell"), posexplode(col("n_emb")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(
+        sum(col("v").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("s"),
+        count(lit(1)).as("n_members"))
+      .select(col("cell"), col("dim"),
+        (col("s").cast("double") / col("n_members").cast("double"))
+          .as("mean"),
+        col("n_members"))
+      .orderBy(col("cell"), col("dim"))
+  }
 }

@@ -75,6 +75,15 @@ object VectorQueries {
       Dedup.embeddingNearDups(emb(s, dir), "embedding", "vec_id",
           nPlanes = 4, threshold = 0.3)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // --- one distributed Lloyd (k-means) step: deterministic seed
+    // (first 8 vectors), narrow argmin assignment (the IVF projection),
+    // per-(cell, dim) decimal-exact means. The oracle replays the
+    // |c|²−2·a·c argmin and the float→double→decimal fold in DuckDB —
+    // assignment AND update are both hash-exact ---
+    "e7_kmeans_step" -> ((s, dir) => {
+      Similarity.lloydStep(emb(s, dir), k = 8)
     })
   )
 
@@ -145,6 +154,28 @@ object VectorQueries {
     SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, sim FROM ranked
     WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
+  private def e7Oracle: String = s"""
+    WITH cents AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    sc AS (
+      SELECT e.vec_id, e.embedding, c.c_id,
+        (${dotSql("c.c_emb", "c.c_emb")}) - 2.0 * (${dotSql("e.embedding", "c.c_emb")}) AS d
+      FROM embeddings e CROSS JOIN cents c),
+    asg AS (
+      SELECT vec_id, embedding, c_id AS cell,
+        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, c_id ASC) AS r
+      FROM sc),
+    ex AS (
+      SELECT cell, i - 1 AS dim,
+        CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,6)) AS v
+      FROM asg, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+      WHERE r = 1)
+    SELECT cell, CAST(dim AS INT) AS dim,
+      CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean,
+      COUNT(*) AS n_members
+    FROM ex GROUP BY cell, dim ORDER BY cell, dim"""
+
   private def e6Oracle: String = s"""
     WITH b AS (SELECT vec_id AS id, embedding AS v,
                  ${bucketSql("embedding", 4, 64)} AS bucket
@@ -158,6 +189,7 @@ object VectorQueries {
     "e4_knn_lsh" -> e4Oracle,
     "e5_knn_ivf" -> e5Oracle,
     "e6_embedding_dedup" -> e6Oracle,
+    "e7_kmeans_step" -> e7Oracle,
     "e3_centroids" -> """
       SELECT label, CAST(i - 1 AS INT) AS i,
         round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
