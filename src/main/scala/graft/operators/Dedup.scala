@@ -315,4 +315,51 @@ object Dedup {
             x => x.getField("seg")),
           " ").as("clean_text"))
   }
+
+  /** Benchmark decontamination: flag training documents whose word
+    * `n`-grams overlap an evaluation corpus (the train/test-overlap scrub
+    * every LLM data pipeline runs before training — GPT-3 App. C / PaLM
+    * style n-gram collision checks). A document is `flagged` when at least
+    * `flagNum`/`flagDen` of its DISTINCT n-grams also occur anywhere in
+    * the eval set; the fraction test is the integer cross-product
+    * `n_hit · flagDen ≥ n_grams · flagNum` — zero FP involvement, so the
+    * oracle check is exact.
+    *
+    * Scale shape: eval benchmarks are tiny relative to a 100 TB training
+    * corpus, so the distinct eval-gram set is BROADCAST and the membership
+    * probe is a map-side INNER broadcast join — only grams that actually
+    * hit the eval set ever reach an exchange (the per-doc hit rollup),
+    * which at a sane contamination rate is a vanishing fraction of the
+    * corpus. `n_grams` itself is the narrow `size(array_distinct(...))`
+    * projection — no explode, no shuffle — and the tiny hit-count side
+    * broadcasts back onto it under AQE. The training corpus is never
+    * shuffled wide.
+    *
+    * Output: (idCol, n_grams, n_hit, flagged) — one row per train doc,
+    * including docs too short to have any n-gram (0, 0, false). */
+  def decontaminate(train: DataFrame, eval_ : DataFrame,
+                    textCol: String, idCol: String, n: Int = 3,
+                    flagNum: Int = 1, flagDen: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val words = array_remove(split(trim(col(textCol)), "\\s+"), "")
+      df.select(col(idCol),
+        when(size(words) >= n,
+          array_distinct(transform(sequence(lit(0), size(words) - n),
+            i => array_join(slice(words, i + 1, lit(n)), " "))))
+          .otherwise(array().cast("array<string>")).as("gs"))
+    }
+    val evalGrams = grams(eval_).select(explode(col("gs")).as("g")).distinct()
+    val hits = grams(train)
+      .select(col(idCol), explode(col("gs")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    grams(train)
+      .select(col(idCol), size(col("gs")).cast("bigint").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        (col("n_hit") * flagDen.toLong >= col("n_grams") * flagNum.toLong &&
+          col("n_grams") > 0L).as("flagged"))
+  }
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse text retrieval: BM25 scoring over a tokenized corpus — the
+  * inverted-index ranking a training-data pipeline uses for quality-aware
+  * selection and for sparse RAG retrieval (the reference's full-text search
+  * surface, re-expressed as one declarative plan; cf.
+  * /root/reference/services/collection/search — semantics only, not code).
+  *
+  * Scale design: the query set is retrieval-tiny (10s–1000s of term rows)
+  * and rides as a BROADCAST on every join, so the corpus-side term table is
+  * never shuffled for matching — postings for non-query terms are dropped
+  * at the scan side of the first broadcast join. Per-term document
+  * frequencies and the corpus length stats are O(#query-terms) and O(1)
+  * aggregates, also broadcast. The only wide exchange is the final per-query
+  * top-k, where Spark's `WindowGroupLimit` keeps each map task's
+  * contribution to k rows per query.
+  *
+  * FP determinism (the d18 pattern, see [[Mixing.importanceWeights]]): the
+  * per-(query, doc, term) score is one double chain — exact-ratio `ln` for
+  * the IDF, IEEE-exact multiply/divide for the TF normalization — rounded
+  * ONCE to 6 dp and cast to DECIMAL, so the per-doc sum is order-independent
+  * and bit-identical across engines.
+  */
+object Retrieval {
+
+  /** (doc_id, ws, dl): the tokenized corpus — one narrow projection. */
+  private def tokenize(docs: DataFrame, textCol: String,
+                       idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        array_remove(split(trim(col(textCol)), "\\s+"), "").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).cast("bigint").as("dl"))
+
+  /** The shared scoring tail: postings restricted to query terms ⋈ the
+    * broadcast (q_id, term) pairs ⋈ broadcast per-term df ⋈ broadcast
+    * 1-row corpus stats → one rounded double chain per posting riding as
+    * DECIMAL → per-doc sum → per-query top-k (rank-limit pushed below the
+    * exchange as `WindowGroupLimit`). */
+  private def scoreAndRank(tfq: DataFrame, dfq: DataFrame, stats: DataFrame,
+                           qt: DataFrame, k: Int, k1: Double,
+                           b: Double): DataFrame = {
+    // One double chain per posting, rounded once:
+    //   idf = ln(1 + (N - df + 0.5) / (df + 0.5))            [Robertson +1:
+    //         strictly positive even for df > N/2]
+    //   tfn = tf·(k1+1) / (tf + k1·((1−b) + b·dl/avgdl))
+    // Constants (k1+1, 1−b) are folded HERE so the oracle can replay the
+    // same decimal literals; association is strictly left-to-right in both.
+    val idf = round(
+      log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))), 6)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val tfn = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val scored = tfq
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        round(idf * tfn, 6).cast("decimal(20,6)").as("sc"))
+
+    val perDoc = scored.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("sc")).cast("decimal(28,6)").as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perDoc
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("doc_id"), col("score"))
+  }
+
+  /** BM25 top-k documents per query, one-shot (corpus tokenized per call —
+    * see [[buildBm25Index]] for the build-once/query-many path). `queries`
+    * maps a query id to its bag of terms (duplicate terms contribute once;
+    * standard bag-of-words BM25 with query-term frequency 1). Only
+    * documents containing at least one query term are candidates (classic
+    * inverted-index semantics).
+    *
+    * Output: (q_id, rnk, doc_id, score DECIMAL(28,6)), rnk 1..k ordered by
+    * score desc then doc_id asc — a total order, deterministic. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queries: Seq[(String, Seq[String])], k: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val toks = tokenize(docs, textCol, idCol)
+
+    // Postings restricted to QUERY terms before any exchange: the term
+    // set is a driver-side literal, so the restriction is a codegen'd
+    // in-list over the exploded tokens — the (doc_id, term) shuffle then
+    // carries only query-term postings, not the corpus vocabulary. dl
+    // rides through as a constant-per-group first().
+    val qt = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("q_id", "term")
+    val terms = queries.flatMap(_._2).distinct
+    val tfq = toks
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+
+    // df per query term (tf rows are unique per (doc, term), so a plain
+    // count is the document frequency) and global (N, avgdl): both tiny.
+    // This branch re-derives tfq's lineage (Catalyst prunes the subtrees
+    // differently, so the exchange isn't reusable) — a deliberate 2nd
+    // NARROW scan+aggregate: the skew-free alternative to a
+    // Window.partitionBy(term) count, which would funnel every posting of
+    // a common term through one task. One-shot calls pay the extra scan;
+    // the build-once path ([[buildBm25Index]]) pays it never.
+    val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+    scoreAndRank(tfq, dfq, stats, qt, k, k1, b)
+  }
+
+  /** Builds and PERSISTS the inverted index — the build-once/query-many
+    * shape a retrieval deployment runs at 100 TB, mirroring
+    * [[Similarity.buildIvfIndex]]. Layout:
+    *
+    *   path/postings/ — (term, doc_id, tf, dl), repartitioned AND sorted
+    *                    by term, so every parquet row group carries tight
+    *                    term min/max stats and a query-term predicate
+    *                    skips the rest of the corpus at the footer level
+    *                    (the same physical-clustering trick as the graft
+    *                    composite index)
+    *   path/df/       — (term, df): one row per vocabulary term, sorted
+    *   path/stats/    — (n_docs, sum_dl): one row
+    *
+    * Build is one tokenize pass + one (doc, term) shuffle + one postings
+    * re-read for df (cheaper than a second corpus tokenize). */
+  def buildBm25Index(docs: DataFrame, textCol: String, idCol: String,
+                     path: String): Unit = {
+    val spark = docs.sparkSession
+    val toks = tokenize(docs, textCol, idCol)
+    toks
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .repartition(col("term")).sortWithinPartitions(col("term"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .repartition(1).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$path/df")
+    toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against a persisted [[buildBm25Index]] index. The
+    * query-term `isin` predicate is PUSHED into the postings parquet scan
+    * (`PushedFilters: In(term, ...)` — asserted in RetrievalSpec), and the
+    * term-sorted layout means row-group stats skip everything else: query
+    * I/O is proportional to the matched postings, not the corpus. Results
+    * are identical to [[bm25TopK]] with the same parameters. */
+  def queryBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: Seq[(String, Seq[String])], k: Int = 5,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val qt = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("q_id", "term")
+    val terms = queries.flatMap(_._2).distinct
+    val tfq = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(terms: _*))
+    val dfq = spark.read.parquet(s"$path/df")
+      .filter(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+    scoreAndRank(tfq, dfq, stats, qt, k, k1, b)
+  }
+}

@@ -292,6 +292,32 @@ object TextQueries {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // --- benchmark decontamination: training docs flagged when ≥ 1/5 of
+    // their distinct word 3-grams occur anywhere in the eval split
+    // (doc_id % 19 == 0 — a deterministic stand-in benchmark). The flag
+    // threshold is an integer cross-product (n_hit·5 ≥ n_grams), so every
+    // output column is integer/boolean exact ---
+    "d19_decontamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+          d.filter(col("doc_id") % 19 =!= 0),
+          d.filter(col("doc_id") % 19 === 0),
+          "text", "doc_id", n = 3, flagNum = 1, flagDen = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- BM25 top-5 retrieval for three term queries: the inverted-index
+    // ranking path (postings → query-term broadcast restriction → df/N
+    // stats → one rounded double chain per posting riding as DECIMAL).
+    // Scoring is the d18 determinism pattern, so the oracle check is
+    // hash-exact including the DECIMAL(28,6) scores ---
+    "ir1_bm25" -> ((s, dir) => {
+      graft.operators.Retrieval.bm25TopK(docs(s, dir), "text", "doc_id",
+        Seq("hash_join" -> Seq("hash", "join", "table"),
+          "stream_window" -> Seq("window", "merge", "stream"),
+          "vector_scan" -> Seq("spark", "vector", "scan")), k = 5)
+    }),
+
     // --- the whole preprocessing pipeline as ONE declarative plan:
     // exact-dedup → quality filter → sequence packing → per-source stats.
     // Catalyst fuses it: one scan, dedup semi-join, filter, one window ---
@@ -411,6 +437,81 @@ object TextQueries {
       SELECT lang, bg, cnt, rk FROM r WHERE rk <= 5
       ORDER BY lang, rk""",
     "d7_simhash" -> simhashOracle,
+    "d19_decontamination" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+                      w -> w <> '') AS ws
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+          CASE WHEN len(ws) >= 3 THEN
+            list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+          ELSE [] END AS gs
+        FROM toks),
+      ev AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 19 = 0),
+      tr AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 19 <> 0),
+      hits AS (
+        SELECT t.doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(CASE WHEN e.gr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hit
+        FROM tr t LEFT JOIN ev e ON t.gr = e.gr
+        GROUP BY t.doc_id)
+      SELECT d.doc_id, COALESCE(h.n_grams, 0) AS n_grams,
+        COALESCE(h.n_hit, 0) AS n_hit,
+        (COALESCE(h.n_hit, 0) * 5 >= COALESCE(h.n_grams, 0)
+          AND COALESCE(h.n_grams, 0) > 0) AS flagged
+      FROM (SELECT doc_id FROM g WHERE doc_id % 19 <> 0) d
+      LEFT JOIN hits h USING (doc_id)
+      ORDER BY d.doc_id""",
+    "ir1_bm25" -> """
+      WITH q(q_id, term) AS (VALUES
+        ('hash_join', 'hash'), ('hash_join', 'join'), ('hash_join', 'table'),
+        ('stream_window', 'window'), ('stream_window', 'merge'),
+        ('stream_window', 'stream'),
+        ('vector_scan', 'spark'), ('vector_scan', 'vector'),
+        ('vector_scan', 'scan')),
+      toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+                      w -> w <> '') AS ws
+        FROM documents),
+      dls AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM toks),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+        GROUP BY doc_id, term),
+      tfq AS (
+        SELECT t.doc_id, t.term, t.tf, d.dl
+        FROM tf t JOIN dls d USING (doc_id)
+        WHERE t.term IN (SELECT DISTINCT term FROM q)),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+      stats AS (SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
+      sc AS (
+        SELECT q.q_id, t.doc_id,
+          CAST(round(
+            round(ln(1.0 +
+              (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+              (CAST(f.df AS DOUBLE) + 0.5)), 6) *
+            ((CAST(t.tf AS DOUBLE) * 2.2) /
+             (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+               (CAST(t.dl AS DOUBLE) /
+                (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))),
+            6) AS DECIMAL(20,6)) AS sc
+        FROM tfq t JOIN q ON t.term = q.term
+        JOIN dfq f ON t.term = f.term CROSS JOIN stats s),
+      pd AS (
+        SELECT q_id, doc_id, CAST(SUM(sc) AS DECIMAL(28,6)) AS score
+        FROM sc GROUP BY q_id, doc_id),
+      r AS (
+        SELECT q_id, doc_id, score,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, doc_id) AS INT) AS rnk
+        FROM pd)
+      SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 5
+      ORDER BY q_id, rnk""",
     "d12_stratified_sample" -> """
       SELECT lang, COUNT(*) AS n FROM documents
       WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || '42'), 1, 15) AS BIGINT)

@@ -129,6 +129,36 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((2L, 0L, "y1 y2 y3 y4")))   // order preserved
     assert(out(6L) == ((0L, 0L, "")))              // empty doc survives
   }
+
+  test("decontaminate flags eval-overlapping docs, exact gram counts") {
+    // eval doc 100 contributes 3-grams {a b c, b c d}; train doc 1 shares
+    // both of its grams, doc 2 shares none, doc 3 is too short for any.
+    val train = Seq(
+      (1L, "a b c d"),           // grams {a b c, b c d} — 2/2 hit
+      (2L, "x y z w"),           // grams {x y z, y z w} — 0/2 hit
+      (3L, "a b"))               // no 3-gram
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, ev, "text", "doc_id",
+        n = 3, flagNum = 1, flagDen = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((2L, 2L, true)))
+    assert(out(2L) == ((2L, 0L, false)))
+    assert(out(3L) == ((0L, 0L, false)))   // zero grams -> never flagged
+  }
+
+  test("decontaminate counts DISTINCT grams once per doc") {
+    // "a b c a b c a b c": distinct 3-grams {a b c, b c a, c a b}; all
+    // three occur in the eval doc, so n_grams = n_hit = 3 (not the 7
+    // positional occurrences).
+    val train = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val ev = Seq((9L, "a b c a b c")).toDF("doc_id", "text")
+    val row = Dedup.decontaminate(train, ev, "text", "doc_id", n = 3)
+      .collect().head
+    assert((row.getLong(1), row.getLong(2), row.getBoolean(3)) ==
+      ((3L, 3L, true)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -242,6 +272,36 @@ class SimilaritySpec extends SparkSpec {
     assert(n == 3.0)
     val c = df.select(VectorFunctions.cosine(col("a"), col("a"))).as[Double].head()
     assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("lloyd step: hand-checkable assignment and exact means") {
+    // centroids seed from vec_id 0 and 1; ids 2/3 sit near them, so the
+    // step must assign {0,2}->cell 0, {1,3}->cell 1 and the per-dim
+    // decimal-exact means are (0.25, 0.25) and (9.5, 9.5).
+    val df = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)),
+      (2L, Seq(0.5f, 0.5f)), (3L, Seq(9f, 9f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lloydStep(df, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(out((0L, 0)) == ((0.25, 2L)))
+    assert(out((0L, 1)) == ((0.25, 2L)))
+    assert(out((1L, 0)) == ((9.5, 2L)))
+    assert(out((1L, 1)) == ((9.5, 2L)))
+  }
+
+  test("lloyd step: membership partitions the corpus; iterating converges") {
+    val step1 = Similarity.lloydStep(emb, k = 4).collect()
+    val n = emb.count()
+    val dims = step1.map(_.getInt(1)).distinct.length
+    // every (cell, dim) row counts the same members; cells partition corpus
+    step1.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).distinct.length == 1)
+    }
+    assert(step1.groupBy(_.getLong(0)).map(_._2.head.getLong(3)).sum == n)
+    assert(step1.length == step1.map(r => (r.getLong(0), r.getInt(1))).distinct.length)
+    assert(dims == step1.length / step1.map(_.getLong(0)).distinct.length)
   }
 }
 

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** BM25 semantics on a hand-checkable corpus: term-frequency saturation,
+  * length normalization, rarity weighting, candidate confinement. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "apple cherry"),
+    (3L, "durian durian durian"),
+    (4L, "banana banana banana banana"))
+    .toDF("doc_id", "text")
+
+  test("single-term query: higher tf wins; non-matching docs are absent") {
+    val out = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq("q" -> Seq("apple")), k = 10).collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2))
+    // doc 1 has tf=2 of "apple" (same idf), so it must outscore doc 2
+    val scores = out.map(r => r.getLong(2) -> r.getDecimal(3).doubleValue).toMap
+    assert(scores(1L) > scores(2L) && scores(2L) > 0.0)
+  }
+
+  test("multi-term query sums per-term contributions; k truncates") {
+    val out = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq("q" -> Seq("apple", "banana")), k = 2).collect()
+    assert(out.length == 2)
+    // doc 1 matches both terms; no single-term doc can beat it
+    assert(out.head.getLong(2) == 1L && out.head.getInt(1) == 1)
+  }
+
+  test("rarer terms weigh more at equal tf and dl") {
+    // "cherry" (df=1) must outweigh "apple" (df=2) for the same doc shape
+    val d = Seq((1L, "apple x"), (2L, "cherry x"), (3L, "apple y"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(d, "text", "doc_id",
+      Seq("qa" -> Seq("apple"), "qc" -> Seq("cherry")), k = 1)
+      .collect().map(r => r.getString(0) -> r.getDecimal(3).doubleValue).toMap
+    assert(out("qc") > out("qa"))
+  }
+
+  test("duplicate query terms contribute once") {
+    val once = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq("q" -> Seq("apple")), k = 10).collect()
+    val twice = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq("q" -> Seq("apple", "apple")), k = 10).collect()
+    assert(once.map(r => (r.getLong(2), r.getDecimal(3))).toSeq ==
+      twice.map(r => (r.getLong(2), r.getDecimal(3))).toSeq)
+  }
+
+  test("persisted index: build once, query matches one-shot bm25TopK") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Retrieval.buildBm25Index(docs, "text", "doc_id", dir)
+    val qs = Seq("q1" -> Seq("apple", "banana"), "q2" -> Seq("durian"))
+    val fromIndex = Retrieval.queryBm25Index(spark, dir, qs, k = 3)
+    val oneShot = Retrieval.bm25TopK(docs, "text", "doc_id", qs, k = 3)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getDecimal(3))
+    assert(fromIndex.collect().map(key).sortBy(x => (x._1, x._2)).toSeq ==
+      oneShot.collect().map(key).sortBy(x => (x._1, x._2)).toSeq)
+    // the query-term predicate must reach the postings parquet scan
+    val scan = fromIndex.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [In(term"),
+      "query terms must push into the postings scan:\n" + scan)
+  }
+
+  test("query-side broadcast: no shuffle introduced by term matching") {
+    // the only Exchanges in the plan should be the postings groupBys and
+    // the final rank window — the query/df/stats joins must all broadcast
+    val plan = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq("q" -> Seq("apple")), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "query-term matching must not sort-merge join:\n" + plan)
+  }
+}
