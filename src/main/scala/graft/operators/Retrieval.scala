@@ -173,4 +173,36 @@ object Retrieval {
     val stats = spark.read.parquet(s"$path/stats")
     scoreAndRank(tfq, dfq, stats, qt, k, k1, b)
   }
+
+  /** Reciprocal-rank fusion: merge N per-query candidate rankings (sparse
+    * BM25, dense ANN, …) into one hybrid ranking — the standard fusion
+    * step of a two-tower retrieval stack (Cormack et al. 2009). Each input
+    * must carry (q_id, doc_id, rnk); a document's fused score is
+    * Σ 1/(kRrf + rnkᵢ) over the lists that contain it.
+    *
+    * Determinism: each contribution is one IEEE-exact double division
+    * rounded to 12 dp riding as DECIMAL, so the fused sum is
+    * order-independent and the (rrf desc, doc_id asc) rank is a total
+    * order — the oracle check is hash-exact.
+    *
+    * Scale shape: every input is already a top-k' list (bounded rows per
+    * query), so the union is narrow and the only exchange is the
+    * (q_id, doc_id) rollup over ≤ Σk'ᵢ candidate rows per query; the
+    * final per-query top-k is rank-limit-pushed (`WindowGroupLimit`). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10,
+              kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings.map(_.select(col("q_id"), col("doc_id"),
+      round(lit(1.0) / (lit(kRrf.toDouble) + col("rnk").cast("double")), 12)
+        .cast("decimal(16,12)").as("c")))
+    val fused = contribs.reduce(_.unionByName(_))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("c")).cast("decimal(28,12)").as("rrf"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("doc_id"), col("rrf"))
+  }
 }

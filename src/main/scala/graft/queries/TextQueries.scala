@@ -313,9 +313,7 @@ object TextQueries {
     // hash-exact including the DECIMAL(28,6) scores ---
     "ir1_bm25" -> ((s, dir) => {
       graft.operators.Retrieval.bm25TopK(docs(s, dir), "text", "doc_id",
-        Seq("hash_join" -> Seq("hash", "join", "table"),
-          "stream_window" -> Seq("window", "merge", "stream"),
-          "vector_scan" -> Seq("spark", "vector", "scan")), k = 5)
+        Bm25Queries, k = 5)
     }),
 
     // --- the whole preprocessing pipeline as ONE declarative plan:
@@ -399,6 +397,64 @@ object TextQueries {
       SELECT id, $hexSel AS sig FROM v ORDER BY id"""
   }
 
+  /** The shared retrieval benchmark: three term queries over `documents`,
+    * used by ir1 (pure BM25) and VectorQueries' ir2 (hybrid RRF). */
+  private[queries] val Bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "hash_join" -> Seq("hash", "join", "table"),
+    "stream_window" -> Seq("window", "merge", "stream"),
+    "vector_scan" -> Seq("spark", "vector", "scan"))
+
+  /** DuckDB CTE chain scoring [[Bm25Queries]]: ends in
+    * `bmr(q_id, doc_id, score, rnk)` — the exact replica of
+    * [[graft.operators.Retrieval.bm25TopK]]'s double chain (see its
+    * scaladoc for the rounding contract). Shared by the ir1 and ir2
+    * oracles, which append their own final SELECT. */
+  private[queries] val bm25RankedCtes: String = """
+      q(q_id, term) AS (VALUES
+        ('hash_join', 'hash'), ('hash_join', 'join'), ('hash_join', 'table'),
+        ('stream_window', 'window'), ('stream_window', 'merge'),
+        ('stream_window', 'stream'),
+        ('vector_scan', 'spark'), ('vector_scan', 'vector'),
+        ('vector_scan', 'scan')),
+      toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+                      w -> w <> '') AS ws
+        FROM documents),
+      dls AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM toks),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+        GROUP BY doc_id, term),
+      tfq AS (
+        SELECT t.doc_id, t.term, t.tf, d.dl
+        FROM tf t JOIN dls d USING (doc_id)
+        WHERE t.term IN (SELECT DISTINCT term FROM q)),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+      stats AS (SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
+      sc AS (
+        SELECT q.q_id, t.doc_id,
+          CAST(round(
+            round(ln(1.0 +
+              (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+              (CAST(f.df AS DOUBLE) + 0.5)), 6) *
+            ((CAST(t.tf AS DOUBLE) * 2.2) /
+             (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+               (CAST(t.dl AS DOUBLE) /
+                (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))),
+            6) AS DECIMAL(20,6)) AS sc
+        FROM tfq t JOIN q ON t.term = q.term
+        JOIN dfq f ON t.term = f.term CROSS JOIN stats s),
+      pd AS (
+        SELECT q_id, doc_id, CAST(SUM(sc) AS DECIMAL(28,6)) AS score
+        FROM sc GROUP BY q_id, doc_id),
+      bmr AS (
+        SELECT q_id, doc_id, score,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, doc_id) AS INT) AS rnk
+        FROM pd)"""
+
   val oracles: Map[String, String] = Map(
     "g1_gopher_quality" -> """
       WITH t AS (
@@ -465,52 +521,9 @@ object TextQueries {
       FROM (SELECT doc_id FROM g WHERE doc_id % 19 <> 0) d
       LEFT JOIN hits h USING (doc_id)
       ORDER BY d.doc_id""",
-    "ir1_bm25" -> """
-      WITH q(q_id, term) AS (VALUES
-        ('hash_join', 'hash'), ('hash_join', 'join'), ('hash_join', 'table'),
-        ('stream_window', 'window'), ('stream_window', 'merge'),
-        ('stream_window', 'stream'),
-        ('vector_scan', 'spark'), ('vector_scan', 'vector'),
-        ('vector_scan', 'scan')),
-      toks AS (
-        SELECT doc_id,
-          list_filter(string_split_regex(trim(text), '\s+'),
-                      w -> w <> '') AS ws
-        FROM documents),
-      dls AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM toks),
-      tf AS (
-        SELECT doc_id, term, COUNT(*) AS tf
-        FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
-        GROUP BY doc_id, term),
-      tfq AS (
-        SELECT t.doc_id, t.term, t.tf, d.dl
-        FROM tf t JOIN dls d USING (doc_id)
-        WHERE t.term IN (SELECT DISTINCT term FROM q)),
-      dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
-      stats AS (SELECT COUNT(*) AS n_docs,
-                  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
-      sc AS (
-        SELECT q.q_id, t.doc_id,
-          CAST(round(
-            round(ln(1.0 +
-              (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
-              (CAST(f.df AS DOUBLE) + 0.5)), 6) *
-            ((CAST(t.tf AS DOUBLE) * 2.2) /
-             (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-               (CAST(t.dl AS DOUBLE) /
-                (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))),
-            6) AS DECIMAL(20,6)) AS sc
-        FROM tfq t JOIN q ON t.term = q.term
-        JOIN dfq f ON t.term = f.term CROSS JOIN stats s),
-      pd AS (
-        SELECT q_id, doc_id, CAST(SUM(sc) AS DECIMAL(28,6)) AS score
-        FROM sc GROUP BY q_id, doc_id),
-      r AS (
-        SELECT q_id, doc_id, score,
-          CAST(row_number() OVER (PARTITION BY q_id
-            ORDER BY score DESC, doc_id) AS INT) AS rnk
-        FROM pd)
-      SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 5
+    "ir1_bm25" -> s"""
+      WITH $bm25RankedCtes
+      SELECT q_id, rnk, doc_id, score FROM bmr WHERE rnk <= 5
       ORDER BY q_id, rnk""",
     "d12_stratified_sample" -> """
       SELECT lang, COUNT(*) AS n FROM documents

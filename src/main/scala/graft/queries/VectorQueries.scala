@@ -84,6 +84,28 @@ object VectorQueries {
     // assignment AND update are both hash-exact ---
     "e7_kmeans_step" -> ((s, dir) => {
       Similarity.lloydStep(emb(s, dir), k = 8)
+    }),
+
+    // --- hybrid retrieval: BM25 top-20 (sparse) fused with brute-force
+    // cosine top-20 (dense, query vectors = embeddings 0/1/2 standing in
+    // for encoded query text) via reciprocal-rank fusion — the two-tower
+    // RAG retrieval stack as one declarative plan. Each rank contribution
+    // is an IEEE-exact double division rounded to 12 dp riding as
+    // DECIMAL, so the oracle check is hash-exact including rrf scores ---
+    "ir2_hybrid_rrf" -> ((s, dir) => {
+      val sparse = graft.operators.Retrieval.bm25TopK(
+          Tables.load(s, dir, "documents"), "text", "doc_id",
+          TextQueries.Bm25Queries, k = 20)
+        .select(col("q_id"), col("doc_id"), col("rnk"))
+      val e = emb(s, dir)
+      val dense = Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 3), k = 20)
+        .select(
+          when(col("q_id") === 0L, "hash_join")
+            .when(col("q_id") === 1L, "stream_window")
+            .otherwise("vector_scan").as("q_id"),
+          col("n_id").as("doc_id"), col("rnk"))
+      graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+        .orderBy(col("q_id"), col("rnk"))
     })
   )
 
@@ -185,7 +207,48 @@ object VectorQueries {
     WHERE ${cosSql("x.v", "y.v")} >= 0.3
     ORDER BY a_id, b_id"""
 
+  /** ir2: the BM25 CTE chain (shared with ir1, see
+    * [[TextQueries.bm25RankedCtes]]) + the e2-style dense cosine ranking
+    * + the RRF fusion replica of [[graft.operators.Retrieval.rrfFuse]]. */
+  private def ir2Oracle: String = s"""
+    WITH ${TextQueries.bm25RankedCtes},
+    bms AS (SELECT q_id, doc_id, rnk FROM bmr WHERE rnk <= 20),
+    dq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+    dsims AS (
+      SELECT q.vec_id AS qv, e.vec_id AS n_id,
+        ${cosSql("q.embedding", "e.embedding")} AS sim
+      FROM dq q, embeddings e WHERE e.vec_id <> q.vec_id),
+    dranked AS (
+      SELECT qv, n_id,
+        ROW_NUMBER() OVER (PARTITION BY qv
+                           ORDER BY sim DESC, n_id ASC) AS rnk
+      FROM dsims),
+    den AS (
+      SELECT CASE qv WHEN 0 THEN 'hash_join' WHEN 1 THEN 'stream_window'
+               ELSE 'vector_scan' END AS q_id,
+        n_id AS doc_id, rnk
+      FROM dranked WHERE rnk <= 20),
+    contrib AS (
+      SELECT q_id, doc_id,
+        CAST(round(1.0 / (60.0 + CAST(rnk AS DOUBLE)), 12)
+          AS DECIMAL(16,12)) AS c FROM bms
+      UNION ALL
+      SELECT q_id, doc_id,
+        CAST(round(1.0 / (60.0 + CAST(rnk AS DOUBLE)), 12)
+          AS DECIMAL(16,12)) AS c FROM den),
+    fused AS (
+      SELECT q_id, doc_id, CAST(SUM(c) AS DECIMAL(28,12)) AS rrf
+      FROM contrib GROUP BY q_id, doc_id),
+    fr AS (
+      SELECT q_id, doc_id, rrf,
+        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY rrf DESC, doc_id ASC) AS INT) AS rnk
+      FROM fused)
+    SELECT q_id, rnk, doc_id, rrf FROM fr WHERE rnk <= 10
+    ORDER BY q_id, rnk"""
+
   val oracles: Map[String, String] = Map(
+    "ir2_hybrid_rrf" -> ir2Oracle,
     "e4_knn_lsh" -> e4Oracle,
     "e5_knn_ivf" -> e5Oracle,
     "e6_embedding_dedup" -> e6Oracle,

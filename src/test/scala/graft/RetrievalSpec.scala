@@ -68,6 +68,25 @@ class RetrievalSpec extends SparkSpec {
       "query terms must push into the postings scan:\n" + scan)
   }
 
+  test("rrf fusion: shared docs outrank single-list docs; decimal-exact") {
+    val a = Seq(("q", 1L, 1), ("q", 2L, 2)).toDF("q_id", "doc_id", "rnk")
+    val b = Seq(("q", 2L, 1), ("q", 3L, 2)).toDF("q_id", "doc_id", "rnk")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDecimal(3)))
+    // d2 appears at ranks 2 and 1 -> 1/62 + 1/61; d1 only 1/61; d3 only
+    // 1/62 — so the order is d2, d1, d3 and d2's score is EXACTLY the
+    // decimal sum of the other two (rounded contributions are reused)
+    assert(out.map(_._2).toSeq == Seq(2L, 1L, 3L))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(out(0)._3 == out(1)._3.add(out(2)._3))
+  }
+
+  test("rrf fusion: doc_id breaks exact score ties deterministically") {
+    val a = Seq(("q", 7L, 1), ("q", 5L, 1)).toDF("q_id", "doc_id", "rnk")
+    val out = Retrieval.rrfFuse(Seq(a), k = 10).collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(5L, 7L))
+  }
+
   test("query-side broadcast: no shuffle introduced by term matching") {
     // the only Exchanges in the plan should be the postings groupBys and
     // the final rank window — the query/df/stats joins must all broadcast
