@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics beyond the BFS/fixpoint family ([[RecursiveCte]],
+  * used by the k-hop / shortest-path queries) — currently PageRank in
+  * exact integer arithmetic.
+  */
+object Graphs {
+
+  /** PageRank power iteration with damping 0.85, computed entirely in
+    * BIGINT so the result is bit-identical on any engine and any
+    * partitioning — no floating point anywhere. The standard recurrence
+    * `p' = 0.15·p₀ + 0.85·Σ p/outdeg` is scaled through by 20 per
+    * iteration (0.85 = 17/20):
+    *
+    *   P'(v) = 3·20^i·seed + 17·Σ_{u→v} P(u) div outdeg(u)
+    *
+    * so P(v) = 20^iters · pageRank-ish(v) and ranking/ratios are
+    * preserved. Exactness: `P div d` truncates UNLESS d | P, so choose a
+    * `seed` with enough factor-2/3/5… headroom for the graph's
+    * out-degrees and iteration count (the default 1024 = 2^10 covers
+    * out-degrees that are powers of two for ≥ 10 iterations; the ldbc4
+    * projection has outdeg ≤ 2 and 3 iterations). Dangling mass is
+    * dropped (simplified PageRank); teleport keeps every node ranked.
+    *
+    * Scale shape: per iteration, one vertex-key equi-join (p ⋈ edges) and
+    * one dst-key rollup — the classic distributed power iteration.
+    * Nothing scale-proportional is broadcast or collected; iterations
+    * compose into one declarative plan (persist `edges` externally for
+    * many-iteration runs so the projection isn't re-derived per wave).
+    *
+    * `nodes`: one `node` column. `edges`: (src, dst), src/dst ∈ nodes.
+    * Output: (node, p) with p = the scaled integer score after `iters`
+    * iterations. */
+  def pageRankInt(nodes: DataFrame, edges: DataFrame, iters: Int,
+                  seed: Long = 1024L): DataFrame = {
+    val de = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src"))
+    var p = nodes.select(col("node"), lit(seed).as("p"))
+    for (i <- 0 until iters) {
+      val tele = 3L * math.pow(20.0, i.toDouble).toLong * seed
+      val sums = p.join(de, col("node") === col("src"))
+        .select(col("dst"), expr("p div d").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+      p = nodes.select(col("node"))
+        .join(sums, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(tele) + lit(17L) * coalesce(col("s"), lit(0L))).as("p"))
+    }
+    p
+  }
+}

@@ -154,6 +154,38 @@ object ExtQueries {
         .orderBy(col("sp"))
     }),
 
+    // --- LDBC-style PageRank (3 unrolled power iterations, damping
+    // 0.85) over the ldbc1 edge projection — in EXACT INTEGER
+    // arithmetic: seed 1024 per node and the recurrence
+    //   P' = 3·20^i·1024 + 17·Σ P/outdeg      (0.85 = 17/20, scaled
+    // through by 20 per iteration so nothing ever divides by 20).
+    // Out-degrees are ≤ 2 and the seed's 2^10 factor guarantees every
+    // `P div outdeg` is exact, so both engines compute identical
+    // BIGINTs — hash-exact with ZERO floating point anywhere. Scale
+    // shape: per iteration one vertex-key equi-join (p ⋈ edges) and one
+    // dst-key rollup — the classic distributed power iteration; nothing
+    // scale-proportional is broadcast or collected. Dangling mass is
+    // dropped (simplified PageRank), uniform teleport keeps sinks
+    // ranked. At production scale the edge projection would be
+    // persisted once instead of re-derived per unrolled wave ---
+    "ldbc4_pagerank" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_nationkey").cast("bigint").as("nat"))
+      val cand = c.select(col("k").as("src"), col("nat"),
+        explode(array(col("k") + 1, col("k") + 10)).as("dst"))
+      val edges = cand
+        .join(c.select(col("k").as("dst"), col("nat")), Seq("dst", "nat"))
+        .select(col("src"), col("dst"))
+      val p = graft.operators.Graphs.pageRankInt(
+        c.select(col("k").as("node")), edges, iters = 3)
+      p.join(c, col("node") === col("k"))
+        .groupBy(col("nat"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("p")).as("sum_pr"),
+          max(col("p")).as("max_pr"), min(col("p")).as("min_pr"))
+        .orderBy(col("nat"))
+    }),
+
     // --- UPDATE ... RETURNING through the session write path ---
     "x2_update_returning" -> ((s, dir) => {
       val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
@@ -419,6 +451,38 @@ object ExtQueries {
       SELECT sp, COUNT(*) AS n_pairs,
         COUNT(DISTINCT seed) AS n_seeds
       FROM spl GROUP BY sp ORDER BY sp""",
+    "ldbc4_pagerank" -> """
+      WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                        CAST(c_nationkey AS BIGINT) AS nat
+                 FROM customer),
+      cand AS (SELECT k AS src, nat, unnest([k + 1, k + 10]) AS dst FROM c),
+      edges AS (
+        SELECT cand.src, cand.dst
+        FROM cand JOIN c t ON cand.dst = t.k AND cand.nat = t.nat),
+      deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+      de AS (SELECT e.src, e.dst, g.d FROM edges e JOIN deg g USING (src)),
+      p0 AS (SELECT k AS node, CAST(1024 AS BIGINT) AS p FROM c),
+      s1 AS (SELECT de.dst, CAST(SUM(p0.p // de.d) AS BIGINT) AS s
+             FROM p0 JOIN de ON p0.node = de.src GROUP BY de.dst),
+      p1 AS (SELECT c.k AS node,
+               3072 + 17 * COALESCE(s1.s, 0) AS p
+             FROM c LEFT JOIN s1 ON c.k = s1.dst),
+      s2 AS (SELECT de.dst, CAST(SUM(p1.p // de.d) AS BIGINT) AS s
+             FROM p1 JOIN de ON p1.node = de.src GROUP BY de.dst),
+      p2 AS (SELECT c.k AS node,
+               61440 + 17 * COALESCE(s2.s, 0) AS p
+             FROM c LEFT JOIN s2 ON c.k = s2.dst),
+      s3 AS (SELECT de.dst, CAST(SUM(p2.p // de.d) AS BIGINT) AS s
+             FROM p2 JOIN de ON p2.node = de.src GROUP BY de.dst),
+      p3 AS (SELECT c.k AS node,
+               1228800 + 17 * COALESCE(s3.s, 0) AS p
+             FROM c LEFT JOIN s3 ON c.k = s3.dst)
+      SELECT nat, COUNT(*) AS n_nodes,
+        CAST(SUM(p3.p) AS BIGINT) AS sum_pr,
+        CAST(MAX(p3.p) AS BIGINT) AS max_pr,
+        CAST(MIN(p3.p) AS BIGINT) AS min_pr
+      FROM p3 JOIN c ON p3.node = c.k
+      GROUP BY nat ORDER BY nat""",
     "x11_merge_upsert" -> """
       WITH src AS (
         SELECT CASE WHEN COUNT(*) >= 8 THEN o_custkey + 1000000
