@@ -80,4 +80,46 @@ object TimeJoins {
       leftCols.filterNot(_ == key).map(c => col(s"_l_$c").as(c)) ++
       rightPayload.map(c => col("_m").getField(c).as(c)): _*)
   }
+
+  /** Regularize an irregular time series: per key, one row per `bucket`
+    * between that key's first and last observation, carrying the latest
+    * observed value forward across gaps (the resample + ffill of every
+    * time-series stack, as one declarative plan). The bucket value is the
+    * LAST observation inside the bucket (by time, then `ordCol` as the
+    * deterministic tie-break); gap buckets (n_events = 0) inherit the most
+    * recent earlier bucket's value. No arithmetic ever touches `valCol` —
+    * values are only selected and carried, so doubles survive hash-exact.
+    *
+    * Scale shape: one (key, bucket) rollup shuffle over the observations,
+    * a narrow per-key `sequence` explode for the grid (rows ∝ output, not
+    * input), one equi-join of grid to buckets, and a per-key ordered
+    * window for the fill — partitions are single series, the natural
+    * time-series layout. Very long single series would range-partition
+    * time first; at that point the fill becomes the asOfJoin above.
+    *
+    * Output: (key, bucket_ts, value, n_events, is_gap). */
+  def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, ordCol: String,
+                   bucket: String = "hour"): DataFrame = {
+    val obs = df.select(col(keyCol).as("k"),
+      date_trunc(bucket, col(tsCol)).as("h"),
+      struct(col(tsCol), col(ordCol), col(valCol).as("v")).as("o"))
+    // last observation per bucket: max of (ts, ord, value) structs — the
+    // struct order makes it deterministic even with duplicate timestamps
+    val perBucket = obs.groupBy(col("k"), col("h"))
+      .agg(max(col("o")).getField("v").as("bv"),
+        count(lit(1)).as("n_events"))
+    val grid = perBucket.groupBy(col("k"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("k"), explode(sequence(col("h0"), col("h1"),
+        expr(s"interval 1 $bucket"))).as("h"))
+    val w = Window.partitionBy(col("k")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perBucket, Seq("k", "h"), "left")
+      .select(col("k"), col("h"),
+        last(col("bv"), ignoreNulls = true).over(w).as("value"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .select(col("k").as(keyCol), col("h").as("bucket_ts"), col("value"),
+        col("n_events"), (col("n_events") === 0L).as("is_gap"))
+  }
 }

@@ -332,6 +332,21 @@ object ExtQueries {
         .orderBy(col("event_type"))
     }),
 
+    // --- time-series regularization: per-user hourly resample with
+    // forward fill (the gap-filling every metrics/feature pipeline runs
+    // before training). ~93% of the grid is gaps at this density, so the
+    // carried-value window does real work; `value` is only ever selected
+    // and copied — zero FP arithmetic — so the check is hash-exact on
+    // raw doubles ---
+    "j3_resample_ffill" -> ((s, dir) => {
+      val e = graft.Tables.events(s, dir)
+      graft.operators.TimeJoins.resampleFill(
+          e.select(col("user_id"), col("t"), col("value"), col("event_id")),
+          keyCol = "user_id", tsCol = "t", valCol = "value",
+          ordCol = "event_id", bucket = "hour")
+        .orderBy(col("user_id"), col("bucket_ts"))
+    }),
+
     // --- MERGE INTO through the SQL router (exceeds the reference's DML:
     // delete + conditional update + insert arms in one statement). The
     // source's key remap makes heavy customers (cnt >= 8) miss the join,
@@ -559,6 +574,35 @@ object ExtQueries {
         ON e.event_type = rates.event_type AND e.lt >= rates.rt
       WHERE e.lt - rates.rt <= 900000000
       GROUP BY e.event_type ORDER BY e.event_type""",
+    "j3_resample_ffill" -> """
+      WITH obs AS (
+        SELECT user_id AS k,
+          CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+          value, CAST(ts AS TIMESTAMP) AS t, event_id
+        FROM events),
+      ranked AS (
+        SELECT k, h, value,
+          ROW_NUMBER() OVER (PARTITION BY k, h
+                             ORDER BY t DESC, event_id DESC) AS rn
+        FROM obs),
+      cnts AS (SELECT k, h, COUNT(*) AS n_events FROM obs GROUP BY k, h),
+      pb AS (
+        SELECT r.k, r.h, r.value AS bv, c.n_events
+        FROM ranked r JOIN cnts c USING (k, h) WHERE rn = 1),
+      bounds AS (SELECT k, MIN(h) AS h0, MAX(h) AS h1 FROM pb GROUP BY k),
+      grid AS (
+        SELECT k, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds),
+      filled AS (
+        SELECT g.k, g.h,
+          last_value(pb.bv IGNORE NULLS) OVER (PARTITION BY g.k ORDER BY g.h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+          COALESCE(pb.n_events, 0) AS n_events
+        FROM grid g LEFT JOIN pb ON g.k = pb.k AND g.h = pb.h)
+      SELECT k AS user_id, h AS bucket_ts, value,
+        CAST(n_events AS BIGINT) AS n_events,
+        (n_events = 0) AS is_gap
+      FROM filled ORDER BY user_id, bucket_ts""",
     "x5_udf" -> """
       SELECT l_orderkey, l_linenumber,
              l_extendedprice * (1.0 - l_discount) AS net

@@ -67,6 +67,38 @@ class TimeJoinsSpec extends SparkSpec {
     assert(TimeJoins.asOfJoin(left, right, "k", "lt", "rt",
       tolerance = Some(50L)).count() == 0)
   }
+
+  test("resample+ffill: gaps carry the last value, bounds are per key") {
+    val ts = (h: Int, m: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // key 1: events in hours 0 and 3 -> grid 0..3 with 2 gap hours;
+    // key 2: single event -> one-row grid
+    val df = Seq(
+      (1L, ts(0, 15), 1.0, 10L), (1L, ts(3, 5), 2.0, 11L),
+      (2L, ts(7, 0), 9.0, 12L))
+      .toDF("k", "t", "v", "eid")
+    val out = TimeJoins.resampleFill(df, "k", "t", "v", "eid")
+      .orderBy("k", "bucket_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01 00:00:00.0", 1.0, 1L, false),
+      (1L, "2024-01-01 01:00:00.0", 1.0, 0L, true),
+      (1L, "2024-01-01 02:00:00.0", 1.0, 0L, true),
+      (1L, "2024-01-01 03:00:00.0", 2.0, 1L, false),
+      (2L, "2024-01-01 07:00:00.0", 9.0, 1L, false)))
+  }
+
+  test("resample+ffill: last event in a bucket wins, ties broken by ord") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:30:00")
+    val df = Seq((1L, t0, 5.0, 1L), (1L, t0, 6.0, 2L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 7.0, 3L))
+      .toDF("k", "t", "v", "eid")
+    val out = TimeJoins.resampleFill(df, "k", "t", "v", "eid").collect()
+    assert(out.length == 1)
+    // same bucket: 00:30 beats 00:10; at 00:30 the higher eid (6.0) wins
+    assert(out.head.getDouble(2) == 6.0 && out.head.getLong(3) == 3L)
+  }
 }
 
 class DedupSpec extends SparkSpec {
