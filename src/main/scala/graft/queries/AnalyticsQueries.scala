@@ -151,9 +151,100 @@ object AnalyticsQueries {
               - lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1"))
             / (col("m2") * col("m2")) - lit(3.0), 6).as("kurt"))
         .orderBy(col("event_type"))
+    }),
+
+    // --- ML feature engineering: per-group z-score standardization.
+    // Group mean/variance come from EXACT decimal power sums (the st2
+    // kernel — algebraic, one O(#groups) shuffle), broadcast back onto
+    // the rows as a narrow map-side join; the per-row double chain
+    // ((v − m)/σ, IEEE sqrt is correctly rounded) is identical in both
+    // engines and rounds once to 6 dp — hash-exact at any scale ---
+    "fe1_zscore" -> ((s, dir) => {
+      val dt = "decimal(38,6)"
+      val v = col("value")
+      val stats = Tables.load(s, dir, "events")
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(v.cast(dt)).as("s1d"),
+          sum((v * v).cast(dt)).as("s2d"))
+        .select(col("event_type"),
+          (col("s1d").cast("double") / col("n")).as("m"),
+          (col("s2d").cast("double") / col("n")
+            - (col("s1d").cast("double") / col("n"))
+            * (col("s1d").cast("double") / col("n"))).as("vr"))
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("m")) / sqrt(col("vr")), 6).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
+    // --- ML feature engineering: winsorized group statistics. The p05 /
+    // p95 clip limits are EXACT order statistics picked at integer rank
+    // positions ceil(n/20) / ceil(19n/20) — computed as (n+19) div 20,
+    // no floating-point percentile math anywhere — and the clipped mean
+    // rides as DECIMAL. Scale note: exact per-group percentiles need the
+    // per-group sort (one wide window); at 100 TB you trade this for
+    // approx_percentile (see pc1) — this is the exact-auditable twin ---
+    "fe2_winsorize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val ranked = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      val lims = ranked.groupBy(col("event_type")).agg(
+        max(when(col("rn") === expr("(n + 19) div 20"), col("value")))
+          .as("lo"),
+        max(when(col("rn") === expr("(19 * n + 19) div 20"), col("value")))
+          .as("hi"))
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"))
+        .join(broadcast(lims), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), first(col("lo")).as("lo"),
+          first(col("hi")).as("hi"),
+          round(sum(greatest(col("lo"), least(col("hi"), col("value")))
+              .cast("decimal(38,6)")).cast("double") / count(lit(1)), 6)
+            .as("wmean"))
+        .orderBy(col("event_type"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "fe1_zscore" -> """
+      WITH a AS (
+        SELECT event_type, COUNT(*) AS n,
+          SUM(CAST(value AS DECIMAL(38,6))) AS s1,
+          SUM(CAST(value * value AS DECIMAL(38,6))) AS s2
+        FROM events GROUP BY event_type),
+      b AS (
+        SELECT event_type,
+          CAST(s1 AS DOUBLE) / n AS m,
+          CAST(s2 AS DOUBLE) / n
+            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS vr
+        FROM a)
+      SELECT e.event_id, e.event_type,
+        round((e.value - b.m) / sqrt(b.vr), 6) AS z
+      FROM events e JOIN b USING (event_type)
+      ORDER BY e.event_id""",
+    "fe2_winsorize" -> """
+      WITH ranked AS (
+        SELECT event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+      lims AS (
+        SELECT event_type,
+          MAX(CASE WHEN rn = (n + 19) // 20 THEN value END) AS lo,
+          MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS hi
+        FROM ranked GROUP BY event_type)
+      SELECT e.event_type, COUNT(*) AS n, MAX(l.lo) AS lo, MAX(l.hi) AS hi,
+        round(CAST(SUM(CAST(GREATEST(l.lo, LEAST(l.hi, e.value))
+          AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS wmean
+      FROM events e JOIN lims l USING (event_type)
+      GROUP BY e.event_type ORDER BY e.event_type""",
     "pv1_pivot" -> """
       SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
              AS TIMESTAMP) AS m,
