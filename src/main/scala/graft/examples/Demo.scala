@@ -161,6 +161,25 @@ object Demo {
     g.execute("SELECT qty, hll_sketch_estimate(nd) AS users " +
       "FROM item_users ORDER BY qty").show(5)
 
+    // BM25 inverted index: build once (term-sorted postings + df + corpus
+    // stats), query many — the query-term predicate pushes into the
+    // postings parquet scan, so retrieval I/O tracks matches, not corpus
+    val corpus = Seq(
+      (1L, "spark shuffles the hash join build side"),
+      (2L, "broadcast joins skip the shuffle"),
+      (3L, "window functions rank rows per partition"),
+      (4L, "the hash aggregate spills to disk"))
+      .toDF("doc_id", "text")
+    val idxDir = s"$tmp/bm25"
+    graft.operators.Retrieval.buildBm25Index(corpus, "text", "doc_id", idxDir)
+    val hits = graft.operators.Retrieval.queryBm25Index(spark, idxDir,
+      Seq("q_hash" -> Seq("hash", "join"), "q_win" -> Seq("window")), k = 2)
+    hits.show(6, truncate = false)
+    println("postings scan pushes query terms: " +
+      hits.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("PushedFilters: [In(term"))
+        .take(1).mkString.trim.take(120))
+
     // session niceties
     g.setTimezone("UTC")
     println(g.explainPlan(
