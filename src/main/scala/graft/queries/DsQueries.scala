@@ -25,6 +25,9 @@ import graft.Tables
   *     (q23's cross_items / best_ss_customer pattern)
   *   - ds6: multi-band counts in ONE conditional-aggregation scan
   *     (q88's eight cross-joined scalar subqueries, re-expressed)
+  *   - ds7: two per-channel cumulative series full-outer joined with
+  *     running-max carry and crossover filter (q51's web-vs-store
+  *     cumulative comparison pattern)
   *
   * Scale notes: every shape is one shuffle (the groupBy) plus a window over
   * the *aggregated* (small) result — the window never sees base-table rows,
@@ -153,9 +156,83 @@ object DsQueries {
         band(14, 21).as("b3"), band(21, 28).as("b4"),
         band(28, 35).as("b5"), band(35, 42).as("b6"),
         band(42, 49).as("b7"), band(49, 1000).as("b8"))
+    }),
+
+    // --- q51 shape: two per-channel cumulative revenue series (urgent vs
+    // routine order priority standing in for web vs store), FULL OUTER
+    // joined on (bucket, month), running-max carrying each side across
+    // the other's missing months, crossover months kept. Cumulative sums
+    // ride as DECIMAL end-to-end so the check is hash-exact. Scale: each
+    // side is one groupBy shuffle; the windows run over the aggregated
+    // monthly series (bounded by #months per bucket), and the FOJ keys
+    // are the same (bucket, month) partitioning — no base-row window ---
+    "ds7_cumulative_crossover" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders").select(
+        pmod(col("o_custkey"), lit(50)).as("bucket"),
+        date_trunc("month", col("o_orderdate").cast("timestamp")).as("m"),
+        col("o_orderpriority").as("pri"), col("o_totalprice"))
+      def side(f: org.apache.spark.sql.Column, out: String) = o.filter(f)
+        .groupBy(col("bucket"), col("m"))
+        .agg(sum(col("o_totalprice").cast(D)).as("rev"))
+        .withColumn(out, sum(col("rev")).over(
+          Window.partitionBy(col("bucket")).orderBy(col("m"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(D))
+        .select(col("bucket"), col("m"), col(out))
+      val hi = side(col("pri").isin("1-URGENT", "2-HIGH"), "cum_hi")
+      val lo = side(!col("pri").isin("1-URGENT", "2-HIGH"), "cum_lo")
+      val w = Window.partitionBy(col("bucket")).orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hi.join(lo, Seq("bucket", "m"), "full_outer")
+        .withColumn("urgent_cum", max(col("cum_hi")).over(w))
+        .withColumn("routine_cum", max(col("cum_lo")).over(w))
+        .filter(col("urgent_cum") > col("routine_cum"))
+        .select(col("bucket"), col("m"), col("urgent_cum"),
+          col("routine_cum"))
+        .orderBy(col("bucket"), col("m"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "ds7_cumulative_crossover" -> """
+      WITH o AS (
+        SELECT o_custkey % 50 AS bucket,
+          CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+            AS TIMESTAMP) AS m,
+          o_orderpriority AS pri, o_totalprice
+        FROM orders),
+      a AS (
+        SELECT bucket, m, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+        FROM o WHERE pri IN ('1-URGENT', '2-HIGH') GROUP BY bucket, m),
+      ac AS (
+        SELECT bucket, m,
+          CAST(SUM(rev) OVER (PARTITION BY bucket ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(28,6)) AS cum_hi
+        FROM a),
+      b AS (
+        SELECT bucket, m, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+        FROM o WHERE pri NOT IN ('1-URGENT', '2-HIGH') GROUP BY bucket, m),
+      bc AS (
+        SELECT bucket, m,
+          CAST(SUM(rev) OVER (PARTITION BY bucket ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(28,6)) AS cum_lo
+        FROM b),
+      j AS (
+        SELECT COALESCE(ac.bucket, bc.bucket) AS bucket,
+          COALESCE(ac.m, bc.m) AS m, cum_hi, cum_lo
+        FROM ac FULL OUTER JOIN bc
+          ON ac.bucket = bc.bucket AND ac.m = bc.m),
+      f AS (
+        SELECT bucket, m,
+          MAX(cum_hi) OVER (PARTITION BY bucket ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS urgent_cum,
+          MAX(cum_lo) OVER (PARTITION BY bucket ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS routine_cum
+        FROM j)
+      SELECT bucket, m, urgent_cum, routine_cum
+      FROM f WHERE urgent_cum > routine_cum
+      ORDER BY bucket, m""",
     "ds5_frequent_items" -> """
       WITH freq AS (
         SELECT l_partkey FROM lineitem
