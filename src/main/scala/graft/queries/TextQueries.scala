@@ -292,6 +292,45 @@ object TextQueries {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // --- LM-perplexity quality signal (CCNet-style): per-doc bigram
+    // cross-entropy under the corpus's OWN Laplace-smoothed bigram model,
+    //   P(w2|w1) = (c(w1 w2)+1) / (c(w1·)+64),
+    // nll = −Σ ln P (cross-entropy = nll/n_bigrams, left to the reader:
+    // a final double division can land exactly on a rounding boundary
+    // and flip the last digit between engines — seen at sf0.1 — so the
+    // output stays in exact DECIMAL). Each bigram's log-prob is ONE ln
+    // of an exact integer ratio, rounded to 6 dp and carried as DECIMAL
+    // (the d18 pattern) so the doc rollup is order-independent and the
+    // check is hash-exact.
+    // Scale shape: model counts are two equi-keyed aggregations over the
+    // exploded bigrams; scoring joins on (bigram) and (left-token) — all
+    // shuffle-partitionable, nothing broadcast-unbounded, no windows ---
+    "g3_bigram_xent" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"),
+          array_remove(split(trim(col("text")), "\\s+"), "").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val bg = base.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> " +
+            "struct(ws[i] AS w1, concat(ws[i], ' ', ws[i + 1]) AS b))"))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.b"))
+      val c2 = bg.groupBy(col("b")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val per = bg.groupBy(col("doc_id"), col("w1"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val sc = per.join(c2, Seq("b")).join(c1, Seq("w1"))
+        .select(col("doc_id"), col("c"),
+          round(log((col("c2") + 1L).cast("double") /
+            (col("c1") + lit(64L)).cast("double")), 6)
+            .cast("decimal(20,6)").as("lp"))
+      sc.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          (sum(col("c") * col("lp")) * lit(-1))
+            .cast("decimal(28,6)").as("nll"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- benchmark decontamination: training docs flagged when ≥ 1/5 of
     // their distinct word 3-grams occur anywhere in the eval split
     // (doc_id % 19 == 0 — a deterministic stand-in benchmark). The flag
@@ -493,6 +532,29 @@ object TextQueries {
       SELECT lang, bg, cnt, rk FROM r WHERE rk <= 5
       ORDER BY lang, rk""",
     "d7_simhash" -> simhashOracle,
+    "g3_bigram_xent" -> """
+      WITH base AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+                      w -> w <> '') AS ws
+        FROM documents),
+      bg AS (
+        SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS b
+        FROM base, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2),
+      c2 AS (SELECT b, COUNT(*) AS c2 FROM bg GROUP BY b),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      per AS (
+        SELECT doc_id, w1, b, COUNT(*) AS c
+        FROM bg GROUP BY doc_id, w1, b),
+      sc AS (
+        SELECT per.doc_id, per.c,
+          CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) /
+            CAST(c1.c1 + 64 AS DOUBLE)), 6) AS DECIMAL(20,6)) AS lp
+        FROM per JOIN c2 USING (b) JOIN c1 USING (w1))
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        CAST(SUM(c * lp) * -1 AS DECIMAL(28,6)) AS nll
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "d19_decontamination" -> """
       WITH toks AS (
         SELECT doc_id,
