@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Bounded-memory frequency sketches. At 100 TB an exact top-k over a
+  * high-cardinality key (vocabulary building over web-scale n-grams) pays
+  * a full shuffle of every distinct key; the classic alternative is a
+  * per-partition Misra–Gries summary — O(capacity) memory, one pass —
+  * whose merged candidate set provably contains every key with true count
+  * > n/capacity, followed by an exact recount of only the candidates.
+  * Two narrow passes + one candidate-sized shuffle instead of a
+  * vocabulary-sized one, and the result is EXACT (not approximate)
+  * whenever the k-th count clears the n/capacity bound — which the
+  * operator verifies from its own outputs.
+  */
+object Sketches {
+
+  /** Exact top-k most frequent values of `keyCol` via per-partition
+    * Misra–Gries candidate generation + exact recount.
+    *
+    * Pass 1 (mapPartitions — genuine per-partition imperative state, the
+    * documented last-resort case): each partition streams its rows
+    * through a `capacity`-counter Misra–Gries summary and emits its
+    * surviving candidates. Any value occurring more than n_p/capacity
+    * times in partition p survives there, so any value with global count
+    * > n/capacity survives in at least one partition — the union is a
+    * superset of every sufficiently-frequent key.
+    *
+    * Pass 2: candidates (≤ #partitions · capacity rows — cluster
+    * metadata, broadcast) semi-join back onto the data for an EXACT
+    * count of just those keys; rank (count desc, key asc) and keep k.
+    *
+    * Exactness: the result equals the true top-k whenever
+    * `k-th exact count > n / capacity` (callers can check: the returned
+    * `guaranteed` column is that predicate evaluated row-wise from the
+    * exact counts and total n — integer cross-product, no FP). With a
+    * capacity comfortably above n/f_k it is simply exact top-k.
+    *
+    * Output: (keyCol, cnt, guaranteed), k rows, ordered (cnt desc, key). */
+  def topKFrequent(df: DataFrame, keyCol: String, k: Int,
+                   capacity: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    val keys = df.select(col(keyCol).cast("string").as("_k"))
+    val schema = StructType(Seq(StructField("_k", StringType)))
+    val candRows = keys.queryExecution.toRdd.mapPartitions { it =>
+      val counters = new java.util.HashMap[String, Long](capacity * 2)
+      it.foreach { internalRow =>
+        val key = if (internalRow.isNullAt(0)) null
+          else internalRow.getUTF8String(0).toString
+        if (key != null) {
+          val cur = counters.get(key)
+          if (cur != 0L || counters.containsKey(key)) {
+            counters.put(key, cur + 1L)
+          } else if (counters.size < capacity) {
+            counters.put(key, 1L)
+          } else {
+            // decrement-all step: amortized O(1) via iterator removal
+            val iter = counters.entrySet().iterator()
+            while (iter.hasNext) {
+              val e = iter.next()
+              if (e.getValue == 1L) iter.remove()
+              else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[Row](counters.size)
+      counters.keySet().forEach(key => out += Row(key))
+      out.iterator
+    }
+    val cands = spark.createDataFrame(candRows, schema).distinct()
+    val exact = keys.join(broadcast(cands), Seq("_k"))
+      .groupBy(col("_k")).agg(count(lit(1)).as("cnt"))
+    val total = keys.filter(col("_k").isNotNull)
+      .agg(count(lit(1)).as("n_total"))
+    // total order (cnt desc, key asc) + limit → TakeOrderedAndProject:
+    // each task ships its local k, no global window
+    exact
+      .orderBy(col("cnt").desc, col("_k").asc)
+      .limit(k)
+      .crossJoin(broadcast(total))
+      .select(col("_k").as(keyCol), col("cnt"),
+        (col("cnt") * lit(capacity.toLong) > col("n_total")).as("guaranteed"))
+      .orderBy(col("cnt").desc, col(keyCol))
+  }
+}

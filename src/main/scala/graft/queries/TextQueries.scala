@@ -355,6 +355,24 @@ object TextQueries {
         Bm25Queries, k = 5)
     }),
 
+    // --- global top-20 bigrams via the Misra–Gries two-pass: bounded
+    // per-partition candidate sketches (mapPartitions — the documented
+    // imperative last resort), then an EXACT recount of only the
+    // candidates. At this capacity the guarantee bound holds trivially,
+    // so the result equals the exact top-k and the oracle is plain SQL;
+    // at 100 TB this shape shuffles candidates, not the vocabulary ---
+    "ng2_topk_mg" -> ((s, dir) => {
+      val bigrams = expr(
+        "transform(sequence(0, size(ws) - 2), i -> " +
+          "concat(ws[i], ' ', ws[i + 1]))")
+      val b = docs(s, dir)
+        .select(split(trim(col("text")), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(bigrams).as("bg"))
+      graft.operators.Sketches.topKFrequent(b, "bg", k = 20,
+        capacity = 4096)
+    }),
+
     // --- the whole preprocessing pipeline as ONE declarative plan:
     // exact-dedup → quality filter → sequence packing → per-source stats.
     // Catalyst fuses it: one scan, dedup semi-join, filter, one window ---
@@ -532,6 +550,18 @@ object TextQueries {
       SELECT lang, bg, cnt, rk FROM r WHERE rk <= 5
       ORDER BY lang, rk""",
     "d7_simhash" -> simhashOracle,
+    "ng2_topk_mg" -> """
+      WITH t AS (
+        SELECT string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+      b AS (
+        SELECT unnest(list_transform(range(1, len(ws)),
+          i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM t WHERE len(ws) >= 2),
+      c AS (SELECT bg, COUNT(*) AS cnt FROM b GROUP BY bg),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+      SELECT bg, cnt, (cnt * 4096 > n) AS guaranteed
+      FROM c, tot ORDER BY cnt DESC, bg LIMIT 20""",
     "g3_bigram_xent" -> """
       WITH base AS (
         SELECT doc_id,
