@@ -119,6 +119,33 @@ object EventPipeline {
       .select(col("user_id"), col("session_window.start").as("start"),
         col("session_window.end").as("end"), col("n_events"), col("total"))
 
+  /** Trending keys, streaming: tumbling-window counts with
+    * watermark-bounded state. A rank can't nest inside a streaming
+    * aggregation (no windows over agg output in append/update modes), so
+    * the per-window top-k runs in the SINK on each micro-batch via
+    * [[rankTrending]] — the standard foreachBatch trending pattern. State
+    * held per executor is (window × key) counts inside the watermark
+    * horizon only; the rank sees the already-aggregated (tiny) frame. */
+  def trendingCounts(events: DataFrame, keyCol: String,
+                     window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("t", watermark)
+      .groupBy(window(col("t"), window_), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("h"), col(keyCol), col("n"))
+
+  /** Ranks a [[trendingCounts]] micro-batch (or its complete-mode table):
+    * top-k keys per window by (n desc, key asc) — a total order. Runs as
+    * plain batch inside foreachBatch, so WindowGroupLimit applies. */
+  def rankTrending(counts: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("n").desc, col(keyCol).asc)
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("h"), col("rnk"), col(keyCol), col("n"))
+  }
+
   /** Batch sessionization via flatMapGroupsWithState: groups per user,
     * closes a session after `gapMinutes` of inactivity, and FLUSHES the
     * still-open trailing session so batch results are complete. For

@@ -368,4 +368,32 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Seq(("click", 3L, 7.0), ("view", 1L, 8.0)))
     } finally q.stop()
   }
+  test("trending top-k: streamed counts + per-batch rank match batch truth") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventPipeline.trendingCounts(mem.toDF(), "event_type", "1 hour")
+      .writeStream.format("memory").queryName("trend_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        Event(1L, "click", ts(0), 1.0), Event(2L, "click", ts(5), 1.0),
+        Event(3L, "view", ts(10), 1.0), Event(4L, "click", ts(15), 1.0),
+        Event(5L, "view", ts(20), 1.0), Event(6L, "scroll", ts(25), 1.0))
+      q.processAllAvailable()
+      val top = EventPipeline.rankTrending(
+          spark.table("trend_counts"), "event_type", k = 2)
+        .orderBy("h", "rnk")
+        .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+      assert(top.toSeq == Seq((1, "click", 3L), (2, "view", 2L)))
+      // late-but-in-watermark arrivals re-rank the window
+      mem.addData(Event(7L, "scroll", ts(30), 1.0),
+        Event(8L, "scroll", ts(31), 1.0), Event(9L, "scroll", ts(32), 1.0))
+      q.processAllAvailable()
+      val top2 = EventPipeline.rankTrending(
+          spark.table("trend_counts"), "event_type", k = 2)
+        .orderBy("h", "rnk")
+        .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+      assert(top2.toSeq == Seq((1, "scroll", 4L), (2, "click", 3L)))
+    } finally q.stop()
+  }
 }
