@@ -51,4 +51,33 @@ object Graphs {
     }
     p
   }
+
+  /** Multi-source weighted shortest distances by bounded min-plus
+    * relaxation (Bellman–Ford over the tropical semiring): after `rounds`
+    * iterations, (seed, node, dist) holds the exact minimum total weight
+    * over all paths of ≤ `rounds` edges — all BIGINT arithmetic, so the
+    * result is bit-identical on any engine and partitioning.
+    *
+    * Scale shape: per round, one vertex-key equi-join (frontier ⋈ edges)
+    * and one (seed, node) min-aggregate — partial aggregation collapses
+    * duplicate relaxations map-side, so the exchange carries distinct
+    * (seed, node) pairs, not path multiplicities. State is the reached
+    * pair set (the same bound the BFS fixpoint family carries); nothing
+    * is broadcast or collected.
+    *
+    * `seeds`: one `node` column. `edges`: (src, dst, w) with BIGINT w ≥ 0.
+    * Output: (seed, node, dist), including (seed, seed, 0). */
+  def minPlusDistances(seeds: DataFrame, edges: DataFrame,
+                       rounds: Int): DataFrame = {
+    var d = seeds.select(col("node").as("seed"), col("node"),
+      lit(0L).as("dist"))
+    for (_ <- 0 until rounds) {
+      val relaxed = d.join(edges, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node"),
+          (col("dist") + col("w")).as("dist"))
+      d = d.unionByName(relaxed)
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+    }
+    d
+  }
 }

@@ -332,6 +332,37 @@ object ExtQueries {
         .orderBy(col("event_type"))
     }),
 
+    // --- LDBC-style weighted shortest paths: bounded min-plus relaxation
+    // (Bellman–Ford, 3 rounds) over a two-weight edge projection — the
+    // short hop (k→k+1) costs 1, the long hop (k→k+10) costs 4, so a
+    // 3-edge chain of short hops can undercut one long hop and the min
+    // genuinely exercises path competition. ALL arithmetic is BIGINT:
+    // hash-exact with zero tolerance. Scale: per round one vertex-key
+    // equi-join + one (seed, node) min-aggregate (map-side combined) ---
+    "ldbc5_weighted_sp" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_nationkey").cast("bigint").as("nat"))
+      val cand = c.select(col("k").as("src"), col("nat"),
+        explode(array(
+          struct((col("k") + 1).as("dst"), lit(1L).as("w")),
+          struct((col("k") + 10).as("dst"), lit(4L).as("w")))).as("e"))
+        .select(col("src"), col("nat"), col("e.dst"), col("e.w"))
+      val edges = cand
+        .join(c.select(col("k").as("dst"), col("nat")), Seq("dst", "nat"))
+        .select(col("src"), col("dst"), col("w"))
+      val seeds = c.filter(col("k") % 100 === 1)
+        .select(col("k").as("node"))
+      val d = graft.operators.Graphs.minPlusDistances(seeds, edges,
+        rounds = 3)
+      d.filter(col("node") =!= col("seed"))
+        .join(c.select(col("k").as("seed"), col("nat")), Seq("seed"))
+        .groupBy(col("nat"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("dist")).as("sum_dist"),
+          min(col("dist")).as("min_dist"), max(col("dist")).as("max_dist"))
+        .orderBy(col("nat"))
+    }),
+
     // --- time-series regularization: per-user hourly resample with
     // forward fill (the gap-filling every metrics/feature pipeline runs
     // before training). ~93% of the grid is gaps at this density, so the
@@ -574,6 +605,43 @@ object ExtQueries {
         ON e.event_type = rates.event_type AND e.lt >= rates.rt
       WHERE e.lt - rates.rt <= 900000000
       GROUP BY e.event_type ORDER BY e.event_type""",
+    "ldbc5_weighted_sp" -> """
+      WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                        CAST(c_nationkey AS BIGINT) AS nat
+                 FROM customer),
+      e0 AS (
+        SELECT k AS src, nat, k + 1 AS dst, CAST(1 AS BIGINT) AS w FROM c
+        UNION ALL
+        SELECT k AS src, nat, k + 10 AS dst, CAST(4 AS BIGINT) AS w FROM c),
+      edges AS (
+        SELECT e0.src, e0.dst, e0.w
+        FROM e0 JOIN c t ON e0.dst = t.k AND e0.nat = t.nat),
+      d0 AS (SELECT k AS seed, k AS node, CAST(0 AS BIGINT) AS dist
+             FROM c WHERE k % 100 = 1),
+      d1 AS (SELECT seed, node, MIN(dist) AS dist FROM (
+               SELECT seed, node, dist FROM d0
+               UNION ALL
+               SELECT d0.seed, e.dst AS node, d0.dist + e.w AS dist
+               FROM d0 JOIN edges e ON d0.node = e.src)
+             GROUP BY seed, node),
+      d2 AS (SELECT seed, node, MIN(dist) AS dist FROM (
+               SELECT seed, node, dist FROM d1
+               UNION ALL
+               SELECT d1.seed, e.dst AS node, d1.dist + e.w AS dist
+               FROM d1 JOIN edges e ON d1.node = e.src)
+             GROUP BY seed, node),
+      d3 AS (SELECT seed, node, MIN(dist) AS dist FROM (
+               SELECT seed, node, dist FROM d2
+               UNION ALL
+               SELECT d2.seed, e.dst AS node, d2.dist + e.w AS dist
+               FROM d2 JOIN edges e ON d2.node = e.src)
+             GROUP BY seed, node)
+      SELECT nat, COUNT(*) AS n_pairs,
+        CAST(SUM(dist) AS BIGINT) AS sum_dist,
+        MIN(dist) AS min_dist, MAX(dist) AS max_dist
+      FROM d3 JOIN c ON d3.seed = c.k
+      WHERE node <> seed
+      GROUP BY nat ORDER BY nat""",
     "j3_resample_ffill" -> """
       WITH obs AS (
         SELECT user_id AS k,

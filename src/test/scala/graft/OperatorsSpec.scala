@@ -362,6 +362,27 @@ class GraphsSpec extends SparkSpec {
     assert(out(1L) == out(2L) && out(2L) == out(3L))
   }
 
+  test("min-plus distances: cheaper multi-hop path beats direct edge") {
+    // 1->2->3 costs 1+1=2; direct 1->3 costs 5. One round sees only the
+    // direct edge (5); two rounds find the cheaper chain (2).
+    val seeds = Seq(1L).toDF("node")
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    def dist(rounds: Int): Map[Long, Long] =
+      graft.operators.Graphs.minPlusDistances(seeds, edges, rounds)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(dist(1) == Map(1L -> 0L, 2L -> 1L, 3L -> 5L))
+    assert(dist(2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("min-plus distances: multi-seed, unreached nodes absent") {
+    val seeds = Seq(1L, 10L).toDF("node")
+    val edges = Seq((1L, 2L, 7L)).toDF("src", "dst", "w")
+    val out = graft.operators.Graphs.minPlusDistances(seeds, edges, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 1L) -> 0L, (1L, 2L) -> 7L, (10L, 10L) -> 0L))
+  }
+
   test("pagerank: integer division stays exact for power-of-two degrees") {
     // node 1 has out-degree 2: every P(1) must divide by 2 exactly over
     // 3 iterations — guaranteed by the 2^10 seed; verify via the exact
