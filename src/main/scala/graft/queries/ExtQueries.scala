@@ -333,25 +333,24 @@ object ExtQueries {
     }),
 
     // --- LDBC-style weighted shortest paths: bounded min-plus relaxation
-    // (Bellman–Ford, 3 rounds) over a two-weight edge projection — the
-    // short hop (k→k+1) costs 1, the long hop (k→k+10) costs 4, so a
-    // 3-edge chain of short hops can undercut one long hop and the min
-    // genuinely exercises path competition. ALL arithmetic is BIGINT:
-    // hash-exact with zero tolerance. Scale: per round one vertex-key
-    // equi-join + one (seed, node) min-aggregate (map-side combined) ---
+    // (Bellman–Ford, 3 rounds) over the dense ldbc3-style projection
+    // (k→k+1..k+12, same nation) with distance-derived integer weights
+    // w = (gap+3) div 4 ∈ {1,2,3} — short-hop chains genuinely compete
+    // with long direct edges (observed max dist 6 > 3 rounds × min w).
+    // ALL arithmetic is BIGINT: hash-exact with zero tolerance. Scale:
+    // per round one vertex-key equi-join + one (seed, node)
+    // min-aggregate (map-side combined) ---
     "ldbc5_weighted_sp" -> ((s, dir) => {
       val c = Tables.load(s, dir, "customer")
         .select(col("c_custkey").cast("bigint").as("k"),
           col("c_nationkey").cast("bigint").as("nat"))
       val cand = c.select(col("k").as("src"), col("nat"),
-        explode(array(
-          struct((col("k") + 1).as("dst"), lit(1L).as("w")),
-          struct((col("k") + 10).as("dst"), lit(4L).as("w")))).as("e"))
-        .select(col("src"), col("nat"), col("e.dst"), col("e.w"))
+        explode(sequence(col("k") + 1, col("k") + 12)).as("dst"))
       val edges = cand
         .join(c.select(col("k").as("dst"), col("nat")), Seq("dst", "nat"))
-        .select(col("src"), col("dst"), col("w"))
-      val seeds = c.filter(col("k") % 100 === 1)
+        .select(col("src"), col("dst"),
+          expr("(dst - src + 3) div 4").as("w"))
+      val seeds = c.filter(col("k") % 20 === 1)
         .select(col("k").as("node"))
       val d = graft.operators.Graphs.minPlusDistances(seeds, edges,
         rounds = 3)
@@ -610,14 +609,13 @@ object ExtQueries {
                         CAST(c_nationkey AS BIGINT) AS nat
                  FROM customer),
       e0 AS (
-        SELECT k AS src, nat, k + 1 AS dst, CAST(1 AS BIGINT) AS w FROM c
-        UNION ALL
-        SELECT k AS src, nat, k + 10 AS dst, CAST(4 AS BIGINT) AS w FROM c),
+        SELECT k AS src, nat, unnest(generate_series(k + 1, k + 12)) AS dst
+        FROM c),
       edges AS (
-        SELECT e0.src, e0.dst, e0.w
+        SELECT e0.src, e0.dst, (e0.dst - e0.src + 3) // 4 AS w
         FROM e0 JOIN c t ON e0.dst = t.k AND e0.nat = t.nat),
       d0 AS (SELECT k AS seed, k AS node, CAST(0 AS BIGINT) AS dist
-             FROM c WHERE k % 100 = 1),
+             FROM c WHERE k % 20 = 1),
       d1 AS (SELECT seed, node, MIN(dist) AS dist FROM (
                SELECT seed, node, dist FROM d0
                UNION ALL
