@@ -34,6 +34,13 @@ object TextFunctions {
   /** Whitespace tokenization of trimmed text. */
   def tokens(c: Column): Column = split(trim(c), WS)
 
+  /** [[tokens]] with the empty-string artifact of splitting "" removed —
+    * THE tokenizer every word-level operator shares (dedup segments,
+    * decontamination, BM25, DSIR, g3); change it here and in the DuckDB
+    * oracle replicas (`list_filter(string_split_regex(...), w -> w <> '')`)
+    * together. */
+  def cleanTokens(c: Column): Column = array_remove(tokens(c), "")
+
   def tokenCount(c: Column): Column = size(tokens(c)).cast("bigint")
 
   /** |distinct tokens| / |tokens| — low values indicate boilerplate /

@@ -285,7 +285,7 @@ object Dedup {
     */
   def dropBoilerplateSegments(df: DataFrame, textCol: String, idCol: String,
                               width: Int = 3, maxDocFreq: Int = 3): DataFrame = {
-    val words = array_remove(split(trim(col(textCol)), "\\s+"), "")
+    val words = graft.functions.TextFunctions.cleanTokens(col(textCol))
     // sequence(0, -1) would step downward, so guard empty/null docs; the
     // outer explode keeps them as a single null-segment row so no input
     // row ever silently disappears from the output
@@ -341,7 +341,7 @@ object Dedup {
                     textCol: String, idCol: String, n: Int = 3,
                     flagNum: Int = 1, flagDen: Int = 5): DataFrame = {
     def grams(df: DataFrame): DataFrame = {
-      val words = array_remove(split(trim(col(textCol)), "\\s+"), "")
+      val words = graft.functions.TextFunctions.cleanTokens(col(textCol))
       df.select(col(idCol),
         when(size(words) >= n,
           array_distinct(transform(sequence(lit(0), size(words) - n),

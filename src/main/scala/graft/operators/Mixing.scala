@@ -133,7 +133,7 @@ object Mixing {
                         isTarget: Column, buckets: Int = 64): DataFrame = {
     import graft.functions.TextFunctions.md5Bits60
     val base = df.select(col(idCol), isTarget.as("is_t"),
-      array_remove(split(trim(col(textCol)), "\\s+"), "").as("ws"))
+      graft.functions.TextFunctions.cleanTokens(col(textCol)).as("ws"))
     val bigrams = expr(
       "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))")
     val featArr = when(size(col("ws")) >= 2, concat(col("ws"), bigrams))

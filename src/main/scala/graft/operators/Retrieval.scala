@@ -31,7 +31,7 @@ object Retrieval {
   private def tokenize(docs: DataFrame, textCol: String,
                        idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        array_remove(split(trim(col(textCol)), "\\s+"), "").as("ws"))
+        graft.functions.TextFunctions.cleanTokens(col(textCol)).as("ws"))
       .select(col("doc_id"), col("ws"),
         size(col("ws")).cast("bigint").as("dl"))
 
@@ -132,8 +132,11 @@ object Retrieval {
     *   path/df/       — (term, df): one row per vocabulary term, sorted
     *   path/stats/    — (n_docs, sum_dl): one row
     *
-    * Build is one tokenize pass + one (doc, term) shuffle + one postings
-    * re-read for df (cheaper than a second corpus tokenize). */
+    * Build cost: one tokenize pass feeding the (doc, term) shuffle for
+    * postings, one postings re-read for df (cheaper than re-tokenizing),
+    * and one separate narrow tokenize+aggregate pass for the corpus
+    * stats (Spark recomputes the shared lineage; both passes are
+    * map-only scans). */
   def buildBm25Index(docs: DataFrame, textCol: String, idCol: String,
                      path: String): Unit = {
     val spark = docs.sparkSession

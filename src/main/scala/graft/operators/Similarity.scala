@@ -240,24 +240,30 @@ object Similarity {
       k)
   }
 
-  /** One distributed Lloyd (k-means) iteration over the corpus:
-    * centroids seed deterministically from the first `k` vectors by id,
-    * every vector is assigned to its nearest centroid through the SAME
-    * narrow argmin projection IVF uses (zero shuffle between scan and
-    * assignment), and the update step emits per-(cell, dim) means in row
-    * form — sums ride float→double→DECIMAL so the fold is
-    * order-independent, the mean divides once at the end.
+  /** One distributed Lloyd (k-means) iteration over the corpus: without
+    * explicit `centroids`, they seed deterministically from the first `k`
+    * vectors by id; with them (index = cell id), the step continues a
+    * previous iteration — [[kmeansFit]] wires that loop. Every vector is
+    * assigned to its nearest centroid through the SAME narrow argmin
+    * projection IVF uses (zero shuffle between scan and assignment), and
+    * the update step emits per-(cell, dim) means in row form — sums ride
+    * float→double→DECIMAL so the fold is order-independent, the mean
+    * divides once at the end.
     *
     * Scale shape: one narrow pass + ONE shuffle on (cell, dim) —
-    * O(k·dim) result rows. Iterating to convergence is just calling this
-    * with the previous step's means as centroids; each step costs the
-    * same one pass a production k-means does.
+    * O(k·dim) result rows; each step costs the same one pass a
+    * production k-means does.
     *
     * Output: (cell, dim, mean, n_members) ordered by (cell, dim). */
   def lloydStep(corpus: DataFrame, k: Int = 8,
-                maxLiteralCells: Int = 128): DataFrame = {
+                maxLiteralCells: Int = 128,
+                centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = centroidStats(corpus, k)
+    val cents = centroids match {
+      case Some(cs) => cs.zipWithIndex.map { case (emb, i) =>
+        (i.toLong, emb, emb.foldLeft(0.0)((s, v) => s + v * v)) }
+      case None => centroidStats(corpus, k)
+    }
     val (assigned, _) = cellAssignments(
       corpus, corpus.limit(0), cents, 1, maxLiteralCells)
     assigned
@@ -272,5 +278,28 @@ object Similarity {
           .as("mean"),
         col("n_members"))
       .orderBy(col("cell"), col("dim"))
+  }
+
+  /** Full Lloyd iteration to a fixed round count: each round is one
+    * [[lloydStep]] pass; the k·dim means (cluster metadata, O(k·dim)
+    * driver rows like the IVF centroid collect) feed the next round's
+    * literal argmin. Cells that lose all members keep their previous
+    * centroid. Returns the final per-(cell, dim) means frame — the same
+    * shape as [[lloydStep]]. */
+  def kmeansFit(corpus: DataFrame, k: Int = 8, rounds: Int = 5,
+                maxLiteralCells: Int = 128): DataFrame = {
+    require(rounds >= 1, "kmeansFit needs at least one round")
+    var cents: Seq[Seq[Double]] = centroidStats(corpus, k).map(_._2)
+    var out: DataFrame = null
+    for (_ <- 0 until rounds) {
+      out = lloydStep(corpus, k, maxLiteralCells, Some(cents))
+      val byCell = out.collect().groupBy(_.getLong(0)).map { case (c, rs) =>
+        c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      cents = cents.zipWithIndex.map { case (prev, c) =>
+        byCell.getOrElse(c.toLong, prev)
+      }
+    }
+    out
   }
 }

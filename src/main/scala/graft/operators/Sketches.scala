@@ -39,7 +39,9 @@ object Sketches {
     * exact counts and total n — integer cross-product, no FP). With a
     * capacity comfortably above n/f_k it is simply exact top-k.
     *
-    * Output: (keyCol, cnt, guaranteed), k rows, ordered (cnt desc, key). */
+    * Output: (keyCol, cnt, guaranteed), k rows, ordered (cnt desc, key);
+    * the key keeps its input type (pass 1 sketches the key's string
+    * image, but candidates rejoin and rank in the original type). */
   def topKFrequent(df: DataFrame, keyCol: String, k: Int,
                    capacity: Int = 4096): DataFrame = {
     val spark = df.sparkSession
@@ -71,18 +73,24 @@ object Sketches {
       counters.keySet().forEach(key => out += Row(key))
       out.iterator
     }
+    // candidates return to the key's ORIGINAL type for the exact pass, so
+    // the output schema matches the input column and ties at the k
+    // boundary break in the native ordering (numeric keys order
+    // numerically, not by their string image)
+    val keyType = df.schema(keyCol).dataType
     val cands = spark.createDataFrame(candRows, schema).distinct()
-    val exact = keys.join(broadcast(cands), Seq("_k"))
-      .groupBy(col("_k")).agg(count(lit(1)).as("cnt"))
-    val total = keys.filter(col("_k").isNotNull)
+      .select(col("_k").cast(keyType).as(keyCol))
+    val exact = df.select(col(keyCol)).join(broadcast(cands), Seq(keyCol))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
       .agg(count(lit(1)).as("n_total"))
     // total order (cnt desc, key asc) + limit → TakeOrderedAndProject:
     // each task ships its local k, no global window
     exact
-      .orderBy(col("cnt").desc, col("_k").asc)
+      .orderBy(col("cnt").desc, col(keyCol).asc)
       .limit(k)
       .crossJoin(broadcast(total))
-      .select(col("_k").as(keyCol), col("cnt"),
+      .select(col(keyCol), col("cnt"),
         (col("cnt") * lit(capacity.toLong) > col("n_total")).as("guaranteed"))
       .orderBy(col("cnt").desc, col(keyCol))
   }

@@ -101,13 +101,16 @@ object TimeJoins {
   def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
                    valCol: String, ordCol: String,
                    bucket: String = "hour"): DataFrame = {
+    // struct fields are re-aliased (_t/_o/_v) so source columns named
+    // "v"/"t" can never make the getField lookup ambiguous
     val obs = df.select(col(keyCol).as("k"),
       date_trunc(bucket, col(tsCol)).as("h"),
-      struct(col(tsCol), col(ordCol), col(valCol).as("v")).as("o"))
+      struct(col(tsCol).as("_t"), col(ordCol).as("_o"),
+        col(valCol).as("_v")).as("o"))
     // last observation per bucket: max of (ts, ord, value) structs — the
     // struct order makes it deterministic even with duplicate timestamps
     val perBucket = obs.groupBy(col("k"), col("h"))
-      .agg(max(col("o")).getField("v").as("bv"),
+      .agg(max(col("o")).getField("_v").as("bv"),
         count(lit(1)).as("n_events"))
     val grid = perBucket.groupBy(col("k"))
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))

@@ -308,7 +308,7 @@ object TextQueries {
     "g3_bigram_xent" -> ((s, dir) => {
       val base = docs(s, dir)
         .select(col("doc_id"),
-          array_remove(split(trim(col("text")), "\\s+"), "").as("ws"))
+          cleanTokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= 2)
       val bg = base.select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(ws) - 2), i -> " +

@@ -323,6 +323,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out((1L, 1)) == ((9.5, 2L)))
   }
 
+  test("kmeansFit: iterations move centroids to the true cluster means") {
+    // both seeds (vec 0, vec 1) start inside the left cluster; round 1
+    // lumps {1,2,3} into cell 1, later rounds must re-split into the
+    // true clusters {0,1} and {2,3} with exact decimal means
+    val df = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(0.4f, 0.4f)),
+      (2L, Seq(10f, 10f)), (3L, Seq(10.4f, 10.4f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansFit(df, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(out((0L, 0)) == ((0.2, 2L)) && out((0L, 1)) == ((0.2, 2L)))
+    assert(out((1L, 0)) == ((10.2, 2L)) && out((1L, 1)) == ((10.2, 2L)))
+    // one un-iterated step from the same seeds is genuinely different
+    val one = Similarity.lloydStep(df, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(one((1L, 0)) != 10.2)
+  }
+
   test("lloyd step: membership partitions the corpus; iterating converges") {
     val step1 = Similarity.lloydStep(emb, k = 4).collect()
     val n = emb.count()
