@@ -86,6 +86,17 @@ object VectorQueries {
       Similarity.lloydStep(emb(s, dir), k = 8)
     }),
 
+    // --- two FULL Lloyd rounds via kmeansFit: round-1 means (the e7
+    // computation) feed round 2 as literal argmin centroids. The oracle
+    // unrolls both rounds — reassembling the round-1 means into centroid
+    // vectors with list(mean ORDER BY dim) and replaying the identical
+    // |c|²−2·a·c fold — so assignment AND update stay hash-exact across
+    // the iteration boundary. Cell ids: seeds are vec_ids 0..3, which
+    // equal kmeansFit's centroid indices, so ids agree by construction ---
+    "e8_kmeans_fit" -> ((s, dir) => {
+      Similarity.kmeansFit(emb(s, dir), k = 4, rounds = 2)
+    }),
+
     // --- hybrid retrieval: BM25 top-20 (sparse) fused with brute-force
     // cosine top-20 (dense, query vectors = embeddings 0/1/2 standing in
     // for encoded query text) via reciprocal-rank fusion — the two-tower
@@ -198,6 +209,48 @@ object VectorQueries {
       COUNT(*) AS n_members
     FROM ex GROUP BY cell, dim ORDER BY cell, dim"""
 
+  private def e8Oracle: String = s"""
+    WITH cents AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings ORDER BY vec_id LIMIT 4),
+    sc1 AS (
+      SELECT e.vec_id, e.embedding, c.c_id,
+        (${dotSql("c.c_emb", "c.c_emb")}) - 2.0 * (${dotSql("e.embedding", "c.c_emb")}) AS d
+      FROM embeddings e CROSS JOIN cents c),
+    asg1 AS (
+      SELECT vec_id, embedding, c_id AS cell,
+        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, c_id ASC) AS r
+      FROM sc1),
+    ex1 AS (
+      SELECT cell, i - 1 AS dim,
+        CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,6)) AS v
+      FROM asg1, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+      WHERE r = 1),
+    m1 AS (
+      SELECT cell, dim,
+        CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+      FROM ex1 GROUP BY cell, dim),
+    cv AS (
+      SELECT cell AS c_id, list(mean ORDER BY dim) AS c_emb
+      FROM m1 GROUP BY cell),
+    sc2 AS (
+      SELECT e.vec_id, e.embedding, c.c_id,
+        (${dotSql("c.c_emb", "c.c_emb")}) - 2.0 * (${dotSql("e.embedding", "c.c_emb")}) AS d
+      FROM embeddings e CROSS JOIN cv c),
+    asg2 AS (
+      SELECT vec_id, embedding, c_id AS cell,
+        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, c_id ASC) AS r
+      FROM sc2),
+    ex2 AS (
+      SELECT cell, i - 1 AS dim,
+        CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,6)) AS v
+      FROM asg2, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+      WHERE r = 1)
+    SELECT cell, CAST(dim AS INT) AS dim,
+      CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean,
+      COUNT(*) AS n_members
+    FROM ex2 GROUP BY cell, dim ORDER BY cell, dim"""
+
   private def e6Oracle: String = s"""
     WITH b AS (SELECT vec_id AS id, embedding AS v,
                  ${bucketSql("embedding", 4, 64)} AS bucket
@@ -253,6 +306,7 @@ object VectorQueries {
     "e5_knn_ivf" -> e5Oracle,
     "e6_embedding_dedup" -> e6Oracle,
     "e7_kmeans_step" -> e7Oracle,
+    "e8_kmeans_fit" -> e8Oracle,
     "e3_centroids" -> """
       SELECT label, CAST(i - 1 AS INT) AS i,
         round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
