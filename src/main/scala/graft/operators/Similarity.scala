@@ -214,6 +214,33 @@ object Similarity {
       .parquet(s"$path/cells")
   }
 
+  /** [[buildIvfIndex]] with TRAINED centroids: runs [[kmeansFit]] first
+    * and uses the converged means as the cell centroids, so cells track
+    * the corpus's actual density instead of the first-`nCells` seed
+    * vectors — tighter cells mean fewer candidates per probe at equal
+    * recall. The on-disk layout is identical, so [[queryIvfIndex]] works
+    * unchanged against a trained index. Training cost: `rounds` one-pass
+    * Lloyd steps (each O(corpus·nCells) dots, no extra shuffles). */
+  def buildIvfIndexTrained(corpus: DataFrame, path: String, nCells: Int = 16,
+                           rounds: Int = 3,
+                           maxLiteralCells: Int = 128): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Seq[(Long, Seq[Double], Double)] =
+      kmeansFit(corpus, nCells, rounds, maxLiteralCells)
+        .collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map { case (c, rs) =>
+          val emb = rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          (c, emb, emb.foldLeft(0.0)((s, v) => s + v * v))
+        }
+    cents.toDF("c_id", "c_emb", "c_norm").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val (assigned, _) =
+      cellAssignments(corpus, corpus.limit(0), cents, 1, maxLiteralCells)
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells")
+  }
+
   /** Top-k cosine ANN against a persisted [[buildIvfIndex]] index. The
     * centroid read is bounded metadata (nCells rows); probes select
     * nProbe cells per query and the `cell` join prunes the index scan to

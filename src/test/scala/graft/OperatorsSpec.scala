@@ -323,6 +323,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out((1L, 1)) == ((9.5, 2L)))
   }
 
+  test("trained IVF index: kmeans cells split real clusters; query exact") {
+    // same bad-seed fixture as the kmeansFit test: training must put the
+    // two true clusters in separate cells, and the unchanged
+    // queryIvfIndex path (probing all cells) must equal brute force
+    val df = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(0.4f, 0.4f)),
+      (2L, Seq(10f, 10f)), (3L, Seq(10.4f, 10.4f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivftrained").toString
+    Similarity.buildIvfIndexTrained(df, dir, nCells = 2, rounds = 3)
+    // `cell` is a partition column — its read-back type is inferred from
+    // the directory names (INT here), so compare via Number
+    val cells = spark.read.parquet(s"$dir/cells")
+      .select("cell", "n_id").collect()
+      .groupBy(_.getAs[Number](0).longValue).map { case (c, rs) =>
+        c -> rs.map(_.getLong(1)).toSet }
+    assert(cells.values.toSet == Set(Set(0L, 1L), Set(2L, 3L)))
+    val q = df.filter(col("vec_id") === 0L)
+    val fromIdx = Similarity.queryIvfIndex(spark, dir, q, k = 3, nProbe = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    val brute = Similarity.bruteForceKnn(df, q, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(fromIdx == brute)
+  }
+
   test("kmeansFit: iterations move centroids to the true cluster means") {
     // both seeds (vec 0, vec 1) start inside the left cluster; round 1
     // lumps {1,2,3} into cell 1, later rounds must re-split into the
