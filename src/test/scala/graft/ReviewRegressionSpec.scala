@@ -262,4 +262,41 @@ class ReviewRegressionSpec extends SparkSpec {
     val q = "SELECT CAST(t AS TIMESTAMP) - INTERVAL '1 hour' AS p FROM x"
     assert(Jsonb.rewrite(q) == q)
   }
+  // ---- round-8 self-review pins ----
+
+  test("topKFrequent keeps numeric key types and numeric tie order") {
+    // regression: pass 1 sketches string images; the output must come
+    // back in the input type with ties ordered numerically (2 before 10,
+    // not the string order "10" < "2")
+    val df = (Seq.fill(3)(2L) ++ Seq.fill(3)(10L) ++ Seq(7L))
+      .toDF("user_id")
+    val out = graft.operators.Sketches.topKFrequent(df, "user_id", k = 2)
+    assert(out.schema("user_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L, 10L))
+  }
+
+  test("pageRankInt refuses iteration counts that overflow Long scaling") {
+    val nodes = Seq(1L).toDF("node")
+    val edges = Seq((1L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      graft.operators.Graphs.pageRankInt(nodes, edges, iters = 13)
+    }
+    // the boundary case still runs
+    assert(graft.operators.Graphs.pageRankInt(nodes, edges, iters = 12)
+      .count() == 1)
+  }
+
+  test("resampleFill tolerates source columns named like struct fields") {
+    // regression: the per-bucket struct used the raw value-field name
+    // "v", so an ORD column literally named "v" produced duplicate
+    // struct fields and an ambiguous getField("v")
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 5.0, 9L))
+      .toDF("k", "t", "x", "v")
+    val out = TimeJoins.resampleFill(df, "k", "t",
+      valCol = "x", ordCol = "v").collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 5.0)
+  }
 }
+
