@@ -1,9 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Bounded-memory frequency sketches. At 100 TB an exact top-k over a
   * high-cardinality key (vocabulary building over web-scale n-grams) pays
@@ -45,40 +43,39 @@ object Sketches {
   def topKFrequent(df: DataFrame, keyCol: String, k: Int,
                    capacity: Int = 4096): DataFrame = {
     val spark = df.sparkSession
-    val keys = df.select(col(keyCol).cast("string").as("_k"))
-    val schema = StructType(Seq(StructField("_k", StringType)))
-    val candRows = keys.queryExecution.toRdd.mapPartitions { it =>
-      val counters = new java.util.HashMap[String, Long](capacity * 2)
-      it.foreach { internalRow =>
-        val key = if (internalRow.isNullAt(0)) null
-          else internalRow.getUTF8String(0).toString
-        if (key != null) {
-          val cur = counters.get(key)
-          if (cur != 0L || counters.containsKey(key)) {
-            counters.put(key, cur + 1L)
-          } else if (counters.size < capacity) {
-            counters.put(key, 1L)
-          } else {
-            // decrement-all step: amortized O(1) via iterator removal
-            val iter = counters.entrySet().iterator()
-            while (iter.hasNext) {
-              val e = iter.next()
-              if (e.getValue == 1L) iter.remove()
-              else e.setValue(e.getValue - 1L)
+    import spark.implicits._
+    val candDs = df.select(col(keyCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val counters = new java.util.HashMap[String, Long](capacity * 2)
+        it.foreach { key =>
+          if (key != null) {
+            val cur = counters.get(key)
+            if (cur != 0L || counters.containsKey(key)) {
+              counters.put(key, cur + 1L)
+            } else if (counters.size < capacity) {
+              counters.put(key, 1L)
+            } else {
+              // decrement-all step: amortized O(1) via iterator removal
+              val iter = counters.entrySet().iterator()
+              while (iter.hasNext) {
+                val e = iter.next()
+                if (e.getValue == 1L) iter.remove()
+                else e.setValue(e.getValue - 1L)
+              }
             }
           }
         }
+        val out = new scala.collection.mutable.ArrayBuffer[String](
+          counters.size)
+        counters.keySet().forEach(key => out += key)
+        out.iterator
       }
-      val out = new scala.collection.mutable.ArrayBuffer[Row](counters.size)
-      counters.keySet().forEach(key => out += Row(key))
-      out.iterator
-    }
     // candidates return to the key's ORIGINAL type for the exact pass, so
     // the output schema matches the input column and ties at the k
     // boundary break in the native ordering (numeric keys order
     // numerically, not by their string image)
     val keyType = df.schema(keyCol).dataType
-    val cands = spark.createDataFrame(candRows, schema).distinct()
+    val cands = candDs.toDF("_k").distinct()
       .select(col("_k").cast(keyType).as(keyCol))
     val exact = df.select(col(keyCol)).join(broadcast(cands), Seq(keyCol))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
