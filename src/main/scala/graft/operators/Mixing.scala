@@ -153,10 +153,18 @@ object Mixing {
       round(log(((col("t_b") + 1L).cast("double") * (col("r_tot") + lit(buckets.toLong)).cast("double")) /
                 ((col("r_b") + 1L).cast("double") * (col("t_tot") + lit(buckets.toLong)).cast("double"))), 6)
         .cast("decimal(20,6)").as("w_b"))
-    occ.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+    val perDoc = occ.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
       .join(broadcast(wB), Seq("b"))
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_feats"),
         sum(col("c") * col("w_b")).cast("decimal(28,6)").as("w"))
+    // empty/whitespace-only docs have no features and would vanish from
+    // the explode — keep them with (0, 0.000000) so a resampling join on
+    // idCol never silently drops rows (the dropBoilerplateSegments
+    // contract: no input row ever disappears)
+    base.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("w"), lit(0).cast("decimal(28,6)")).as("w"))
   }
 }

@@ -217,9 +217,15 @@ object TextQueries {
       val base = docs(s, dir).select(col("doc_id"), col("lang"),
           split(trim(col("text")), "\\s+").as("ws"))
         .withColumn("n_words", size(col("ws")).cast("long"))
+      // guard: size(ws) < n would make sequence() step DOWNWARD and
+      // slice(ws, 0, n) throw — short/empty docs get no grams and pass
+      // both gates via the left-join coalesce (same as the oracle's
+      // empty range())
       def grams(n: Int) = expr(
-        s"transform(sequence(0, size(ws) - $n), i -> " +
-          s"array_join(slice(ws, i + 1, $n), ' '))")
+        s"CASE WHEN size(ws) >= $n THEN " +
+          s"transform(sequence(0, size(ws) - $n), i -> " +
+          s"array_join(slice(ws, i + 1, $n), ' ')) " +
+          s"ELSE array() END")
       val top2 = base.select(col("doc_id"), explode(grams(2)).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id")).agg(max(col("c")).as("max2"))
@@ -726,15 +732,23 @@ object TextQueries {
             (CAST(r_b + 1 AS DOUBLE) * CAST(t_tot + 64 AS DOUBLE))), 6)
           AS DECIMAL(20,6)) AS w_b
         FROM stats, tot),
-      pd AS (SELECT doc_id, b, COUNT(*) AS c FROM occ GROUP BY doc_id, b)
-      SELECT doc_id,
-        CAST(SUM(c) AS BIGINT) AS n_feats,
-        CAST(SUM(c * w_b) AS DECIMAL(28,6)) AS w
-      FROM pd JOIN w USING (b)
-      GROUP BY doc_id ORDER BY doc_id""",
+      pd AS (SELECT doc_id, b, COUNT(*) AS c FROM occ GROUP BY doc_id, b),
+      agg AS (
+        SELECT doc_id,
+          CAST(SUM(c) AS BIGINT) AS n_feats,
+          CAST(SUM(c * w_b) AS DECIMAL(28,6)) AS w
+        FROM pd JOIN w USING (b)
+        GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(a.n_feats, 0) AS n_feats,
+        COALESCE(a.w, CAST(0 AS DECIMAL(28,6))) AS w
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id""",
     "d17_segment_dedup" -> """
       WITH words AS (
-        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+                      w -> w <> '') AS ws
+        FROM documents),
       segs AS (
         SELECT doc_id, i AS seg_idx,
                array_to_string(list_slice(ws, i*3+1, i*3+3), ' ') AS seg

@@ -25,17 +25,24 @@ import org.apache.spark.sql.types._
 object ZOrder {
 
   /** Column types that can participate in a Z-order layout (orderable as
-    * a long without losing the ordering). */
+    * a long without losing the ordering). TIMESTAMP_NTZ is deliberately
+    * absent: Spark 4 has no direct NTZ→long function (`unix_micros`
+    * rejects it, ANSI forbids the cast), so NTZ composite indexes take
+    * the lexicographic path instead of crashing the rewrite. */
   def zOrderable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType |
-         DateType | TimestampType | TimestampNTZType => true
+         DateType | TimestampType => true
     case _ => false
   }
 
   private def asLong(c: Column, dt: DataType): Column = dt match {
-    case TimestampType | TimestampNTZType =>
+    case TimestampType =>
       // microseconds since epoch preserves order
       unix_micros(c)
+    case DateType =>
+      // ANSI mode forbids cast(date as long); days since epoch preserves
+      // order
+      unix_date(c).cast("long")
     case _ => c.cast("long")
   }
 
@@ -52,10 +59,14 @@ object ZOrder {
     val scaled = cols.lazyZip(dts).lazyZip(mins).lazyZip(maxs).map {
       case (c, dt, mn, mx) =>
         val v = asLong(c, dt)
-        val span = math.max(1L, mx - mn)
+        // span and the delta are computed IN DOUBLE: a signed-64 key range
+        // (e.g. xxhash64 ids, min ≈ Long.Min, max ≈ Long.Max) overflows
+        // long subtraction — ANSI mode would abort the rewrite. Doubles
+        // lose nothing the 16-bit bucketing can distinguish.
+        val span = math.max(1.0, (BigInt(mx) - BigInt(mn)).toDouble)
         coalesce(
           least(lit(top), greatest(lit(0L),
-            (((v - lit(mn)).cast("double") / lit(span.toDouble)) *
+            (((v.cast("double") - lit(mn.toDouble)) / lit(span)) *
               lit(top.toDouble)).cast("long"))),
           lit(0L))
     }
@@ -68,12 +79,18 @@ object ZOrder {
 
   /** Rewrite `df` z-clustered on `cols`: one metadata aggregate for the
     * per-column ranges, then range-repartition + sort on the interleaved
-    * value. Falls back to identity when any column isn't z-orderable
-    * (caller should use lexicographic clustering instead). */
+    * value. When the frame can't be z-ordered (non-orderable type, too
+    * many columns, empty frame, all-NULL key) it falls back to the
+    * LEXICOGRAPHIC clustered layout — never to an unclustered identity,
+    * so an index always yields sorted row groups on its leading column. */
   def clusterByZOrder(df: DataFrame, cols: Seq[String],
                       bits: Int = 16): DataFrame = {
+    def lexicographic: DataFrame =
+      df.repartitionByRange(cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
     val dts = cols.map(n => df.schema(n).dataType)
-    if (!dts.forall(zOrderable) || cols.size * bits > 63) return df
+    if (!dts.forall(zOrderable) || cols.size * bits > 63)
+      return lexicographic
     val stats = df.agg(
       cols.flatMap(n => Seq(
         min(asLong(col(n), df.schema(n).dataType)),
@@ -81,7 +98,7 @@ object ZOrder {
       cols.flatMap(n => Seq(
         min(asLong(col(n), df.schema(n).dataType)),
         max(asLong(col(n), df.schema(n).dataType)))).tail: _*).head()
-    if (stats.anyNull) return df // empty frame or all-NULL key
+    if (stats.anyNull) return lexicographic // empty frame or all-NULL key
     val mins = cols.indices.map(i => stats.getLong(2 * i))
     val maxs = cols.indices.map(i => stats.getLong(2 * i + 1))
     val z = zValue(cols.map(col), dts, mins, maxs, bits)

@@ -64,12 +64,36 @@ class ZOrderSpec extends SparkSpec {
       }
   }
 
-  test("clusterByZOrder is identity for non-orderable or empty frames") {
-    val strs = Seq(("x", "y")).toDF("a", "b")
-    assert(ZOrder.clusterByZOrder(strs, Seq("a", "b")) eq strs)
+  test("clusterByZOrder falls back to the LEX layout, never unclustered") {
+    // non-orderable types: rows still come back fully sorted on the cols
+    val strs = Seq(("b", "2"), ("a", "1"), ("c", "3")).toDF("a", "b")
+    val out = ZOrder.clusterByZOrder(strs, Seq("a", "b"))
+    assert(out.schema == strs.schema)
+    assert(out.rdd.glom().collect().forall(p =>
+      p.map(_.getString(0)).toSeq == p.map(_.getString(0)).toSeq.sorted))
+    // empty frames and all-NULL keys survive (no crash, same schema)
     val empty = spark.emptyDataFrame
       .select(lit(0L).as("a"), lit(0L).as("b")).filter(lit(false))
-    assert(ZOrder.clusterByZOrder(empty, Seq("a", "b")) eq empty)
+    assert(ZOrder.clusterByZOrder(empty, Seq("a", "b")).count() == 0)
+    val allNull = Seq((1L, 2L)).toDF("a", "b")
+      .select(lit(null).cast("long").as("a"), col("b"))
+    assert(ZOrder.clusterByZOrder(allNull, Seq("a", "b")).count() == 1)
+  }
+
+  test("date columns and signed-64 extreme ranges z-cluster without error") {
+    // regression: cast(date as long) is forbidden in Spark 4 (needs
+    // unix_date), and a Long.Min..Long.Max range used to overflow the
+    // span subtraction under ANSI
+    val dates = Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 1L),
+      (java.sql.Date.valueOf("2024-06-01"), 2L),
+      (java.sql.Date.valueOf("2024-12-31"), 3L))
+      .toDF("d", "x")
+    assert(ZOrder.clusterByZOrder(dates, Seq("d", "x")).count() == 3)
+    val wide = Seq((Long.MinValue, 1L), (0L, 2L), (Long.MaxValue, 3L))
+      .toDF("h", "x")
+    val z = ZOrder.clusterByZOrder(wide, Seq("h", "x"))
+    assert(z.count() == 3)
   }
 
   /** Per-row-group (min, max) of `column` from the parquet footers. */
