@@ -17,6 +17,7 @@ The shim is OPTIONAL integration glue, like the reference's
 integration/python tree: the sbt build does not depend on it.
 """
 import os
+import uuid
 
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql import DataFrame as SparkDataFrame
@@ -299,7 +300,9 @@ def apply_pipeline(rel, stages, conn=None):
                   else "_id")
             # stage the source with renamed columns so MERGE's
             # unqualified refs can't collide with target names
-            stage_tbl = f"_pipe_merge_src_{os.getpid()}"
+            # uuid, not pid: two concurrent pipelines in one process must
+            # not share (and clobber) a staging table
+            stage_tbl = f"_pipe_merge_src_{uuid.uuid4().hex[:12]}"
             renamed = df.select(
                 *[F.col(c).alias(f"src_{c}") for c in df.columns])
             try:

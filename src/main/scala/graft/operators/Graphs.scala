@@ -36,18 +36,25 @@ object Graphs {
     * iterations. */
   def pageRankInt(nodes: DataFrame, edges: DataFrame, iters: Int,
                   seed: Long = 1024L): DataFrame = {
-    // the 20^i scaling overflows Long near i = 13 with the default seed
-    // (P grows ~ 20^i · seed · indegree^i); fail loudly instead of
-    // silently wrapping negative — beyond that many EXACT iterations,
-    // switch to the double-precision formulation
+    // Overflow posture: per-node mass grows ~ 20^i · seed · (hub
+    // in-degree factors), so large iteration counts or seeds overflow
+    // Long. Driver-side teleport constants use multiplyExact (loud), and
+    // executor-side sums/multiplies throw under Spark's default ANSI
+    // mode — so overflow is an ERROR, not silent wraparound. The iters
+    // bound rejects configurations whose teleport constant alone cannot
+    // fit; dense hubs can still hit the (loud) executor limit earlier —
+    // switch to a double-precision PageRank beyond that.
     require(iters >= 0 && iters <= 12,
-      s"pageRankInt: iters=$iters would overflow the 20^i Long scaling" +
-        " (max 12); use fewer iterations or a floating-point PageRank")
+      s"pageRankInt: iters=$iters overflows the 20^i Long teleport" +
+        " scaling (max 12); use fewer iterations or a floating-point" +
+        " PageRank")
     val de = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src"))
     var p = nodes.select(col("node"), lit(seed).as("p"))
     for (i <- 0 until iters) {
-      val tele = 3L * Iterator.iterate(1L)(_ * 20L).drop(i).next() * seed
+      val tele = Math.multiplyExact(
+        Math.multiplyExact(3L, Iterator.iterate(1L)(_ * 20L).drop(i).next()),
+        seed)
       val sums = p.join(de, col("node") === col("src"))
         .select(col("dst"), expr("p div d").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))

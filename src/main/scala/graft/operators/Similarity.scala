@@ -226,13 +226,11 @@ object Similarity {
                            maxLiteralCells: Int = 128): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // kmeansFitCentroids ALWAYS returns nCells entries (an empty cell
+    // keeps its previous centroid), so the persisted index never silently
+    // shrinks its probe space
     val cents: Seq[(Long, Seq[Double], Double)] =
-      kmeansFit(corpus, nCells, rounds, maxLiteralCells)
-        .collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1)
-        .map { case (c, rs) =>
-          val emb = rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-          (c, emb, emb.foldLeft(0.0)((s, v) => s + v * v))
-        }
+      kmeansFitCentroids(corpus, nCells, rounds, maxLiteralCells)
     cents.toDF("c_id", "c_emb", "c_norm").repartition(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val (assigned, _) =
@@ -307,26 +305,38 @@ object Similarity {
       .orderBy(col("cell"), col("dim"))
   }
 
-  /** Full Lloyd iteration to a fixed round count: each round is one
-    * [[lloydStep]] pass; the k·dim means (cluster metadata, O(k·dim)
-    * driver rows like the IVF centroid collect) feed the next round's
-    * literal argmin. Cells that lose all members keep their previous
-    * centroid. Returns the final per-(cell, dim) means frame — the same
-    * shape as [[lloydStep]]. */
-  def kmeansFit(corpus: DataFrame, k: Int = 8, rounds: Int = 5,
-                maxLiteralCells: Int = 128): DataFrame = {
-    require(rounds >= 1, "kmeansFit needs at least one round")
+  /** Centroids after `rounds` full Lloyd iterations, as (id, embedding,
+    * |c|²) with ids 0..k-1 — the trained model itself, ALWAYS k entries:
+    * a cell that loses all members keeps its previous centroid. Each
+    * round is one [[lloydStep]] pass whose k·dim means (cluster
+    * metadata, O(k·dim) driver rows like the IVF centroid collect) feed
+    * the next round's literal argmin. */
+  def kmeansFitCentroids(corpus: DataFrame, k: Int = 8, rounds: Int = 5,
+      maxLiteralCells: Int = 128): Seq[(Long, Seq[Double], Double)] = {
+    require(rounds >= 0, "kmeansFitCentroids needs rounds >= 0")
     var cents: Seq[Seq[Double]] = centroidStats(corpus, k).map(_._2)
-    var out: DataFrame = null
     for (_ <- 0 until rounds) {
-      out = lloydStep(corpus, k, maxLiteralCells, Some(cents))
-      val byCell = out.collect().groupBy(_.getLong(0)).map { case (c, rs) =>
-        c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-      }
+      val byCell = lloydStep(corpus, k, maxLiteralCells, Some(cents))
+        .collect().groupBy(_.getLong(0)).map { case (c, rs) =>
+          c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
       cents = cents.zipWithIndex.map { case (prev, c) =>
         byCell.getOrElse(c.toLong, prev)
       }
     }
-    out
+    cents.zipWithIndex.map { case (emb, i) =>
+      (i.toLong, emb, emb.foldLeft(0.0)((s, v) => s + v * v)) }
+  }
+
+  /** Full Lloyd iteration to a fixed round count, returning the FINAL
+    * round's per-(cell, dim) means frame (the [[lloydStep]] shape). The
+    * first rounds−1 iterations run through [[kmeansFitCentroids]]; the
+    * last round is returned LAZILY — no duplicate execution when the
+    * caller materializes it. */
+  def kmeansFit(corpus: DataFrame, k: Int = 8, rounds: Int = 5,
+                maxLiteralCells: Int = 128): DataFrame = {
+    require(rounds >= 1, "kmeansFit needs at least one round")
+    val cents = kmeansFitCentroids(corpus, k, rounds - 1, maxLiteralCells)
+    lloydStep(corpus, k, maxLiteralCells, Some(cents.map(_._2)))
   }
 }

@@ -44,11 +44,16 @@ object Sketches {
                    capacity: Int = 4096): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val candDs = df.select(col(keyCol).cast("string")).as[String]
+    // the sketch pass also emits each partition's non-null row count
+    // (isTotal = true rows), so n_total costs NO extra scan — the
+    // operator is genuinely two passes over the data
+    val sketch = df.select(col(keyCol).cast("string")).as[String]
       .mapPartitions { it =>
         val counters = new java.util.HashMap[String, Long](capacity * 2)
+        var nRows = 0L
         it.foreach { key =>
           if (key != null) {
+            nRows += 1L
             val cur = counters.get(key)
             if (cur != 0L || counters.containsKey(key)) {
               counters.put(key, cur + 1L)
@@ -65,22 +70,26 @@ object Sketches {
             }
           }
         }
-        val out = new scala.collection.mutable.ArrayBuffer[String](
-          counters.size)
-        counters.keySet().forEach(key => out += key)
+        val out = new scala.collection.mutable.ArrayBuffer[(Boolean, String, Long)](
+          counters.size + 1)
+        counters.keySet().forEach(key => out += ((false, key, 0L)))
+        out += ((true, null, nRows))
         out.iterator
-      }
+      }.toDF("isTotal", "_k", "n")
+      // cached so cands and total share ONE sketch execution; the footprint
+      // is bounded cluster metadata (≤ partitions·capacity short strings)
+      .cache()
     // candidates return to the key's ORIGINAL type for the exact pass, so
     // the output schema matches the input column and ties at the k
     // boundary break in the native ordering (numeric keys order
     // numerically, not by their string image)
     val keyType = df.schema(keyCol).dataType
-    val cands = candDs.toDF("_k").distinct()
+    val cands = sketch.filter(!col("isTotal")).select(col("_k")).distinct()
       .select(col("_k").cast(keyType).as(keyCol))
     val exact = df.select(col(keyCol)).join(broadcast(cands), Seq(keyCol))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
-    val total = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
-      .agg(count(lit(1)).as("n_total"))
+    val total = sketch.filter(col("isTotal"))
+      .agg(sum(col("n")).as("n_total"))
     // total order (cnt desc, key asc) + limit → TakeOrderedAndProject:
     // each task ships its local k, no global window
     exact

@@ -91,13 +91,10 @@ object ZOrder {
     val dts = cols.map(n => df.schema(n).dataType)
     if (!dts.forall(zOrderable) || cols.size * bits > 63)
       return lexicographic
-    val stats = df.agg(
-      cols.flatMap(n => Seq(
-        min(asLong(col(n), df.schema(n).dataType)),
-        max(asLong(col(n), df.schema(n).dataType)))).head,
-      cols.flatMap(n => Seq(
-        min(asLong(col(n), df.schema(n).dataType)),
-        max(asLong(col(n), df.schema(n).dataType)))).tail: _*).head()
+    val aggs = cols.flatMap(n => Seq(
+      min(asLong(col(n), df.schema(n).dataType)),
+      max(asLong(col(n), df.schema(n).dataType))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
     if (stats.anyNull) return lexicographic // empty frame or all-NULL key
     val mins = cols.indices.map(i => stats.getLong(2 * i))
     val maxs = cols.indices.map(i => stats.getLong(2 * i + 1))
