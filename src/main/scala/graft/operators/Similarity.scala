@@ -339,4 +339,46 @@ object Similarity {
     val cents = kmeansFitCentroids(corpus, k, rounds - 1, maxLiteralCells)
     lloydStep(corpus, k, maxLiteralCells, Some(cents.map(_._2)))
   }
+
+  /** Clustering-quality evaluation: per-cell member count and inertia
+    * (Σ squared L2 distance to the assigned centroid) — the metric that
+    * closes the Lloyd loop (fit → assign → evaluate) and the convergence
+    * / elbow statistic a production k-means monitors per round.
+    *
+    * Determinism (the ir1/d18 pattern): the per-vector squared distance
+    * is ONE double chain — `a·a + (|c|² − 2·a·c)` with every dot folded
+    * left-to-right — rounded once to 6 dp and summed as DECIMAL, so the
+    * per-cell inertia is order-independent and hash-exact across engines.
+    *
+    * Scale shape: assignment is the same NARROW literal-tree argmin the
+    * IVF path uses (zero shuffle between scan and assignment; the struct
+    * min carries the winning distance along with the cell id), and the
+    * only exchange is the O(k)-row per-cell rollup with map-side combine.
+    *
+    * Output: (cell, n_members, inertia DECIMAL(38,6)) ordered by cell. */
+  def quantizationError(corpus: DataFrame,
+                        centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "quantizationError needs centroids")
+    val spark = corpus.sparkSession
+    val cents = centroids.zipWithIndex.map { case (emb, i) =>
+      (i.toLong, emb, emb.foldLeft(0.0)((s, v) => s + v * v)) }
+    // Same (d, c_id) struct ordering as cellAssignments' literal path:
+    // ties on d break toward the lower cell id.
+    def scored(vec: Column): Column = array(cents.map {
+      case (cid, emb, normSq) =>
+        val cLit = array(emb.map(lit): _*)
+        struct((lit(normSq) - lit(2.0) * dotAuto(spark)(vec, cLit))
+          .as("d"), lit(cid).as("c_id"))
+    }: _*)
+    corpus
+      .select(array_min(scored(col("embedding"))).as("b"),
+        dotAuto(spark)(col("embedding"), col("embedding")).as("anorm"))
+      .select(col("b").getField("c_id").as("cell"),
+        round(col("anorm") + col("b").getField("d"), 6)
+          .cast("decimal(28,6)").as("err"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("err")).cast("decimal(38,6)").as("inertia"))
+      .orderBy(col("cell"))
+  }
 }
