@@ -229,9 +229,9 @@ object ScaleQueries {
     // form is pair-exact). All arithmetic in the µs domain to match the
     // oracle's µs-truncated timestamps ---
     "c12_funnel" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "events")
+      val e = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"),
-          expr("ts DIV 1000").as("us"))
+          unix_micros(col("t")).as("us"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val hourUs = 3600L * 1000000L

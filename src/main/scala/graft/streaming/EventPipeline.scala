@@ -24,13 +24,24 @@ object EventPipeline {
                      start: java.sql.Timestamp, end: java.sql.Timestamp)
 
   /** Unbounded source over a directory of event parquet (schema fixed up
-    * front — streaming requires it). */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-      .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+    * front — streaming requires it). The schema is taken from a batch read
+    * of the same directory so the `ts` physical type (epoch-nanos BIGINT
+    * vs TIMESTAMP micros — the driver has shipped both) is whatever the
+    * data actually carries; [[graft.Tables.withEventTime]] then derives
+    * the canonical event-time column `t` either way. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    // same reader tolerance as Tables.load (nanos-as-long, no NTZ)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // probe the events schema: `dir` may be a pure stream directory of
+    // event files, or a testdata scale-factor dir where events.parquet
+    // sits next to other tables
+    val probe = new java.io.File(dir, "events.parquet")
+    val schema =
+      spark.read.parquet(if (probe.exists()) probe.getPath else dir).schema
+    graft.Tables.withEventTime(
+      spark.readStream.schema(schema).parquet(dir))
+  }
 
   /** Tumbling-window counts with late-data handling: watermark bounds
     * state so a 1000-executor job holds hours, not history, in memory. */

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Table loading helpers shared by SparkEntry / Verify / Bench / tests.
   *
@@ -11,18 +13,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-    // read nanos as epoch-nano longs and convert explicitly where needed.
+    // Timestamp physical-type tolerance (the driver has regenerated
+    // events.parquet with different encodings across rounds):
+    //  - TIMESTAMP(NANOS), which Spark's reader rejects outright → read
+    //    the nanos as epoch-long instead and convert where needed;
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 would
+    //    surface as TIMESTAMP_NTZ → read as plain TimestampType. The
+    //    parquet value is passed through as micros-since-epoch unchanged
+    //    (no session-timezone shift on read), and every session here runs
+    //    UTC, so this matches DuckDB's naive-timestamp oracle semantics.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events with `ts` (epoch nanos as long) plus a proper microsecond
-    * timestamp column `t` (floor-truncated, matching CAST(ns AS TIMESTAMP)). */
+  /** Adds the canonical microsecond event-time column `t` (TimestampType)
+    * to an events-shaped frame, dispatching on the physical type `ts`
+    * arrived as. Downstream code uses `t` (and `unix_micros(t)` for epoch
+    * math) exclusively, so query code is independent of how the driver
+    * encoded the column this round. */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      // epoch-nanos long (legacy TIMESTAMP(NANOS) surfaced via
+      // nanosAsLong): floor-truncate to micros, matching CAST(ns AS
+      // TIMESTAMP) in the oracle engine.
+      case LongType => df.withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+      // already a micros timestamp: use as-is.
+      case TimestampType => df.withColumn("t", col("ts"))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other — expected epoch-nanos " +
+          "BIGINT or TIMESTAMP")
+    }
+
+  /** events with a proper microsecond timestamp column `t` (see
+    * [[withEventTime]] for the physical-type dispatch). */
   def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("t", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    withEventTime(load(spark, dir, "events"))
 
   /** Registers every test table as a temp view so `spark.sql` text matches
     * the DuckDB oracle dialect as closely as possible. Idempotent. */
