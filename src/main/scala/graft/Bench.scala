@@ -11,6 +11,19 @@ import org.apache.spark.sql.SparkSession
   *   SPARK_GRAFT_REPEAT=n      — time best-of-n runs (default 1)
   */
 object Bench {
+  /** Best-of-`repeat` wall time of `run`, or -1.0 iff EVERY attempt
+    * threw — a failure must never be recorded as a (fast) duration. */
+  def bestTime(repeat: Int, name: String)(run: () => Unit): Double = {
+    val times = (1 to repeat).map { _ =>
+      val t0 = System.nanoTime()
+      try { run(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+    }
+    val ok = times.filter(_ >= 0)
+    if (ok.nonEmpty) ok.min else -1.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,19 +53,21 @@ object Bench {
         try fn(spark, sfDir).explain("formatted")
         catch { case e: Throwable => System.err.println(s"explain $name: $e") }
       }
-      val times = (1 to repeat).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val best = times.min
+      // A failed run records -1, NOT its time-to-exception: BENCH_r08
+      // recorded crashed queries as 0.088 s "runtimes", which reads as a
+      // speedup. best = -1 iff every attempt failed.
+      val best = bestTime(repeat, name)(() => fn(spark, sfDir).count())
       System.err.println(f"[bench] $name%-24s $best%8.3f s")
       name -> best
     }
+    val failed = results.filter(_._2 < 0).map(_._1)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[bench] ${failed.size} queries FAILED (recorded -1): " +
+          failed.mkString(", "))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)

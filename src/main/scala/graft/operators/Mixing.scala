@@ -108,6 +108,51 @@ object Mixing {
     stratifiedSample(df, stratumCol, rates, seed, keyCols)
   }
 
+  /** (id, is_t, b): every unigram+bigram feature hashed onto `buckets`
+    * keys — the shared narrow explode feeding both the model aggregation
+    * and the per-doc rollup. */
+  private def hashedFeatures(df: DataFrame, textCol: String,
+                             idCol: Option[String], isTarget: Column,
+                             buckets: Int): DataFrame = {
+    import graft.functions.TextFunctions.md5Bits60
+    val ids = idCol.toSeq.map(col)
+    val base = df.select(ids ++ Seq(isTarget.as("is_t"),
+      graft.functions.TextFunctions.cleanTokens(col(textCol)).as("ws")): _*)
+    val bigrams = expr(
+      "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))")
+    val featArr = when(size(col("ws")) >= 2, concat(col("ws"), bigrams))
+      .otherwise(col("ws"))
+    base.select(ids ++ Seq(col("is_t"), explode(featArr).as("feat")): _*)
+      .select(ids ++ Seq(col("is_t"),
+        pmod(md5Bits60(col("feat")), lit(buckets.toLong)).as("b")): _*)
+  }
+
+  /** The DSIR bucket model as driver-side metadata: for every bucket b,
+    *   w_b = round(ln((t_b+1)·(r_tot+B) / ((r_b+1)·(t_tot+B))), 6)
+    * (counts go through double BEFORE multiplying so the products can't
+    * overflow long at petabyte feature counts). ONE aggregation job over
+    * the hashed features collects O(buckets) exact-integer rows; the
+    * single libm `ln` per bucket runs on the driver so the resulting
+    * 6-dp decimals can ride as identical literals in every engine.
+    * Buckets with no occurrences get the (0+1)/(0+1) smoothed ratio. */
+  def importanceModel(df: DataFrame, textCol: String, isTarget: Column,
+                      buckets: Int = 64): Seq[(Long, java.math.BigDecimal)] = {
+    val occ = hashedFeatures(df, textCol, None, isTarget, buckets)
+    val stats = occ.groupBy(col("b")).agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("t_b"),
+        count(lit(1)).as("r_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val tTot = stats.map(_._2).sum
+    val rTot = stats.map(_._3).sum
+    val byB = stats.map(s => s._1 -> s).toMap
+    (0L until buckets.toLong).map { b =>
+      val (tB, rB) = byB.get(b).map(s => (s._2, s._3)).getOrElse((0L, 0L))
+      b -> graft.OracleLiterals.ln6(
+        (tB + 1L).toDouble * (rTot + buckets).toDouble,
+        (rB + 1L).toDouble * (tTot + buckets).toDouble)
+    }
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * the log-likelihood ratio of a hashed-n-gram bag-of-words model of a
@@ -118,46 +163,41 @@ object Mixing {
     * Laplace-smoothed bucket frequencies, the target estimated from rows
     * where `isTarget`, the raw model from all rows. The per-doc weight is
     * Σ_b c_doc(b) · [ln p̂_t(b) − ln p̂_r(b)]; docs resembling the target
-    * get positive weight. Each bucket's log-ratio is rounded to 6 dp and
-    * carried as DECIMAL so the weighted sum is order-independent and
-    * exactly reproducible cross-engine.
+    * get positive weight. Each bucket's log-ratio rides as a 6-dp DECIMAL
+    * literal (driver-computed, see [[importanceModel]]) so the weighted
+    * sum is order-independent and exactly reproducible cross-engine.
     *
-    * Scale shape: feature hashing is a narrow explode; the two models are
-    * ONE shuffle onto `buckets` keys producing an O(buckets) frame that
-    * broadcasts back onto the per-(doc,bucket) counts; the final rollup
-    * shuffles on the doc id. No driver materialization.
+    * Scale shape: feature hashing is a narrow explode; the model is ONE
+    * shuffle onto `buckets` keys collected as O(buckets) driver metadata,
+    * re-broadcast onto the per-(doc,bucket) counts; the final rollup
+    * shuffles on the doc id. Pass a precomputed `model` to skip the model
+    * job (and to share its literals with an external oracle).
     *
     * Output: (idCol, n_feats, w DECIMAL(28,6)).
     */
   def importanceWeights(df: DataFrame, textCol: String, idCol: String,
-                        isTarget: Column, buckets: Int = 64): DataFrame = {
-    import graft.functions.TextFunctions.md5Bits60
-    val base = df.select(col(idCol), isTarget.as("is_t"),
-      graft.functions.TextFunctions.cleanTokens(col(textCol)).as("ws"))
-    val bigrams = expr(
-      "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))")
-    val featArr = when(size(col("ws")) >= 2, concat(col("ws"), bigrams))
-      .otherwise(col("ws"))
-    val occ = base.select(col(idCol), col("is_t"),
-        explode(featArr).as("feat"))
-      .select(col(idCol), col("is_t"),
-        pmod(md5Bits60(col("feat")), lit(buckets.toLong)).as("b"))
-    val stats = occ.groupBy(col("b")).agg(
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("t_b"),
-      count(lit(1)).as("r_b"))
-    val tot = stats.agg(sum(col("t_b")).as("t_tot"), sum(col("r_b")).as("r_tot"))
-    // ln((t_b+1)/(t_tot+B)) − ln((r_b+1)/(r_tot+B)), one ln of an exact
-    // double ratio; counts go through double BEFORE multiplying so the
-    // products can't overflow long at petabyte feature counts
-    val wB = stats.crossJoin(broadcast(tot)).select(col("b"),
-      round(log(((col("t_b") + 1L).cast("double") * (col("r_tot") + lit(buckets.toLong)).cast("double")) /
-                ((col("r_b") + 1L).cast("double") * (col("t_tot") + lit(buckets.toLong)).cast("double"))), 6)
-        .cast("decimal(20,6)").as("w_b"))
+                        isTarget: Column, buckets: Int = 64,
+                        model: Option[Seq[(Long, java.math.BigDecimal)]] = None)
+      : DataFrame = {
+    val occ = hashedFeatures(df, textCol, Some(idCol), isTarget, buckets)
+    // The bucket log-ratios come from the driver (bounded metadata —
+    // O(buckets) rows) rather than an in-plan ln: libm `ln` differs by
+    // 1 ULP across builds, which flips the 6-dp rounding right at a
+    // 0.5·10⁻⁶ boundary (CORRECTNESS_r08 d18). The SAME literal text is
+    // injected here and into the DuckDB oracle, so the check is
+    // hash-exact by construction.
+    val m = model.getOrElse(importanceModel(df, textCol, isTarget, buckets))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wB = m.map { case (b, w) => (b, w.toPlainString) }
+      .toDF("b", "wtxt")
+      .select(col("b"), col("wtxt").cast("decimal(20,6)").as("w_b"))
     val perDoc = occ.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
       .join(broadcast(wB), Seq("b"))
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_feats"),
         sum(col("c") * col("w_b")).cast("decimal(28,6)").as("w"))
+    val base = df.select(col(idCol))
     // empty/whitespace-only docs have no features and would vanish from
     // the explode — keep them with (0, 0.000000) so a resampling join on
     // idCol never silently drops rows (the dropBoilerplateSegments

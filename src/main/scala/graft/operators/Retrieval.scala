@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   * top-k, where Spark's `WindowGroupLimit` keeps each map task's
   * contribution to k rows per query.
   *
-  * FP determinism (the d18 pattern, see [[Mixing.importanceWeights]]): the
-  * per-(query, doc, term) score is one double chain — exact-ratio `ln` for
-  * the IDF, IEEE-exact multiply/divide for the TF normalization — rounded
-  * ONCE to 6 dp and cast to DECIMAL, so the per-doc sum is order-independent
-  * and bit-identical across engines.
+  * FP determinism (the d18 literal-injection pattern, see
+  * [[Mixing.importanceModel]]): the per-term Robertson idf — the only
+  * transcendental — is computed ONCE on the driver from the O(#query-terms)
+  * df metadata and rides as an identical 6-dp decimal literal in this plan
+  * and in any oracle ([[Bm25Model]]); the remaining per-posting chain is
+  * IEEE-exact multiply/divide rounded ONCE to 6 dp and cast to DECIMAL, so
+  * the per-doc sum is order-independent and bit-identical across engines.
   */
 object Retrieval {
 
@@ -35,34 +37,60 @@ object Retrieval {
       .select(col("doc_id"), col("ws"),
         size(col("ws")).cast("bigint").as("dl"))
 
+  /** The BM25 scoring model as bounded driver metadata: per query-term
+    * Robertson-idf (already rounded to 6 dp — the decimal literal BOTH
+    * engines consume) plus the exact corpus stats. O(#query-terms)+O(1)
+    * rows — the natural shape for the build-once/query-many index path,
+    * and the reason no engine ever runs `ln` in a BM25 plan here: libm
+    * builds disagree by 1 ULP, which flips 6-dp rounding right at a
+    * boundary (CORRECTNESS_r08 ir2). */
+  case class Bm25Model(idf: Seq[(String, java.math.BigDecimal)],
+                       nDocs: Long, sumDl: Long) {
+    def avgdl: Double = sumDl.toDouble / nDocs.toDouble
+  }
+
+  /** Builds a [[Bm25Model]] from the (term, df) frame restricted to query
+    * terms and the 1-row corpus stats — one tiny collect each. */
+  private def collectModel(dfq: DataFrame, stats: DataFrame): Bm25Model = {
+    val Array(st) = stats.select(col("n_docs").cast("long"),
+      col("sum_dl").cast("long")).collect()
+    val (n, sumDl) = (st.getLong(0), st.getLong(1))
+    val idf = dfq.select(col("term"), col("df").cast("long")).collect()
+      .toSeq.map { r =>
+        val df = r.getLong(1)
+        // Robertson +1 idf: strictly positive even for df > N/2
+        r.getString(0) -> graft.OracleLiterals.round6(
+          math.log(1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)))
+      }.sortBy(_._1)
+    Bm25Model(idf, n, sumDl)
+  }
+
   /** The shared scoring tail: postings restricted to query terms ⋈ the
-    * broadcast (q_id, term) pairs ⋈ broadcast per-term df ⋈ broadcast
-    * 1-row corpus stats → one rounded double chain per posting riding as
-    * DECIMAL → per-doc sum → per-query top-k (rank-limit pushed below the
-    * exchange as `WindowGroupLimit`). */
-  private def scoreAndRank(tfq: DataFrame, dfq: DataFrame, stats: DataFrame,
-                           qt: DataFrame, k: Int, k1: Double,
-                           b: Double): DataFrame = {
-    // One double chain per posting, rounded once:
-    //   idf = ln(1 + (N - df + 0.5) / (df + 0.5))            [Robertson +1:
-    //         strictly positive even for df > N/2]
+    * broadcast (q_id, term) pairs ⋈ broadcast per-term idf LITERALS from
+    * the driver-side model → one rounded double chain per posting riding
+    * as DECIMAL → per-doc sum → per-query top-k (rank-limit pushed below
+    * the exchange as `WindowGroupLimit`). */
+  private def scoreAndRank(tfq: DataFrame, qt: DataFrame, model: Bm25Model,
+                           k: Int, k1: Double, b: Double): DataFrame = {
+    val spark = tfq.sparkSession
+    import spark.implicits._
+    // idf arrives as exact 6-dp decimal text → double (correctly-rounded
+    // cast, identical in any engine); the remaining chain is IEEE-exact:
     //   tfn = tf·(k1+1) / (tf + k1·((1−b) + b·dl/avgdl))
-    // Constants (k1+1, 1−b) are folded HERE so the oracle can replay the
-    // same decimal literals; association is strictly left-to-right in both.
-    val idf = round(
-      log(lit(1.0) +
-        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5))), 6)
-    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    // Constants (k1+1, 1−b, avgdl) are folded HERE so the oracle can
+    // replay the same literals; association is strictly left-to-right.
+    val idfDf = model.idf.map { case (t, v) => (t, v.toPlainString) }
+      .toDF("term", "itxt")
+      .select(col("term"), col("itxt").cast("double").as("idf"))
     val tfn = (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") +
-        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+        lit(k1) * (lit(1.0 - b) + lit(b) *
+          (col("dl").cast("double") / lit(model.avgdl))))
     val scored = tfq
       .join(broadcast(qt), Seq("term"))
-      .join(broadcast(dfq), Seq("term"))
-      .crossJoin(broadcast(stats))
+      .join(broadcast(idfDf), Seq("term"))
       .select(col("q_id"), col("doc_id"),
-        round(idf * tfn, 6).cast("decimal(20,6)").as("sc"))
+        round(col("idf") * tfn, 6).cast("decimal(20,6)").as("sc"))
 
     val perDoc = scored.groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("sc")).cast("decimal(28,6)").as("score"))
@@ -85,7 +113,8 @@ object Retrieval {
     * score desc then doc_id asc — a total order, deterministic. */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queries: Seq[(String, Seq[String])], k: Int = 5,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               onModel: Bm25Model => Unit = _ => ()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -106,17 +135,15 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
 
     // df per query term (tf rows are unique per (doc, term), so a plain
-    // count is the document frequency) and global (N, avgdl): both tiny.
-    // This branch re-derives tfq's lineage (Catalyst prunes the subtrees
-    // differently, so the exchange isn't reusable) — a deliberate 2nd
-    // NARROW scan+aggregate: the skew-free alternative to a
-    // Window.partitionBy(term) count, which would funnel every posting of
-    // a common term through one task. One-shot calls pay the extra scan;
-    // the build-once path ([[buildBm25Index]]) pays it never.
+    // count is the document frequency) and global (N, avgdl): both tiny
+    // — O(#query-terms)+O(1) rows, collected into the driver-side model
+    // (one extra aggregation job for the one-shot path; the build-once
+    // path ([[buildBm25Index]]) reads them from the index instead).
     val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-
-    scoreAndRank(tfq, dfq, stats, qt, k, k1, b)
+    val model = collectModel(dfq, stats)
+    onModel(model)
+    scoreAndRank(tfq, qt, model, k, k1, b)
   }
 
   /** Builds and PERSISTS the inverted index — the build-once/query-many
@@ -164,7 +191,8 @@ object Retrieval {
     * are identical to [[bm25TopK]] with the same parameters. */
   def queryBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: Seq[(String, Seq[String])], k: Int = 5,
-                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                     k1: Double = 1.2, b: Double = 0.75,
+                     onModel: Bm25Model => Unit = _ => ()): DataFrame = {
     import spark.implicits._
     val qt = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
       .toDF("q_id", "term")
@@ -174,7 +202,9 @@ object Retrieval {
     val dfq = spark.read.parquet(s"$path/df")
       .filter(col("term").isin(terms: _*))
     val stats = spark.read.parquet(s"$path/stats")
-    scoreAndRank(tfq, dfq, stats, qt, k, k1, b)
+    val model = collectModel(dfq, stats)
+    onModel(model)
+    scoreAndRank(tfq, qt, model, k, k1, b)
   }
 
   /** Reciprocal-rank fusion: merge N per-query candidate rankings (sparse

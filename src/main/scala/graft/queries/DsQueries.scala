@@ -161,34 +161,39 @@ object DsQueries {
     // --- q51 shape: two per-channel cumulative revenue series (urgent vs
     // routine order priority standing in for web vs store), FULL OUTER
     // joined on (bucket, month), running-max carrying each side across
-    // the other's missing months, crossover months kept. Cumulative sums
-    // ride as DECIMAL end-to-end so the check is hash-exact. Scale: each
-    // side is one groupBy shuffle; the windows run over the aggregated
-    // monthly series (bounded by #months per bucket), and the FOJ keys
-    // are the same (bucket, month) partitioning — no base-row window ---
+    // the other's missing months, crossover months kept. Prices convert
+    // to EXACT integer cents at the scan (round(x*100) of an IEEE-exact
+    // product — a direct double→DECIMAL cast rounds ties differently
+    // across engines, seen in CORRECTNESS_r08) and every cumulative sum
+    // stays BIGINT, so the check is hash-exact with zero FP anywhere.
+    // Scale: each side is one groupBy shuffle; the windows run over the
+    // aggregated monthly series (bounded by #months per bucket), and the
+    // FOJ keys are the same (bucket, month) partitioning — no base-row
+    // window ---
     "ds7_cumulative_crossover" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders").select(
         pmod(col("o_custkey"), lit(50)).as("bucket"),
         date_trunc("month", col("o_orderdate").cast("timestamp")).as("m"),
-        col("o_orderpriority").as("pri"), col("o_totalprice"))
+        col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
       def side(f: org.apache.spark.sql.Column, out: String) = o.filter(f)
         .groupBy(col("bucket"), col("m"))
-        .agg(sum(col("o_totalprice").cast(D)).as("rev"))
+        .agg(sum(col("cents")).as("rev"))
         .withColumn(out, sum(col("rev")).over(
           Window.partitionBy(col("bucket")).orderBy(col("m"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast(D))
+          .cast("bigint"))
         .select(col("bucket"), col("m"), col(out))
       val hi = side(col("pri").isin("1-URGENT", "2-HIGH"), "cum_hi")
       val lo = side(!col("pri").isin("1-URGENT", "2-HIGH"), "cum_lo")
       val w = Window.partitionBy(col("bucket")).orderBy(col("m"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       hi.join(lo, Seq("bucket", "m"), "full_outer")
-        .withColumn("urgent_cum", max(col("cum_hi")).over(w))
-        .withColumn("routine_cum", max(col("cum_lo")).over(w))
-        .filter(col("urgent_cum") > col("routine_cum"))
-        .select(col("bucket"), col("m"), col("urgent_cum"),
-          col("routine_cum"))
+        .withColumn("urgent_cum_cents", max(col("cum_hi")).over(w))
+        .withColumn("routine_cum_cents", max(col("cum_lo")).over(w))
+        .filter(col("urgent_cum_cents") > col("routine_cum_cents"))
+        .select(col("bucket"), col("m"), col("urgent_cum_cents"),
+          col("routine_cum_cents"))
         .orderBy(col("bucket"), col("m"))
     }))
 
@@ -198,25 +203,26 @@ object DsQueries {
         SELECT o_custkey % 50 AS bucket,
           CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
             AS TIMESTAMP) AS m,
-          o_orderpriority AS pri, o_totalprice
+          o_orderpriority AS pri,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         FROM orders),
       a AS (
-        SELECT bucket, m, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+        SELECT bucket, m, CAST(SUM(cents) AS BIGINT) AS rev
         FROM o WHERE pri IN ('1-URGENT', '2-HIGH') GROUP BY bucket, m),
       ac AS (
         SELECT bucket, m,
           CAST(SUM(rev) OVER (PARTITION BY bucket ORDER BY m
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DECIMAL(28,6)) AS cum_hi
+            AS BIGINT) AS cum_hi
         FROM a),
       b AS (
-        SELECT bucket, m, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+        SELECT bucket, m, CAST(SUM(cents) AS BIGINT) AS rev
         FROM o WHERE pri NOT IN ('1-URGENT', '2-HIGH') GROUP BY bucket, m),
       bc AS (
         SELECT bucket, m,
           CAST(SUM(rev) OVER (PARTITION BY bucket ORDER BY m
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DECIMAL(28,6)) AS cum_lo
+            AS BIGINT) AS cum_lo
         FROM b),
       j AS (
         SELECT COALESCE(ac.bucket, bc.bucket) AS bucket,
@@ -226,12 +232,14 @@ object DsQueries {
       f AS (
         SELECT bucket, m,
           MAX(cum_hi) OVER (PARTITION BY bucket ORDER BY m
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS urgent_cum,
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS urgent_cum_cents,
           MAX(cum_lo) OVER (PARTITION BY bucket ORDER BY m
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS routine_cum
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS routine_cum_cents
         FROM j)
-      SELECT bucket, m, urgent_cum, routine_cum
-      FROM f WHERE urgent_cum > routine_cum
+      SELECT bucket, m, urgent_cum_cents, routine_cum_cents
+      FROM f WHERE urgent_cum_cents > routine_cum_cents
       ORDER BY bucket, m""",
     "ds5_frequent_items" -> """
       WITH freq AS (

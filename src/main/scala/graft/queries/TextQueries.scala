@@ -266,12 +266,19 @@ object TextQueries {
 
     // --- DSIR-style importance weights: log-likelihood ratio of hashed
     // unigram+bigram models, target = English docs vs raw = everything.
-    // Bucket log-ratios round to 6 dp and ride as DECIMAL so the doc
-    // rollup is order-independent — the oracle check is hash-exact ---
+    // The 64 bucket log-ratios are computed ONCE on the driver (bounded
+    // metadata) and the same DECIMAL literals ride in this plan AND the
+    // DuckDB oracle (stashed below), so no engine runs `ln` and the
+    // check is hash-exact regardless of libm build ---
     "d18_dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val en = col("lang") === "en"
+      val model = graft.operators.Mixing.importanceModel(d, "text", en, 64)
+      graft.OracleLiterals.put("d18_w", graft.OracleLiterals.valuesCte(
+        "w", "b", "w_b", "DECIMAL(20,6)", model))
       graft.operators.Mixing.importanceWeights(
-          docs(s, dir), "text", "doc_id",
-          isTarget = col("lang") === "en", buckets = 64)
+          d, "text", "doc_id", isTarget = en, buckets = 64,
+          model = Some(model))
         .orderBy(col("doc_id"))
     }),
 
@@ -298,39 +305,45 @@ object TextQueries {
         .orderBy(col("lang"), col("rk"))
     }),
 
-    // --- LM-perplexity quality signal (CCNet-style): per-doc bigram
-    // cross-entropy under the corpus's OWN Laplace-smoothed bigram model,
-    //   P(w2|w1) = (c(w1 w2)+1) / (c(w1·)+64),
-    // nll = −Σ ln P (cross-entropy = nll/n_bigrams, left to the reader:
-    // a final double division can land exactly on a rounding boundary
-    // and flip the last digit between engines — seen at sf0.1 — so the
-    // output stays in exact DECIMAL). Each bigram's log-prob is ONE ln
-    // of an exact integer ratio, rounded to 6 dp and carried as DECIMAL
-    // (the d18 pattern) so the doc rollup is order-independent and the
-    // check is hash-exact.
-    // Scale shape: model counts are two equi-keyed aggregations over the
-    // exploded bigrams; scoring joins on (bigram) and (left-token) — all
-    // shuffle-partitionable, nothing broadcast-unbounded, no windows ---
+    // --- LM-perplexity quality signal (CCNet-style hashed LM): per-doc
+    // cross-entropy under the corpus's OWN Laplace-smoothed hashed-bigram
+    // model — bigrams hash onto 512 buckets (the d18 feature-hashing
+    // shape) and P(b) = (c_b+1)/(tot+512). nll = −Σ ln P; cross-entropy
+    // = nll/n_bigrams is left to the reader (a final double division can
+    // land exactly on a rounding boundary and flip the last digit between
+    // engines — seen at sf0.1 — so the output stays in exact DECIMAL).
+    // The 512 bucket log-probs are computed ONCE on the driver and ride
+    // as identical DECIMAL literals in this plan and the oracle — no
+    // in-engine `ln`, hash-exact on any libm build (CORRECTNESS_r08
+    // showed the in-plan round(ln) chain flipping vs the driver's DuckDB).
+    // Scale shape: model = one equi-keyed aggregation onto 512 keys
+    // collected as bounded driver metadata; scoring = one (doc, bucket)
+    // aggregation + broadcast literal join — shuffle-partitionable,
+    // nothing broadcast-unbounded, no windows ---
     "g3_bigram_xent" -> ((s, dir) => {
+      import s.implicits._
+      val B = 512L
       val base = docs(s, dir)
-        .select(col("doc_id"),
-          cleanTokens(col("text")).as("ws"))
+        .select(col("doc_id"), cleanTokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= 2)
-      val bg = base.select(col("doc_id"), explode(expr(
+      val occ = base.select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(ws) - 2), i -> " +
-            "struct(ws[i] AS w1, concat(ws[i], ' ', ws[i + 1]) AS b))"))
-          .as("p"))
-        .select(col("doc_id"), col("p.w1"), col("p.b"))
-      val c2 = bg.groupBy(col("b")).agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val per = bg.groupBy(col("doc_id"), col("w1"), col("b"))
-        .agg(count(lit(1)).as("c"))
-      val sc = per.join(c2, Seq("b")).join(c1, Seq("w1"))
-        .select(col("doc_id"), col("c"),
-          round(log((col("c2") + 1L).cast("double") /
-            (col("c1") + lit(64L)).cast("double")), 6)
-            .cast("decimal(20,6)").as("lp"))
-      sc.groupBy(col("doc_id"))
+            "concat(ws[i], ' ', ws[i + 1]))")).as("bg"))
+        .select(col("doc_id"),
+          pmod(md5Bits60(col("bg")), lit(B)).as("bk"))
+      val counts = occ.groupBy(col("bk")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val tot = counts.valuesIterator.sum
+      val model = (0L until B).map(b => b -> graft.OracleLiterals.ln6(
+        (counts.getOrElse(b, 0L) + 1L).toDouble, (tot + B).toDouble))
+      graft.OracleLiterals.put("g3_lp", graft.OracleLiterals.valuesCte(
+        "lp", "bk", "lp", "DECIMAL(20,6)", model))
+      val lpDf = model.map { case (b, v) => (b, v.toPlainString) }
+        .toDF("bk", "ltxt")
+        .select(col("bk"), col("ltxt").cast("decimal(20,6)").as("lp"))
+      occ.groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("c"))
+        .join(broadcast(lpDf), Seq("bk"))
+        .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n_bigrams"),
           (sum(col("c") * col("lp")) * lit(-1))
             .cast("decimal(28,6)").as("nll"))
@@ -352,13 +365,15 @@ object TextQueries {
     }),
 
     // --- BM25 top-5 retrieval for three term queries: the inverted-index
-    // ranking path (postings → query-term broadcast restriction → df/N
-    // stats → one rounded double chain per posting riding as DECIMAL).
-    // Scoring is the d18 determinism pattern, so the oracle check is
-    // hash-exact including the DECIMAL(28,6) scores ---
+    // ranking path (postings → query-term broadcast restriction →
+    // driver-computed idf literals → one rounded double chain per posting
+    // riding as DECIMAL). The idf `ln` runs once on the driver and the
+    // same literals land in this plan AND the oracle (stashBm25Idf), so
+    // the check is hash-exact including the DECIMAL(28,6) scores on any
+    // libm build ---
     "ir1_bm25" -> ((s, dir) => {
       graft.operators.Retrieval.bm25TopK(docs(s, dir), "text", "doc_id",
-        Bm25Queries, k = 5)
+        Bm25Queries, k = 5, onModel = stashBm25Idf)
     }),
 
     // --- global top-20 bigrams via the Misra–Gries two-pass: bounded
@@ -472,7 +487,17 @@ object TextQueries {
     * [[graft.operators.Retrieval.bm25TopK]]'s double chain (see its
     * scaladoc for the rounding contract). Shared by the ir1 and ir2
     * oracles, which append their own final SELECT. */
-  private[queries] val bm25RankedCtes: String = """
+  /** Stashes the BM25 idf literals for [[bm25RankedCtes]] — shared by ir1
+    * and ir2 (same corpus + query set → identical model either way). */
+  private[queries] val stashBm25Idf
+      : graft.operators.Retrieval.Bm25Model => Unit = m =>
+    graft.OracleLiterals.put("bm25_idf", graft.OracleLiterals.valuesCteStr(
+      "idfl", "term", "idf", "DOUBLE", m.idf))
+
+  /** A def, not a val: the idfl CTE reads the driver-stashed idf literals
+    * (see [[graft.OracleLiterals]]) once ir1/ir2 have run; the fallback
+    * spelling keeps the fragment self-contained for static rendering. */
+  private[queries] def bm25RankedCtes: String = s"""
       q(q_id, term) AS (VALUES
         ('hash_join', 'hash'), ('hash_join', 'join'), ('hash_join', 'table'),
         ('stream_window', 'window'), ('stream_window', 'merge'),
@@ -481,7 +506,7 @@ object TextQueries {
         ('vector_scan', 'scan')),
       toks AS (
         SELECT doc_id,
-          list_filter(string_split_regex(trim(text), '\s+'),
+          list_filter(string_split_regex(trim(text), '\\s+'),
                       w -> w <> '') AS ws
         FROM documents),
       dls AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM toks),
@@ -496,19 +521,22 @@ object TextQueries {
       dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
       stats AS (SELECT COUNT(*) AS n_docs,
                   CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
+      ${graft.OracleLiterals.get("bm25_idf", """idfl(term, idf) AS (
+        SELECT f.term, round(ln(1.0 +
+          (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+          (CAST(f.df AS DOUBLE) + 0.5)), 6)
+        FROM dfq f CROSS JOIN stats s)""")},
       sc AS (
         SELECT q.q_id, t.doc_id,
           CAST(round(
-            round(ln(1.0 +
-              (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
-              (CAST(f.df AS DOUBLE) + 0.5)), 6) *
+            i.idf *
             ((CAST(t.tf AS DOUBLE) * 2.2) /
              (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
                (CAST(t.dl AS DOUBLE) /
                 (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))),
             6) AS DECIMAL(20,6)) AS sc
         FROM tfq t JOIN q ON t.term = q.term
-        JOIN dfq f ON t.term = f.term CROSS JOIN stats s),
+        JOIN idfl i ON t.term = i.term CROSS JOIN stats s),
       pd AS (
         SELECT q_id, doc_id, CAST(SUM(sc) AS DECIMAL(28,6)) AS score
         FROM sc GROUP BY q_id, doc_id),
@@ -518,7 +546,9 @@ object TextQueries {
             ORDER BY score DESC, doc_id) AS INT) AS rnk
         FROM pd)"""
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: d18/g3/ir1 oracle text embeds driver-stashed literals
+  // rendered AFTER the queries run (see graft.OracleLiterals).
+  def oracles: Map[String, String] = Map(
     "g1_gopher_quality" -> """
       WITH t AS (
         SELECT lang,
@@ -568,29 +598,32 @@ object TextQueries {
       tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
       SELECT bg, cnt, (cnt * 4096 > n) AS guaranteed
       FROM c, tot ORDER BY cnt DESC, bg LIMIT 20""",
-    "g3_bigram_xent" -> """
+    "g3_bigram_xent" -> s"""
       WITH base AS (
         SELECT doc_id,
-          list_filter(string_split_regex(trim(text), '\s+'),
+          list_filter(string_split_regex(trim(text), '\\s+'),
                       w -> w <> '') AS ws
         FROM documents),
       bg AS (
-        SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS b
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
         FROM base, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
         WHERE len(ws) >= 2),
-      c2 AS (SELECT b, COUNT(*) AS c2 FROM bg GROUP BY b),
-      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      occ AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(b), 1, 15) AS BIGINT) % 512 AS bk
+        FROM bg),
+      ${graft.OracleLiterals.get("g3_lp", """lp(bk, lp) AS (
+        SELECT bk, CAST(round(ln(CAST(c + 1 AS DOUBLE) /
+            CAST(tot + 512 AS DOUBLE)), 6) AS DECIMAL(20,6))
+        FROM (SELECT bk, COUNT(*) AS c FROM occ GROUP BY bk),
+             (SELECT COUNT(*) AS tot FROM occ))""")},
       per AS (
-        SELECT doc_id, w1, b, COUNT(*) AS c
-        FROM bg GROUP BY doc_id, w1, b),
-      sc AS (
-        SELECT per.doc_id, per.c,
-          CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) /
-            CAST(c1.c1 + 64 AS DOUBLE)), 6) AS DECIMAL(20,6)) AS lp
-        FROM per JOIN c2 USING (b) JOIN c1 USING (w1))
+        SELECT doc_id, bk, COUNT(*) AS c
+        FROM occ GROUP BY doc_id, bk)
       SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
         CAST(SUM(c * lp) * -1 AS DECIMAL(28,6)) AS nll
-      FROM sc GROUP BY doc_id ORDER BY doc_id""",
+      FROM per JOIN lp USING (bk)
+      GROUP BY doc_id ORDER BY doc_id""",
     "d19_decontamination" -> """
       WITH toks AS (
         SELECT doc_id,
@@ -702,10 +735,10 @@ object TextQueries {
         CAST(SUM(CASE WHEN p2 AND p5 THEN 1 ELSE 0 END) AS BIGINT)
           AS n_pass
       FROM flags GROUP BY lang ORDER BY lang""",
-    "d18_dsir_weights" -> """
+    "d18_dsir_weights" -> s"""
       WITH base AS (
         SELECT doc_id, lang = 'en' AS is_t,
-               string_split_regex(trim(text), '\s+') AS ws
+               string_split_regex(trim(text), '\\s+') AS ws
         FROM documents),
       feats AS (
         SELECT doc_id, is_t, f
@@ -726,12 +759,12 @@ object TextQueries {
       tot AS (
         SELECT CAST(SUM(t_b) AS BIGINT) AS t_tot,
                CAST(SUM(r_b) AS BIGINT) AS r_tot FROM stats),
-      w AS (
+      ${graft.OracleLiterals.get("d18_w", """w AS (
         SELECT b, CAST(round(ln(
             (CAST(t_b + 1 AS DOUBLE) * CAST(r_tot + 64 AS DOUBLE)) /
             (CAST(r_b + 1 AS DOUBLE) * CAST(t_tot + 64 AS DOUBLE))), 6)
           AS DECIMAL(20,6)) AS w_b
-        FROM stats, tot),
+        FROM stats, tot)""")},
       pd AS (SELECT doc_id, b, COUNT(*) AS c FROM occ GROUP BY doc_id, b),
       agg AS (
         SELECT doc_id,

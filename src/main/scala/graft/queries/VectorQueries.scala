@@ -106,7 +106,8 @@ object VectorQueries {
     "ir2_hybrid_rrf" -> ((s, dir) => {
       val sparse = graft.operators.Retrieval.bm25TopK(
           Tables.load(s, dir, "documents"), "text", "doc_id",
-          TextQueries.Bm25Queries, k = 20)
+          TextQueries.Bm25Queries, k = 20,
+          onModel = TextQueries.stashBm25Idf)
         .select(col("q_id"), col("doc_id"), col("rnk"))
       val e = emb(s, dir)
       val dense = Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 3), k = 20)
@@ -300,7 +301,9 @@ object VectorQueries {
     SELECT q_id, rnk, doc_id, rrf FROM fr WHERE rnk <= 10
     ORDER BY q_id, rnk"""
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: ir2Oracle embeds the driver-stashed BM25 idf literals
+  // rendered AFTER the queries run (see graft.OracleLiterals).
+  def oracles: Map[String, String] = Map(
     "ir2_hybrid_rrf" -> ir2Oracle,
     "e4_knn_lsh" -> e4Oracle,
     "e5_knn_ivf" -> e5Oracle,
