@@ -133,6 +133,19 @@ object Similarity {
     * Per-centroid score is |c|² − 2·a·c (argmin-equivalent to L2 since
     * |a|² is constant per row). Two physical strategies, identical
     * output. */
+  /** array of (d, c_id) structs scoring `vec` against every literal
+    * centroid — d = |c|² − 2·a·c (argmin-equivalent to L2 since |a|² is
+    * constant per row), struct ordering (d asc, c_id asc). SHARED by
+    * cellAssignments' literal path and [[quantizationError]] so the score
+    * formula and tie-break can never silently diverge. */
+  private def scoredLiteral(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Long, Seq[Double], Double)])(vec: Column): Column =
+    array(cents.map { case (cid, emb, normSq) =>
+      val cLit = array(emb.map(lit): _*)
+      struct((lit(normSq) - lit(2.0) * dotAuto(spark)(vec, cLit))
+        .as("d"), lit(cid).as("c_id"))
+    }: _*)
+
   private def cellAssignments(corpus: DataFrame, queries: DataFrame,
       cents: Seq[(Long, Seq[Double], Double)], nProbe: Int,
       maxLiteralCells: Int): (DataFrame, DataFrame) = {
@@ -144,12 +157,7 @@ object Similarity {
         // limit forces interpreted fallback and compile time blows up.
         // array of (score, c_id) structs; struct ordering = (score asc,
         // c_id asc), matching the former window's ORDER BY d ASC, c_id ASC
-        def scored(vec: Column): Column = array(cents.map {
-          case (cid, emb, normSq) =>
-            val cLit = array(emb.map(lit): _*)
-            struct((lit(normSq) - lit(2.0) * dotAuto(spark)(vec, cLit))
-              .as("d"), lit(cid).as("c_id"))
-        }: _*)
+        def scored(vec: Column): Column = scoredLiteral(spark, cents)(vec)
         (corpus.select(
           array_min(scored(col("embedding"))).getField("c_id").as("cell"),
           col("vec_id").as("n_id"), col("embedding").as("n_emb")),
@@ -350,35 +358,65 @@ object Similarity {
     * left-to-right — rounded once to 6 dp and summed as DECIMAL, so the
     * per-cell inertia is order-independent and hash-exact across engines.
     *
-    * Scale shape: assignment is the same NARROW literal-tree argmin the
-    * IVF path uses (zero shuffle between scan and assignment; the struct
-    * min carries the winning distance along with the cell id), and the
-    * only exchange is the O(k)-row per-cell rollup with map-side combine.
+    * Scale shape: assignment shares cellAssignments' two strategies — the
+    * NARROW literal-tree argmin up to `maxLiteralCells` (zero shuffle
+    * between scan and assignment; beyond that Janino's method-size limit
+    * forces interpreted fallback), then the broadcast-join + min-struct
+    * argmin (centroids as broadcast DATA, one map-side-combined exchange)
+    * for the thousands-of-centroids regime a 100 TB corpus needs. The
+    * final rollup is the O(k)-row per-cell aggregate either way.
+    *
+    * EVERY centroid appears in the output, including empty cells as
+    * (cell, 0, 0.000000) — a convergence monitor must distinguish an
+    * empty cell from a missing row, and Σ-inertia rollups need a fixed
+    * k-row shape (same always-k posture as [[kmeansFitCentroids]]).
     *
     * Output: (cell, n_members, inertia DECIMAL(38,6)) ordered by cell. */
-  def quantizationError(corpus: DataFrame,
-                        centroids: Seq[Seq[Double]]): DataFrame = {
+  def quantizationError(corpus: DataFrame, centroids: Seq[Seq[Double]],
+                        maxLiteralCells: Int = 128): DataFrame = {
     require(centroids.nonEmpty, "quantizationError needs centroids")
     val spark = corpus.sparkSession
+    import spark.implicits._
     val cents = centroids.zipWithIndex.map { case (emb, i) =>
       (i.toLong, emb, emb.foldLeft(0.0)((s, v) => s + v * v)) }
-    // Same (d, c_id) struct ordering as cellAssignments' literal path:
-    // ties on d break toward the lower cell id.
-    def scored(vec: Column): Column = array(cents.map {
-      case (cid, emb, normSq) =>
-        val cLit = array(emb.map(lit): _*)
-        struct((lit(normSq) - lit(2.0) * dotAuto(spark)(vec, cLit))
-          .as("d"), lit(cid).as("c_id"))
-    }: _*)
-    corpus
-      .select(array_min(scored(col("embedding"))).as("b"),
-        dotAuto(spark)(col("embedding"), col("embedding")).as("anorm"))
+    val anorm = dotAuto(spark)(col("embedding"), col("embedding"))
+    // (cell, err) per corpus row; b = winning (d, c_id) struct — ties on
+    // d break toward the lower cell id in both strategies.
+    val perRow =
+      if (cents.length <= maxLiteralCells)
+        corpus
+          .select(array_min(scoredLiteral(spark, cents)(col("embedding")))
+            .as("b"), anorm.as("anorm"))
+      else {
+        // the cellAssignments large-k shape: centroids ride as broadcast
+        // DATA; per-row argmin is a map-side-combined min over the
+        // broadcast-expanded candidates, keyed by a per-row unique id
+        // (corpus rows need no natural key here)
+        val centsDf = broadcast(
+          cents.toDF("c_id", "c_emb", "c_norm").repartition(1))
+        corpus
+          .select(monotonically_increasing_id().as("rid"),
+            col("embedding"), anorm.as("anorm"))
+          .crossJoin(centsDf)
+          .groupBy(col("rid"))
+          .agg(min(struct(
+              (col("c_norm") - lit(2.0) *
+                dotAuto(spark)(col("embedding"), col("c_emb"))).as("d"),
+              col("c_id"))).as("b"),
+            first(col("anorm")).as("anorm"))
+      }
+    val filled = perRow
       .select(col("b").getField("c_id").as("cell"),
         round(col("anorm") + col("b").getField("d"), 6)
           .cast("decimal(28,6)").as("err"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),
         sum(col("err")).cast("decimal(38,6)").as("inertia"))
+    cents.map(_._1).toDF("cell")
+      .join(filled, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("inertia"), lit(0).cast("decimal(38,6)")).as("inertia"))
       .orderBy(col("cell"))
   }
 }

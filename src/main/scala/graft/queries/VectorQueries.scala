@@ -97,6 +97,24 @@ object VectorQueries {
       Similarity.kmeansFit(emb(s, dir), k = 4, rounds = 2)
     }),
 
+    // --- clustering-quality evaluation: per-cell member count + inertia
+    // (Σ|a−c|², the convergence/elbow statistic) against the e7-style
+    // seed centroids (first 4 vectors — collected as O(k·dim) driver
+    // metadata, same bound as every centroid path). Every cell appears,
+    // empty ones as (cell, 0, 0.000000). The distance chain is IEEE-exact
+    // dot folds rounded once to 6 dp riding as DECIMAL — hash-exact ---
+    "e9_kmeans_inertia" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents: Seq[Seq[Double]] = e.orderBy(col("vec_id")).limit(4)
+        .select(col("embedding")).collect().toSeq
+        .map(_.getSeq[Any](0).map {
+          case n: java.lang.Number => n.doubleValue
+          case x => throw new IllegalArgumentException(
+            s"embedding values must be numeric, got ${x.getClass.getName}")
+        }.toSeq)
+      Similarity.quantizationError(e, cents)
+    }),
+
     // --- hybrid retrieval: BM25 top-20 (sparse) fused with brute-force
     // cosine top-20 (dense, query vectors = embeddings 0/1/2 standing in
     // for encoded query text) via reciprocal-rank fusion — the two-tower
@@ -210,6 +228,33 @@ object VectorQueries {
       COUNT(*) AS n_members
     FROM ex GROUP BY cell, dim ORDER BY cell, dim"""
 
+  private def e9Oracle: String = s"""
+    WITH cents AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings ORDER BY vec_id LIMIT 4),
+    sc AS (
+      SELECT e.vec_id, c.c_id,
+        (${dotSql("c.c_emb", "c.c_emb")})
+          - 2.0 * (${dotSql("e.embedding", "c.c_emb")}) AS d,
+        (${dotSql("e.embedding", "e.embedding")}) AS anorm
+      FROM embeddings e CROSS JOIN cents c),
+    asg AS (
+      SELECT vec_id, c_id AS cell, d, anorm,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY d ASC, c_id ASC) AS r
+      FROM sc),
+    per AS (
+      SELECT cell, CAST(round(anorm + d, 6) AS DECIMAL(28,6)) AS err
+      FROM asg WHERE r = 1),
+    agg AS (
+      SELECT cell, COUNT(*) AS n_members,
+        CAST(SUM(err) AS DECIMAL(38,6)) AS inertia
+      FROM per GROUP BY cell)
+    SELECT c.c_id AS cell, COALESCE(a.n_members, 0) AS n_members,
+      COALESCE(a.inertia, CAST(0 AS DECIMAL(38,6))) AS inertia
+    FROM cents c LEFT JOIN agg a ON c.c_id = a.cell
+    ORDER BY cell"""
+
   private def e8Oracle: String = s"""
     WITH cents AS (
       SELECT vec_id AS c_id, embedding AS c_emb
@@ -310,6 +355,7 @@ object VectorQueries {
     "e6_embedding_dedup" -> e6Oracle,
     "e7_kmeans_step" -> e7Oracle,
     "e8_kmeans_fit" -> e8Oracle,
+    "e9_kmeans_inertia" -> e9Oracle,
     "e3_centroids" -> """
       SELECT label, CAST(i - 1 AS INT) AS i,
         round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)

@@ -367,6 +367,50 @@ class SimilaritySpec extends SparkSpec {
     assert(one((1L, 0)) != 10.2)
   }
 
+  test("quantizationError: hand-computed inertia, counts, empty cell") {
+    // centroids: (0,0), (10,10), and (100,100) which captures nothing.
+    // assignments: {0 (d=0), 2 (d=0.5)} -> cell 0; {1 (d=0), 3 (d=2)} ->
+    // cell 1. inertia(cell 0) = 0 + 0.5² + 0.5² = 0.5; inertia(cell 1)
+    // = 0 + 1² + 1² = 2. The empty cell 2 must still appear as a
+    // (2, 0, 0.000000) row, not vanish.
+    val df = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)),
+      (2L, Seq(0.5f, 0.5f)), (3L, Seq(9f, 9f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0), Seq(100.0, 100.0))
+    val out = Similarity.quantizationError(df, cents)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L) == ((2L, 0.5)))
+    assert(out(1L) == ((2L, 2.0)))
+    assert(out(2L) == ((0L, 0.0)))
+  }
+
+  test("quantizationError: counts agree with lloydStep membership on emb") {
+    val members = Similarity.lloydStep(emb, k = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (c, rs) => c -> rs.head.getLong(3) }
+    // the same seed centroids lloydStep uses: embeddings of vec_id < 4
+    val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble).toSeq).toSeq
+    val qe = Similarity.quantizationError(emb, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(members.forall { case (c, n) => qe(c) == n })
+    assert(qe.values.sum == emb.count())
+  }
+
+  test("quantizationError: literal and broadcast-join paths agree") {
+    val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble).toSeq).toSeq
+    def run(cap: Int) = Similarity.quantizationError(emb, cents, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).toPlainString)).toSeq
+    assert(run(128) == run(1))
+  }
+
   test("lloyd step: membership partitions the corpus; iterating converges") {
     val step1 = Similarity.lloydStep(emb, k = 4).collect()
     val n = emb.count()
