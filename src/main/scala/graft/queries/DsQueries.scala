@@ -195,9 +195,61 @@ object DsQueries {
         .select(col("bucket"), col("m"), col("urgent_cum_cents"),
           col("routine_cum_cents"))
         .orderBy(col("bucket"), col("m"))
+    }),
+
+    // --- q64 shape: multi-channel self-join across adjacent years —
+    // customers whose routine-channel spend the FOLLOWING year exceeds
+    // their urgent-channel spend this year (TPC-DS q64 joins store and
+    // catalog sales of the same item across two years; priority classes
+    // stand in for channels on the 8-table schema). Scale: ONE (custkey,
+    // year, channel) aggregation — the self-join then runs on the
+    // already-reduced frame, keyed on custkey (equi, AQE-sized), never on
+    // base orders. Exact integer cents end-to-end, hash-exact ---
+    "ds8_multichannel" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_custkey").as("ck"),
+        year(col("o_orderdate")).cast("int").as("y"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "urgent")
+          .otherwise("routine").as("chan"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      val agg = o.groupBy(col("ck"), col("y"), col("chan"))
+        .agg(sum(col("cents")).as("spend"))
+      val u = agg.filter(col("chan") === "urgent")
+        .select(col("ck"), col("y").as("y1"), col("spend").as("u_cents"))
+      val r = agg.filter(col("chan") === "routine")
+        .select(col("ck").as("ck2"), col("y").as("y2"),
+          col("spend").as("r_cents"))
+      u.join(r, col("ck") === col("ck2") && col("y2") === col("y1") + 1)
+        .filter(col("r_cents") > col("u_cents"))
+        .groupBy(col("y1"))
+        .agg(count(lit(1)).as("n_grown"),
+          sum(col("u_cents")).as("tot_u_cents"),
+          sum(col("r_cents")).as("tot_r_cents"))
+        .orderBy(col("y1"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "ds8_multichannel" -> """
+      WITH o AS (
+        SELECT o_custkey AS ck,
+          CAST(year(o_orderdate) AS INT) AS y,
+          CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 'urgent' ELSE 'routine' END AS chan,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      agg AS (
+        SELECT ck, y, chan, CAST(SUM(cents) AS BIGINT) AS spend
+        FROM o GROUP BY ck, y, chan),
+      u AS (SELECT ck, y AS y1, spend AS u_cents
+            FROM agg WHERE chan = 'urgent'),
+      r AS (SELECT ck AS ck2, y AS y2, spend AS r_cents
+            FROM agg WHERE chan = 'routine')
+      SELECT y1, COUNT(*) AS n_grown,
+        CAST(SUM(u_cents) AS BIGINT) AS tot_u_cents,
+        CAST(SUM(r_cents) AS BIGINT) AS tot_r_cents
+      FROM u JOIN r ON ck = ck2 AND y2 = y1 + 1
+      WHERE r_cents > u_cents
+      GROUP BY y1 ORDER BY y1""",
     "ds7_cumulative_crossover" -> """
       WITH o AS (
         SELECT o_custkey % 50 AS bucket,

@@ -298,6 +298,44 @@ object ScaleQueries {
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
+    }),
+
+    // --- ClickBench regex-heavy scan shape (their q20-28 family: regexp
+    // over URLs/referrers at full-scan rates): extract + boolean match +
+    // distinct-extract per group, one NARROW codegen'd pass over text —
+    // the regex never forces a shuffle, only the O(#langs) rollup does.
+    // Spark (java.util.regex) and DuckDB (RE2) agree on this anchored
+    // literal-prefix pattern class; both return '' on no-match ---
+    "c13_regex_scan" -> ((s, dir) => {
+      val first = regexp_extract(col("text"), "the ([a-z]+)", 1)
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), first.as("w"),
+          col("text").rlike("[a-z]+ing").as("has_ing"))
+        .groupBy(col("lang"))
+        .agg(count(when(col("w") =!= "", 1)).as("n_the"),
+          count(when(col("has_ing"), 1)).as("n_ing"),
+          countDistinct(when(col("w") =!= "", col("w")))
+            .as("n_distinct_the"))
+        .orderBy(col("lang"))
+    }),
+
+    // --- cohort retention over events (the JSONBench/analytics funnel
+    // sibling): day-0 cohort = each user's first active day; n_users =
+    // distinct users from that cohort active again k days later, k ≤ 7.
+    // Two shuffles — a (user, day) distinct and the (cohort, k) rollup —
+    // both on natural keys; all-integer/date arithmetic, hash-exact ---
+    "c14_cohort_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("t")).as("d"))
+        .distinct()
+      val cohort = e.groupBy(col("user_id")).agg(min(col("d")).as("c0"))
+      e.join(cohort, Seq("user_id"))
+        .select(col("c0"),
+          datediff(col("d"), col("c0")).cast("bigint").as("k"))
+        .filter(col("k") <= 7)
+        .groupBy(col("c0"), col("k"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("c0"), col("k"))
     })
   )
 
@@ -316,6 +354,29 @@ object ScaleQueries {
         COUNT(DISTINCT user_id) AS n_users,
         COUNT(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "c13_regex_scan" -> """
+      WITH x AS (
+        SELECT lang,
+          regexp_extract(text, 'the ([a-z]+)', 1) AS w,
+          regexp_matches(text, '[a-z]+ing') AS has_ing
+        FROM documents)
+      SELECT lang,
+        CAST(SUM(CASE WHEN w <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_the,
+        CAST(SUM(CASE WHEN has_ing THEN 1 ELSE 0 END) AS BIGINT) AS n_ing,
+        CAST(COUNT(DISTINCT CASE WHEN w <> '' THEN w END) AS BIGINT)
+          AS n_distinct_the
+      FROM x GROUP BY lang ORDER BY lang""",
+    "c14_cohort_retention" -> """
+      WITH e AS (
+        SELECT DISTINCT user_id,
+          CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d
+        FROM events),
+      c AS (SELECT user_id, MIN(d) AS c0 FROM e GROUP BY user_id)
+      SELECT c.c0, CAST(date_diff('day', c.c0, e.d) AS BIGINT) AS k,
+        COUNT(*) AS n_users
+      FROM e JOIN c USING (user_id)
+      WHERE date_diff('day', c.c0, e.d) <= 7
+      GROUP BY c.c0, k ORDER BY c.c0, k""",
     // the salted plan must be indistinguishable from the plain aggregation
     "k1_salted_stats" -> """
       SELECT event_type,
