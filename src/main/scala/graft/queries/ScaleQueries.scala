@@ -336,6 +336,38 @@ object ScaleQueries {
         .groupBy(col("c0"), col("k"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("c0"), col("k"))
+    }),
+
+    // --- windowFunnel (ClickHouse's event-sequence funnel, first-chance
+    // semantics): per user, t1 = first view; t2 = first click after t1;
+    // t3 = first purchase after t2 — the whole chain within a 24h window
+    // of t1. level = deepest stage reached. Deterministic by
+    // construction (mins over exact µs integers; no FP anywhere).
+    // Scale: one shuffle per stage, ALL keyed on user_id — the t1/t2
+    // frames are per-user aggregates (≤1 row per user), so the joins are
+    // AQE-sized equi-joins on the reduced side, never event×event ---
+    "c15_window_funnel" -> ((s, dir) => {
+      val winUs = 24L * 3600 * 1000000
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("t")).as("us"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + winUs)
+        .groupBy(col("user_id"), col("t1")).agg(min(col("us")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("us") > col("t2") && col("us") <= col("t1") + winUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      val lvl = t1.join(t2.select(col("user_id"), col("t2")),
+          Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .select(when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L).otherwise(1L).as("level"))
+      lvl.groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("level"))
     })
   )
 
@@ -377,6 +409,32 @@ object ScaleQueries {
       FROM e JOIN c USING (user_id)
       WHERE date_diff('day', c.c0, e.d) <= 7
       GROUP BY c.c0, k ORDER BY c.c0, k""",
+    "c15_window_funnel" -> """
+      WITH e AS (
+        SELECT user_id, event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      s1 AS (
+        SELECT user_id, MIN(us) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, s1.t1, MIN(e.us) AS t2
+        FROM e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.us > s1.t1
+          AND e.us <= s1.t1 + 86400000000
+        GROUP BY e.user_id, s1.t1),
+      s3 AS (
+        SELECT e.user_id, MIN(e.us) AS t3
+        FROM e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.us > s2.t2
+          AND e.us <= s2.t1 + 86400000000
+        GROUP BY e.user_id),
+      lvl AS (
+        SELECT CASE WHEN s3.t3 IS NOT NULL THEN 3
+                    WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS level
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+      SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS n_users
+      FROM lvl GROUP BY level ORDER BY level""",
     // the salted plan must be indistinguishable from the plain aggregation
     "k1_salted_stats" -> """
       SELECT event_type,

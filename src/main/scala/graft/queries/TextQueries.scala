@@ -350,6 +350,33 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- fasttext-style linear quality classifier APPLICATION: hashed
+    // bag-of-words (256 buckets, the d18 hashing) dotted with a FIXED
+    // seeded weight vector — the "score every document with a trained
+    // classifier" step of a corpus pipeline, with the model as
+    // data-independent literals. Weights live in integer micro-units
+    // (w_b = (b·2654435761 mod 1000003) − 500001 ∈ [−500001, 500002]),
+    // the logit is Σ c_b·w_b in BIGINT, keep = logit > 0 — zero FP
+    // anywhere, hash-exact in any engine. Scale: narrow explode + one
+    // (doc, bucket) aggregation; the weight is a pure expression of the
+    // bucket id, so nothing is broadcast at all ---
+    "g4_linear_classifier" -> ((s, dir) => {
+      val wExpr = pmod(col("bk") * lit(2654435761L), lit(1000003L)) -
+        lit(500001L)
+      docs(s, dir)
+        .select(col("doc_id"), explode(cleanTokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          pmod(md5Bits60(col("tok")), lit(256L)).as("bk"))
+        .groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), col("c"), (col("c") * wExpr).as("contrib"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_feats"),
+          sum(col("contrib")).as("logit_micro"))
+        .select(col("doc_id"), col("n_feats"), col("logit_micro"),
+          (col("logit_micro") > 0L).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- benchmark decontamination: training docs flagged when ≥ 1/5 of
     // their distinct word 3-grams occur anywhere in the eval split
     // (doc_id % 19 == 0 — a deterministic stand-in benchmark). The flag
@@ -624,6 +651,25 @@ object TextQueries {
         CAST(SUM(c * lp) * -1 AS DECIMAL(28,6)) AS nll
       FROM per JOIN lp USING (bk)
       GROUP BY doc_id ORDER BY doc_id""",
+    "g4_linear_classifier" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> '')) AS tok
+        FROM documents),
+      occ AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256 AS bk
+        FROM toks),
+      pd AS (SELECT doc_id, bk, COUNT(*) AS c FROM occ GROUP BY doc_id, bk),
+      sc AS (
+        SELECT doc_id, c,
+          c * ((bk * 2654435761) % 1000003 - 500001) AS contrib
+        FROM pd)
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+        CAST(SUM(contrib) AS BIGINT) AS logit_micro,
+        (CAST(SUM(contrib) AS BIGINT) > 0) AS keep
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "d19_decontamination" -> """
       WITH toks AS (
         SELECT doc_id,
