@@ -362,4 +362,42 @@ object Dedup {
         (col("n_hit") * flagDen.toLong >= col("n_grams") * flagNum.toLong &&
           col("n_grams") > 0L).as("flagged"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster-confined
+    * embedding dedup — assign every vector to its nearest centroid, then
+    * WITHIN each cell drop any vector that has a lower-id neighbor with
+    * cosine ≥ `threshold` (the paper keeps one representative per
+    * semantic near-duplicate group; min-id is the deterministic choice).
+    *
+    * Scale shape: this is the whole point of the method — the candidate
+    * pair join is confined to a cell (equi-join on `cell`), never the
+    * corpus cross product; at 100 TB the cell count scales with the
+    * corpus so per-cell membership stays bounded. Assignment is the
+    * shared [[Similarity.assignCells]] path (narrow literal argmin up to
+    * maxLiteralCells, broadcast-join beyond). Determinism: cosine is the
+    * same left-to-right double fold both engines compute bit-identically
+    * (e1/e2-proven), so the ≥-threshold set is exact.
+    *
+    * Output: (vec_id, cell, keep BOOLEAN) — every input row appears. */
+  def semDedup(corpus: DataFrame, centroids: Seq[Seq[Double]],
+               threshold: Double, idCol: String = "vec_id",
+               maxLiteralCells: Int = 128): DataFrame = {
+    val spark = corpus.sparkSession
+    val assigned = graft.operators.Similarity
+      .assignCells(corpus, centroids, maxLiteralCells)
+      .select(col("cell"), col("n_id").as(idCol), col("n_emb").as("emb"))
+    val a = assigned.select(col("cell"), col(idCol).as("a_id"),
+      col("emb").as("a_emb"))
+    val b = assigned.select(col("cell"), col(idCol).as("b_id"),
+      col("emb").as("b_emb"))
+    val dominated = a.join(b, Seq("cell"))
+      .filter(col("b_id") < col("a_id"))
+      .filter(graft.functions.VectorFunctions
+        .cosineAuto(spark)(col("a_emb"), col("b_emb")) >= threshold)
+      .select(col("a_id").as(idCol)).distinct()
+    assigned.select(col(idCol), col("cell"))
+      .join(dominated.withColumn("_drop", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("_drop").isNull.as("keep"))
+  }
 }

@@ -105,6 +105,22 @@ object Similarity {
       k)
   }
 
+  /** Corpus → (cell, n_id, n_emb) argmin-L2 assignment against EXPLICIT
+    * centroids — the public face of [[cellAssignments]]' corpus side, for
+    * operators that cluster-confine their work (e.g.
+    * [[Dedup.semDedup]]). Cells are centroid indices 0..k−1; same
+    * narrow-literal / broadcast-join strategy split as every other
+    * centroid path. */
+  def assignCells(corpus: DataFrame, centroids: Seq[Seq[Double]],
+                  maxLiteralCells: Int = 128): DataFrame = {
+    require(centroids.nonEmpty, "assignCells needs centroids")
+    val cents = centroids.zipWithIndex.map { case (emb, i) =>
+      (i.toLong, emb, emb.foldLeft(0.0)((s, v) => s + v * v)) }
+    val (assigned, _) = cellAssignments(
+      corpus, corpus.limit(0), cents, 1, maxLiteralCells)
+    assigned
+  }
+
   /** Type-generic centroid extraction: ids normalized to long, embeddings
     * to double — array<float> or array<double> corpora and any integral
     * id type all work. `|c|²` is folded on the driver with the same

@@ -115,6 +115,25 @@ object VectorQueries {
       Similarity.quantizationError(e, cents)
     }),
 
+    // --- SemDeDup: cluster-confined semantic dedup (Abbas et al. 2023)
+    // — the embedding-space sibling of MinHash-LSH: the e9 seed
+    // centroids define the cells, and a vector is dropped iff a LOWER-id
+    // vector in the SAME cell has cosine ≥ 0.95. The pair join never
+    // leaves a cell (the method's 100 TB story); cosine is the
+    // bit-identical cross-engine fold, so keep-flags are hash-exact ---
+    "e10_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents: Seq[Seq[Double]] = e.orderBy(col("vec_id")).limit(4)
+        .select(col("embedding")).collect().toSeq
+        .map(_.getSeq[Any](0).map {
+          case n: java.lang.Number => n.doubleValue
+          case x => throw new IllegalArgumentException(
+            s"embedding values must be numeric, got ${x.getClass.getName}")
+        }.toSeq)
+      Dedup.semDedup(e, cents, threshold = 0.95)
+        .orderBy(col("vec_id"))
+    }),
+
     // --- hybrid retrieval: BM25 top-20 (sparse) fused with brute-force
     // cosine top-20 (dense, query vectors = embeddings 0/1/2 standing in
     // for encoded query text) via reciprocal-rank fusion — the two-tower
@@ -227,6 +246,29 @@ object VectorQueries {
       CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean,
       COUNT(*) AS n_members
     FROM ex GROUP BY cell, dim ORDER BY cell, dim"""
+
+  private def e10Oracle: String = s"""
+    WITH cents AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings ORDER BY vec_id LIMIT 4),
+    sc AS (
+      SELECT e.vec_id, e.embedding, c.c_id,
+        (${dotSql("c.c_emb", "c.c_emb")})
+          - 2.0 * (${dotSql("e.embedding", "c.c_emb")}) AS d
+      FROM embeddings e CROSS JOIN cents c),
+    asg AS (
+      SELECT vec_id, embedding, c_id AS cell,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY d ASC, c_id ASC) AS r
+      FROM sc),
+    v AS (SELECT vec_id, embedding, cell FROM asg WHERE r = 1),
+    dom AS (
+      SELECT DISTINCT a.vec_id
+      FROM v a JOIN v b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE (${cosSql("a.embedding", "b.embedding")}) >= 0.95)
+    SELECT v.vec_id, v.cell, (d.vec_id IS NULL) AS keep
+    FROM v LEFT JOIN dom d ON v.vec_id = d.vec_id
+    ORDER BY v.vec_id"""
 
   private def e9Oracle: String = s"""
     WITH cents AS (
@@ -356,6 +398,7 @@ object VectorQueries {
     "e7_kmeans_step" -> e7Oracle,
     "e8_kmeans_fit" -> e8Oracle,
     "e9_kmeans_inertia" -> e9Oracle,
+    "e10_semdedup" -> e10Oracle,
     "e3_centroids" -> """
       SELECT label, CAST(i - 1 AS INT) AS i,
         round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)

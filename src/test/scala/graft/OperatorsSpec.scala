@@ -367,6 +367,24 @@ class SimilaritySpec extends SparkSpec {
     assert(one((1L, 0)) != 10.2)
   }
 
+  test("semDedup: lower-id cellmate above threshold drops the higher id") {
+    // cells: (0,0)-ish cluster vs (10,10)-ish cluster. vec 2 duplicates
+    // vec 0 (cos=1 ≥ 0.95 → dropped); vec 3 is a rotated cellmate of 1
+    // (cos < 0.95 → kept); vec 1 has no lower-id cellmate → kept.
+    val df = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(10f, 10f)),
+      (2L, Seq(2f, 0f)), (3L, Seq(10f, 20f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(10.0, 10.0))
+    val out = Dedup.semDedup(df, cents, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out(0L) == ((0L, true)))
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((1L, true)))
+  }
+
   test("quantizationError: hand-computed inertia, counts, empty cell") {
     // centroids: (0,0), (10,10), and (100,100) which captures nothing.
     // assignments: {0 (d=0), 2 (d=0.5)} -> cell 0; {1 (d=0), 3 (d=2)} ->
