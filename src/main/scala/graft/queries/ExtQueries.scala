@@ -115,6 +115,45 @@ object ExtQueries {
         .orderBy(col("nat"))
     }),
 
+    // --- LDBC-style local clustering coefficient ingredients: per
+    // nation, Σ vertex-incident triangles and Σ wedges (deg·(deg−1)/2)
+    // over the undirected ldbc2 projection — lcc = sum_tri/sum_wedges is
+    // one division for the reader; the outputs stay exact integers so
+    // the check is hash-exact. Scale: reuses the vertex-key equi-join
+    // triangle enumeration (each triangle explodes to its 3 vertices —
+    // a 3× narrow explode), degree is one shuffle on the vertex key ---
+    "ldbc6_lcc" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_nationkey").cast("bigint").as("nat"))
+      val cand = c.select(col("k").as("src"), col("nat"),
+        explode(array(col("k") + 1, col("k") + 2, col("k") + 3))
+          .as("dst"))
+      val edges = cand
+        .join(c.select(col("k").as("dst"), col("nat")), Seq("dst", "nat"))
+        .select(col("src"), col("dst"))
+      val e2 = edges.select(col("src").as("b2"), col("dst").as("c2"))
+      val e3 = edges.select(col("src").as("a3"), col("dst").as("c3"))
+      val tri = edges.select(col("src").as("a"), col("dst").as("b"))
+        .join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c2") === col("c3"))
+        .select(col("a"), col("b"), col("c2").as("c"))
+      val triV = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("tri_v"))
+      val und = edges.select(col("src").as("v"), col("dst").as("w"))
+        .unionByName(edges.select(col("dst").as("v"), col("src").as("w")))
+      val deg = und.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      deg.join(triV, Seq("v"), "left")
+        .join(c.select(col("k").as("v"), col("nat")), Seq("v"))
+        .groupBy(col("nat"))
+        .agg(sum(coalesce(col("tri_v"), lit(0L))).as("sum_tri"),
+          sum(expr("deg * (deg - 1) div 2")).cast("bigint")
+            .as("sum_wedges"),
+          count(lit(1)).as("n_vertices"))
+        .orderBy(col("nat"))
+    }),
+
     // --- LDBC BI shortest-path-length histogram (the path-length
     // distribution family of LDBC SNB BI — reference corpus pointer:
     // /root/reference/benchmark/SOURCES.md:18-19). Same bounded BFS
@@ -457,6 +496,34 @@ object ExtQueries {
         CAST(MAX(p.n_reach) AS BIGINT) AS max_reach
       FROM per_seed p JOIN seeds s ON s.seed = p.seed
       GROUP BY s.nat ORDER BY s.nat""",
+    "ldbc6_lcc" -> """
+      WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                        CAST(c_nationkey AS BIGINT) AS nat
+                 FROM customer),
+      edges AS (
+        SELECT a.k AS src, b.k AS dst
+        FROM c a JOIN c b
+          ON b.nat = a.nat AND b.k IN (a.k + 1, a.k + 2, a.k + 3)),
+      tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS tc
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      triv AS (
+        SELECT v, COUNT(*) AS tri_v FROM (
+          SELECT a AS v FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT tc FROM tri) GROUP BY v),
+      und AS (
+        SELECT src AS v, dst AS w FROM edges
+        UNION ALL SELECT dst, src FROM edges),
+      deg AS (SELECT v, COUNT(*) AS deg FROM und GROUP BY v)
+      SELECT c.nat,
+        CAST(SUM(COALESCE(t.tri_v, 0)) AS BIGINT) AS sum_tri,
+        CAST(SUM(deg.deg * (deg.deg - 1) // 2) AS BIGINT) AS sum_wedges,
+        COUNT(*) AS n_vertices
+      FROM deg LEFT JOIN triv t USING (v) JOIN c ON c.k = deg.v
+      GROUP BY c.nat ORDER BY c.nat""",
     "ldbc2_triangles" -> """
       WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
                         CAST(c_nationkey AS BIGINT) AS nat
