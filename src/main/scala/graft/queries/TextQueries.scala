@@ -350,6 +350,49 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- one BPE-training iteration's pair statistics: corpus word
+    // frequencies (the BPE working set) → adjacent-character-pair counts
+    // weighted by word frequency → top-20 merge candidates. THE inner
+    // loop of tokenizer training, re-expressed as two aggregations: the
+    // (word, count) table is the shuffle-reduced working set (vocabulary-
+    // sized, not corpus-sized) and the pair explode runs over DISTINCT
+    // words only — the 100 TB shape. All integers, hash-exact ---
+    "d20_bpe_pairs" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(cleanTokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .filter(length(col("w")) >= 2)
+      words
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, length(w) - 1), " +
+            "i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // --- PII scan (the safety pass every released corpus runs): per
+    // source, docs containing email-shaped / phone-shaped strings and
+    // the total count of digit runs — flag counts a redaction pipeline
+    // would act on. One narrow codegen'd pass; Java regex and RE2 agree
+    // on these anchored character-class patterns; all integer outputs ---
+    "g5_pii_scan" -> ((s, dir) => {
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phone = "[0-9]{3}-[0-9]{4}"
+      docs(s, dir)
+        .select(col("source"),
+          col("text").rlike(email).as("he"),
+          col("text").rlike(phone).as("hp"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .cast("bigint").as("nd"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("he"), 1L).otherwise(0L)).as("n_email_docs"),
+          sum(when(col("hp"), 1L).otherwise(0L)).as("n_phone_docs"),
+          sum(col("nd")).as("n_digit_runs"))
+        .orderBy(col("source"))
+    }),
+
     // --- fasttext-style linear quality classifier APPLICATION: hashed
     // bag-of-words (256 buckets, the d18 hashing) dotted with a FIXED
     // seeded weight vector — the "score every document with a trained
@@ -651,6 +694,32 @@ object TextQueries {
         CAST(SUM(c * lp) * -1 AS DECIMAL(28,6)) AS nll
       FROM per JOIN lp USING (bk)
       GROUP BY doc_id ORDER BY doc_id""",
+    "d20_bpe_pairs" -> """
+      WITH w AS (
+        SELECT tok AS w, COUNT(*) AS wc FROM (
+          SELECT unnest(list_filter(
+            string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+          FROM documents)
+        GROUP BY tok),
+      p AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+          i -> substr(w, CAST(i AS INT), 2))) AS pair, wc
+        FROM w WHERE length(w) >= 2)
+      SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+      FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+    "g5_pii_scan" -> """
+      WITH x AS (
+        SELECT source,
+          regexp_matches(text,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}') AS he,
+          regexp_matches(text, '[0-9]{3}-[0-9]{4}') AS hp,
+          CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS nd
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN he THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+        CAST(SUM(CASE WHEN hp THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_docs,
+        CAST(SUM(nd) AS BIGINT) AS n_digit_runs
+      FROM x GROUP BY source ORDER BY source""",
     "g4_linear_classifier" -> """
       WITH toks AS (
         SELECT doc_id,
