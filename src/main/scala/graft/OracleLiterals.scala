@@ -53,6 +53,20 @@ object OracleLiterals {
        SELECT v1, CAST(v2 AS $castTo) FROM (VALUES $vs) AS t(v1, v2))"""
   }
 
+  /** Triple-long-keyed → decimal model (e.g. a PQ ADC lookup table keyed
+    * by (q_id, m, code)). */
+  def valuesCte3(name: String, c1: String, c2: String, c3: String,
+                 c4: String, castTo: String,
+                 rows: Seq[(Long, Long, Long, java.math.BigDecimal)])
+      : String = {
+    val vs = rows.map { case (a, b, c, v) =>
+      s"($a, $b, $c, '${v.toPlainString}')" }.mkString(", ")
+    s"""$name($c1, $c2, $c3, $c4) AS (
+       SELECT CAST(v1 AS BIGINT), CAST(v2 AS BIGINT), CAST(v3 AS BIGINT),
+         CAST(v4 AS $castTo)
+       FROM (VALUES $vs) AS t(v1, v2, v3, v4))"""
+  }
+
   /** Same for string-keyed models (e.g. per-term idf). */
   def valuesCteStr(name: String, c1: String, c2: String, castTo: String,
                    rows: Seq[(String, java.math.BigDecimal)]): String = {

@@ -316,6 +316,48 @@ object Dedup {
           " ").as("clean_text"))
   }
 
+  /** Overlapping-span duplication diagnostic — the corpus-profiling core
+    * of substring-level dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": their suffix-array pass finds
+    * repeated spans; at cluster scale the equivalent signal is the
+    * stride-1 word `width`-gram). Unlike [[dropBoilerplateSegments]]
+    * (non-overlapping segments, drop-and-reassemble) this measures, per
+    * document, how many of its overlapping spans also occur in ANOTHER
+    * document — the cross-document duplication profile that decides
+    * whether substring dedup is worth running at all.
+    *
+    * Scale shape: the span explode is narrow (≈ one row per token); the
+    * document-frequency count is one shuffle on the span text (uniform
+    * key); the duplicated-span set is the filtered minority, marked back
+    * onto positions with a LeftSemi that AQE sizes (broadcast when
+    * small); the per-doc rollup shuffles on doc id. All-integer output —
+    * hash-exact by construction.
+    *
+    * Output: (idCol, n_spans, n_dup) for EVERY input row (short docs get
+    * (0,0) — no input row ever silently disappears). */
+  def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                    width: Int = 5): DataFrame = {
+    val words = graft.functions.TextFunctions.cleanTokens(col(textCol))
+    val spanArr = when(size(words) >= width,
+      transform(sequence(lit(1), size(words) - lit(width - 1)),
+        i => array_join(slice(words, i, lit(width)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val spans = df.select(col(idCol), explode(spanArr).as("span"))
+    val dup = spans.groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("span"))
+    val marked = spans.join(dup, Seq("span"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
+    val total = spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    df.select(col(idCol))
+      .join(total, Seq(idCol), "left")
+      .join(marked, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+  }
+
   /** Benchmark decontamination: flag training documents whose word
     * `n`-grams overlap an evaluation corpus (the train/test-overlap scrub
     * every LLM data pipeline runs before training — GPT-3 App. C / PaLM

@@ -108,6 +108,27 @@ object Mixing {
     stratifiedSample(df, stratumCol, rates, seed, keyCols)
   }
 
+  /** Temperature-flattened sampling shares — the multilingual-mix recipe
+    * (mBERT / XLM-R: p_s ∝ c_s^α) that up-weights low-resource strata.
+    * α is fixed at 2 so every number stays an EXACT integer (c·c, no
+    * pow/exp — the determinism lint's banned transcendental class):
+    *   share_ppm = ⌊c_s² · 10⁶ / Σ_s c_s²⌋
+    * computed on DECIMAL(38,0) intermediates (c up to ~10¹⁵ tokens before
+    * c²·10⁶ approaches the 38-digit ceiling) with integral `div`, so
+    * there is no FP or rounding surface anywhere. Scale shape: ONE
+    * aggregate on the stratum key; the denominator is a 1-row frame
+    * cross-broadcast back — O(#strata) metadata, never data. */
+  def temperatureShares(df: DataFrame, stratumCol: String,
+                        tokenCol: Column): DataFrame = {
+    val per = df.groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(sum(tokenCol).cast("decimal(38,0)").as("c"))
+    val tot = per.agg(sum(col("c") * col("c")).cast("decimal(38,0)")
+      .as("den"))
+    per.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("c").cast("bigint").as("n_tokens"),
+        expr("CAST((c * c * 1000000) div den AS BIGINT)").as("share_ppm"))
+  }
+
   /** (id, is_t, b): every unigram+bigram feature hashed onto `buckets`
     * keys — the shared narrow explode feeding both the model aggregation
     * and the per-doc rollup. */

@@ -207,6 +207,38 @@ object Retrieval {
     scoreAndRank(tfq, qt, model, k, k1, b)
   }
 
+  /** Exact phrase search over positional postings — the adjacency join
+    * every positional inverted index runs (Lucene's PhraseQuery
+    * semantics): a phrase w₀ w₁ … w_{m-1} matches at position p iff wᵢ
+    * occurs at p+i for every i. The corpus is posexploded to
+    * (doc_id, pos, term) and restricted to the phrase's terms BEFORE any
+    * exchange (driver-literal in-list → codegen'd filter, and
+    * `PushedFilters: In(term,…)` against a persisted postings layout);
+    * each successive term then lands as a LeftSemi equi-join on
+    * (doc_id, pos − i). m−1 joins all keyed the same way, so AQE reuses
+    * one exchange; candidate volume is the postings of the RAREST
+    * phrase term, never the corpus. All-integer output — hash-exact.
+    *
+    * Output: (doc_id, n_occ) for documents containing the phrase,
+    * n_occ = number of distinct start positions. */
+  def phraseOccurrences(docs: DataFrame, textCol: String, idCol: String,
+                        phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.cleanTokens(col(textCol)))
+          .as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val anchor = toks.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        val ti = toks.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos"))
+        acc.join(ti, Seq("doc_id", "pos"), "left_semi")
+    }
+    matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+  }
+
   /** Reciprocal-rank fusion: merge N per-query candidate rankings (sparse
     * BM25, dense ANN, …) into one hybrid ranking — the standard fusion
     * step of a two-tower retrieval stack (Cormack et al. 2009). Each input

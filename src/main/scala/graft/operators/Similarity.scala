@@ -435,4 +435,99 @@ object Similarity {
         coalesce(col("inertia"), lit(0).cast("decimal(38,6)")).as("inertia"))
       .orderBy(col("cell"))
   }
+
+  /** Product-quantization encode (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search") — the memory-compression
+    * path a billion-vector ANN deployment runs: the D-dim vector is split
+    * into M contiguous subvectors and each is replaced by the id of its
+    * nearest codeword, giving M small ints per vector instead of D
+    * floats. `codebooks(m)(j)` is codeword j of subspace m; all codebooks
+    * must share one subDim = D/M. Assignment reuses the IVF argmin form
+    * (|c|² − 2·a·c, ties toward the lower codeword id) per subspace —
+    * the codebook is bounded O(M·k·subDim) driver metadata riding as
+    * plan literals, so the encode is a NARROW fully-codegen'd projection:
+    * zero shuffle, embarrassingly parallel at any corpus size. (The
+    * literal-size regime matches cellAssignments' small-k path; PQ
+    * codebooks are small by construction — M·k·subDim = D·k literals —
+    * so no broadcast-join fallback is needed here.)
+    *
+    * Output: (vec_id, m, code) exploded scalar rows (array columns can't
+    * be hashed by the driver's compare harness), M rows per vector. */
+  def pqCodes(corpus: DataFrame,
+              codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "pqCodes needs at least one codebook with at least one codeword")
+    val subDim = codebooks.head.head.length
+    require(codebooks.flatten.forall(_.length == subDim),
+      "all codewords must share one subspace dimension")
+    val spark = corpus.sparkSession
+    val mcs = codebooks.zipWithIndex.map { case (cb, m) =>
+      val sub = slice(col("embedding"), m * subDim + 1, subDim)
+      val scored = array(cb.zipWithIndex.map { case (cw, j) =>
+        val normSq = cw.foldLeft(0.0)((s, v) => s + v * v)
+        struct(
+          (lit(normSq) - lit(2.0) *
+            dotAuto(spark)(sub, array(cw.map(lit): _*))).as("d"),
+          lit(j.toLong).as("j"))
+      }: _*)
+      struct(lit(m.toLong).as("m"),
+        array_min(scored).getField("j").as("code"))
+    }
+    corpus.select(col("vec_id"), explode(array(mcs: _*)).as("mc"))
+      .select(col("vec_id"), col("mc").getField("m").as("m"),
+        col("mc").getField("code").as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * exact, each database vector is represented by its codes, and the
+    * estimated distance is Σ_m lut(q, m, code_m) where the lookup table
+    * holds the per-subspace codeword distances. The LUT is O(#queries ·
+    * M · k) driver metadata: each entry is |cw|² − 2·q_sub·cw (the
+    * |q_sub|²-dropped form — rank-equivalent for a fixed query) computed
+    * ONCE on the driver, rounded to 6 dp, and riding as DECIMAL
+    * literals, so the per-vector sum is order-independent and the result
+    * hash-exact in any engine (the d18/BM25 literal-injection pattern —
+    * no FP aggregation anywhere).
+    *
+    * Scale shape: codes ⋈ broadcast LUT on (m, code) — narrow against
+    * the corpus — then one (q_id, vec_id) rollup and a rank-limited
+    * per-query top-k. Query cost never touches the original vectors:
+    * that is the PQ deployment story (codes are ~D·8/subDim× smaller).
+    *
+    * Output: (q_id, rnk, vec_id, adist DECIMAL(28,6)), rnk 1..k by
+    * (adist asc, vec_id asc) — a total order. */
+  def pqAdcTopK(codes: DataFrame, queries: Seq[(Long, Seq[Double])],
+                codebooks: Seq[Seq[Seq[Double]]], k: Int,
+                onLut: Seq[(Long, Long, Long, java.math.BigDecimal)] => Unit
+                  = _ => ()): DataFrame = {
+    require(queries.nonEmpty, "pqAdcTopK needs at least one query")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val subDim = codebooks.head.head.length
+    val lut = for {
+      (qid, q) <- queries
+      (cb, m) <- codebooks.zipWithIndex
+      (cw, j) <- cb.zipWithIndex
+    } yield {
+      val qSub = q.slice(m * subDim, m * subDim + subDim)
+      val normSq = cw.foldLeft(0.0)((s, v) => s + v * v)
+      val dot = qSub.zip(cw).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+      (qid, m.toLong, j.toLong,
+        graft.OracleLiterals.round6(normSq - 2.0 * dot))
+    }
+    onLut(lut)
+    val lutDf = broadcast(
+      lut.map { case (q, m, j, v) => (q, m, j, v.toPlainString) }
+        .toDF("q_id", "m", "code", "dtxt")
+        .select(col("q_id"), col("m"), col("code"),
+          col("dtxt").cast("decimal(20,6)").as("dq")))
+    val scored = codes.join(lutDf, Seq("m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dq")).cast("decimal(28,6)").as("adist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("adist"))
+  }
 }

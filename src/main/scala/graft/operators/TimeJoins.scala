@@ -39,6 +39,49 @@ object TimeJoins {
       .drop("_bucket")
   }
 
+  /** Self interval-overlap pairs — the range-join shape (maintenance
+    * windows × outages, shipment spans × shipment spans) that a naive
+    * engine runs as a per-key nested loop. Rows a, b sharing `keyCol`
+    * pair iff their CLOSED intervals [start,end] overlap:
+    * a.start ≤ b.end ∧ b.start ≤ a.end.
+    *
+    * Scale shape: each interval lands in every `bucketWidth`-wide bucket
+    * it touches (a narrow explode of ≤ len/width + 1 rows); candidates
+    * meet in an equi-join on (key, bucket); the pair is ATTRIBUTED to
+    * exactly one bucket — the one containing max(a.start, b.start),
+    * which any overlapping pair shares — so no dedup pass is needed.
+    * Pick `bucketWidth` ≈ the typical interval length: shorter buckets
+    * explode more copies, longer buckets admit more false candidates,
+    * but the join never goes quadratic in the partition size the way a
+    * per-key nested loop does. Axis values must be non-negative (integer
+    * `DIV` truncates toward zero, which is floor only for ≥ 0) and each
+    * row must satisfy start ≤ end — normalize with least/greatest first
+    * (an inverted interval would explode a DESCENDING bucket sequence
+    * and silently miss candidates).
+    *
+    * Both output sides carry all input columns prefixed a_/b_; the
+    * caller imposes its own a<b total order to halve mirrored pairs. */
+  def intervalOverlapPairs(df: DataFrame, keyCol: String, startCol: String,
+                           endCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val a = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val aB = a.withColumn("_bucket", explode(sequence(
+      expr(s"a_$startCol div $bucketWidth"),
+      expr(s"a_$endCol div $bucketWidth"))))
+    val bB = b.withColumn("_bucket", explode(sequence(
+      expr(s"b_$startCol div $bucketWidth"),
+      expr(s"b_$endCol div $bucketWidth"))))
+    aB.join(bB,
+        aB(s"a_$keyCol") === bB(s"b_$keyCol") &&
+          aB("_bucket") === bB("_bucket"))
+      .filter(col(s"a_$startCol") <= col(s"b_$endCol") &&
+        col(s"b_$startCol") <= col(s"a_$endCol") &&
+        aB("_bucket") ===
+          expr(s"greatest(a_$startCol, b_$startCol) div $bucketWidth"))
+      .drop("_bucket")
+  }
+
   /** As-of join: for every left row, the latest right row with
     * rightTime <= leftTime sharing `key`. Right's payload columns must not
     * collide with left's (rename first). Inner semantics: unmatched left

@@ -101,6 +101,34 @@ object AnalyticsQueries {
         .orderBy(col("m"))
     }),
 
+    // --- OHLC resample bars (the classic market-data downsample; also
+    // the reference's JSONBench-style event rollup shape): per
+    // (event_type, hour) the first/last/min/max of `value` plus volume.
+    // Open/close are made deterministic by ordering on (t, event_id) —
+    // event_id is unique — via first/last over an unbounded frame; the
+    // subsequent aggregate collapses the (constant-per-partition)
+    // open/close with max(). One shuffle on the (type, hour) key; the
+    // window and the aggregate share the same partitioning so the
+    // exchange is reused. No FP arithmetic — values pass through
+    // untouched, so the hash check is exact by construction. ---
+    "ts2_ohlc_bars" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.events(s, dir)
+        .select(col("event_type"), date_trunc("hour", col("t")).as("h"),
+          col("t"), col("event_id"), col("value"))
+      val w = Window.partitionBy(col("event_type"), col("h"))
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      base
+        .withColumn("open", first(col("value")).over(w))
+        .withColumn("close", last(col("value")).over(w))
+        .groupBy(col("event_type"), col("h"))
+        .agg(max(col("open")).as("open"), max(col("value")).as("high"),
+          min(col("value")).as("low"), max(col("close")).as("close"),
+          count(lit(1)).as("volume"))
+        .orderBy(col("event_type"), col("h"))
+    }),
+
     // --- statistical aggregate kernels: corr / covar_samp / stddev_samp
     // / var_pop — one-pass algebraic moments, partial+final split ---
     "st1_stats" -> ((s, dir) => {
@@ -210,9 +238,45 @@ object AnalyticsQueries {
               .cast("decimal(38,6)")).cast("double") / count(lit(1)), 6)
             .as("wmean"))
         .orderBy(col("event_type"))
+    }),
+
+    // --- min-max feature scaling: per-type [0,1] rescale of `value`,
+    // rolled up per (type, user) with min/max/count. Every scaled value
+    // is one exact-rounded IEEE chain ((v−lo)/(hi−lo) — +,−,/ are
+    // correctly rounded, bit-identical in any engine), and the rollup
+    // uses only ORDER-INDEPENDENT aggregates (min/max/count — no sum of
+    // computed doubles), so the check is hash-exact with zero rounding.
+    // Scale shape: the per-type (lo,hi) frame is O(#types) broadcast;
+    // one shuffle for the (type,user) rollup ---
+    "fe3_minmax_scale" -> ((s, dir) => {
+      val stats = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("value"))
+        .join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"), col("user_id"),
+          ((col("value") - col("lo")) / (col("hi") - col("lo")))
+            .as("scaled"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("scaled")).as("lo_s"), max(col("scaled")).as("hi_s"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("user_id"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "fe3_minmax_scale" -> """
+      WITH st AS (
+        SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        FROM events GROUP BY event_type),
+      sc AS (
+        SELECT e.event_type, e.user_id,
+          (e.value - st.lo) / (st.hi - st.lo) AS scaled
+        FROM events e JOIN st ON e.event_type = st.event_type)
+      SELECT event_type, user_id, MIN(scaled) AS lo_s,
+        MAX(scaled) AS hi_s, COUNT(*) AS n
+      FROM sc GROUP BY event_type, user_id
+      ORDER BY event_type, user_id""",
     "fe1_zscore" -> """
       WITH a AS (
         SELECT event_type, COUNT(*) AS n,
@@ -303,6 +367,26 @@ object AnalyticsQueries {
         COALESCE(rev, 0.0) AS rev
       FROM months LEFT JOIN agg ON months.m = agg.m
       ORDER BY months.m""",
+    "ts2_ohlc_bars" -> """
+      WITH base AS (
+        SELECT event_type,
+          date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+          ts, event_id, value
+        FROM events),
+      oc AS (
+        SELECT event_type, h, value,
+          first_value(value) OVER (PARTITION BY event_type, h
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS open,
+          last_value(value) OVER (PARTITION BY event_type, h
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS close
+        FROM base)
+      SELECT event_type, h, MAX(open) AS open, MAX(value) AS high,
+        MIN(value) AS low, MAX(close) AS close, COUNT(*) AS volume
+      FROM oc GROUP BY event_type, h ORDER BY event_type, h""",
     "st2_higher_moments" -> """
       WITH a AS (
         SELECT event_type, COUNT(*) AS n,

@@ -416,6 +416,144 @@ object ExtQueries {
         .orderBy(col("user_id"), col("bucket_ts"))
     }),
 
+    // --- interval-overlap range join (bucketed, never a per-key nested
+    // loop): per supplier, 1996-shipped order↔ship activity spans,
+    // counting concurrently-open span pairs and their widest co-active
+    // spread. The driver's synthetic dates are NOT TPC-H-conformant
+    // (shipdate can precede orderdate), so the span is normalized to
+    // [least, greatest] — the operator's start ≤ end contract — on both
+    // sides. The 1024-day bucket width covers the ≈2000-day max span in
+    // ≤ 3 copies; pair identity is the (orderkey, linenumber) tuple
+    // order. All-integer — hash-exact ---
+    "j4_interval_overlap" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          unix_date(col("o_orderdate").cast("date")).cast("bigint")
+            .as("od"))
+      // range predicate, not year()=1996: the literal bounds push into
+      // the parquet scan (PushedFilters + row-group min/max skipping) —
+      // a function-wrapped column would scan everything
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast("bigint").as("k"),
+          unix_date(col("l_shipdate").cast("date")).cast("bigint")
+            .as("sd"),
+          col("od"), col("l_orderkey").cast("bigint").as("ok"),
+          col("l_linenumber").cast("bigint").as("ln"))
+        .select(col("k"), least(col("od"), col("sd")).as("s"),
+          greatest(col("od"), col("sd")).as("e"), col("ok"), col("ln"))
+      graft.operators.TimeJoins.intervalOverlapPairs(
+          li, "k", "s", "e", bucketWidth = 1024)
+        .filter(struct(col("a_ok"), col("a_ln")) <
+          struct(col("b_ok"), col("b_ln")))
+        .groupBy(col("a_k").as("suppkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(least(col("a_e"), col("b_e")) -
+            greatest(col("a_s"), col("b_s"))).as("max_overlap_days"))
+        .orderBy(col("suppkey"))
+    }),
+
+    // --- sequences end-to-end with an oracle: nextval-tagged inserts in
+    // a driven order (nation rows by key), so id = START + INC·rank is a
+    // CLOSED FORM the oracle reproduces — the file-backed monotonic
+    // counter's contract, checked on values not just monotonicity ---
+    "x12_sequences" -> ((s, dir) => {
+      import s.implicits._
+      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      g.execute("CREATE SEQUENCE ids START 100 INCREMENT 7")
+      val n = Tables.load(s, dir, "nation").orderBy(col("n_nationkey"))
+        .select(col("n_nationkey").cast("bigint"), col("n_name"))
+        .collect()
+      val tagged = n.toSeq.map(r =>
+        (g.nextSequence("ids"), r.getLong(0), r.getString(1)))
+        .toDF("id", "key", "name")
+      g.createTable("tagged", tagged.schema)
+      g.insert("tagged", tagged)
+      g.sql("SELECT id, key, name FROM tagged ORDER BY key")
+    }),
+
+    // --- ALTER TABLE lifecycle with an oracle: ADD COLUMN (tombstone
+    // default NULL), UPDATE backfill, RENAME, DROP — the final table
+    // content is a pure function of the source rows that plain SQL
+    // reproduces ---
+    "x13_alter_lifecycle" -> ((s, dir) => {
+      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"))
+      g.createTable("c", c.schema)
+      g.insert("c", c)
+      g.execute("ALTER TABLE c ADD COLUMN seg STRING")
+      g.execute("UPDATE c SET seg = 'hi' WHERE bal >= 5000")
+      g.execute("ALTER TABLE c RENAME COLUMN bal TO balance")
+      g.execute("ALTER TABLE c DROP COLUMN name")
+      g.sql("""SELECT k, balance, COALESCE(seg, 'lo') AS seg
+               FROM c ORDER BY k""")
+    }),
+
+    // --- FK ON DELETE CASCADE with an oracle: deleting urgent orders
+    // cascades into their lineitems; the surviving child content is the
+    // anti-join the oracle spells directly ---
+    "x14_fk_cascade" -> ((s, dir) => {
+      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("id"), col("o_orderpriority").as("prio"))
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey").as("oid"), col("l_linenumber").as("ln"),
+          col("l_returnflag").as("rf"))
+      g.createTable("parent", o.schema)
+      g.insert("parent", o)
+      g.createTable("child", li.schema)
+      g.addForeignKey("child", "oid", "parent", "id", g.Cascade)
+      g.insert("child", li)
+      g.delete("parent", col("prio") === "1-URGENT")
+      g.sql("""SELECT rf, COUNT(*) AS n, COUNT(DISTINCT oid) AS n_orders
+               FROM child GROUP BY rf ORDER BY rf""")
+    }),
+
+    // --- incremental matview + REFRESH with an oracle: batch 2 lands
+    // AFTER the view is defined, refresh folds only the delta (the
+    // mergeable-partials path), and the refreshed content equals the
+    // full-recompute SQL the oracle runs ---
+    "x15_matview_refresh" -> ((s, dir) => {
+      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      g.createTable("base", d.schema)
+      g.insert("base", d.filter(col("doc_id") % 2 === 0))
+      g.execute("""CREATE INCREMENTAL MATERIALIZED VIEW mv AS
+        SELECT lang, count(*) AS n, sum(n_chars) AS chars
+        FROM base GROUP BY lang""")
+      g.insert("base", d.filter(col("doc_id") % 2 === 1))
+      g.execute("REFRESH MATERIALIZED VIEW mv")
+      g.execute("SELECT lang, n, chars FROM mv ORDER BY lang")
+    }),
+
+    // --- COPY TO / COPY FROM round-trip with an oracle: a query result
+    // exported to parquet, re-ingested into a declared table, and
+    // aggregated — proving the export/import path loses nothing ---
+    "x16_copy_roundtrip" -> ((s, dir) => {
+      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val out = Files.createTempDirectory("graft_copy").toString
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      g.createTable("src", p.schema)
+      g.insert("src", p)
+      g.execute("COPY (SELECT p_partkey, p_brand, p_retailprice FROM src " +
+        s"WHERE p_retailprice > 910) TO '$out/hi' (FORMAT parquet)")
+      g.createTable("back", p.schema)
+      g.execute(s"COPY back FROM '$out/hi'")
+      g.sql("""SELECT p_brand, COUNT(*) AS n,
+                 CAST(SUM(CAST(p_retailprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total
+               FROM back GROUP BY p_brand ORDER BY p_brand""")
+    }),
+
     // --- MERGE INTO through the SQL router (exceeds the reference's DML:
     // delete + conditional update + insert arms in one statement). The
     // source's key remap makes heavy customers (cnt >= 8) miss the join,
@@ -736,6 +874,51 @@ object ExtQueries {
         CAST(n_events AS BIGINT) AS n_events,
         (n_events = 0) AS is_gap
       FROM filled ORDER BY user_id, bucket_ts""",
+    "x12_sequences" -> """
+      SELECT 100 + 7 * CAST(n_nationkey AS BIGINT) AS id,
+        CAST(n_nationkey AS BIGINT) AS key, n_name AS name
+      FROM nation ORDER BY key""",
+    "x13_alter_lifecycle" -> """
+      SELECT c_custkey AS k, c_acctbal AS balance,
+        CASE WHEN c_acctbal >= 5000 THEN 'hi' ELSE 'lo' END AS seg
+      FROM customer WHERE c_custkey < 100 ORDER BY k""",
+    "x14_fk_cascade" -> """
+      SELECT l_returnflag AS rf, COUNT(*) AS n,
+        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_orderkey < 2000 AND o_orderpriority <> '1-URGENT'
+      GROUP BY rf ORDER BY rf""",
+    "x15_matview_refresh" -> """
+      SELECT lang, COUNT(*) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY lang ORDER BY lang""",
+    "x16_copy_roundtrip" -> """
+      SELECT p_brand, COUNT(*) AS n,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+      FROM part WHERE p_retailprice > 910
+      GROUP BY p_brand ORDER BY p_brand""",
+    "j4_interval_overlap" -> """
+      WITH raw AS (
+        SELECT CAST(l_suppkey AS BIGINT) AS k,
+          CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+            AS od,
+          CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+            AS sd,
+          CAST(l_orderkey AS BIGINT) AS ok,
+          CAST(l_linenumber AS BIGINT) AS ln
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'),
+      li AS (
+        SELECT k, least(od, sd) AS s, greatest(od, sd) AS e, ok, ln
+        FROM raw)
+      SELECT a.k AS suppkey, COUNT(*) AS n_pairs,
+        MAX(least(a.e, b.e) - greatest(a.s, b.s)) AS max_overlap_days
+      FROM li a JOIN li b
+        ON a.k = b.k
+       AND (a.ok < b.ok OR (a.ok = b.ok AND a.ln < b.ln))
+       AND a.s <= b.e AND b.s <= a.e
+      GROUP BY a.k ORDER BY suppkey""",
     "x5_udf" -> """
       SELECT l_orderkey, l_linenumber,
              l_extendedprice * (1.0 - l_discount) AS net

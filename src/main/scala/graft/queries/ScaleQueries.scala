@@ -368,6 +368,29 @@ object ScaleQueries {
           .when(col("t2").isNotNull, 2L).otherwise(1L).as("level"))
       lvl.groupBy(col("level")).agg(count(lit(1)).as("n_users"))
         .orderBy(col("level"))
+    }),
+
+    // --- Markov transition counts over per-user event sequences (the
+    // sequence-mining shape behind next-event prediction / clickstream
+    // models): lead() over (user_id ORDER BY t, event_id) pairs each
+    // event with its successor; count each (from, to) transition and the
+    // distinct users exhibiting it. One window shuffle keyed on user_id
+    // + one aggregate on the (from,to) pair — the pair domain is
+    // |event_types|² (bounded), so the final aggregate is tiny no matter
+    // the corpus size. All-integer output. ---
+    "c16_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("t"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("from_type"), col("to_type"))
     })
   )
 
@@ -386,6 +409,16 @@ object ScaleQueries {
         COUNT(DISTINCT user_id) AS n_users,
         COUNT(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "c16_transitions" -> """
+      WITH seq AS (
+        SELECT user_id, event_type,
+          lead(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS next_type
+        FROM events)
+      SELECT event_type AS from_type, next_type AS to_type,
+        COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type ORDER BY from_type, to_type""",
     "c13_regex_scan" -> """
       WITH x AS (
         SELECT lang,

@@ -264,6 +264,24 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- overlapping-span duplication profile (the substring-dedup
+    // decision signal of Lee et al. 2022): per doc, how many of its
+    // stride-1 5-word spans occur in at least one other document.
+    // All-integer — hash-exact by construction ---
+    "d21_repeated_spans" -> ((s, dir) => {
+      Dedup.repeatedSpans(docs(s, dir), "text", "doc_id", width = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- temperature-flattened sampling shares (α=2, exact integers):
+    // the multilingual-mix weights p_s ∝ c_s² as parts-per-million of
+    // the corpus, integral div on DECIMAL(38,0) — no FP anywhere ---
+    "d22_temperature_mix" -> ((s, dir) => {
+      graft.operators.Mixing.temperatureShares(docs(s, dir), "source",
+          graft.functions.TextFunctions.tokenCount(col("text")))
+        .orderBy(col("stratum"))
+    }),
+
     // --- DSIR-style importance weights: log-likelihood ratio of hashed
     // unigram+bigram models, target = English docs vs raw = everything.
     // The 64 bucket log-ratios are computed ONCE on the driver (bounded
@@ -444,6 +462,16 @@ object TextQueries {
     "ir1_bm25" -> ((s, dir) => {
       graft.operators.Retrieval.bm25TopK(docs(s, dir), "text", "doc_id",
         Bm25Queries, k = 5, onModel = stashBm25Idf)
+    }),
+
+    // --- exact phrase search (Lucene PhraseQuery semantics) via the
+    // positional-postings adjacency join: restrict to the phrase's terms
+    // before any exchange, then LeftSemi (doc_id, pos−i) per successive
+    // term. All-integer — hash-exact ---
+    "ir3_phrase_query" -> ((s, dir) => {
+      graft.operators.Retrieval.phraseOccurrences(docs(s, dir), "text",
+          "doc_id", Seq("hash", "join"))
+        .orderBy(col("doc_id"))
     }),
 
     // --- global top-20 bigrams via the Misra–Gries two-pass: bounded
@@ -914,6 +942,55 @@ object TextQueries {
         md5(COALESCE(string_agg(CASE WHEN NOT bo THEN seg END, ' '
                                 ORDER BY seg_idx), '')) AS clean_hash
       FROM marked GROUP BY doc_id ORDER BY doc_id""",
+    "ir3_phrase_query" -> """
+      WITH words AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+                      w -> w <> '') AS ws
+        FROM documents),
+      occ AS (
+        SELECT doc_id, COUNT(*) AS n_occ
+        FROM words, LATERAL unnest(generate_series(1, len(ws) - 1))
+            AS t(i)
+        WHERE ws[i] = 'hash' AND ws[i + 1] = 'join'
+        GROUP BY doc_id)
+      SELECT doc_id, n_occ FROM occ ORDER BY doc_id""",
+    "d21_repeated_spans" -> """
+      WITH words AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+                      w -> w <> '') AS ws
+        FROM documents),
+      spans AS (
+        SELECT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ')
+            AS span
+        FROM words, LATERAL unnest(generate_series(1, len(ws) - 4))
+            AS t(i)
+        WHERE len(ws) >= 5),
+      dup AS (
+        SELECT span FROM spans GROUP BY span
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+      per AS (
+        SELECT s.doc_id, COUNT(*) AS n_spans,
+          CAST(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup
+        FROM spans s LEFT JOIN dup d ON s.span = d.span
+        GROUP BY s.doc_id)
+      SELECT w.doc_id,
+        COALESCE(n_spans, 0) AS n_spans,
+        COALESCE(n_dup, 0) AS n_dup
+      FROM words w LEFT JOIN per ON w.doc_id = per.doc_id
+      ORDER BY w.doc_id""",
+    "d22_temperature_mix" -> """
+      WITH per AS (
+        SELECT source AS stratum,
+          CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+'))
+            AS BIGINT)) AS HUGEINT) AS c
+        FROM documents GROUP BY source),
+      tot AS (SELECT SUM(c * c) AS den FROM per)
+      SELECT stratum, CAST(c AS BIGINT) AS n_tokens,
+        CAST((c * c * 1000000) // den AS BIGINT) AS share_ppm
+      FROM per, tot ORDER BY stratum""",
     "d2_token_stats" -> """
       SELECT lang,
         CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,

@@ -134,6 +134,34 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // --- product quantization encode (Jégou et al. 2011): 64-dim
+    // vectors → 4 codes from 8-codeword codebooks (codebook m = the m-th
+    // 16-dim slice of the first 8 vectors — deterministic seeds, the
+    // e7/e9 convention). The argmin is the IVF |c|²−2·a·c literal fold
+    // per subspace, so the oracle replays it exactly; all-integer
+    // output — hash-exact ---
+    "e11_pq_codes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqCodes(e, pqCodebooks(e))
+        .orderBy(col("vec_id"), col("m"))
+    }),
+
+    // --- asymmetric-distance (ADC) PQ search: query vectors 0/1/2
+    // against the coded corpus. The O(#q·M·k) lookup table is computed
+    // ONCE on the driver and injected as identical DECIMAL literals into
+    // this plan AND the oracle (the d18/BM25 pattern), so the Σ_m sum is
+    // order-independent and hash-exact ---
+    "e12_pq_adc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cbs = pqCodebooks(e)
+      val qs = seedEmbeddings(e, 3)
+      val codes = Similarity.pqCodes(e, cbs)
+      Similarity.pqAdcTopK(codes, qs, cbs, k = 5, onLut = lut =>
+        graft.OracleLiterals.put("e12_lut", graft.OracleLiterals.valuesCte3(
+          "lut", "q_id", "m", "code", "dq", "DECIMAL(20,6)", lut)))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // --- hybrid retrieval: BM25 top-20 (sparse) fused with brute-force
     // cosine top-20 (dense, query vectors = embeddings 0/1/2 standing in
     // for encoded query text) via reciprocal-rank fusion — the two-tower
@@ -157,6 +185,37 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     })
   )
+
+  /** First n corpus vectors by vec_id as (id, doubles) — the bounded
+    * O(n·dim) seed-collection every deterministic centroid/codebook path
+    * uses (the e9/e10 convention). */
+  private def seedEmbeddings(df: DataFrame,
+                             n: Int): Seq[(Long, Seq[Double])] =
+    df.orderBy(col("vec_id")).limit(n)
+      .select(col("vec_id"), col("embedding")).collect().toSeq
+      .map { r =>
+        val id = r.get(0) match {
+          case x: java.lang.Number => x.longValue
+          case x => throw new IllegalArgumentException(
+            s"vec_id must be numeric, got ${x.getClass.getName}")
+        }
+        id -> r.getSeq[Any](1).map {
+          case n: java.lang.Number => n.doubleValue
+          case x => throw new IllegalArgumentException(
+            s"embedding values must be numeric, got ${x.getClass.getName}")
+        }.toSeq
+      }
+
+  /** PQ codebooks: codebook m = the m-th D/nSub-dim slice of the first
+    * nWords corpus vectors. Deterministic; matches pqSubSql in the
+    * oracle. */
+  private def pqCodebooks(df: DataFrame, nWords: Int = 8,
+                          nSub: Int = 4): Seq[Seq[Seq[Double]]] = {
+    val seeds = seedEmbeddings(df, nWords).map(_._2)
+    val subDim = seeds.head.length / nSub
+    (0 until nSub).map(m =>
+      seeds.map(v => v.slice(m * subDim, (m + 1) * subDim)))
+  }
 
   // ---- oracle-SQL generation: replicate the literal-hyperplane LSH and
   // IVF-centroid arithmetic in DuckDB. Both engines compute dot products
@@ -196,6 +255,60 @@ object VectorQueries {
       FROM cand)
     SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, sim FROM ranked
     WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** Shared PQ assignment CTE chain (cents → sc → asg → codes):
+    * codewords = 16-dim slices of the first 8 vectors, per-subspace
+    * argmin of dot(c,c) − 2·dot(e,c) with (d asc, j asc) ties — the
+    * exact fold [[Similarity.pqCodes]] embeds as literals. */
+  private def pqCodesSql: String = {
+    val cSub = "list_slice(c.c_emb, m.m * 16 + 1, m.m * 16 + 16)"
+    val eSub = "list_slice(e.embedding, m.m * 16 + 1, m.m * 16 + 16)"
+    s"""cents AS (
+      SELECT vec_id AS j, embedding AS c_emb
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    sc AS (
+      SELECT e.vec_id, m.m, c.j,
+        (${dotSql(cSub, cSub)}) - 2.0 * (${dotSql(eSub, cSub)}) AS d
+      FROM embeddings e CROSS JOIN range(0, 4) AS m(m) CROSS JOIN cents c),
+    asg AS (
+      SELECT vec_id, m, j,
+        ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                           ORDER BY d ASC, j ASC) AS r
+      FROM sc),
+    codes AS (SELECT vec_id, m, j AS code FROM asg WHERE r = 1)"""
+  }
+
+  private def e11Oracle: String = s"""
+    WITH $pqCodesSql
+    SELECT vec_id, m, code FROM codes ORDER BY vec_id, m"""
+
+  /** In-SQL ADC lookup table — fallback only; the run path injects the
+    * driver-stashed DECIMAL literals (OracleLiterals "e12_lut"). */
+  private def e12LutFallback: String = {
+    val cSub = "list_slice(c.c_emb, m.m * 16 + 1, m.m * 16 + 16)"
+    val qSub = "list_slice(q.embedding, m.m * 16 + 1, m.m * 16 + 16)"
+    s"""lut AS (
+      SELECT q.vec_id AS q_id, m.m, c.j AS code,
+        CAST(round((${dotSql(cSub, cSub)})
+          - 2.0 * (${dotSql(qSub, cSub)}), 6) AS DECIMAL(20,6)) AS dq
+      FROM embeddings q CROSS JOIN range(0, 4) AS m(m) CROSS JOIN cents c
+      WHERE q.vec_id < 3)"""
+  }
+
+  private def e12Oracle: String = s"""
+    WITH $pqCodesSql,
+    ${graft.OracleLiterals.get("e12_lut", e12LutFallback)},
+    scored AS (
+      SELECT l.q_id, c.vec_id, CAST(SUM(l.dq) AS DECIMAL(28,6)) AS adist
+      FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+      GROUP BY l.q_id, c.vec_id),
+    ranked AS (
+      SELECT q_id, vec_id, adist,
+        ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY adist ASC, vec_id ASC) AS rnk
+      FROM scored)
+    SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, adist
+    FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
   private def e5Oracle: String = s"""
     WITH cents AS (
@@ -393,6 +506,8 @@ object VectorQueries {
   def oracles: Map[String, String] = Map(
     "ir2_hybrid_rrf" -> ir2Oracle,
     "e4_knn_lsh" -> e4Oracle,
+    "e11_pq_codes" -> e11Oracle,
+    "e12_pq_adc" -> e12Oracle,
     "e5_knn_ivf" -> e5Oracle,
     "e6_embedding_dedup" -> e6Oracle,
     "e7_kmeans_step" -> e7Oracle,

@@ -101,6 +101,32 @@ class TimeJoinsSpec extends SparkSpec {
   }
 }
 
+class IntervalOverlapSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TimeJoins
+
+  test("bucketed interval overlap equals the nested-loop predicate") {
+    // intervals spanning bucket boundaries, exact-touch endpoints, and a
+    // separate key that must never pair
+    val rows = Seq(
+      (1L, 10L, 0L, 20L), (1L, 11L, 20L, 30L),   // touch at 20 → overlap
+      (1L, 12L, 31L, 40L),                       // gap from 11 → no pair
+      (1L, 13L, 5L, 95L),                        // long: spans 4 buckets
+      (2L, 20L, 0L, 100L))                       // other key
+    val df = rows.toDF("k", "id", "s", "e")
+    for (bw <- Seq(7L, 32L, 1000L)) {
+      val got = TimeJoins.intervalOverlapPairs(df, "k", "s", "e", bw)
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val expect = (for {
+        (ka, ia, sa, ea) <- rows; (kb, ib, sb, eb) <- rows
+        if ka == kb && ia < ib && sa <= eb && sb <= ea
+      } yield (ia, ib)).toSet
+      assert(got == expect, s"bucketWidth=$bw")
+    }
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
@@ -178,6 +204,24 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((2L, 2L, true)))
     assert(out(2L) == ((2L, 0L, false)))
     assert(out(3L) == ((0L, 0L, false)))   // zero grams -> never flagged
+  }
+
+  test("repeatedSpans: cross-doc overlapping spans counted per position") {
+    // width=2 spans: doc 1 "a b","b c","c d"; doc 2 "b c","c d","d e";
+    // shared spans {b c, c d} → doc1 n_dup=2, doc2 n_dup=2; doc 3 has no
+    // shared span; doc 4 too short for any span (0,0); a span repeated
+    // WITHIN one doc only (doc 3 "x y x y": "x y" twice, "y x" once) is
+    // not cross-doc duplicated.
+    val df = Seq(
+      (1L, "a b c d"), (2L, "b c d e"), (3L, "x y x y"), (4L, "q"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(df, "text", "doc_id", width = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == ((3L, 2L)))
+    assert(out(2L) == ((3L, 2L)))
+    assert(out(3L) == ((3L, 0L)))
+    assert(out(4L) == ((0L, 0L)))
   }
 
   test("decontaminate counts DISTINCT grams once per doc") {
@@ -427,6 +471,42 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getDecimal(2).toPlainString)).toSeq
     assert(run(128) == run(1))
+  }
+
+  test("pqCodes: hand-checkable subspace argmin with lower-id ties") {
+    // dim 4, M=2 subspaces of 2; codebooks: sub0 words {(0,0),(10,10)},
+    // sub1 words {(0,0),(10,10)}
+    val cbs = Seq(Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)),
+                  Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    val df = Seq(
+      (1L, Seq(1.0f, 1.0f, 9.0f, 9.0f)),   // sub0→0, sub1→1
+      (2L, Seq(9.0f, 9.0f, 1.0f, 1.0f)),   // sub0→1, sub1→0
+      (3L, Seq(5.0f, 5.0f, 5.0f, 5.0f)))   // equidistant both → tie → 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(df, cbs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map((1L, 0L) -> 0L, (1L, 1L) -> 1L,
+      (2L, 0L) -> 1L, (2L, 1L) -> 0L, (3L, 0L) -> 0L, (3L, 1L) -> 0L))
+  }
+
+  test("pqAdcTopK: ADC ranking equals brute-force on codebook-exact vectors") {
+    // vectors that ARE codeword concatenations → ADC distance is exact,
+    // so the ADC order must equal the true L2 order to the query
+    val cbs = Seq(Seq(Seq(0.0, 0.0), Seq(4.0, 4.0), Seq(8.0, 8.0)),
+                  Seq(Seq(0.0, 0.0), Seq(4.0, 4.0), Seq(8.0, 8.0)))
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(4.0f, 4.0f, 4.0f, 4.0f)),
+      (3L, Seq(8.0f, 8.0f, 8.0f, 8.0f)),
+      (4L, Seq(0.0f, 0.0f, 8.0f, 8.0f)))
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(df, cbs)
+    val out = Similarity.pqAdcTopK(codes,
+        Seq(5L -> Seq(4.0, 4.0, 4.0, 4.0)), cbs, k = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // true squared L2 to q: v2=0, v1=64, v3=64, v4=64 → ties by vec_id
+    assert(out.toSeq == Seq((1, 2L), (2, 1L), (3, 3L), (4, 4L)))
   }
 
   test("lloyd step: membership partitions the corpus; iterating converges") {

@@ -87,6 +87,24 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(5L, 7L))
   }
 
+  test("phrase search: adjacency, multiplicity, and repeated-term phrases") {
+    val corpus = Seq(
+      (1L, "a b c a b c"),      // "a b c" at 2 start positions
+      (2L, "a c b"),            // all terms present, wrong order — no hit
+      (3L, "a b"),              // prefix only — no hit
+      (4L, "x a b c y"),        // 1 hit mid-document
+      (5L, "a a a"))            // repeated-term phrase support check
+      .toDF("doc_id", "text")
+    val out = Retrieval.phraseOccurrences(corpus, "text", "doc_id",
+        Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 4L -> 1L))
+    val rep = Retrieval.phraseOccurrences(corpus, "text", "doc_id",
+        Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(5L -> 2L))   // "a a" at positions 0 and 1
+  }
+
   test("query-side broadcast: no shuffle introduced by term matching") {
     // the only Exchanges in the plan should be the postings groupBys and
     // the final rank window — the query/df/stats joins must all broadcast

@@ -55,6 +55,20 @@ class SkewSpec extends SparkSpec {
     assert(dropped.filter(col("lang") === "de").count() == 0)
   }
 
+  test("temperatureShares: α=2 shares are exact floor ppm and sum ≤ 10⁶") {
+    import graft.operators.Mixing
+    // token masses 10 / 20 / 30 → squares 100/400/900, total 1400
+    val df = Seq(("a", 10L), ("b", 20L), ("c", 30L))
+      .toDF("src", "n")
+    val out = Mixing.temperatureShares(df, "src", col("n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("a") == ((10L, 100L * 1000000L / 1400L)))   // 71428
+    assert(out("b") == ((20L, 400L * 1000000L / 1400L)))   // 285714
+    assert(out("c") == ((30L, 900L * 1000000L / 1400L)))   // 642857
+    assert(out.values.map(_._2).sum <= 1000000L)           // floors
+  }
+
   test("importanceWeights: target-like docs score above off-target docs") {
     import graft.operators.Mixing
     // target docs share a vocabulary; doc 100 mimics it, doc 101 doesn't
