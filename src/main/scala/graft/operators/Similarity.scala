@@ -48,6 +48,29 @@ object Similarity {
       k)
   }
 
+  /** Hard-negative mining for contrastive/embedding-model training: per
+    * query, the top-k most-similar corpus vectors with a DIFFERENT label
+    * (the "looks close but isn't" pairs that make the best negatives;
+    * standard dense-retrieval curation, cf. DPR/ANCE). Same broadcast-
+    * query/streamed-corpus shape as [[bruteForceKnn]] with the label
+    * inequality fused into the candidate filter — at scale swap the
+    * brute scan for the IVF/LSH candidate generators exactly as in knn.
+    * labelCol must exist on both frames. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col(labelCol).as("n_lab"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col(labelCol).as("q_lab"))
+    rankTopK(
+      broadcast(q).crossJoin(c)
+        .filter(col("q_id") =!= col("n_id") &&
+          col("q_lab") =!= col("n_lab"))
+        .withColumn("sim",
+          cosineAuto(corpus.sparkSession)(col("q_emb"), col("n_emb"))),
+      k)
+  }
+
   /** LSH-bucketed ANN: corpus is pre-bucketed by sign-LSH; a query probes
     * its own bucket plus (optionally) every bucket at Hamming distance 1
     * — classic multi-probe LSH: vectors near a hyperplane land on either

@@ -124,6 +124,24 @@ object TimeJoins {
       rightPayload.map(c => col("_m").getField(c).as(c)): _*)
   }
 
+  /** Forward as-of join: for every left row, the EARLIEST right row with
+    * rightTime >= leftTime sharing `key` (pandas merge_asof
+    * direction='forward'; [[asOfJoin]] is 'backward'). Implemented as the
+    * backward join on the negated time axis — one derived column per
+    * side, zero new machinery, so the two directions can never drift
+    * semantically. Inclusive at equality; `tolerance` drops matches
+    * farther than rightTime − leftTime. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      tolerance: Option[Long] = None): DataFrame = {
+    val l2 = left.withColumn("_fwd_lt", -col(leftTime).cast("long"))
+      .drop(leftTime)
+    val r2 = right.withColumn("_fwd_rt", -col(rightTime).cast("long"))
+      .drop(rightTime)
+    asOfJoin(l2, r2, key, "_fwd_lt", "_fwd_rt", tolerance)
+      .drop("_fwd_lt")
+  }
+
   /** Regularize an irregular time series: per key, one row per `bucket`
     * between that key's first and last observation, carrying the latest
     * observed value forward across gaps (the resample + ffill of every

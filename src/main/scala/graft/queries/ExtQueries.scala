@@ -416,6 +416,64 @@ object ExtQueries {
         .orderBy(col("user_id"), col("bucket_ts"))
     }),
 
+    // --- link prediction by common-neighbor count (the classic
+    // similarity score of Liben-Nowell & Kleinberg 2003): candidate
+    // pairs are generated by a WEDGE equi-join on the shared middle
+    // vertex (never all-pairs — work is Σ deg², bounded by the ldbc2
+    // projection's constant degree), already-connected pairs are removed
+    // with a LeftAnti on the undirected edge set, and the per-nation
+    // rollup keeps the output tiny. All-integer — hash-exact ---
+    "ldbc7_link_prediction" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_nationkey").cast("bigint").as("nat"))
+      val cand = c.select(col("k").as("src"), col("nat"),
+        explode(array(col("k") + 1, col("k") + 2, col("k") + 3))
+          .as("dst"))
+      val edges = cand
+        .join(c.select(col("k").as("dst"), col("nat")), Seq("dst", "nat"))
+        .select(col("src"), col("dst"))
+      val und = edges.select(col("src").as("v"), col("dst").as("w"))
+        .unionByName(edges.select(col("dst").as("v"), col("src").as("w")))
+      val pairs = und.select(col("v").as("m"), col("w").as("a"))
+        .join(und.select(col("v").as("m"), col("w").as("b")), Seq("m"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_common"))
+      val unconnected = pairs.join(
+        und.select(col("v").as("a"), col("w").as("b")),
+        Seq("a", "b"), "left_anti")
+      unconnected
+        .join(c.select(col("k").as("a"), col("nat")), Seq("a"))
+        .groupBy(col("nat"))
+        .agg(count(lit(1)).as("n_candidates"),
+          max(col("n_common")).as("max_common"),
+          sum(col("n_common")).cast("bigint").as("sum_common"))
+        .orderBy(col("nat"))
+    }),
+
+    // --- forward as-of join (pandas direction='forward'): each event
+    // picks the EARLIEST hourly rate bucket at-or-after it — the
+    // backward j1 on a negated axis, so both directions share one code
+    // path. DuckDB's ASOF supports the <= orientation directly ---
+    "j5_asof_forward" -> ((s, dir) => {
+      val e = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("t"), col("value"))
+      val rates = e.groupBy(col("event_type"),
+          date_trunc("hour", col("t")).as("h"))
+        .agg(count(lit(1)).as("rate"))
+      val joined = graft.operators.TimeJoins.asOfJoinForward(
+        e.select(col("event_type"), col("event_id"),
+          unix_micros(col("t")).as("lt")),
+        rates.select(col("event_type"), unix_micros(col("h")).as("rt"),
+          col("rate")),
+        key = "event_type", leftTime = "lt", rightTime = "rt")
+      joined.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("rate")).as("sum_rate"))
+        .orderBy(col("event_type"))
+    }),
+
     // --- interval-overlap range join (bucketed, never a per-key nested
     // loop): per supplier, 1996-shipped order↔ship activity spans,
     // counting concurrently-open span pairs and their widest co-active
@@ -874,6 +932,46 @@ object ExtQueries {
         CAST(n_events AS BIGINT) AS n_events,
         (n_events = 0) AS is_gap
       FROM filled ORDER BY user_id, bucket_ts""",
+    "ldbc7_link_prediction" -> """
+      WITH c AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+          CAST(c_nationkey AS BIGINT) AS nat
+        FROM customer),
+      cand AS (
+        SELECT k AS src, nat, k + d AS dst
+        FROM c, (VALUES (1), (2), (3)) AS t(d)),
+      edges AS (
+        SELECT cand.src, cand.dst
+        FROM cand JOIN c ON cand.dst = c.k AND cand.nat = c.nat),
+      und AS (
+        SELECT src AS v, dst AS w FROM edges
+        UNION ALL SELECT dst AS v, src AS w FROM edges),
+      pairs AS (
+        SELECT u1.w AS a, u2.w AS b, COUNT(*) AS n_common
+        FROM und u1 JOIN und u2 ON u1.v = u2.v AND u1.w < u2.w
+        GROUP BY a, b),
+      unconnected AS (
+        SELECT p.a, p.b, p.n_common
+        FROM pairs p LEFT JOIN und e ON p.a = e.v AND p.b = e.w
+        WHERE e.v IS NULL)
+      SELECT c.nat, COUNT(*) AS n_candidates,
+        MAX(n_common) AS max_common,
+        CAST(SUM(n_common) AS BIGINT) AS sum_common
+      FROM unconnected u JOIN c ON u.a = c.k
+      GROUP BY c.nat ORDER BY c.nat""",
+    "j5_asof_forward" -> """
+      WITH e AS (SELECT event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS lt
+                 FROM events),
+      rates AS (SELECT event_type,
+                  epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS rt,
+                  COUNT(*) AS rate
+                FROM events GROUP BY 1, 2)
+      SELECT e.event_type, COUNT(*) AS n_matched,
+        CAST(SUM(rate) AS BIGINT) AS sum_rate
+      FROM e ASOF JOIN rates
+        ON e.event_type = rates.event_type AND e.lt <= rates.rt
+      GROUP BY e.event_type ORDER BY e.event_type""",
     "x12_sequences" -> """
       SELECT 100 + 7 * CAST(n_nationkey AS BIGINT) AS id,
         CAST(n_nationkey AS BIGINT) AS key, n_name AS name

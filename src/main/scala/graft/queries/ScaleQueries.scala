@@ -378,6 +378,31 @@ object ScaleQueries {
     // + one aggregate on the (from,to) pair — the pair domain is
     // |event_types|² (bounded), so the final aggregate is tiny no matter
     // the corpus size. All-integer output. ---
+    // --- sequenceMatch (ClickHouse's event-pattern predicate): encode
+    // each user's time-ordered event sequence as a character string
+    // (c/e/p/s/v initials — distinct per type) and regex-match funnel
+    // patterns against it. The per-user string is built with an
+    // order-independent collect + deterministic in-expression sort on
+    // (t, event_id) structs, so the result is exact under any
+    // partitioning; per-user sequences are bounded by user activity,
+    // not corpus size. All-integer output ---
+    "c18_sequence_match" -> ((s, dir) => {
+      val seqs = graft.Tables.events(s, dir)
+        .select(col("user_id"),
+          struct(col("t"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ch")).as("o"))
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(array_sort(collect_list(col("o"))),
+          x => x.getField("ch")), "").as("seq"))
+      seqs.agg(count(lit(1)).as("n_users"),
+        sum(when(col("seq").rlike("v.*c.*p"), 1L).otherwise(0L))
+          .as("n_funnel"),
+        sum(when(col("seq").rlike("e.*e.*e"), 1L).otherwise(0L))
+          .as("n_err3"),
+        sum(when(col("seq").rlike("s.*p"), 1L).otherwise(0L))
+          .as("n_signup_buy"))
+    }),
+
     "c16_transitions" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -409,6 +434,20 @@ object ScaleQueries {
         COUNT(DISTINCT user_id) AS n_users,
         COUNT(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "c18_sequence_match" -> """
+      WITH seqs AS (
+        SELECT user_id,
+          string_agg(substr(event_type, 1, 1), ''
+            ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id)
+      SELECT COUNT(*) AS n_users,
+        CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*c.*p')
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel,
+        CAST(SUM(CASE WHEN regexp_matches(seq, 'e.*e.*e')
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_err3,
+        CAST(SUM(CASE WHEN regexp_matches(seq, 's.*p')
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_buy
+      FROM seqs""",
     "c16_transitions" -> """
       WITH seq AS (
         SELECT user_id, event_type,

@@ -411,6 +411,53 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // --- PII redaction (the act-on-g5 masking pass): emails → [EMAIL],
+    // phone-shapes → [PHONE], with per-doc audit counts and an md5 of
+    // the cleaned text. One narrow codegen'd projection; both engines'
+    // regex dialects agree on these character-class patterns and both
+    // regexp_replace calls are replace-all ---
+    "g6_pii_redact" -> ((s, dir) => {
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phone = "[0-9]{3}-[0-9]{4}"
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0)))
+            .cast("bigint").as("n_email"),
+          size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+            .cast("bigint").as("n_phone"),
+          md5(regexp_replace(regexp_replace(col("text"), email, "[EMAIL]"),
+            phone, "[PHONE]")).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- leakage-safe train/val/test split: every doc in the SAME
+    // near-dup cluster lands in the SAME split (assigning by per-doc
+    // hash would leak near-duplicates across train/test — the classic
+    // contamination bug). Cluster = connected components over the d14
+    // edge set; singletons are their own cluster; split = md5 of the
+    // cluster id mod 10 — deterministic, reproducible, engine-exact ---
+    "d23_cluster_split" -> ((s, dir) => {
+      import graft.functions.TextFunctions.md5Bits60
+      val d = docs(s, dir).select(col("doc_id"), col("lang"))
+      val nxt = d.select((col("doc_id") - 1).as("src"),
+        col("doc_id").as("dst"), col("lang").as("l2"))
+      val edges = d.join(nxt,
+          col("doc_id") === col("src") && col("lang") === col("l2"))
+        .select(col("src"), col("dst"))
+      val comp = Dedup.connectedComponents(edges)
+        .withColumnRenamed("node", "doc_id")
+      d.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("comp"))
+        .select(col("doc_id"), col("comp"),
+          pmod(md5Bits60(col("comp").cast("string")), lit(10L)).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("comp")).as("n_clusters"))
+        .orderBy(col("split"))
+    }),
+
     // --- fasttext-style linear quality classifier APPLICATION: hashed
     // bag-of-words (256 buckets, the d18 hashing) dotted with a FIXED
     // seeded weight vector — the "score every document with a trained
@@ -942,6 +989,36 @@ object TextQueries {
         md5(COALESCE(string_agg(CASE WHEN NOT bo THEN seg END, ' '
                                 ORDER BY seg_idx), '')) AS clean_hash
       FROM marked GROUP BY doc_id ORDER BY doc_id""",
+    "g6_pii_redact" -> """
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+          AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}'))
+          AS BIGINT) AS n_phone,
+        md5(regexp_replace(
+          regexp_replace(text,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+            '[EMAIL]', 'g'),
+          '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS clean_hash
+      FROM documents ORDER BY doc_id""",
+    "d23_cluster_split" -> """
+      WITH runs AS (
+        SELECT doc_id, lang,
+          doc_id - ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+            AS grp
+        FROM documents),
+      comps AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, grp) AS comp
+        FROM runs),
+      asg AS (
+        SELECT doc_id, comp,
+          CAST('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 15) AS BIGINT)
+            % 10 AS split
+        FROM comps)
+      SELECT split, COUNT(*) AS n_docs,
+        CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_clusters
+      FROM asg GROUP BY split ORDER BY split""",
     "ir3_phrase_query" -> """
       WITH words AS (
         SELECT doc_id,

@@ -134,6 +134,16 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // --- hard-negative mining (DPR/ANCE-style contrastive curation):
+    // per query, top-3 most-similar vectors with a DIFFERENT label —
+    // the bit-identical cosine fold, so hash-exact like e2 ---
+    "e13_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 5), "label",
+          k = 3)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // --- product quantization encode (Jégou et al. 2011): 64-dim
     // vectors → 4 codes from 8-codeword codebooks (codebook m = the m-th
     // 16-dim slice of the first 8 vectors — deterministic seeds, the
@@ -526,6 +536,26 @@ object VectorQueries {
         sqrt(list_sum(list_transform(list_zip(embedding, embedding),
           s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))) AS l2
       FROM embeddings ORDER BY vec_id""",
+    "e13_hard_negatives" -> """
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_lab
+                 FROM embeddings WHERE vec_id < 5),
+      sims AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+          list_sum(list_transform(list_zip(q.q_emb, e.embedding),
+            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(list_zip(q.q_emb, q.q_emb),
+               s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding),
+               s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))) AS sim
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.q_id AND e.label <> q.q_lab),
+      ranked AS (
+        SELECT q_id, n_id, sim,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY sim DESC, n_id ASC) AS rnk
+        FROM sims)
+      SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, sim FROM ranked
+      WHERE rnk <= 3 ORDER BY q_id, rnk""",
     "e2_knn_brute" -> """
       WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
                  WHERE vec_id < 3),

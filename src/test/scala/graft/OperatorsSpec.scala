@@ -68,6 +68,22 @@ class TimeJoinsSpec extends SparkSpec {
       tolerance = Some(50L)).count() == 0)
   }
 
+  test("forward as-of join picks the earliest right row at or after left") {
+    val left = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (1L, 20L, "e3"),
+      (2L, 70L, "f1")).toDF("k", "lt", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 60L, 300.0))
+      .toDF("k", "rt", "price")
+    val out = TimeJoins.asOfJoinForward(left, right, "k", "lt", "rt")
+      .select("tag", "price").as[(String, Double)].collect().toMap
+    // e1 → 10 (inclusive), e3 → 20 (inclusive), e2 has no later rate,
+    // f1's only rate is earlier
+    assert(out == Map("e1" -> 100.0, "e3" -> 200.0))
+    val tol = TimeJoins.asOfJoinForward(
+      Seq((1L, 5L, "x")).toDF("k", "lt", "tag"), right, "k", "lt", "rt",
+      tolerance = Some(3L))
+    assert(tol.count() == 0)   // nearest later rate is 5 away > 3
+  }
+
   test("resample+ffill: gaps carry the last value, bounds are per key") {
     val ts = (h: Int, m: Int) =>
       java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
@@ -471,6 +487,23 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getDecimal(2).toPlainString)).toSeq
     assert(run(128) == run(1))
+  }
+
+  test("hardNegatives: only different-label neighbors, ranked like knn") {
+    val labels = emb.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    val out = Similarity.hardNegatives(
+        emb, emb.filter(col("vec_id") === 0), "label", k = 5)
+      .select("n_id").as[Long].collect().toSeq
+    assert(out.size == 5)
+    assert(out.forall(n => labels(n) != labels(0L)))
+    // equals brute-force knn restricted to different-label candidates
+    val bf = Similarity.bruteForceKnn(
+        emb.filter(col("label") =!= labels(0L)
+          || col("vec_id") === 0),
+        emb.filter(col("vec_id") === 0), k = 5)
+      .select("n_id").as[Long].collect().toSeq
+    assert(out == bf)
   }
 
   test("pqCodes: hand-checkable subspace argmin with lower-id ties") {
