@@ -320,6 +320,52 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // --- PG DISTINCT ON (the reference's vendored PG grammar accepts
+    // it): first row per group under an explicit order — here each
+    // customer's highest-value order, ties broken by o_orderkey. Spark
+    // spells it as a rank-limited window (WindowGroupLimit pushes k=1
+    // below the exchange); the oracle uses native DISTINCT ON ---
+    "q37_distinct_on" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // --- null-safe equality (IS [NOT] DISTINCT FROM / <=>): both sides
+    // NULL compares TRUE under null-safe, NULL under plain `=` — the
+    // counts differ exactly by the both-NULL rows ---
+    "q38_null_safe_eq" -> ((s, dir) => {
+      val a = when(col("value") > 50, col("event_type"))
+      val b = when(col("value") > 50, col("event_type"))
+      t(s, dir, "events")
+        .select(a.as("a"), b.as("b"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("a") <=> col("b"), 1L).otherwise(0L))
+            .as("n_nullsafe_eq"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L))
+            .as("n_plain_eq"))
+    }),
+
+    // --- ILIKE (case-insensitive LIKE, PG dialect): lowercase names
+    // match an uppercase pattern; the plain LIKE column shows the
+    // case-sensitive difference ---
+    "q39_ilike" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("p_name").ilike("%SMALL%"), 1L).otherwise(0L))
+            .as("n_ilike"),
+          sum(when(col("p_name").like("%SMALL%"), 1L).otherwise(0L))
+            .as("n_like"))
+        .orderBy(col("p_type"))
+    }),
+
     // --- string function library ---
     "q24_string_funcs" -> ((s, dir) => {
       t(s, dir, "part")
@@ -579,6 +625,28 @@ object CoreQueries {
         EXCEPT ALL
         SELECT l_returnflag FROM lineitem WHERE l_quantity > 10) x
       GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q37_distinct_on" -> """
+      SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+      FROM orders WHERE o_custkey < 200
+      ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
+    "q38_null_safe_eq" -> """
+      WITH x AS (
+        SELECT CASE WHEN value > 50 THEN event_type END AS a,
+               CASE WHEN value > 50 THEN event_type END AS b
+        FROM events)
+      SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_nullsafe_eq,
+        CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_plain_eq
+      FROM x""",
+    "q39_ilike" -> """
+      SELECT p_type, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN p_name ILIKE '%SMALL%' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_ilike,
+        CAST(SUM(CASE WHEN p_name LIKE '%SMALL%' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_like
+      FROM part GROUP BY p_type ORDER BY p_type""",
     "q35_intersect_all" -> """
       SELECT l_returnflag, COUNT(*) AS n FROM (
         SELECT l_returnflag FROM lineitem WHERE l_quantity <= 30

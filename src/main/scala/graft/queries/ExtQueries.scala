@@ -612,6 +612,44 @@ object ExtQueries {
                FROM back GROUP BY p_brand ORDER BY p_brand""")
     }),
 
+    // --- index_scan end-to-end with an oracle: CREATE INDEX + CHECKPOINT
+    // rewrites the table clustered on the key (parquet row-group min/max
+    // = the index; read-side skip pinned by IndexSpec), and a range
+    // query over the clustered layout must return exactly what plain SQL
+    // returns on the raw rows — the index changes I/O, never results ---
+    "x17_index_scan" -> ((s, dir) => {
+      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      g.createTable("c", c.schema)
+      // interleaved inserts so the raw layout is NOT key-clustered
+      g.insert("c", c.filter(col("c_custkey") % 3 === 0))
+      g.insert("c", c.filter(col("c_custkey") % 3 === 1))
+      g.insert("c", c.filter(col("c_custkey") % 3 === 2))
+      g.execute("CREATE INDEX c_key ON c (c_custkey)")
+      g.execute("CHECKPOINT c")
+      g.sql("""SELECT c_custkey, c_nationkey, c_acctbal FROM c
+               WHERE c_custkey BETWEEN 20 AND 120
+               ORDER BY c_custkey""")
+    }),
+
+    // --- ENUM type end-to-end with an oracle: the enum is a STRING +
+    // membership CHECK (SURVEY §1.2); valid inserts land, the final
+    // grouped content equals plain SQL over the source rows ---
+    "x18_enum_check" -> ((s, dir) => {
+      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      g.execute("CREATE TYPE prio AS ENUM ('1-URGENT', '2-HIGH', " +
+        "'3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')")
+      g.execute("CREATE TABLE op (o_orderkey BIGINT, p prio)")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey").cast("bigint"),
+          col("o_orderpriority").as("p"))
+      g.insert("op", o)
+      g.sql("""SELECT p, COUNT(*) AS n, MIN(o_orderkey) AS first_key
+               FROM op GROUP BY p ORDER BY p""")
+    }),
+
     // --- MERGE INTO through the SQL router (exceeds the reference's DML:
     // delete + conditional update + insert arms in one statement). The
     // source's key remap makes heavy customers (cnt >= 8) miss the join,
@@ -972,6 +1010,15 @@ object ExtQueries {
       FROM e ASOF JOIN rates
         ON e.event_type = rates.event_type AND e.lt <= rates.rt
       GROUP BY e.event_type ORDER BY e.event_type""",
+    "x17_index_scan" -> """
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      WHERE c_custkey BETWEEN 20 AND 120
+      ORDER BY c_custkey""",
+    "x18_enum_check" -> """
+      SELECT o_orderpriority AS p, COUNT(*) AS n,
+        MIN(o_orderkey) AS first_key
+      FROM orders WHERE o_orderkey < 3000
+      GROUP BY p ORDER BY p""",
     "x12_sequences" -> """
       SELECT 100 + 7 * CAST(n_nationkey AS BIGINT) AS id,
         CAST(n_nationkey AS BIGINT) AS key, n_name AS name

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Mixing, Similarity, TimeJoins}
+
+/** Randomized differential tests: each operator is replayed against a
+  * naive in-memory reference implementation on seeded random inputs —
+  * the property-based layer on top of the hand-picked fixtures in
+  * OperatorsSpec. Trials are few and small (a Spark job per trial), but
+  * the seeds are fixed so every failure reproduces exactly. */
+class RandomizedPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("intervalOverlapPairs == nested-loop predicate on random inputs") {
+    for (seed <- 1 to 4) {
+      val r = new scala.util.Random(seed)
+      val rows = (0 until 40).map { i =>
+        val s = r.nextInt(300).toLong
+        (r.nextInt(3).toLong, i.toLong, s, s + r.nextInt(80).toLong)
+      }
+      val bw = Seq(13L, 64L, 500L)(seed % 3)
+      val got = TimeJoins.intervalOverlapPairs(
+          rows.toDF("k", "id", "s", "e"), "k", "s", "e", bw)
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (ka, ia, sa, ea) <- rows; (kb, ib, sb, eb) <- rows
+        if ka == kb && ia < ib && sa <= eb && sb <= ea
+      } yield (ia, ib)).toSet
+      assert(got == want, s"seed=$seed bw=$bw")
+    }
+  }
+
+  test("asOfJoin fwd/bwd == naive scan on random inputs") {
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(100 + seed)
+      val left = (0 until 25).map(i =>
+        (r.nextInt(3).toLong, r.nextInt(100).toLong, i.toLong))
+      val right = (0 until 15).map(i =>
+        (r.nextInt(3).toLong, r.nextInt(100).toLong, i * 10.0))
+      val lDf = left.toDF("k", "lt", "tag")
+      val rDf = right.toDF("k", "rt", "price")
+      val bwd = TimeJoins.asOfJoin(lDf, rDf, "k", "lt", "rt")
+        .select("tag", "price").as[(Long, Double)].collect().toMap
+      val fwd = TimeJoins.asOfJoinForward(lDf, rDf, "k", "lt", "rt")
+        .select("tag", "price").as[(Long, Double)].collect().toMap
+      val wantB = left.flatMap { case (k, lt, tag) =>
+        val c = right.filter(x => x._1 == k && x._2 <= lt)
+        // tie-break on the time axis only: at equal rt the LAST right row
+        // in union order wins in the window impl; generated rts collide
+        // rarely but dedup by keeping max payload at max rt
+        if (c.isEmpty) None
+        else {
+          val mt = c.map(_._2).max
+          Some(tag -> c.filter(_._2 == mt).last._3)
+        }
+      }.toMap
+      val wantF = left.flatMap { case (k, lt, tag) =>
+        val c = right.filter(x => x._1 == k && x._2 >= lt)
+        if (c.isEmpty) None
+        else {
+          val mt = c.map(_._2).min
+          Some(tag -> c.filter(_._2 == mt).last._3)
+        }
+      }.toMap
+      assert(bwd.keySet == wantB.keySet, s"bwd keys seed=$seed")
+      assert(fwd.keySet == wantF.keySet, s"fwd keys seed=$seed")
+      // values must agree wherever the right-side time is unique
+      val dupTimes = right.groupBy(x => (x._1, x._2))
+        .filter(_._2.size > 1).keySet
+      left.foreach { case (k, lt, tag) =>
+        for (p <- bwd.get(tag)) {
+          val mt = right.filter(x => x._1 == k && x._2 <= lt).map(_._2).max
+          if (!dupTimes((k, mt))) assert(wantB(tag) == p, s"bwd $tag")
+        }
+        for (p <- fwd.get(tag)) {
+          val mt = right.filter(x => x._1 == k && x._2 >= lt).map(_._2).min
+          if (!dupTimes((k, mt))) assert(wantF(tag) == p, s"fwd $tag")
+        }
+      }
+    }
+  }
+
+  test("temperatureShares == BigInt floor formula on random counts") {
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(200 + seed)
+      val strata = (0 until 6).map(i =>
+        (s"s$i", 1L + r.nextInt(1 << 20).toLong))
+      val got = Mixing.temperatureShares(
+          strata.toDF("src", "n"), "src", col("n"))
+        .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+      val den = strata.map(x => BigInt(x._2) * BigInt(x._2)).sum
+      strata.foreach { case (k, c) =>
+        val want = (BigInt(c) * BigInt(c) * 1000000 / den).toLong
+        assert(got(k) == want, s"seed=$seed stratum=$k")
+      }
+    }
+  }
+
+  test("repeatedSpans == naive overlapping-window count on random docs") {
+    val words = Array("a", "b", "c", "d")
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(300 + seed)
+      val docs = (0 until 12).map(i =>
+        (i.toLong, Seq.fill(r.nextInt(10))(words(r.nextInt(4)))
+          .mkString(" ")))
+      val w = 2
+      val got = Dedup.repeatedSpans(docs.toDF("doc_id", "text"),
+          "text", "doc_id", width = w)
+        .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+        .toMap
+      def spans(t: String): Seq[String] = {
+        val ws = t.split("\\s+").filter(_.nonEmpty)
+        if (ws.length < w) Nil
+        else (0 to ws.length - w).map(i => ws.slice(i, i + w).mkString(" "))
+      }
+      val byDoc = docs.map { case (id, t) => id -> spans(t) }
+      val docFreq = byDoc.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+      docs.foreach { case (id, _) =>
+        val ss = byDoc.toMap.apply(id)
+        val want = (ss.length.toLong,
+          ss.count(s => docFreq(s) >= 2).toLong)
+        assert(got(id) == want, s"seed=$seed doc=$id")
+      }
+    }
+  }
+
+  test("pqCodes == naive per-subspace argmin on random vectors") {
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(400 + seed)
+      val subDim = 3; val m = 2; val k = 4
+      val cbs = Seq.fill(m)(Seq.fill(k)(Seq.fill(subDim)(
+        r.nextInt(10).toDouble)))
+      val vecs = (0 until 10).map(i =>
+        (i.toLong, Seq.fill(m * subDim)(r.nextInt(10).toFloat)))
+      val got = Similarity.pqCodes(vecs.toDF("vec_id", "embedding"), cbs)
+        .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2))
+        .toMap
+      vecs.foreach { case (id, v) =>
+        for (mm <- 0 until m) {
+          val sub = v.slice(mm * subDim, (mm + 1) * subDim)
+            .map(_.toDouble)
+          val want = cbs(mm).zipWithIndex.map { case (cw, j) =>
+            val d = cw.zip(sub).map { case (c, a) =>
+              (c - a) * (c - a) }.sum
+            (d, j)
+          }.min._2.toLong
+          assert(got((id, mm.toLong)) == want, s"seed=$seed v=$id m=$mm")
+        }
+      }
+    }
+  }
+}
