@@ -8,15 +8,82 @@ import org.apache.spark.sql.functions._
   * struct; decode / feature-extraction runs partition-parallel over the
   * bytes.
   *
-  * The actual codecs (JPEG/PNG/audio) are NOT in this container, so
-  * [[FakeDecoder]] is a clearly-marked deterministic stub — the Spark-side
-  * contract (schema, batch shape, partitioning, typed mapPartitions
-  * signature) is the real, tested part, and a production decoder drops in
-  * by replacing one function. At 100 TB the binary column stays columnar
-  * in parquet (never materialized on the driver) and decode is a narrow
-  * map — no shuffle.
+  * IMAGE decode is REAL: the JDK ships `javax.imageio` (PNG/JPEG/BMP/GIF
+  * readers, no external libraries), so [[decodeImageStats]] runs an
+  * actual pixel decode partition-parallel over the binary column — see
+  * m3_image_decode, whose encode→PNG-bytes→decode→stats round trip is
+  * oracle-checked against closed-form pixel sums. Audio/video codecs are
+  * NOT in this container, so [[FakeDecoder]] remains the clearly-marked
+  * deterministic stub for those modalities — the Spark-side contract
+  * (schema, batch shape, partitioning, typed mapPartitions signature) is
+  * the real, tested part, and a production codec drops in by replacing
+  * one function. At 100 TB the binary column stays columnar in parquet
+  * (never materialized on the driver) and decode is a narrow map — no
+  * shuffle.
   */
 object Multimodal {
+
+  case class ImageStats(id: Long, width: Int, height: Int,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic RGB test pattern for id `d` (w = 8 + d%8,
+    * h = 8 + d%5, r = d+x, g = d+y, b = d+x+y — all < 256 for d < 200),
+    * encoded as REAL PNG bytes via the JDK encoder. Channel sums have
+    * closed forms in d, which is what makes the decode oracle-checkable:
+    *   Σr = h·(w·d + w(w−1)/2), Σg = w·(h·d + h(h−1)/2),
+    *   Σb = w·h·d + h·w(w−1)/2 + w·h(h−1)/2. */
+  def testPng(d: Long): Array[Byte] = {
+    require(d >= 0 && d < 200, s"testPng pattern needs 0 <= d < 200, got $d")
+    val (w, h) = ((8 + d % 8).toInt, (8 + d % 5).toInt)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = ((d + x).toInt, (d + y).toInt, (d + x + y).toInt)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode (JDK ImageIO — PNG/JPEG/BMP/GIF) as a typed
+    * partition-parallel map: dimensions + per-channel pixel sums per
+    * image. PNG is lossless truecolor, so the sums are exact integers —
+    * deterministic on any JVM. One narrow pass, no shuffle; bytes never
+    * touch the driver. */
+  def decodeImageStats(df: DataFrame, idCol: String,
+                       payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image payload for id $id")
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ImageStats(id, img.getWidth, img.getHeight, sr, sg, sb)
+        }
+      }
+      .toDF()
+  }
 
   case class MediaRow(id: Long, payload: Array[Byte], format: String,
                       width: Int, height: Int)

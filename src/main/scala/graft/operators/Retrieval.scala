@@ -228,6 +228,15 @@ object Retrieval {
         posexplode(graft.functions.TextFunctions.cleanTokens(col(textCol)))
           .as(Seq("pos", "term")))
       .filter(col("term").isin(phrase.distinct: _*))
+    phraseFold(toks, phrase)
+  }
+
+  /** The shared adjacency fold over a (doc_id, pos, term) postings frame
+    * already restricted to the phrase's terms — used by the one-shot
+    * [[phraseOccurrences]] and the persisted-index [[queryPhraseIndex]]
+    * so the two paths can never diverge. */
+  private def phraseFold(toks: DataFrame,
+                         phrase: Seq[String]): DataFrame = {
     val anchor = toks.filter(col("term") === phrase.head)
       .select(col("doc_id"), col("pos"))
     val matched = phrase.zipWithIndex.drop(1).foldLeft(anchor) {
@@ -237,6 +246,35 @@ object Retrieval {
         acc.join(ti, Seq("doc_id", "pos"), "left_semi")
     }
     matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** Builds and PERSISTS positional postings — the build-once/query-many
+    * layout phrase search runs at 100 TB (the one-shot path re-tokenizes
+    * the corpus per call, and once per phrase TERM at that). Postings
+    * are repartitioned AND sorted by term so every parquet row group
+    * carries tight term min/max stats: a phrase query's `In(term, …)`
+    * predicate is pushed to the scan and skips the rest of the
+    * vocabulary at the footer level — I/O ∝ matched postings. */
+  def buildPositionalIndex(docs: DataFrame, textCol: String,
+                           idCol: String, path: String): Unit = {
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.cleanTokens(col(textCol)))
+          .as(Seq("pos", "term")))
+      .repartition(col("term")).sortWithinPartitions(col("term"))
+      .select(col("term"), col("doc_id"), col("pos"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** Phrase search against a persisted [[buildPositionalIndex]] layout;
+    * results are identical to [[phraseOccurrences]] on the same corpus
+    * (same fold, RetrievalSpec pins the equality AND the pushed
+    * In(term,…) scan filter). */
+  def queryPhraseIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val toks = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(phrase.distinct: _*))
+    phraseFold(toks, phrase)
   }
 
   /** Reciprocal-rank fusion: merge N per-query candidate rankings (sparse

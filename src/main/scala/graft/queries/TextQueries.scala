@@ -571,6 +571,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- REAL image decode end to end: deterministic RGB test patterns
+    // encoded as genuine PNG bytes (JDK ImageIO encoder) ride a binary
+    // column and are decoded partition-parallel back to dimensions +
+    // exact per-channel pixel sums (PNG is lossless). The oracle is the
+    // CLOSED FORM of the pattern's channel sums in doc_id — so the whole
+    // encode→bytes→decode pipeline is value-checked, not stubbed ---
+    "m3_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"))
+      val imgs = ids.as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.multimodal.Multimodal.testPng(id))))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal
+        .decodeImageStats(imgs, "doc_id", "payload")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- frame-sampling generator end to end: k pseudo-frames explode
     // per media row (narrow flatMap, no shuffle). The decoded features
     // are the documented stub, so the ORACLE-checkable contract is the
@@ -989,6 +1009,16 @@ object TextQueries {
         md5(COALESCE(string_agg(CASE WHEN NOT bo THEN seg END, ' '
                                 ORDER BY seg_idx), '')) AS clean_hash
       FROM marked GROUP BY doc_id ORDER BY doc_id""",
+    "m3_image_decode" -> """
+      WITH dims AS (
+        SELECT doc_id AS d, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        FROM documents WHERE doc_id < 200)
+      SELECT d AS doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        CAST(h * (w * d + (w * (w - 1)) // 2) AS BIGINT) AS sum_r,
+        CAST(w * (h * d + (h * (h - 1)) // 2) AS BIGINT) AS sum_g,
+        CAST(w * h * d + h * ((w * (w - 1)) // 2)
+          + w * ((h * (h - 1)) // 2) AS BIGINT) AS sum_b
+      FROM dims ORDER BY doc_id""",
     "g6_pii_redact" -> """
       SELECT doc_id,
         CAST(len(regexp_extract_all(text,

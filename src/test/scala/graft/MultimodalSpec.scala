@@ -31,4 +31,26 @@ class MultimodalSpec extends SparkSpec {
     val n = media.count()
     assert(Multimodal.sampleFrames(media, k = 3).count() == n * 3)
   }
+
+  test("real PNG decode: byte round-trip recovers exact pixel sums") {
+    import spark.implicits._
+    // the payload really is a PNG (magic bytes), not a synthetic stand-in
+    val png = Multimodal.testPng(7L)
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    val df = Seq(7L, 13L, 42L).toDF("doc_id")
+      .as[Long].map(id => (id, Multimodal.testPng(id)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.decodeImageStats(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    for (d <- Seq(7L, 13L, 42L)) {
+      val (w, h) = ((8 + d % 8).toInt, (8 + d % 5).toInt)
+      val sr = (0 until h).map(_ => (0 until w).map(x => d + x).sum).sum
+      val sg = (0 until w).map(_ => (0 until h).map(y => d + y).sum).sum
+      val sb = (for (x <- 0 until w; y <- 0 until h) yield d + x + y).sum
+      assert(got(d) == ((w, h, sr, sg, sb)), s"d=$d")
+    }
+  }
 }

@@ -105,6 +105,23 @@ class RetrievalSpec extends SparkSpec {
     assert(rep == Map(5L -> 2L))   // "a a" at positions 0 and 1
   }
 
+  test("persisted positional index: phrase results match one-shot; In pushed") {
+    val corpus = Seq(
+      (1L, "a b c a b c"), (2L, "a c b"), (3L, "x a b c y"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_pidx").toString
+    Retrieval.buildPositionalIndex(corpus, "text", "doc_id", path)
+    val fromIdx = Retrieval.queryPhraseIndex(spark, path, Seq("a", "b", "c"))
+    val oneShot = Retrieval.phraseOccurrences(corpus, "text", "doc_id",
+      Seq("a", "b", "c"))
+    assert(fromIdx.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      oneShot.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // the term restriction reaches the postings parquet scan
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      "expected In(term,...) pushed into the postings scan:\n" + plan)
+  }
+
   test("query-side broadcast: no shuffle introduced by term matching") {
     // the only Exchanges in the plan should be the postings groupBys and
     // the final rank window — the query/df/stats joins must all broadcast
