@@ -99,9 +99,114 @@ object Multimodal {
       (pmod(xxhash64(col(idCol)), lit(1920)) + 1).cast("int").as("width"),
       (pmod(xxhash64(col(idCol), lit(1)), lit(1080)) + 1).cast("int").as("height"))
 
-  /** STUB decoder — stands in for a real image/audio decode.
-    * Deterministic features derived from payload bytes so tests are
-    * stable; replace the body with the real codec to productionize. */
+  case class ResizedStats(id: Long, width: Int, height: Int,
+                          sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL decode + RESIZE: nearest-neighbor downsample to (w2, h2) with
+    * the explicit floor mapping src = (dst·srcDim) / dstDim — implemented
+    * as a manual pixel loop, NOT Graphics2D scaling, precisely so the
+    * result is bit-deterministic on any JVM (interpolated scaling is
+    * implementation-defined; nearest-neighbor index math is not). Output
+    * per image: resized dims + exact per-channel sums of the resized
+    * pixels. Narrow map, no shuffle. */
+  def decodeResizedStats(df: DataFrame, idCol: String, payloadCol: String,
+                         w2: Int, h2: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image payload for id $id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var j = 0
+          while (j < h2) {
+            val sy = (j.toLong * h / h2).toInt
+            var i = 0
+            while (i < w2) {
+              val sx = (i.toLong * w / w2).toInt
+              val p = img.getRGB(sx, sy)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              i += 1
+            }
+            j += 1
+          }
+          ResizedStats(id, w2, h2, sr, sg, sb)
+        }
+      }
+      .toDF()
+  }
+
+  case class AudioStats(id: Long, n_samples: Long, sum_amp: Long,
+                        min_amp: Long, max_amp: Long)
+
+  /** Deterministic 16-bit mono PCM test signal for id `d`
+    * (n = 400 + d%100 samples, sample(i) = ((d·31 + i·7) mod 2001) −
+    * 1000), encoded as a REAL RIFF/WAVE file via the JDK's
+    * javax.sound.sampled writer. PCM is lossless, so the decode oracle
+    * is the closed form of the generator. */
+  def testWav(d: Long): Array[Byte] = {
+    require(d >= 0, s"testWav needs d >= 0, got $d")
+    val n = (400 + d % 100).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((d * 31 + i.toLong * 7) % 2001) - 1000).toShort
+      pcm(2 * i) = (s & 0xff).toByte            // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode (JDK javax.sound.sampled — RIFF/WAVE PCM) as a
+    * partition-parallel map: sample count and exact amplitude
+    * sum/min/max per clip. 16-bit PCM round-trips losslessly, so the
+    * stats are exact integers on any JVM. Narrow map, no shuffle. */
+  def decodeAudioStats(df: DataFrame, idCol: String,
+                       payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"expected 16-bit mono PCM for id $id, got $fmt")
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          var (sum, mn, mx) = (0L, Long.MaxValue, Long.MinValue)
+          var i = 0
+          while (i < n) {
+            val lo = raw(2 * i) & 0xff
+            val hi = raw(2 * i + 1).toInt
+            val s = (if (fmt.isBigEndian) (lo << 8) | (hi & 0xff)
+                     else (hi << 8) | lo).toShort.toLong
+            sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+            i += 1
+          }
+          AudioStats(id, n.toLong, sum, mn, mx)
+        }
+      }
+      .toDF()
+  }
+
+  /** STUB decoder — stands in for codecs the JDK does NOT ship (video,
+    * compressed audio); images and PCM WAV audio have REAL decoders
+    * above. Deterministic features derived from payload bytes so tests
+    * are stable; replace the body with the real codec to productionize. */
   object FakeDecoder {
     def decode(payload: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)

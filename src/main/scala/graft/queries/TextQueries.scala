@@ -591,6 +591,43 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- REAL decode + deterministic RESIZE: same PNG payloads as m3,
+    // nearest-neighbor downsampled to 4×4 with explicit floor index
+    // math (no Graphics2D interpolation — implementation-defined), so
+    // the resized channel sums have a closed form the oracle replays
+    // pixel-by-pixel over generate_series ---
+    "m4_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"))
+      val imgs = ids.as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.multimodal.Multimodal.testPng(id))))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal
+        .decodeResizedStats(imgs, "doc_id", "payload", w2 = 4, h2 = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- REAL audio decode: deterministic 16-bit PCM test signals
+    // encoded as genuine RIFF/WAVE bytes (JDK javax.sound.sampled),
+    // decoded partition-parallel to exact amplitude stats; the oracle
+    // is the generator's closed form over generate_series ---
+    "m5_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"))
+      val wavs = ids.as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.multimodal.Multimodal.testWav(id))))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal
+        .decodeAudioStats(wavs, "doc_id", "payload")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- frame-sampling generator end to end: k pseudo-frames explode
     // per media row (narrow flatMap, no shuffle). The decoded features
     // are the documented stub, so the ORACLE-checkable contract is the
@@ -1019,6 +1056,30 @@ object TextQueries {
         CAST(w * h * d + h * ((w * (w - 1)) // 2)
           + w * ((h * (h - 1)) // 2) AS BIGINT) AS sum_b
       FROM dims ORDER BY doc_id""",
+    "m4_image_resize" -> """
+      WITH dims AS (
+        SELECT doc_id AS d, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        FROM documents WHERE doc_id < 200),
+      px AS (
+        SELECT d, w, h, (i.i * w) // 4 AS sx, (j.j * h) // 4 AS sy
+        FROM dims, range(0, 4) AS i(i), range(0, 4) AS j(j))
+      SELECT d AS doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+        CAST(SUM(d + sx) AS BIGINT) AS sum_r,
+        CAST(SUM(d + sy) AS BIGINT) AS sum_g,
+        CAST(SUM(d + sx + sy) AS BIGINT) AS sum_b
+      FROM px GROUP BY d ORDER BY doc_id""",
+    "m5_audio_decode" -> """
+      WITH ids AS (
+        SELECT doc_id AS d, 400 + doc_id % 100 AS n
+        FROM documents WHERE doc_id < 200),
+      samp AS (
+        SELECT d, n, ((d * 31 + i.i * 7) % 2001) - 1000 AS s
+        FROM ids, LATERAL unnest(generate_series(0, n - 1)) AS i(i))
+      SELECT d AS doc_id, CAST(n AS BIGINT) AS n_samples,
+        CAST(SUM(s) AS BIGINT) AS sum_amp,
+        CAST(MIN(s) AS BIGINT) AS min_amp,
+        CAST(MAX(s) AS BIGINT) AS max_amp
+      FROM samp GROUP BY d, n ORDER BY doc_id""",
     "g6_pii_redact" -> """
       SELECT doc_id,
         CAST(len(regexp_extract_all(text,

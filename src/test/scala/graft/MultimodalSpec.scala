@@ -32,6 +32,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(media, k = 3).count() == n * 3)
   }
 
+  test("real WAV decode: PCM byte round-trip recovers exact amplitude stats") {
+    import spark.implicits._
+    val wav = Multimodal.testWav(3L)
+    // genuine RIFF/WAVE container, not a synthetic stand-in
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val df = Seq(3L, 55L).toDF("doc_id")
+      .as[Long].map(id => (id, Multimodal.testWav(id)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.decodeAudioStats(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for (d <- Seq(3L, 55L)) {
+      val n = 400 + d % 100
+      val ss = (0L until n).map(i => ((d * 31 + i * 7) % 2001) - 1000)
+      assert(got(d) == ((n, ss.sum, ss.min, ss.max)), s"d=$d")
+    }
+  }
+
+  test("nearest-neighbor resize: explicit floor mapping, not interpolation") {
+    import spark.implicits._
+    val df = Seq(9L).toDF("doc_id")
+      .as[Long].map(id => (id, Multimodal.testPng(id)))
+      .toDF("doc_id", "payload")
+    val r = Multimodal.decodeResizedStats(df, "doc_id", "payload", 4, 4)
+      .collect().head
+    val d = 9L
+    val (w, h) = ((8 + d % 8).toInt, (8 + d % 5).toInt)
+    val pts = for (i <- 0 until 4; j <- 0 until 4)
+      yield (i * w / 4, j * h / 4)
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((pts.map(d + _._1).sum, pts.map(d + _._2).sum,
+        pts.map(p => d + p._1 + p._2).sum)))
+  }
+
   test("real PNG decode: byte round-trip recovers exact pixel sums") {
     import spark.implicits._
     // the payload really is a PNG (magic bytes), not a synthetic stand-in
