@@ -226,9 +226,62 @@ object DsQueries {
           sum(col("u_cents")).as("tot_u_cents"),
           sum(col("r_cents")).as("tot_r_cents"))
         .orderBy(col("y1"))
+    }),
+
+    // --- q73/q34 shape: customers in an order-count band, listed with
+    // their counts and exact-cents spend. Two-phase: per-customer
+    // aggregate (map-side combined), HAVING band filter — the reduced
+    // frame IS the answer, no join back needed at this shape. Exact
+    // integer cents end-to-end (the ds7/ds8 convention) ---
+    "ds9_count_band" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("spend_cents"))
+        .filter(col("n_orders") >= 8 && col("n_orders") <= 12)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // --- q93 shape: returns-adjusted order quantities — per order, the
+    // shipped quantity net of returned lines (l_returnflag = 'R'), top
+    // 15 by net quantity. One conditional-aggregation scan (no join to
+    // a returns table needed at this schema); exact DECIMAL sums so the
+    // double quantities hash-match ---
+    "ds10_net_returns" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(col("l_quantity").cast(D)).as("q_all"),
+          sum(when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(lit(0.0)).cast(D)).as("q_ret"),
+          count(lit(1)).as("n_lines"))
+        .select(col("l_orderkey"),
+          (col("q_all") - col("q_ret")).cast("double").as("net_qty"),
+          col("q_ret").cast("double").as("ret_qty"), col("n_lines"))
+        .orderBy(col("net_qty").desc, col("l_orderkey"))
+        .limit(15)
     }))
 
   val oracles: Map[String, String] = Map(
+    "ds9_count_band" -> """
+      SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS spend_cents
+      FROM orders GROUP BY o_custkey
+      HAVING COUNT(*) BETWEEN 8 AND 12
+      ORDER BY o_custkey""",
+    "ds10_net_returns" -> """
+      WITH per AS (
+        SELECT l_orderkey,
+          SUM(CAST(l_quantity AS DECIMAL(28,6))) AS q_all,
+          SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
+            ELSE 0.0 END AS DECIMAL(28,6))) AS q_ret,
+          COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey)
+      SELECT l_orderkey, CAST(q_all - q_ret AS DOUBLE) AS net_qty,
+        CAST(q_ret AS DOUBLE) AS ret_qty, n_lines
+      FROM per ORDER BY net_qty DESC, l_orderkey LIMIT 15""",
     "ds8_multichannel" -> """
       WITH o AS (
         SELECT o_custkey AS ck,

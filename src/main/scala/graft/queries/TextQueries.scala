@@ -556,6 +556,81 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // --- the FULL curation pipeline as one declarative plan, composing
+    // four independently-oracled stages: exact dedup (d1) → cross-doc
+    // boilerplate segment drop on the survivors (d17) → quality gates on
+    // the CLEANED text (d3's thresholds) → leakage-safe cluster split
+    // (d23) → per-(split, source) corpus stats. Catalyst fuses the whole
+    // chain; every stage is a shuffle on a natural key (text hash /
+    // segment / doc id), nothing driver-side. The oracle replays all
+    // four stages in SQL — the composition, not just the pieces, is
+    // value-checked ---
+    "p2_curation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val survivors = Dedup.exactSurvivors(d, "text", "doc_id")
+      val seg = Dedup.dropBoilerplateSegments(survivors, "text", "doc_id",
+        width = 3, maxDocFreq = 3)
+      val gated = seg.filter(col("n_kept") >= 4)
+        .select(col("doc_id"), col("clean_text"))
+        .filter(tokenCount(col("clean_text")) >= 10 &&
+          distinctTokenRatio(col("clean_text")) >= 0.3)
+      // d23's cluster-consistent split over the full corpus
+      val nxt = d.select((col("doc_id") - 1).as("src"),
+        col("doc_id").as("dst"), col("lang").as("l2"))
+      val edges = d.select(col("doc_id"), col("lang"))
+        .join(nxt, col("doc_id") === col("src") && col("lang") === col("l2"))
+        .select(col("src"), col("dst"))
+      val comp = Dedup.connectedComponents(edges)
+        .withColumnRenamed("node", "doc_id")
+      val split = d.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          pmod(graft.functions.TextFunctions.md5Bits60(
+            coalesce(col("component"), col("doc_id")).cast("string")),
+            lit(10L)).as("split"))
+      gated
+        .join(split, Seq("doc_id"))
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("clean_text"))).as("sum_tok"))
+        .orderBy(col("split"), col("source"))
+    }),
+
+    // --- curriculum ordering (easy→hard scheduling by a quality
+    // signal): docs ranked by the g4 integer logit, phase = exact
+    // integer quartile ((rn−1)·4 div n — the fe2 rank-math convention,
+    // no FP percentile). The rank window runs over the per-doc
+    // AGGREGATE (already |docs| rows, not tokens); at 100 TB the global
+    // sort becomes a range-partitioned rank, same results ---
+    "d24_curriculum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wExpr = pmod(col("bk") * lit(2654435761L), lit(1000003L)) -
+        lit(500001L)
+      val logits = docs(s, dir)
+        .select(col("doc_id"), explode(cleanTokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          pmod(md5Bits60(col("tok")), lit(256L)).as("bk"))
+        .groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), (col("c") * wExpr).as("contrib"))
+        .groupBy(col("doc_id")).agg(sum(col("contrib")).as("logit"))
+      val w = Window.orderBy(col("logit").desc, col("doc_id"))
+      val ranked = logits
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("phase", expr("((rn - 1) * 4) div n"))
+      ranked
+        .join(docs(s, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("phase"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("logit")).as("min_logit"),
+          max(col("logit")).as("max_logit"))
+        .orderBy(col("phase"), col("source"))
+    }),
+
     // --- multimodal: opaque binary payload + typed metadata. The payload
     // here is utf-8 text bytes standing in for image/audio bytes (decoders
     // aren't in this container — see graft.multimodal for the stubbed
@@ -1056,6 +1131,88 @@ object TextQueries {
         CAST(w * h * d + h * ((w * (w - 1)) // 2)
           + w * ((h * (h - 1)) // 2) AS BIGINT) AS sum_b
       FROM dims ORDER BY doc_id""",
+    "p2_curation" -> """
+      WITH surv AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN (SELECT text, MIN(doc_id) AS keep_id
+              FROM documents GROUP BY text) k
+          ON d.doc_id = k.keep_id),
+      words AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+                      w -> w <> '') AS ws
+        FROM surv),
+      segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(list_slice(ws, i*3+1, i*3+3), ' ') AS seg
+        FROM words, LATERAL unnest(generate_series(0,
+          CAST(ceil(len(ws) / 3.0) AS BIGINT) - 1)) AS t(i)),
+      boiler AS (
+        SELECT seg FROM segs GROUP BY seg
+        HAVING COUNT(DISTINCT doc_id) > 3),
+      clean AS (
+        SELECT s.doc_id,
+          SUM(CASE WHEN b.seg IS NULL THEN 1 ELSE 0 END) AS n_kept,
+          COALESCE(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END, ' '
+                              ORDER BY s.seg_idx), '') AS ct
+        FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+        GROUP BY s.doc_id),
+      gated AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(ct), '\s+'),
+                      w -> w <> '') AS cws
+        FROM clean WHERE n_kept >= 4),
+      g2 AS (
+        SELECT doc_id, CAST(len(cws) AS BIGINT) AS n_tok FROM gated
+        WHERE len(cws) >= 10
+          AND CAST(len(list_distinct(cws)) AS DOUBLE) / len(cws) >= 0.3),
+      runs AS (
+        SELECT doc_id, lang,
+          doc_id - ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+            AS grp
+        FROM documents),
+      comps AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, grp) AS comp
+        FROM runs),
+      asg AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 15) AS BIGINT)
+            % 10 AS split
+        FROM comps)
+      SELECT a.split, d.source, COUNT(*) AS n_docs,
+        CAST(SUM(g2.n_tok) AS BIGINT) AS sum_tok
+      FROM g2 JOIN asg a ON g2.doc_id = a.doc_id
+      JOIN documents d ON g2.doc_id = d.doc_id
+      GROUP BY a.split, d.source ORDER BY a.split, d.source""",
+    "d24_curriculum" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> '')) AS tok
+        FROM documents),
+      occ AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256 AS bk
+        FROM toks),
+      pd AS (SELECT doc_id, bk, COUNT(*) AS c FROM occ GROUP BY doc_id, bk),
+      sc AS (
+        SELECT doc_id,
+          c * ((bk * 2654435761) % 1000003 - 500001) AS contrib
+        FROM pd),
+      lg AS (
+        SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS logit
+        FROM sc GROUP BY doc_id),
+      rk AS (
+        SELECT doc_id, logit,
+          ROW_NUMBER() OVER (ORDER BY logit DESC, doc_id) AS rn,
+          COUNT(*) OVER () AS n
+        FROM lg),
+      ph AS (
+        SELECT doc_id, logit, ((rn - 1) * 4) // n AS phase FROM rk)
+      SELECT phase, d.source, COUNT(*) AS n_docs,
+        MIN(logit) AS min_logit, MAX(logit) AS max_logit
+      FROM ph JOIN documents d ON ph.doc_id = d.doc_id
+      GROUP BY phase, d.source ORDER BY phase, d.source""",
     "m4_image_resize" -> """
       WITH dims AS (
         SELECT doc_id AS d, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
