@@ -403,6 +403,33 @@ object ScaleQueries {
           .as("n_signup_buy"))
     }),
 
+    // --- DAU/WAU stickiness (the product-analytics ratio): per day,
+    // distinct active users that day and over the trailing 7 days.
+    // Spark lacks COUNT(DISTINCT) over windows, so the trailing-window
+    // distinct is set algebra: one per-day collect_set (bounded by DAU),
+    // then a RANGE frame over integer day numbers unions 7 day-sets and
+    // counts the distinct flatten. The window input is the per-day
+    // AGGREGATE (≤ one row per day), so the set-union work is O(days ·
+    // DAU), never corpus-shaped. Ratio reported as exact integer ppm
+    // (wau never 0 — every day row has ≥ 1 user) ---
+    "c19_stickiness" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byDay = graft.Tables.events(s, dir)
+        .select(expr("CAST(unix_micros(t) div 86400000000 AS BIGINT)")
+          .as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(collect_set(col("user_id")).as("us"))
+      val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+      byDay
+        .withColumn("dau", size(col("us")).cast("bigint"))
+        .withColumn("wau",
+          size(array_distinct(flatten(collect_list(col("us")).over(w))))
+            .cast("bigint"))
+        .select(col("day"), col("dau"), col("wau"),
+          expr("(dau * 1000000) div wau").as("stickiness_ppm"))
+        .orderBy(col("day"))
+    }),
+
     "c16_transitions" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -434,6 +461,23 @@ object ScaleQueries {
         COUNT(DISTINCT user_id) AS n_users,
         COUNT(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "c19_stickiness" -> """
+      WITH e AS (
+        SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+          AS BIGINT) AS day, user_id
+        FROM events),
+      days AS (SELECT DISTINCT day FROM e),
+      agg AS (
+        SELECT d.day,
+          COUNT(DISTINCT CASE WHEN e.day = d.day THEN e.user_id END)
+            AS dau,
+          COUNT(DISTINCT e.user_id) AS wau
+        FROM days d JOIN e
+          ON e.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day)
+      SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+        CAST((dau * 1000000) // wau AS BIGINT) AS stickiness_ppm
+      FROM agg ORDER BY day""",
     "c18_sequence_match" -> """
       WITH seqs AS (
         SELECT user_id,

@@ -122,6 +122,23 @@ class PlanGuardSpec extends SparkSpec {
       scans.head.metadata("PushedFilters"))
   }
 
+  test("e11 PQ encode stays a narrow projection (no exchange before sort)") {
+    // the PQ deployment property: encoding must be embarrassingly
+    // parallel map work — the entire codebook rides as plan literals
+    // inside the scan's projection, and the ONLY exchange allowed is
+    // the final presentation orderBy. A regression that turns the
+    // argmin into a join or aggregate (e.g. codebook as data) would
+    // show up as a second exchange here.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SparkPlan
+    def countEx(p: SparkPlan): Int =
+      p.collect { case e: ShuffleExchangeExec => e }.size
+    val phys = SparkEntry.queries("e11_pq_codes")(spark, sf)
+      .queryExecution.executedPlan
+    assert(countEx(phys) <= 1,
+      s"PQ encode must not shuffle before the presentation sort:\n$phys")
+  }
+
   test("job2's LIKE filters reach their scans as pushed predicates") {
     // JOB's dimension selectivity only helps if the string patterns
     // prune at the scan, not post-join
