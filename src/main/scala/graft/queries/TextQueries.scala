@@ -556,6 +556,45 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // --- tokenizer OOV analysis: vocabulary = exact top-100 tokens
+    // (count desc, token asc — total order), then per-source token and
+    // out-of-vocabulary counts with the rate as exact integer ppm. The
+    // rank window runs over the VOCABULARY aggregate (bounded), and the
+    // 100-row vocab broadcasts back onto the token stream — the standard
+    // tokenizer-coverage audit before committing to a vocab size ---
+    "d25_oov_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(col("source"), explode(cleanTokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("c").desc, col("tok"))))
+        .filter(col("rn") <= 100)
+        .select(col("tok"), lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // --- tokenizer fertility (subwords per whitespace word, the
+    // cross-lingual tokenizer-quality metric): per lang, Σ BPE-ish
+    // subword counts vs Σ whitespace tokens, ratio as exact integer
+    // ppm. One conditional-aggregation scan ---
+    "d26_fertility" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(sum(graft.functions.TextFunctions.bpeTokenCount(col("text")))
+            .as("sum_sub"),
+          sum(tokenCount(col("text"))).as("sum_ws"))
+        .select(col("lang"), col("sum_sub"), col("sum_ws"),
+          expr("(sum_sub * 1000000) div sum_ws").as("fertility_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // --- the FULL curation pipeline as one declarative plan, composing
     // four independently-oracled stages: exact dedup (d1) → cross-doc
     // boilerplate segment drop on the survivors (d17) → quality gates on
@@ -1131,6 +1170,37 @@ object TextQueries {
         CAST(w * h * d + h * ((w * (w - 1)) // 2)
           + w * ((h * (h - 1)) // 2) AS BIGINT) AS sum_b
       FROM dims ORDER BY doc_id""",
+    "d25_oov_rate" -> """
+      WITH toks AS (
+        SELECT source,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> '')) AS tok
+        FROM documents),
+      vc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      vocab AS (
+        SELECT tok FROM (
+          SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn
+          FROM vc) x
+        WHERE rn <= 100)
+      SELECT t.source, COUNT(*) AS n_tokens,
+        CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        CAST((SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000)
+          // COUNT(*) AS BIGINT) AS oov_ppm
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.source ORDER BY t.source""",
+    "d26_fertility" -> """
+      WITH per AS (
+        SELECT lang,
+          CAST(SUM(CAST(len(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)) AS BIGINT)
+            AS sum_sub,
+          CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+'))
+            AS BIGINT)) AS BIGINT) AS sum_ws
+        FROM documents GROUP BY lang)
+      SELECT lang, sum_sub, sum_ws,
+        CAST((sum_sub * 1000000) // sum_ws AS BIGINT) AS fertility_ppm
+      FROM per ORDER BY lang""",
     "p2_curation" -> """
       WITH surv AS (
         SELECT d.doc_id, d.text FROM documents d
