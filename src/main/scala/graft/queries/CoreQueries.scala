@@ -366,6 +366,20 @@ object CoreQueries {
         .orderBy(col("p_type"))
     }),
 
+    // --- padding/translate/split_part string family (PG-dialect
+    // functions the reference's grammar exposes; all codegen'd
+    // built-ins here) ---
+    "q40_string_pad" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("pad_l"),
+          rpad(col("p_type"), 10, ".").as("pad_r"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+          element_at(split(col("p_brand"), "#"), 2).as("brand_num"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // --- string function library ---
     "q24_string_funcs" -> ((s, dir) => {
       t(s, dir, "part")
@@ -625,6 +639,14 @@ object CoreQueries {
         EXCEPT ALL
         SELECT l_returnflag FROM lineitem WHERE l_quantity > 10) x
       GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q40_string_pad" -> """
+      SELECT p_partkey,
+        lpad(p_brand, 12, '*') AS pad_l,
+        rpad(p_type, 10, '.') AS pad_r,
+        translate(p_name, 'aeiou', 'AEIOU') AS tr,
+        split_part(p_brand, '#', 2) AS brand_num
+      FROM part WHERE p_partkey < 300
+      ORDER BY p_partkey""",
     "q37_distinct_on" -> """
       SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
       FROM orders WHERE o_custkey < 200
