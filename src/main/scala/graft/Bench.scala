@@ -68,20 +68,33 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // Self-contained artifact: the driver's stdout capture has truncated
-    // the one-line JSON to a tail in past rounds (first ~30 per-query
-    // timings unrecoverable) — always persist the full map to a file too.
+    // Full map to stdout FIRST (complete in any full-stdout capture) …
+    println(fullLine)
+    // … and to a file — the driver's stdout capture keeps only the LAST
+    // ~2000 chars, which truncated ~140 of 206 timings in BENCH_r09 and
+    // left its `parsed` null.
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     try {
       Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(outFile, line + "\n")
+      java.nio.file.Files.writeString(outFile, fullLine + "\n")
       System.err.println(s"[bench] wrote $outFile")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: $e") }
+    // The FINAL stdout line is guaranteed to fit a 2000-char tail capture
+    // AND parse as complete JSON: totals + the slowest queries at 3 dp
+    // (as many as fit the budget), with a pointer to the full map.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
+    val entries = slowest.map { case (k, v) => f""""$k":$v%.3f""" }
+    val budget = 1600
+    val kept = entries.scanLeft(0)((acc, e) => acc + e.length + 1).tail
+      .zip(entries).takeWhile(_._1 <= budget).map(_._2)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"n_failed":${failed.size},""" +
+      s""""queries_full":"$outFile","queries":${kept.mkString("{", ",", "}")}}"""
+    println(line)
     spark.stop()
   }
 }

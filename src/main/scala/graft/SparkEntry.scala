@@ -29,7 +29,21 @@ object SparkEntry {
     graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys get a weaker rows-only check. */
+    * the same parquet tables. Omitted keys get a weaker rows-only check.
+    *
+    * RENDER CONTRACT: a few oracles embed driver-computed literal
+    * fragments (transcendental models — see [[OracleLiterals]]). Render
+    * this map EITHER (a) after the queries have executed in the same JVM
+    * (what [[Verify]] does — it then also writes the rendered map to
+    * `outDir/oracle_sql.json`, the preferred artifact for any harness),
+    * OR (b) in any JVM whose classpath carries the persisted snapshot
+    * `graft/oracle_literals.b64` (a plain compile of this repo does —
+    * the sf0.01 snapshot is committed under src/main/resources and
+    * refreshed by every Verify run). A cold render WITHOUT the snapshot
+    * falls back to in-SQL `round(ln(...))` spellings that can flip a
+    * 6-dp rounding boundary across libm builds (the CORRECTNESS_r09
+    * failure) and warns loudly on stderr. `tools/check.py --render-first`
+    * gates render-order independence end to end. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
     graft.queries.TextQueries.oracles ++

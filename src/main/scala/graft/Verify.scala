@@ -28,6 +28,28 @@ object Verify {
       false
     }
 
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Renders SparkEntry.oracleSql as JSON and writes it. Shared with
+    * [[RenderOracles]] so the render-first harness mode and the post-run
+    * artifact can never drift. */
+  def writeOracleSql(path: java.nio.file.Path): Unit = {
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(path, json)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -46,23 +68,14 @@ object Verify {
     if (failed.nonEmpty)
       System.err.println(
         s"[verify] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    // Rendered AFTER the query runs above: oracle text may embed
+    // Persist the now-warm literal stash BEFORE rendering: a later fresh
+    // JVM (e.g. a harness that renders SparkEntry.oracleSql without
+    // running queries) reads the snapshot instead of boundary-fragile
+    // in-SQL fallbacks (see graft.OracleLiterals).
+    OracleLiterals.persist(sfDir, extraDir = Some(outDir))
+    // Rendered AFTER the queries run above: oracle text may embed
     // driver-stashed literals (graft.OracleLiterals).
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    writeOracleSql(Paths.get(s"$outDir/oracle_sql.json"))
     spark.stop()
   }
 }

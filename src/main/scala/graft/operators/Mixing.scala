@@ -124,9 +124,13 @@ object Mixing {
       .agg(sum(tokenCol).cast("decimal(38,0)").as("c"))
     val tot = per.agg(sum(col("c") * col("c")).cast("decimal(38,0)")
       .as("den"))
+    // den = 0 only when EVERY stratum has zero/null tokens; shares are
+    // undefined then — emit NULL explicitly rather than relying on the
+    // engine's div-by-zero behavior (ANSI mode errors, ADVICE r9)
     per.crossJoin(broadcast(tot))
       .select(col("stratum"), col("c").cast("bigint").as("n_tokens"),
-        expr("CAST((c * c * 1000000) div den AS BIGINT)").as("share_ppm"))
+        expr("CAST(CASE WHEN den > 0 THEN (c * c * 1000000) div den " +
+          "END AS BIGINT)").as("share_ppm"))
   }
 
   /** (id, is_t, b): every unigram+bigram feature hashed onto `buckets`

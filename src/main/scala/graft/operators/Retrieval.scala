@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   * FP determinism (the d18 literal-injection pattern, see
   * [[Mixing.importanceModel]]): the per-term Robertson idf — the only
   * transcendental — is computed ONCE on the driver from the O(#query-terms)
-  * df metadata and rides as an identical 6-dp decimal literal in this plan
-  * and in any oracle ([[Bm25Model]]); the remaining per-posting chain is
-  * IEEE-exact multiply/divide rounded ONCE to 6 dp and cast to DECIMAL, so
-  * the per-doc sum is order-independent and bit-identical across engines.
+  * df metadata and rides as an identical micro-unit BIGINT literal in this
+  * plan and in any oracle ([[Bm25Model]]); the rest of the per-posting
+  * score is ONE integral division of exact integers (see [[scoreAndRank]]
+  * for the algebra), so there is no floating point anywhere in the scoring
+  * plan and the per-doc sum is bit-identical across engines — no
+  * `round(double)` whose boundary behavior could differ per engine build
+  * (the CORRECTNESS_r09 ir2 failure class).
   */
 object Retrieval {
 
@@ -45,9 +48,7 @@ object Retrieval {
     * builds disagree by 1 ULP, which flips 6-dp rounding right at a
     * boundary (CORRECTNESS_r08 ir2). */
   case class Bm25Model(idf: Seq[(String, java.math.BigDecimal)],
-                       nDocs: Long, sumDl: Long) {
-    def avgdl: Double = sumDl.toDouble / nDocs.toDouble
-  }
+                       nDocs: Long, sumDl: Long)
 
   /** Builds a [[Bm25Model]] from the (term, df) frame restricted to query
     * terms and the 1-row corpus stats — one tiny collect each. */
@@ -67,39 +68,56 @@ object Retrieval {
 
   /** The shared scoring tail: postings restricted to query terms ⋈ the
     * broadcast (q_id, term) pairs ⋈ broadcast per-term idf LITERALS from
-    * the driver-side model → one rounded double chain per posting riding
-    * as DECIMAL → per-doc sum → per-query top-k (rank-limit pushed below
-    * the exchange as `WindowGroupLimit`). */
+    * the driver-side model → one all-integer contribution per posting →
+    * per-doc sum → per-query top-k (rank-limit pushed below the exchange
+    * as `WindowGroupLimit`).
+    *
+    * Exact integer scoring: with k1 = a/20 and b = c/20 (both parameters
+    * must be multiples of 0.05 — the default 1.2/0.75 is a=24, c=15) and
+    * L = Σdl, N = #docs, the classic
+    *   tfn = tf·(k1+1) / (tf + k1·((1−b) + b·dl·N/L))
+    * multiplied through by 400·L becomes the integer ratio
+    *   tfn = 20·(a+20)·tf·L / (400·tf·L + a·(20−c)·L + a·c·dl·N),
+    * so the per-posting score in micro-units is the single integral
+    * division
+    *   sc_micro = (idf_micro · 20·(a+20)·tf·L) div (400·tf·L +
+    *              a·(20−c)·L + a·c·dl·N)
+    * on DECIMAL(38,0) intermediates (idf_micro ≤ ~3·10⁷ and L ≤ 10¹³
+    * corpus tokens keep the numerator < 10³⁸). sc_micro ≤ (k1+1)·
+    * idf_micro < 10⁸, so per-posting values and per-doc sums are plain
+    * BIGINTs, exact on every engine. */
   private def scoreAndRank(tfq: DataFrame, qt: DataFrame, model: Bm25Model,
                            k: Int, k1: Double, b: Double): DataFrame = {
     val spark = tfq.sparkSession
     import spark.implicits._
-    // idf arrives as exact 6-dp decimal text → double (correctly-rounded
-    // cast, identical in any engine); the remaining chain is IEEE-exact:
-    //   tfn = tf·(k1+1) / (tf + k1·((1−b) + b·dl/avgdl))
-    // Constants (k1+1, 1−b, avgdl) are folded HERE so the oracle can
-    // replay the same literals; association is strictly left-to-right.
-    val idfDf = model.idf.map { case (t, v) => (t, v.toPlainString) }
-      .toDF("term", "itxt")
-      .select(col("term"), col("itxt").cast("double").as("idf"))
-    val tfn = (col("tf").cast("double") * lit(k1 + 1.0)) /
-      (col("tf").cast("double") +
-        lit(k1) * (lit(1.0 - b) + lit(b) *
-          (col("dl").cast("double") / lit(model.avgdl))))
+    val a = math.round(k1 * 20)
+    val c = math.round(b * 20)
+    require(a / 20.0 == k1 && c / 20.0 == b,
+      s"k1 and b must be multiples of 0.05 for exact integer scoring " +
+        s"(got k1=$k1, b=$b)")
+    val idfDf = model.idf
+      .map { case (t, v) => (t, v.movePointRight(6).longValueExact) }
+      .toDF("term", "idf_micro")
+    val L = model.sumDl
+    val n = model.nDocs
+    val scMicro = expr(
+      s"CAST((CAST(idf_micro AS DECIMAL(38,0)) * ${20L * (a + 20)} * tf " +
+        s"* $L) div (CAST(400 AS DECIMAL(38,0)) * tf * $L + " +
+        s"${a * (20 - c)} * CAST($L AS DECIMAL(38,0)) + " +
+        s"${a * c} * CAST(dl AS DECIMAL(38,0)) * $n) AS BIGINT)")
     val scored = tfq
       .join(broadcast(qt), Seq("term"))
       .join(broadcast(idfDf), Seq("term"))
-      .select(col("q_id"), col("doc_id"),
-        round(col("idf") * tfn, 6).cast("decimal(20,6)").as("sc"))
+      .select(col("q_id"), col("doc_id"), scMicro.as("sc_micro"))
 
     val perDoc = scored.groupBy(col("q_id"), col("doc_id"))
-      .agg(sum(col("sc")).cast("decimal(28,6)").as("score"))
+      .agg(sum(col("sc_micro")).cast("bigint").as("score_micro"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
     perDoc
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("doc_id"), col("score"))
+      .select(col("q_id"), col("rnk"), col("doc_id"), col("score_micro"))
   }
 
   /** BM25 top-k documents per query, one-shot (corpus tokenized per call —
@@ -109,8 +127,9 @@ object Retrieval {
     * documents containing at least one query term are candidates (classic
     * inverted-index semantics).
     *
-    * Output: (q_id, rnk, doc_id, score DECIMAL(28,6)), rnk 1..k ordered by
-    * score desc then doc_id asc — a total order, deterministic. */
+    * Output: (q_id, rnk, doc_id, score_micro BIGINT — the BM25 score in
+    * exact micro-units, see [[scoreAndRank]]), rnk 1..k ordered by
+    * score_micro desc then doc_id asc — a total order, deterministic. */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queries: Seq[(String, Seq[String])], k: Int = 5,
                k1: Double = 1.2, b: Double = 0.75,
@@ -281,12 +300,17 @@ object Retrieval {
     * BM25, dense ANN, …) into one hybrid ranking — the standard fusion
     * step of a two-tower retrieval stack (Cormack et al. 2009). Each input
     * must carry (q_id, doc_id, rnk); a document's fused score is
-    * Σ 1/(kRrf + rnkᵢ) over the lists that contain it.
+    * Σ 1/(kRrf + rnkᵢ) over the lists that contain it, reported in exact
+    * pico-units: `rrf_micro = Σ 10¹² div (kRrf + rnkᵢ)`.
     *
-    * Determinism: each contribution is one IEEE-exact double division
-    * rounded to 12 dp riding as DECIMAL, so the fused sum is
-    * order-independent and the (rrf desc, doc_id asc) rank is a total
-    * order — the oracle check is hash-exact.
+    * Determinism: each contribution is ONE integral division of exact
+    * integers — identical on every engine, no floating point and no
+    * rounding function anywhere (CORRECTNESS_r09 ir2 failed because the
+    * previous `round(1.0/(60+rnk), 12) → DECIMAL` spelling quantizes a
+    * double, and Spark's exact-BigDecimal rounding can disagree with
+    * DuckDB's scaled-double `round` right at a boundary). The fused sum
+    * is an exact BIGINT and the (rrf_micro desc, doc_id asc) rank a
+    * total order — hash-exact by construction.
     *
     * Scale shape: every input is already a top-k' list (bounded rows per
     * query), so the union is narrow and the only exchange is the
@@ -296,16 +320,15 @@ object Retrieval {
               kRrf: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     val contribs = rankings.map(_.select(col("q_id"), col("doc_id"),
-      round(lit(1.0) / (lit(kRrf.toDouble) + col("rnk").cast("double")), 12)
-        .cast("decimal(16,12)").as("c")))
+      expr(s"1000000000000 div ($kRrf + CAST(rnk AS BIGINT))").as("c")))
     val fused = contribs.reduce(_.unionByName(_))
       .groupBy(col("q_id"), col("doc_id"))
-      .agg(sum(col("c")).cast("decimal(28,12)").as("rrf"))
+      .agg(sum(col("c")).cast("bigint").as("rrf_micro"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
     fused
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("doc_id"), col("rrf"))
+      .select(col("q_id"), col("rnk"), col("doc_id"), col("rrf_micro"))
   }
 }

@@ -483,7 +483,17 @@ object Similarity {
     val subDim = codebooks.head.head.length
     require(codebooks.flatten.forall(_.length == subDim),
       "all codewords must share one subspace dimension")
+    val expectDim = codebooks.length * subDim
     val spark = corpus.sparkSession
+    // runtime guard (ADVICE r9): a short or mismatched embedding would
+    // make slice/zip_with null-pad the dot products and emit silently
+    // WRONG codes — fail the job instead. assert_true returns NULL when
+    // the condition holds, so the `.isNull` filter keeps every valid row
+    // while pinning the check into the codegen'd scan.
+    val checked = corpus.filter(assert_true(
+      size(col("embedding")) === expectDim,
+      lit(s"pqCodes: embedding length must equal M*subDim = $expectDim"))
+      .isNull)
     val mcs = codebooks.zipWithIndex.map { case (cb, m) =>
       val sub = slice(col("embedding"), m * subDim + 1, subDim)
       val scored = array(cb.zipWithIndex.map { case (cw, j) =>
@@ -496,7 +506,7 @@ object Similarity {
       struct(lit(m.toLong).as("m"),
         array_min(scored).getField("j").as("code"))
     }
-    corpus.select(col("vec_id"), explode(array(mcs: _*)).as("mc"))
+    checked.select(col("vec_id"), explode(array(mcs: _*)).as("mc"))
       .select(col("vec_id"), col("mc").getField("m").as("m"),
         col("mc").getField("code").as("code"))
   }

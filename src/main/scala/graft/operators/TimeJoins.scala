@@ -64,8 +64,18 @@ object TimeJoins {
   def intervalOverlapPairs(df: DataFrame, keyCol: String, startCol: String,
                            endCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val a = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"a_$c"))
-    val b = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    // enforce the documented preconditions AT RUNTIME: a violating row
+    // would silently drop overlap pairs (descending bucket sequence →
+    // empty explode), which is far worse than failing the job. The
+    // assert_true rides the row scan as a codegen'd predicate — the
+    // `.isNull` filter keeps it from being pruned as unused (assert_true
+    // returns NULL when the condition holds, so no row is dropped).
+    val src = df.filter(assert_true(
+      col(startCol) <= col(endCol) && col(startCol) >= 0,
+      lit(s"intervalOverlapPairs requires 0 <= $startCol <= $endCol on " +
+        "every row")).isNull)
+    val a = src.columns.foldLeft(src)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = src.columns.foldLeft(src)((d, c) => d.withColumnRenamed(c, s"b_$c"))
     val aB = a.withColumn("_bucket", explode(sequence(
       expr(s"a_$startCol div $bucketWidth"),
       expr(s"a_$endCol div $bucketWidth"))))
@@ -130,12 +140,14 @@ object TimeJoins {
     * backward join on the negated time axis — one derived column per
     * side, zero new machinery, so the two directions can never drift
     * semantically. Inclusive at equality; `tolerance` drops matches
-    * farther than rightTime − leftTime. */
+    * farther than rightTime − leftTime. The original `leftTime` column
+    * rides through as ordinary left payload (ADVICE r9: dropping it left
+    * callers unable to recover the event time or compute the match gap),
+    * so the output schema mirrors [[asOfJoin]]'s. */
   def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
                       leftTime: String, rightTime: String,
                       tolerance: Option[Long] = None): DataFrame = {
     val l2 = left.withColumn("_fwd_lt", -col(leftTime).cast("long"))
-      .drop(leftTime)
     val r2 = right.withColumn("_fwd_rt", -col(rightTime).cast("long"))
       .drop(rightTime)
     asOfJoin(l2, r2, key, "_fwd_lt", "_fwd_rt", tolerance)

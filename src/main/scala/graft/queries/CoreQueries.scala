@@ -376,7 +376,12 @@ object CoreQueries {
           lpad(col("p_brand"), 12, "*").as("pad_l"),
           rpad(col("p_type"), 10, ".").as("pad_r"),
           translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
-          element_at(split(col("p_brand"), "#"), 2).as("brand_num"))
+          // coalesce to '' matches split_part's missing-delimiter
+          // semantics exactly (PG/DuckDB return '', Spark's element_at
+          // past the array end returns NULL — ADVICE r9; without this
+          // the equivalence held only because p_brand always has '#')
+          coalesce(element_at(split(col("p_brand"), "#"), 2), lit(""))
+            .as("brand_num"))
         .orderBy(col("p_partkey"))
     }),
 

@@ -150,18 +150,19 @@ object ScaleQueries {
         .orderBy(col("d"))
     }),
 
-    // --- ntile segmentation (TPC-DS-style customer quartiles). The
-    // unpartitioned window runs over the per-customer aggregate — already
-    // reduced to |customers| rows, so the single-partition sort is the
-    // small side, not the fact table ---
+    // --- quartile segmentation (TPC-DS-style customer quartiles) over
+    // the per-customer aggregate. Quartile = the exact rank-math
+    // convention (rn−1)·4 div n (shared with d24/fe2), computed via the
+    // RANGE-PARTITIONED two-pass rank ([[graft.operators.Ranks]]) — no
+    // unpartitioned ntile window dragging |customers| rows through one
+    // task (VERDICT r9 #4; PlanGuardSpec pins the shape) ---
     "c7_spend_quartiles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val spend = Tables.load(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast(D)).cast("double").as("spend"))
-      spend
-        .withColumn("q", ntile(4).over(
-          Window.orderBy(col("spend").desc, col("o_custkey"))))
+      graft.operators.Ranks.rankPhases(spend,
+          Seq(col("spend").desc, col("o_custkey")), k = 4, phaseCol = "ph")
+        .withColumn("q", expr("CAST(ph + 1 AS INT)"))
         .groupBy(col("q"))
         .agg(count(lit(1)).as("n"), min(col("spend")).as("lo"),
           max(col("spend")).as("hi"))
@@ -618,10 +619,13 @@ object ScaleQueries {
         FROM orders GROUP BY o_custkey),
       qt AS (
         SELECT spend,
-          CAST(NTILE(4) OVER (ORDER BY spend DESC, o_custkey) AS INT) AS q
-        FROM spend)
+          ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rn,
+          COUNT(*) OVER () AS n
+        FROM spend),
+      qq AS (
+        SELECT spend, CAST(((rn - 1) * 4) // n + 1 AS INT) AS q FROM qt)
       SELECT q, COUNT(*) AS n, MIN(spend) AS lo, MAX(spend) AS hi
-      FROM qt GROUP BY q ORDER BY q""",
+      FROM qq GROUP BY q ORDER BY q""",
     "c2_heavy_users" -> """
       SELECT user_id, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total

@@ -559,17 +559,18 @@ object TextQueries {
     // --- tokenizer OOV analysis: vocabulary = exact top-100 tokens
     // (count desc, token asc — total order), then per-source token and
     // out-of-vocabulary counts with the rate as exact integer ppm. The
-    // rank window runs over the VOCABULARY aggregate (bounded), and the
-    // 100-row vocab broadcasts back onto the token stream — the standard
-    // tokenizer-coverage audit before committing to a vocab size ---
+    // top-100 is `orderBy(...).limit(100)` → Catalyst's
+    // TakeOrderedAndProject, a DISTRIBUTED partial top-k (each partition
+    // keeps its local 100, the driver merges) — NOT a single-partition
+    // rank window, which at 100 TB would drag a billions-row vocabulary
+    // through one task (VERDICT r9 #2; PlanGuardSpec pins the shape).
+    // The 100-row vocab then broadcasts back onto the token stream ---
     "d25_oov_rate" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val toks = docs(s, dir)
         .select(col("source"), explode(cleanTokens(col("text"))).as("tok"))
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("c").desc, col("tok"))))
-        .filter(col("rn") <= 100)
+        .orderBy(col("c").desc, col("tok"))
+        .limit(100)
         .select(col("tok"), lit(1).as("in_v"))
       toks.join(broadcast(vocab), Seq("tok"), "left")
         .groupBy(col("source"))
@@ -639,11 +640,13 @@ object TextQueries {
     // --- curriculum ordering (easy→hard scheduling by a quality
     // signal): docs ranked by the g4 integer logit, phase = exact
     // integer quartile ((rn−1)·4 div n — the fe2 rank-math convention,
-    // no FP percentile). The rank window runs over the per-doc
-    // AGGREGATE (already |docs| rows, not tokens); at 100 TB the global
-    // sort becomes a range-partitioned rank, same results ---
+    // no FP percentile). The global rank is the RANGE-PARTITIONED
+    // two-pass rank ([[graft.operators.Ranks]]): range-shuffle on
+    // (logit desc, doc_id), bounded per-partition counts → broadcast
+    // offsets + local rank — identical values to a global row_number
+    // (total order), but no single-partition window over |docs| rows
+    // (VERDICT r9 #3; PlanGuardSpec pins the shape) ---
     "d24_curriculum" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val wExpr = pmod(col("bk") * lit(2654435761L), lit(1000003L)) -
         lit(500001L)
       val logits = docs(s, dir)
@@ -653,13 +656,8 @@ object TextQueries {
         .groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("c"))
         .select(col("doc_id"), (col("c") * wExpr).as("contrib"))
         .groupBy(col("doc_id")).agg(sum(col("contrib")).as("logit"))
-      val w = Window.orderBy(col("logit").desc, col("doc_id"))
-      val ranked = logits
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy().rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)))
-        .withColumn("phase", expr("((rn - 1) * 4) div n"))
+      val ranked = graft.operators.Ranks.rankPhases(logits,
+        Seq(col("logit").desc, col("doc_id")), k = 4, phaseCol = "phase")
       ranked
         .join(docs(s, dir).select(col("doc_id"), col("source")),
           Seq("doc_id"))
@@ -798,21 +796,27 @@ object TextQueries {
     "stream_window" -> Seq("window", "merge", "stream"),
     "vector_scan" -> Seq("spark", "vector", "scan"))
 
-  /** DuckDB CTE chain scoring [[Bm25Queries]]: ends in
-    * `bmr(q_id, doc_id, score, rnk)` — the exact replica of
-    * [[graft.operators.Retrieval.bm25TopK]]'s double chain (see its
-    * scaladoc for the rounding contract). Shared by the ir1 and ir2
-    * oracles, which append their own final SELECT. */
-  /** Stashes the BM25 idf literals for [[bm25RankedCtes]] — shared by ir1
-    * and ir2 (same corpus + query set → identical model either way). */
+  /** Stashes the BM25 idf micro-unit literals for [[bm25RankedCtes]] —
+    * shared by ir1 and ir2 (same corpus + query set → identical model
+    * either way). idf_micro = idf · 10⁶ as exact BIGINT text, matching
+    * the Spark plan's integer scoring. */
   private[queries] val stashBm25Idf
       : graft.operators.Retrieval.Bm25Model => Unit = m =>
     graft.OracleLiterals.put("bm25_idf", graft.OracleLiterals.valuesCteStr(
-      "idfl", "term", "idf", "DOUBLE", m.idf))
+      "idfl", "term", "idf_micro", "BIGINT",
+      m.idf.map { case (t, v) => t -> v.movePointRight(6) }))
 
-  /** A def, not a val: the idfl CTE reads the driver-stashed idf literals
-    * (see [[graft.OracleLiterals]]) once ir1/ir2 have run; the fallback
-    * spelling keeps the fragment self-contained for static rendering. */
+  /** DuckDB CTE chain scoring [[Bm25Queries]]: ends in
+    * `bmr(q_id, doc_id, score_micro, rnk)` — the exact replica of
+    * [[graft.operators.Retrieval.bm25TopK]]'s all-integer scoring (see
+    * its `scoreAndRank` scaladoc for the algebra; defaults k1=1.2,
+    * b=0.75 → constants 880/120/360). Shared by the ir1 and ir2 oracles,
+    * which append their own final SELECT.
+    *
+    * A def, not a val: the idfl CTE reads the driver-stashed idf literals
+    * (see [[graft.OracleLiterals]]) once ir1/ir2 have run — or from the
+    * persisted classpath snapshot in a cold JVM; the fallback spelling
+    * keeps the fragment self-contained as a last resort. */
   private[queries] def bm25RankedCtes: String = s"""
       q(q_id, term) AS (VALUES
         ('hash_join', 'hash'), ('hash_join', 'join'), ('hash_join', 'table'),
@@ -837,29 +841,27 @@ object TextQueries {
       dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
       stats AS (SELECT COUNT(*) AS n_docs,
                   CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
-      ${graft.OracleLiterals.get("bm25_idf", """idfl(term, idf) AS (
-        SELECT f.term, round(ln(1.0 +
+      ${graft.OracleLiterals.get("bm25_idf", """idfl(term, idf_micro) AS (
+        SELECT f.term, CAST(round(ln(1.0 +
           (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
-          (CAST(f.df AS DOUBLE) + 0.5)), 6)
+          (CAST(f.df AS DOUBLE) + 0.5)), 6) * 1000000 AS BIGINT)
         FROM dfq f CROSS JOIN stats s)""")},
       sc AS (
         SELECT q.q_id, t.doc_id,
-          CAST(round(
-            i.idf *
-            ((CAST(t.tf AS DOUBLE) * 2.2) /
-             (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-               (CAST(t.dl AS DOUBLE) /
-                (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))),
-            6) AS DECIMAL(20,6)) AS sc
+          CAST((CAST(i.idf_micro AS HUGEINT) * 880 * t.tf * s.sum_dl) //
+            (CAST(400 AS HUGEINT) * t.tf * s.sum_dl +
+             120 * CAST(s.sum_dl AS HUGEINT) +
+             360 * CAST(t.dl AS HUGEINT) * s.n_docs)
+            AS BIGINT) AS sc_micro
         FROM tfq t JOIN q ON t.term = q.term
         JOIN idfl i ON t.term = i.term CROSS JOIN stats s),
       pd AS (
-        SELECT q_id, doc_id, CAST(SUM(sc) AS DECIMAL(28,6)) AS score
+        SELECT q_id, doc_id, CAST(SUM(sc_micro) AS BIGINT) AS score_micro
         FROM sc GROUP BY q_id, doc_id),
       bmr AS (
-        SELECT q_id, doc_id, score,
+        SELECT q_id, doc_id, score_micro,
           CAST(row_number() OVER (PARTITION BY q_id
-            ORDER BY score DESC, doc_id) AS INT) AS rnk
+            ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
         FROM pd)"""
 
   // def, not val: d18/g3/ir1 oracle text embeds driver-stashed literals
@@ -1015,7 +1017,7 @@ object TextQueries {
       ORDER BY d.doc_id""",
     "ir1_bm25" -> s"""
       WITH $bm25RankedCtes
-      SELECT q_id, rnk, doc_id, score FROM bmr WHERE rnk <= 5
+      SELECT q_id, rnk, doc_id, score_micro FROM bmr WHERE rnk <= 5
       ORDER BY q_id, rnk""",
     "d12_stratified_sample" -> """
       SELECT lang, COUNT(*) AS n FROM documents

@@ -176,8 +176,10 @@ object VectorQueries {
     // cosine top-20 (dense, query vectors = embeddings 0/1/2 standing in
     // for encoded query text) via reciprocal-rank fusion — the two-tower
     // RAG retrieval stack as one declarative plan. Each rank contribution
-    // is an IEEE-exact double division rounded to 12 dp riding as
-    // DECIMAL, so the oracle check is hash-exact including rrf scores ---
+    // is an exact BIGINT integral division (pico-units, 10¹² div
+    // (60+rnk)), so the fused scores carry NO floating point or rounding
+    // function at all and the oracle check is hash-exact on any engine
+    // build (CORRECTNESS_r09 flipped on the old round(double,12)) ---
     "ir2_hybrid_rrf" -> ((s, dir) => {
       val sparse = graft.operators.Retrieval.bm25TopK(
           Tables.load(s, dir, "documents"), "text", "doc_id",
@@ -494,21 +496,19 @@ object VectorQueries {
       FROM dranked WHERE rnk <= 20),
     contrib AS (
       SELECT q_id, doc_id,
-        CAST(round(1.0 / (60.0 + CAST(rnk AS DOUBLE)), 12)
-          AS DECIMAL(16,12)) AS c FROM bms
+        1000000000000 // (60 + CAST(rnk AS BIGINT)) AS c FROM bms
       UNION ALL
       SELECT q_id, doc_id,
-        CAST(round(1.0 / (60.0 + CAST(rnk AS DOUBLE)), 12)
-          AS DECIMAL(16,12)) AS c FROM den),
+        1000000000000 // (60 + CAST(rnk AS BIGINT)) AS c FROM den),
     fused AS (
-      SELECT q_id, doc_id, CAST(SUM(c) AS DECIMAL(28,12)) AS rrf
+      SELECT q_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro
       FROM contrib GROUP BY q_id, doc_id),
     fr AS (
-      SELECT q_id, doc_id, rrf,
+      SELECT q_id, doc_id, rrf_micro,
         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-          ORDER BY rrf DESC, doc_id ASC) AS INT) AS rnk
+          ORDER BY rrf_micro DESC, doc_id ASC) AS INT) AS rnk
       FROM fused)
-    SELECT q_id, rnk, doc_id, rrf FROM fr WHERE rnk <= 10
+    SELECT q_id, rnk, doc_id, rrf_micro FROM fr WHERE rnk <= 10
     ORDER BY q_id, rnk"""
 
   // def, not val: ir2Oracle embeds the driver-stashed BM25 idf literals

@@ -37,12 +37,42 @@ class DeterminismLintSpec extends SparkSpec {
   private def isRound(e: Expression): Boolean =
     e.isInstanceOf[Round] || e.isInstanceOf[BRound]
 
-  /** All decimal-bound rounded-transcendental chains in one expression. */
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+    WindowExpression}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+  import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+  /** True when the value being rounded is a pure function of EXACT
+    * (non-floating) inputs — i.e. it had an exact integer/decimal
+    * spelling and quantizing it through a double is gratuitous boundary
+    * risk (the CORRECTNESS_r09 ir2 class: `round(1.0/(60+rnk), 12)` —
+    * Spark rounds doubles via exact BigDecimal HALF_UP, DuckDB via a
+    * scaled-double nearbyint, and the two flip at a boundary). Values
+    * derived from genuine float data (embeddings, measurements) or from
+    * statistical aggregates/windows have no exact spelling and are
+    * allowed — for those, both engines round the SAME IEEE double. */
+  private def exactInputsOnly(e: Expression): Boolean =
+    !e.exists {
+      case a: AttributeReference =>
+        a.dataType == DoubleType || a.dataType == FloatType
+      case _: AggregateExpression | _: WindowExpression => true
+      case _ => false
+    }
+
+  /** All decimal-bound boundary-risky rounding chains in one expression:
+    * (a) round(<transcendental>) → DECIMAL, (b) round(<double that is a
+    * pure function of exact inputs>) → DECIMAL. */
   private def chains(root: Expression): Seq[String] =
     root.collect {
       case c: Cast if c.dataType.isInstanceOf[DecimalType] &&
           c.exists(e => isRound(e) && e.exists(isTranscendental)) =>
-        s"${c.sql.take(160)}"
+        s"round(transcendental): ${c.sql.take(160)}"
+      case c: Cast if c.dataType.isInstanceOf[DecimalType] &&
+          c.exists(e => isRound(e) &&
+            e.children.head.dataType == DoubleType &&
+            exactInputsOnly(e.children.head)) =>
+        s"round(double-of-exact-inputs): ${c.sql.take(160)} — spell it " +
+          "as integral `div` on BIGINT/DECIMAL(38,0) micro-units instead"
     }
 
   private def lint(df: org.apache.spark.sql.DataFrame): Seq[String] = {
@@ -76,11 +106,23 @@ class DeterminismLintSpec extends SparkSpec {
     assert(lint(df).nonEmpty)
   }
 
-  test("the lint ignores rational chains and literal-injected decimals") {
+  test("the lint catches a seeded round(1.0/x)->DECIMAL regression (ir2 class)") {
+    import spark.implicits._
+    val df = Seq((1L, 3)).toDF("id", "rnk")
+      .select(col("id"),
+        round(lit(1.0) / (lit(60.0) + col("rnk").cast("double")), 12)
+          .cast("decimal(16,12)").as("c"))
+    val found = lint(df)
+    assert(found.nonEmpty && found.head.contains("double-of-exact-inputs"))
+  }
+
+  test("the lint ignores float-data chains and literal-injected decimals") {
     import spark.implicits._
     val df = Seq((1L, 4.0, "0.287682")).toDF("id", "x", "wtxt")
       .select(col("id"),
-        round(col("x") / 3.0, 6).cast("decimal(20,6)").as("ok_rational"),
+        // x is genuine double DATA — both engines round the same IEEE
+        // value, there is no exact spelling to prefer
+        round(col("x") / 3.0, 6).cast("decimal(20,6)").as("ok_float_data"),
         col("wtxt").cast("decimal(20,6)").as("ok_literal"),
         sqrt(col("x")).cast("decimal(20,6)").as("ok_sqrt"))
     assert(lint(df).isEmpty)

@@ -73,11 +73,17 @@ class TimeJoinsSpec extends SparkSpec {
       (2L, 70L, "f1")).toDF("k", "lt", "tag")
     val right = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 60L, 300.0))
       .toDF("k", "rt", "price")
-    val out = TimeJoins.asOfJoinForward(left, right, "k", "lt", "rt")
+    val fwd = TimeJoins.asOfJoinForward(left, right, "k", "lt", "rt")
+    // the forward variant's schema mirrors the backward one: the left
+    // time column survives so callers can compute the match gap
+    assert(fwd.columns.contains("lt"), fwd.columns.mkString(","))
+    val out = fwd
       .select("tag", "price").as[(String, Double)].collect().toMap
     // e1 → 10 (inclusive), e3 → 20 (inclusive), e2 has no later rate,
     // f1's only rate is earlier
     assert(out == Map("e1" -> 100.0, "e3" -> 200.0))
+    assert(fwd.filter(col("tag") === "e3").select("lt")
+      .as[Long].head() == 20L)
     val tol = TimeJoins.asOfJoinForward(
       Seq((1L, 5L, "x")).toDF("k", "lt", "tag"), right, "k", "lt", "rt",
       tolerance = Some(3L))
@@ -139,6 +145,22 @@ class IntervalOverlapSpec extends SparkSpec {
         if ka == kb && ia < ib && sa <= eb && sb <= ea
       } yield (ia, ib)).toSet
       assert(got == expect, s"bucketWidth=$bw")
+    }
+  }
+
+  test("violating the start<=end / non-negative contract fails LOUDLY") {
+    // an inverted or negative interval would silently drop pairs
+    // (descending bucket sequence → empty explode) — the runtime
+    // assert_true must turn that into a job failure instead
+    for (bad <- Seq(Seq((1L, 1L, 30L, 10L)), Seq((1L, 1L, -5L, 10L)))) {
+      val ex = intercept[Exception] {
+        TimeJoins.intervalOverlapPairs(
+          bad.toDF("k", "id", "s", "e"), "k", "s", "e", 16L).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("intervalOverlapPairs")),
+        msgs(ex).mkString(" | "))
     }
   }
 }

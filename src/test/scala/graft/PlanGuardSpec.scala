@@ -139,6 +139,29 @@ class PlanGuardSpec extends SparkSpec {
       s"PQ encode must not shuffle before the presentation sort:\n$phys")
   }
 
+  test("d25/d24/c7: no single-partition window anywhere (VERDICT r9 #2-4)") {
+    // an unpartitioned row_number()/ntile() window drags EVERY row
+    // through one task — invisible at sf0.01, fatal at 100 TB. d25's
+    // vocab top-k is TakeOrderedAndProject (distributed partial top-k),
+    // d24/c7 use the Ranks two-pass range-partitioned rank; all windows
+    // that remain must carry a PARTITION BY.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("d25_oov_rate", "d24_curriculum", "c7_spend_quartiles")) {
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      val bare = qe.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty,
+        s"$name: unpartitioned Window survived:\n${bare.mkString("\n")}")
+    }
+    // and d25's vocabulary really is the distributed partial top-k
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val d25 = SparkEntry.queries("d25_oov_rate")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(d25.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"d25 vocab top-100 must plan as TakeOrderedAndProject:\n$d25")
+  }
+
   test("job2's LIKE filters reach their scans as pushed predicates") {
     // JOB's dimension selectivity only helps if the string patterns
     // prune at the scan, not post-join

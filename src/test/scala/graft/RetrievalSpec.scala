@@ -21,8 +21,8 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L))
     assert(out.map(_.getInt(1)).toSeq == Seq(1, 2))
     // doc 1 has tf=2 of "apple" (same idf), so it must outscore doc 2
-    val scores = out.map(r => r.getLong(2) -> r.getDecimal(3).doubleValue).toMap
-    assert(scores(1L) > scores(2L) && scores(2L) > 0.0)
+    val scores = out.map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(scores(1L) > scores(2L) && scores(2L) > 0L)
   }
 
   test("multi-term query sums per-term contributions; k truncates") {
@@ -39,7 +39,7 @@ class RetrievalSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val out = Retrieval.bm25TopK(d, "text", "doc_id",
       Seq("qa" -> Seq("apple"), "qc" -> Seq("cherry")), k = 1)
-      .collect().map(r => r.getString(0) -> r.getDecimal(3).doubleValue).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(out("qc") > out("qa"))
   }
 
@@ -48,8 +48,8 @@ class RetrievalSpec extends SparkSpec {
       Seq("q" -> Seq("apple")), k = 10).collect()
     val twice = Retrieval.bm25TopK(docs, "text", "doc_id",
       Seq("q" -> Seq("apple", "apple")), k = 10).collect()
-    assert(once.map(r => (r.getLong(2), r.getDecimal(3))).toSeq ==
-      twice.map(r => (r.getLong(2), r.getDecimal(3))).toSeq)
+    assert(once.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      twice.map(r => (r.getLong(2), r.getLong(3))).toSeq)
   }
 
   test("persisted index: build once, query matches one-shot bm25TopK") {
@@ -59,7 +59,7 @@ class RetrievalSpec extends SparkSpec {
     val fromIndex = Retrieval.queryBm25Index(spark, dir, qs, k = 3)
     val oneShot = Retrieval.bm25TopK(docs, "text", "doc_id", qs, k = 3)
     val key = (r: org.apache.spark.sql.Row) =>
-      (r.getString(0), r.getInt(1), r.getLong(2), r.getDecimal(3))
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))
     assert(fromIndex.collect().map(key).sortBy(x => (x._1, x._2)).toSeq ==
       oneShot.collect().map(key).sortBy(x => (x._1, x._2)).toSeq)
     // the query-term predicate must reach the postings parquet scan
@@ -68,17 +68,19 @@ class RetrievalSpec extends SparkSpec {
       "query terms must push into the postings scan:\n" + scan)
   }
 
-  test("rrf fusion: shared docs outrank single-list docs; decimal-exact") {
+  test("rrf fusion: shared docs outrank single-list docs; integer-exact") {
     val a = Seq(("q", 1L, 1), ("q", 2L, 2)).toDF("q_id", "doc_id", "rnk")
     val b = Seq(("q", 2L, 1), ("q", 3L, 2)).toDF("q_id", "doc_id", "rnk")
     val out = Retrieval.rrfFuse(Seq(a, b), k = 10)
-      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDecimal(3)))
-    // d2 appears at ranks 2 and 1 -> 1/62 + 1/61; d1 only 1/61; d3 only
-    // 1/62 — so the order is d2, d1, d3 and d2's score is EXACTLY the
-    // decimal sum of the other two (rounded contributions are reused)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // d2 appears at ranks 2 and 1 -> 10^12//61 + 10^12//62; d1 only
+    // 10^12//61; d3 only 10^12//62 — so the order is d2, d1, d3 and d2's
+    // pico-unit score is EXACTLY the sum of the other two (integral-div
+    // contributions are reused, nothing floating-point anywhere)
     assert(out.map(_._2).toSeq == Seq(2L, 1L, 3L))
     assert(out.map(_._1).toSeq == Seq(1, 2, 3))
-    assert(out(0)._3 == out(1)._3.add(out(2)._3))
+    assert(out(0)._3 == out(1)._3 + out(2)._3)
+    assert(out(1)._3 == 1000000000000L / 61)
   }
 
   test("rrf fusion: doc_id breaks exact score ties deterministically") {

@@ -9,13 +9,23 @@ row counts, and values (exact for ints/strings; exact-or-report for
 doubles). Strictly stricter than the driver's hash compare — if this
 passes, the driver's gate passes.
 
-Usage: python3 tools/check.py [sf_dir] [out_dir] [query_filter_substr]
+Usage: python3 tools/check.py [--render-first] [sf_dir] [out_dir] [filter]
+
+--render-first pins render-order independence (the CORRECTNESS_r09
+failure mode): it renders ALL oracle SQL in a FRESH JVM — no query has
+run, the literal stash is cold, so literals must come from the persisted
+classpath snapshot (graft/oracle_literals.b64) — and then compares every
+query against THAT cold-rendered SQL. Green here means a driver harness
+may render SparkEntry.oracleSql in any process, in any order, and still
+get the exact literals the Spark plans use.
 """
 import json, math, subprocess, sys, glob, os
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
-FILT = sys.argv[3] if len(sys.argv) > 3 else ""
+args = [a for a in sys.argv[1:] if a != "--render-first"]
+RENDER_FIRST = "--render-first" in sys.argv[1:]
+SF = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+OUT = args[1] if len(args) > 1 else "/tmp/graft_verify"
+FILT = args[2] if len(args) > 2 else ""
 
 ADD_OPENS = []
 for p in ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
@@ -24,11 +34,12 @@ for p in ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
           "sun.security.action", "sun.util.calendar"]:
     ADD_OPENS += ["--add-opens", f"java.base/{p}=ALL-UNNAMED"]
 
+CP = "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+
 def run_verify():
-    cp = "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
     env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     cmd = (["java"] + ADD_OPENS +
-           ["-cp", cp, "-Xmx8g", "-Dspark.ui.enabled=false",
+           ["-cp", CP, "-Xmx8g", "-Dspark.ui.enabled=false",
             "-Dspark.sql.session.timeZone=UTC",
             "graft.Verify", SF, OUT])
     r = subprocess.run(cmd, capture_output=True, text=True, env=env)
@@ -40,13 +51,34 @@ def run_verify():
         print(r.stderr[-3000:])
         sys.exit(1)
 
-def compare():
+def render_cold():
+    """Fresh-JVM oracle render BEFORE any query runs — stash cold by
+    construction. A WARNING line from OracleLiterals means a fallback was
+    emitted: that is exactly the render-order bug, so fail loudly."""
+    cold = f"{OUT}/oracle_sql_cold.json"
+    cmd = (["java"] + ADD_OPENS + ["-cp", CP, "graft.RenderOracles", cold])
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        print("render-first: RenderOracles failed rc", r.returncode)
+        print(r.stderr[-3000:])
+        sys.exit(1)
+    warn = [l for l in r.stderr.splitlines() if "[OracleLiterals]" in l]
+    if warn:
+        print(f"render-first: {len(warn)} cold-stash fallback(s) emitted "
+              "— the persisted literal snapshot is missing entries:")
+        for l in warn[:10]:
+            print("  ", l[:220])
+        sys.exit(1)
+    print("render-first: cold render OK, no fallback warnings")
+    return cold
+
+def compare(oracle_path):
     import duckdb
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
-    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    oracle = json.load(open(oracle_path))
     results = sorted(d for d in glob.glob(f"{OUT}/*") if os.path.isdir(d))
     npass = nfail = nrows_only = 0
     for rdir in results:
@@ -138,5 +170,17 @@ def compare():
     sys.exit(1 if nfail else 0)
 
 if __name__ == "__main__":
+    oracle_path = render_cold() if RENDER_FIRST else None
     run_verify()
-    compare()
+    if RENDER_FIRST:
+        # the cold (pre-run) render must equal the warm (post-run) one
+        cold = json.load(open(oracle_path))
+        warm = json.load(open(f"{OUT}/oracle_sql.json"))
+        diff = sorted(k for k in set(cold) | set(warm)
+                      if cold.get(k) != warm.get(k))
+        if diff:
+            print(f"render-first: {len(diff)} oracle(s) differ between "
+                  f"cold and warm render: {', '.join(diff[:10])}")
+            sys.exit(1)
+        print(f"render-first: cold == warm for all {len(warm)} oracles")
+    compare(oracle_path or f"{OUT}/oracle_sql.json")
