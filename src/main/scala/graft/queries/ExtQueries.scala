@@ -452,6 +452,47 @@ object ExtQueries {
         .orderBy(col("nat"))
     }),
 
+    // --- LDBC BI-style FILTERED shortest path (the Q19/Q20 family:
+    // paths restricted to qualifying vertices): same frontier machinery
+    // as ldbc3, but the graph keeps only "active" customers
+    // (c_acctbal > 0) — the vertex predicate pushes INTO the edge
+    // projection BEFORE any traversal (both endpoints filtered at the
+    // scan, the BI-query contract), so the fixpoint never visits a
+    // disqualified node. Histogram per seed mktsegment: reachable pairs
+    // within 3 hops, total shortest-path hops, distinct seeds.
+    // All-integer — hash-exact ---
+    "ldbc8_filtered_sp" -> ((s, dir) => {
+      val active = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_nationkey").cast("bigint").as("nat"),
+          col("c_mktsegment").as("seg"))
+      val cand = active.select(col("k").as("src"), col("nat"),
+        explode(sequence(col("k") + 1, col("k") + 12)).as("dst"))
+      val edges = cand
+        .join(active.select(col("k").as("dst"), col("nat")),
+          Seq("dst", "nat"))
+        .select(col("src"), col("dst"))
+      val seeds = active.filter(col("k") % 25 === 1)
+        .select(col("k").as("seed"), col("seg"))
+      val reach = RecursiveCte.fixpoint(
+        seeds.select(col("seed"), col("seed").as("node"),
+          lit(0).as("hop")),
+        d => d.filter(col("hop") < 3)
+          .join(edges, col("node") === col("src"))
+          .select(col("seed"), col("dst").as("node"),
+            (col("hop") + 1).as("hop")))
+      reach.filter(col("node") =!= col("seed"))
+        .groupBy(col("seed"), col("node"))
+        .agg(min(col("hop")).as("sp"))
+        .join(seeds, "seed")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("sp")).cast("bigint").as("sum_sp"),
+          countDistinct(col("seed")).as("n_seeds"))
+        .orderBy(col("seg"))
+    }),
+
     // --- forward as-of join (pandas direction='forward'): each event
     // picks the EARLIEST hourly rate bucket at-or-after it — the
     // backward j1 on a negated axis, so both directions share one code
@@ -997,6 +1038,32 @@ object ExtQueries {
         CAST(SUM(n_common) AS BIGINT) AS sum_common
       FROM unconnected u JOIN c ON u.a = c.k
       GROUP BY c.nat ORDER BY c.nat""",
+    "ldbc8_filtered_sp" -> """
+      WITH RECURSIVE
+      c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                   CAST(c_nationkey AS BIGINT) AS nat,
+                   c_mktsegment AS seg
+            FROM customer WHERE c_acctbal > 0),
+      edges AS (
+        SELECT a.k AS src, b.k AS dst
+        FROM c a JOIN c b
+          ON b.nat = a.nat
+         AND b.k BETWEEN a.k + 1 AND a.k + 12),
+      seeds AS (SELECT k AS seed, seg FROM c WHERE k % 25 = 1),
+      reach(seed, node, hop) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION
+        SELECT r.seed, e.dst, r.hop + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hop < 3),
+      spl AS (
+        SELECT seed, node, MIN(hop) AS sp
+        FROM reach WHERE node <> seed GROUP BY seed, node)
+      SELECT s.seg, COUNT(*) AS n_pairs,
+        CAST(SUM(sp) AS BIGINT) AS sum_sp,
+        CAST(COUNT(DISTINCT spl.seed) AS BIGINT) AS n_seeds
+      FROM spl JOIN seeds s ON spl.seed = s.seed
+      GROUP BY s.seg ORDER BY s.seg""",
     "j5_asof_forward" -> """
       WITH e AS (SELECT event_id, event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS lt

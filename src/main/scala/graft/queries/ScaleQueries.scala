@@ -413,6 +413,33 @@ object ScaleQueries {
     // AGGREGATE (≤ one row per day), so the set-union work is O(days ·
     // DAU), never corpus-shaped. Ratio reported as exact integer ppm
     // (wau never 0 — every day row has ≥ 1 user) ---
+    // --- ClickBench URL/string-heavy family (q21–q28 flavor: referrer-
+    // domain report): documents become URLs via a pure deterministic
+    // projection (host = <source>.example.com, path = /<lang>/doc/<id>),
+    // then the report extracts the host back OUT with a capture-group
+    // regex (dialect-neutral between Java regex and RE2), prunes with
+    // LIKE / NOT LIKE at the scan stage, and top-10s hosts by hit count
+    // — orderBy+limit plans as TakeOrderedAndProject (distributed
+    // partial top-k), and at 100 TB the host rollup is one hash
+    // aggregate over the scan. All-integer aggregates — hash-exact ---
+    "c20_url_report" -> ((s, dir) => {
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/"), col("lang"), lit("/doc/"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(url.as("url"), col("n_chars"))
+        .filter(col("url").like("%/doc/%") && !col("url").like("%/zh/%"))
+        .select(
+          regexp_extract(col("url"), "^https://([a-z0-9.]+)/", 1)
+            .as("host"),
+          col("n_chars"), length(col("url")).cast("bigint").as("ulen"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"),
+          sum(col("ulen")).cast("bigint").as("sum_ulen"))
+        .orderBy(col("n").desc, col("host"))
+        .limit(10)
+    }),
+
     "c19_stickiness" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byDay = graft.Tables.events(s, dir)
@@ -462,6 +489,23 @@ object ScaleQueries {
         COUNT(DISTINCT user_id) AS n_users,
         COUNT(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "c20_url_report" -> """
+      WITH u AS (
+        SELECT 'https://' || source || '.example.com/' || lang ||
+               '/doc/' || CAST(doc_id AS VARCHAR) AS url, n_chars
+        FROM documents),
+      f AS (
+        SELECT * FROM u
+        WHERE url LIKE '%/doc/%' AND url NOT LIKE '%/zh/%'),
+      x AS (
+        SELECT regexp_extract(url, '^https://([a-z0-9.]+)/', 1) AS host,
+          n_chars, CAST(length(url) AS BIGINT) AS ulen
+        FROM f)
+      SELECT host, COUNT(*) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(ulen) AS BIGINT) AS sum_ulen
+      FROM x GROUP BY host
+      ORDER BY n DESC, host LIMIT 10""",
     "c19_stickiness" -> """
       WITH e AS (
         SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000

@@ -144,6 +144,30 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // --- ANN recall audit (the acceptance metric every approximate-
+    // index deployment tracks before switching off brute force):
+    // recall@5 of the sign-LSH ranking (e4 machinery) against the exact
+    // brute-force top-5 (e2 machinery), per query and as exact integer
+    // ppm. The intersection is one bounded (q_id, n_id) LeftSemi —
+    // ≤ k rows per query per side — and both rankings are already
+    // independently hash-exact, so the audit is too ---
+    "e14_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceKnn(e, qs, k = 5)
+        .select(col("q_id"), col("n_id"))
+      val ann = Similarity.lshKnn(e, qs, k = 5, nPlanes = 4)
+        .select(col("q_id"), col("n_id"))
+      val hits = exact.join(ann, Seq("q_id", "n_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_ppm", expr("(n_hit * 1000000) div n_exact"))
+        .orderBy(col("q_id"))
+    }),
+
     // --- product quantization encode (Jégou et al. 2011): 64-dim
     // vectors → 4 codes from 8-codeword codebooks (codebook m = the m-th
     // 16-dim slice of the first 8 vectors — deterministic seeds, the
@@ -251,6 +275,37 @@ object VectorQueries {
     hyperplanes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${dotSql(vec, litList(p))} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  private def e14Oracle: String = s"""
+    WITH b AS (SELECT vec_id AS id, embedding AS v,
+                 ${bucketSql("embedding", 4, 64)} AS bucket
+               FROM embeddings),
+    ex AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+                   c.vec_id ASC) AS rnk
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20),
+    exact AS (SELECT q_id, n_id FROM ex WHERE rnk <= 5),
+    cand AS (
+      SELECT q.id AS q_id, c.id AS n_id,
+        ROW_NUMBER() OVER (PARTITION BY q.id
+          ORDER BY ${cosSql("q.v", "c.v")} DESC, c.id ASC) AS rnk
+      FROM b q JOIN b c ON q.bucket = c.bucket AND c.id <> q.id
+      WHERE q.id < 20),
+    ann AS (SELECT q_id, n_id FROM cand WHERE rnk <= 5),
+    hits AS (
+      SELECT e.q_id, COUNT(*) AS n_hit
+      FROM exact e JOIN ann a ON e.q_id = a.q_id AND e.n_id = a.n_id
+      GROUP BY e.q_id),
+    base AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY q_id)
+    SELECT base.q_id, base.n_exact,
+      CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+      CAST((COALESCE(h.n_hit, 0) * 1000000) // base.n_exact AS BIGINT)
+        AS recall_ppm
+    FROM base LEFT JOIN hits h ON base.q_id = h.q_id
+    ORDER BY base.q_id"""
 
   private def e4Oracle: String = s"""
     WITH b AS (SELECT vec_id AS id, embedding AS v,
@@ -516,6 +571,7 @@ object VectorQueries {
   def oracles: Map[String, String] = Map(
     "ir2_hybrid_rrf" -> ir2Oracle,
     "e4_knn_lsh" -> e4Oracle,
+    "e14_ann_recall" -> e14Oracle,
     "e11_pq_codes" -> e11Oracle,
     "e12_pq_adc" -> e12Oracle,
     "e5_knn_ivf" -> e5Oracle,
