@@ -33,26 +33,41 @@ object Ranks {
   /** Appends `rnCol` = global 1-based row number of `df` under `order`
     * (which MUST be a total order), and optionally `nCol` = total row
     * count (from the same bounded per-partition counts — no unbounded
-    * `count().over()` window). */
+    * `count().over()` window).
+    *
+    * The local rank inside each range partition comes from
+    * `monotonically_increasing_id()` over the range-sorted frame —
+    * Spark documents the id layout as (partitionId << 33) | localOffset,
+    * so `_mono >> 33` is the range-partition index and the low 33 bits
+    * are the 0-based position in the partition's sort order. This saves
+    * a full-data hash exchange AND a second sort versus the
+    * `row_number().over(partitionBy(pid))` spelling (the window cannot
+    * see that rows are already pid-grouped and sorted): the whole rank
+    * is ONE range shuffle + local sort + narrow projections. The
+    * equality with a global `row_number()` window is pinned on random
+    * inputs by RandomizedPropertySpec. Limits inherited from the id
+    * layout: < 2³¹ partitions, < 2³³ rows per partition — both orders of
+    * magnitude above any sane shuffle-partition sizing. */
   def globalRowNumber(df: DataFrame, order: Seq[Column], rnCol: String,
                       nCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val snap = df.localCheckpoint()
     val parted = snap.repartitionByRange(order: _*)
-      .withColumn("_pid", spark_partition_id())
+      .sortWithinPartitions(order: _*)
+      .withColumn("_mono", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mono"), 33).cast("int"))
+      .withColumn("_lrn", col("_mono").bitwiseAND(lit((1L << 33) - 1)) + 1L)
     val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val n = counts.map(_._2).sum
     val offsets = counts.map(_._1)
       .zip(counts.scanLeft(0L)(_ + _._2).init)
     val offDf = broadcast(offsets.toSeq.toDF("_pid", "_off"))
-    val wLocal = Window.partitionBy(col("_pid")).orderBy(order: _*)
     val ranked = parted
-      .withColumn("_lrn", row_number().over(wLocal))
       .join(offDf, Seq("_pid"))
       .withColumn(rnCol, (col("_lrn") + col("_off")).cast("long"))
-      .drop("_pid", "_lrn", "_off")
+      .drop("_pid", "_mono", "_lrn", "_off")
     nCol.map(c => ranked.withColumn(c, lit(n))).getOrElse(ranked)
   }
 

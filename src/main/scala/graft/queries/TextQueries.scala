@@ -485,6 +485,55 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- classifier calibration table (the audit a curation pipeline
+    // runs before trusting a quality classifier's threshold): docs
+    // ranked by the g4 integer logit into 10 exact deciles via the
+    // two-pass range-partitioned rank (operators/Ranks — no
+    // single-partition window), then per decile the observed en-rate
+    // in exact ppm plus the decile's logit bounds. A calibrated signal
+    // is monotone in the decile; a flat table says the classifier adds
+    // nothing. All-integer — hash-exact ---
+    "g7_calibration" -> ((s, dir) => {
+      val wExpr = pmod(col("bk") * lit(2654435761L), lit(1000003L)) -
+        lit(500001L)
+      val d = docs(s, dir)
+      val logits = d
+        .select(col("doc_id"), explode(cleanTokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          pmod(md5Bits60(col("tok")), lit(256L)).as("bk"))
+        .groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), (col("c") * wExpr).as("contrib"))
+        .groupBy(col("doc_id")).agg(sum(col("contrib")).as("logit"))
+      graft.operators.Ranks.rankPhases(logits,
+          Seq(col("logit").desc, col("doc_id")), k = 10,
+          phaseCol = "decile")
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          Seq("doc_id"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"),
+          min(col("logit")).as("min_logit"),
+          max(col("logit")).as("max_logit"))
+        .withColumn("en_ppm", expr("(n_en * 1000000) div n_docs"))
+        .orderBy(col("decile"))
+    }),
+
+    // --- corpus length profile: per (lang, size-bucket) doc and token
+    // counts, bucket = number of binary digits of the token count —
+    // ⌊log₂ n⌋+1 as an EXACT integer via length(bin(n)), not a
+    // transcendental log2 whose rounding at the 2^k boundaries could
+    // differ per engine. One narrow scan + one rollup ---
+    "d27_length_histogram" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), tokenCount(col("text")).as("n_tok"))
+        .select(col("lang"), col("n_tok"),
+          length(bin(col("n_tok"))).cast("int").as("bucket"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("bigint").as("sum_tok"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // --- benchmark decontamination: training docs flagged when ≥ 1/5 of
     // their distinct word 3-grams occur anywhere in the eval split
     // (doc_id % 19 == 0 — a deterministic stand-in benchmark). The flag
@@ -987,6 +1036,52 @@ object TextQueries {
         CAST(SUM(contrib) AS BIGINT) AS logit_micro,
         (CAST(SUM(contrib) AS BIGINT) > 0) AS keep
       FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "g7_calibration" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> '')) AS tok
+        FROM documents),
+      occ AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256 AS bk
+        FROM toks),
+      pd AS (SELECT doc_id, bk, COUNT(*) AS c FROM occ GROUP BY doc_id, bk),
+      sc AS (
+        SELECT doc_id,
+          c * ((bk * 2654435761) % 1000003 - 500001) AS contrib
+        FROM pd),
+      lg AS (
+        SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS logit
+        FROM sc GROUP BY doc_id),
+      rk AS (
+        SELECT doc_id, logit,
+          ROW_NUMBER() OVER (ORDER BY logit DESC, doc_id) AS rn,
+          COUNT(*) OVER () AS n
+        FROM lg),
+      dc AS (
+        SELECT doc_id, logit, ((rn - 1) * 10) // n AS decile FROM rk)
+      SELECT decile, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_en,
+        MIN(logit) AS min_logit, MAX(logit) AS max_logit,
+        CAST((CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)
+          AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS en_ppm
+      FROM dc JOIN documents d ON dc.doc_id = d.doc_id
+      GROUP BY decile ORDER BY decile""",
+    "d27_length_histogram" -> """
+      WITH t AS (
+        SELECT lang,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS n_tok
+        FROM documents),
+      b AS (
+        SELECT lang, n_tok,
+          CAST(length(bin(n_tok)) AS INTEGER) AS bucket
+        FROM t)
+      SELECT lang, bucket, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+      FROM b GROUP BY lang, bucket ORDER BY lang, bucket""",
     "d19_decontamination" -> """
       WITH toks AS (
         SELECT doc_id,

@@ -81,6 +81,35 @@ class RandomizedPropertySpec extends SparkSpec {
     }
   }
 
+  test("Ranks.globalRowNumber == global row_number window on random inputs") {
+    // the two-pass range-partitioned rank (and its mono-id local rank)
+    // must equal the single-partition window EXACTLY for total orders —
+    // including duplicate sort-key values that straddle range-partition
+    // boundaries (id is the tie-break)
+    import graft.operators.Ranks
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(300 + seed)
+      val rows = (0 until 120).map(i =>
+        (i.toLong, r.nextInt(12).toLong))    // heavy ties in the value
+      val df = rows.toDF("id", "v")
+      val got = Ranks.globalRowNumber(df,
+          Seq(col("v").desc, col("id")), "rn", nCol = Some("n"))
+        .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3)))
+        .toMap
+      val want = rows.sortBy { case (id, v) => (-v, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      rows.foreach { case (id, _) =>
+        assert(got(id) == ((want(id), rows.size.toLong)), s"seed=$seed id=$id")
+      }
+      val phases = Ranks.rankPhases(df,
+          Seq(col("v").desc, col("id")), k = 4, phaseCol = "ph")
+        .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+      rows.foreach { case (id, _) =>
+        assert(phases(id) == (want(id) - 1) * 4 / rows.size, s"ph id=$id")
+      }
+    }
+  }
+
   test("temperatureShares == BigInt floor formula on random counts") {
     for (seed <- 1 to 3) {
       val r = new scala.util.Random(200 + seed)
