@@ -204,23 +204,60 @@ object VectorQueries {
     // (60+rnk)), so the fused scores carry NO floating point or rounding
     // function at all and the oracle check is hash-exact on any engine
     // build (CORRECTNESS_r09 flipped on the old round(double,12)) ---
-    "ir2_hybrid_rrf" -> ((s, dir) => {
-      val sparse = graft.operators.Retrieval.bm25TopK(
-          Tables.load(s, dir, "documents"), "text", "doc_id",
-          TextQueries.Bm25Queries, k = 20,
-          onModel = TextQueries.stashBm25Idf)
-        .select(col("q_id"), col("doc_id"), col("rnk"))
+    "ir2_hybrid_rrf" -> ((s, dir) =>
+      hybridFused(s, dir).orderBy(col("q_id"), col("rnk"))),
+
+    // --- retrieve-then-rerank (the standard two-stage RAG stack): the
+    // ir2 hybrid RRF top-10 per query is re-scored by EXACT cosine
+    // between the query embedding and each candidate's embedding, final
+    // top-5 by (cos desc, doc_id). The rerank stage touches only the
+    // BOUNDED fused list (≤ 10 rows per query joined against the
+    // embedding table on its key), which is the whole point of the
+    // two-stage design: the expensive scorer sees k candidates, not the
+    // corpus. Cosine is the bit-identical e2 fold — hash-exact ---
+    "ir4_rerank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val e = emb(s, dir)
-      val dense = Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 3), k = 20)
-        .select(
-          when(col("q_id") === 0L, "hash_join")
-            .when(col("q_id") === 1L, "stream_window")
-            .otherwise("vector_scan").as("q_id"),
-          col("n_id").as("doc_id"), col("rnk"))
-      graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+      val qvec = when(col("q_id") === "hash_join", 0L)
+        .when(col("q_id") === "stream_window", 1L).otherwise(2L)
+      val cands = hybridFused(s, dir)
+        .select(col("q_id"), qvec.as("qv"), col("doc_id"))
+      val scored = cands
+        .join(broadcast(e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qv"), col("embedding").as("q_emb"))),
+          Seq("qv"))
+        .join(e.select(col("vec_id").as("doc_id"),
+          col("embedding").as("d_emb")), Seq("doc_id"))
+        .withColumn("cos", graft.functions.VectorFunctions
+          .cosineAuto(s)(col("q_emb"), col("d_emb")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("doc_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("doc_id"), col("cos"))
         .orderBy(col("q_id"), col("rnk"))
     })
   )
+
+  /** The ir2 hybrid retrieval: BM25 top-20 (sparse) fused with
+    * brute-force cosine top-20 (dense, query vectors = embeddings 0/1/2
+    * standing in for encoded query text) via integer reciprocal-rank
+    * fusion. Shared by ir2 (fused ranking) and ir4 (rerank stage). */
+  private def hybridFused(s: SparkSession, dir: String): DataFrame = {
+    val sparse = graft.operators.Retrieval.bm25TopK(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        TextQueries.Bm25Queries, k = 20,
+        onModel = TextQueries.stashBm25Idf)
+      .select(col("q_id"), col("doc_id"), col("rnk"))
+    val e = emb(s, dir)
+    val dense = Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 3), k = 20)
+      .select(
+        when(col("q_id") === 0L, "hash_join")
+          .when(col("q_id") === 1L, "stream_window")
+          .otherwise("vector_scan").as("q_id"),
+        col("n_id").as("doc_id"), col("rnk"))
+    graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+  }
 
   /** First n corpus vectors by vec_id as (id, doubles) — the bounded
     * O(n·dim) seed-collection every deterministic centroid/codebook path
@@ -528,11 +565,13 @@ object VectorQueries {
     WHERE ${cosSql("x.v", "y.v")} >= 0.3
     ORDER BY a_id, b_id"""
 
-  /** ir2: the BM25 CTE chain (shared with ir1, see
+  /** ir2/ir4 shared CTE chain: the BM25 CTEs (shared with ir1, see
     * [[TextQueries.bm25RankedCtes]]) + the e2-style dense cosine ranking
-    * + the RRF fusion replica of [[graft.operators.Retrieval.rrfFuse]]. */
-  private def ir2Oracle: String = s"""
-    WITH ${TextQueries.bm25RankedCtes},
+    * + the integer RRF fusion replica of
+    * [[graft.operators.Retrieval.rrfFuse]], ending in
+    * `fr(q_id, doc_id, rrf_micro, rnk)`. */
+  private def ir2Ctes: String = s"""
+    ${TextQueries.bm25RankedCtes},
     bms AS (SELECT q_id, doc_id, rnk FROM bmr WHERE rnk <= 20),
     dq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
     dsims AS (
@@ -562,14 +601,41 @@ object VectorQueries {
       SELECT q_id, doc_id, rrf_micro,
         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
           ORDER BY rrf_micro DESC, doc_id ASC) AS INT) AS rnk
-      FROM fused)
+      FROM fused)"""
+
+  private def ir2Oracle: String = s"""
+    WITH $ir2Ctes
     SELECT q_id, rnk, doc_id, rrf_micro FROM fr WHERE rnk <= 10
+    ORDER BY q_id, rnk"""
+
+  /** ir4: the ir2 fused top-10 re-scored by exact cosine (the e2 fold)
+    * against the query embedding, final top-5 per query. */
+  private def ir4Oracle: String = s"""
+    WITH $ir2Ctes,
+    top AS (SELECT q_id, doc_id FROM fr WHERE rnk <= 10),
+    qv AS (
+      SELECT CASE vec_id WHEN 0 THEN 'hash_join'
+               WHEN 1 THEN 'stream_window' ELSE 'vector_scan' END AS q_id,
+        embedding AS q_emb
+      FROM embeddings WHERE vec_id < 3),
+    rsc AS (
+      SELECT t.q_id, t.doc_id,
+        ${cosSql("q.q_emb", "e.embedding")} AS cos
+      FROM top t JOIN qv q ON t.q_id = q.q_id
+        JOIN embeddings e ON e.vec_id = t.doc_id),
+    rr AS (
+      SELECT q_id, doc_id, cos,
+        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cos DESC, doc_id ASC) AS INT) AS rnk
+      FROM rsc)
+    SELECT q_id, rnk, doc_id, cos FROM rr WHERE rnk <= 5
     ORDER BY q_id, rnk"""
 
   // def, not val: ir2Oracle embeds the driver-stashed BM25 idf literals
   // rendered AFTER the queries run (see graft.OracleLiterals).
   def oracles: Map[String, String] = Map(
     "ir2_hybrid_rrf" -> ir2Oracle,
+    "ir4_rerank" -> ir4Oracle,
     "e4_knn_lsh" -> e4Oracle,
     "e14_ann_recall" -> e14Oracle,
     "e11_pq_codes" -> e11Oracle,
