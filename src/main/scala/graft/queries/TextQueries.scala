@@ -133,6 +133,37 @@ object TextQueries {
         .orderBy(col("component"))
     }),
 
+    // --- near-dup cluster-SIZE histogram (the dedup report every
+    // curation run publishes: "how much of the corpus sits in clusters
+    // of size s, and how many docs would dedup remove"): the d14
+    // duplicate graph's components rolled up twice — component → size,
+    // then size → (n_clusters, n_docs, n_removed = docs minus one
+    // canonical survivor per cluster). Singleton docs (no dup edge)
+    // enter as size-1 clusters via a LeftAnti against the clustered
+    // nodes, so the histogram accounts for the WHOLE corpus.
+    // All-integer; two bounded rollups past the CC fixpoint ---
+    "d28_cluster_sizes" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"))
+      val nxt = d.select((col("doc_id") - 1).as("src"),
+        col("doc_id").as("dst"), col("lang").as("l2"))
+      val edges = d.join(nxt,
+          col("doc_id") === col("src") && col("lang") === col("l2"))
+        .select(col("src"), col("dst"))
+      val comp = Dedup.connectedComponents(edges)
+      val clustered = comp.groupBy(col("component"))
+        .agg(count(lit(1)).as("sz"))
+      val singles = d.select(col("doc_id"))
+        .join(comp.select(col("node").as("doc_id")), Seq("doc_id"),
+          "left_anti")
+        .select(lit(1L).as("sz"))
+      clustered.select(col("sz")).unionByName(singles)
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("sz")).as("n_docs"),
+          (count(lit(1)) * (col("sz") - 1)).as("n_removed"))
+        .orderBy(col("sz"))
+    }),
+
     // --- canonical-keep: survivors after collapsing each cluster to its
     // min-id member (everything not in a pair survives untouched) ---
     "d15_canonical_keep" -> ((s, dir) => {
@@ -1608,6 +1639,33 @@ object TextQueries {
       label AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
       SELECT component, COUNT(*) AS n_docs, MAX(node) AS last_doc
       FROM label GROUP BY component ORDER BY component""",
+    "d28_cluster_sizes" -> """
+      WITH RECURSIVE edges AS (
+        SELECT d1.doc_id AS src, d2.doc_id AS dst
+        FROM documents d1 JOIN documents d2
+          ON d2.doc_id = d1.doc_id + 1 AND d1.lang = d2.lang),
+      sym AS (
+        SELECT src, dst FROM edges
+        UNION SELECT dst AS src, src AS dst FROM edges),
+      nodes AS (SELECT DISTINCT src AS node FROM sym),
+      reach(root, node) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.root, s.dst FROM reach r JOIN sym s ON s.src = r.node),
+      label AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
+      clustered AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM label GROUP BY component),
+      singles AS (
+        SELECT CAST(1 AS BIGINT) AS sz
+        FROM documents d LEFT JOIN label l ON d.doc_id = l.node
+        WHERE l.node IS NULL),
+      allc AS (
+        SELECT sz FROM clustered UNION ALL SELECT sz FROM singles)
+      SELECT sz, COUNT(*) AS n_clusters,
+        CAST(COUNT(*) * sz AS BIGINT) AS n_docs,
+        CAST(COUNT(*) * (sz - 1) AS BIGINT) AS n_removed
+      FROM allc GROUP BY sz ORDER BY sz""",
     "d15_canonical_keep" -> """
       WITH RECURSIVE edges AS (
         SELECT d1.doc_id AS src, d2.doc_id AS dst

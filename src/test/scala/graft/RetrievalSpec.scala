@@ -68,6 +68,51 @@ class RetrievalSpec extends SparkSpec {
       "query terms must push into the postings scan:\n" + scan)
   }
 
+  test("bm25 integer scoring == naive BigInt reference on random corpora") {
+    // pins the micro-unit algebra (sc_micro = (idf_micro·880·tf·L) div
+    // (400·tf·L + 120·L + 360·dl·N) for the default k1=1.2, b=0.75)
+    // against a from-scratch BigInt implementation of the same formula —
+    // if either the Spark spelling or the constant folding drifts, the
+    // exact scores diverge
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(400 + seed)
+      val vocab = Vector("apple", "pear", "fig", "plum", "kiwi", "yam")
+      val corpus = (1L to 12L).map(i =>
+        i -> (0 until (1 + r.nextInt(8))).map(_ => vocab(r.nextInt(vocab.size))))
+      val df = corpus.map { case (id, ws) => (id, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val queries = Seq("q1" -> Seq("apple", "fig"), "q2" -> Seq("yam"))
+      val got = Retrieval.bm25TopK(df, "text", "doc_id", queries, k = 20)
+        .collect()
+        .map(x => (x.getString(0), x.getLong(2)) -> x.getLong(3)).toMap
+      val n = corpus.size.toLong
+      val bigL = corpus.map(_._2.size.toLong).sum
+      def idfMicro(df0: Long): Long =
+        java.math.BigDecimal.valueOf(
+            math.log(1.0 + (n - df0 + 0.5) / (df0 + 0.5)))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact
+      val want = (for {
+        (q, terms) <- queries
+        (id, ws) <- corpus
+        scores = terms.distinct.flatMap { t =>
+          val tf = ws.count(_ == t).toLong
+          if (tf == 0) None
+          else {
+            val dl = ws.size.toLong
+            val dfT = corpus.count(_._2.contains(t)).toLong
+            val num = BigInt(idfMicro(dfT)) * 880 * tf * bigL
+            val den = BigInt(400) * tf * bigL + BigInt(120) * bigL +
+              BigInt(360) * dl * n
+            Some((num / den).toLong)
+          }
+        }
+        if scores.nonEmpty
+      } yield (q, id) -> scores.sum).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("rrf fusion: shared docs outrank single-list docs; integer-exact") {
     val a = Seq(("q", 1L, 1), ("q", 2L, 2)).toDF("q_id", "doc_id", "rnk")
     val b = Seq(("q", 2L, 1), ("q", 3L, 2)).toDF("q_id", "doc_id", "rnk")
