@@ -191,12 +191,20 @@ object Retrieval {
       .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-      .repartition(col("term")).sortWithinPartitions(col("term"))
+      // range- (not hash-) partitioned: files tile the term axis, so a
+      // query-term predicate skips whole FILES, not just row groups;
+      // skew is no worse than hash (a single hot term maps to one
+      // partition either way)
+      .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .write.mode("overwrite").parquet(s"$path/postings")
+    // df/ is the FULL vocabulary — billions of terms at corpus scale, so
+    // it gets the same distributed range-sorted layout as postings/
+    // (globally ordered files → tight per-row-group term min/max for the
+    // query-term In() pushdown), never a repartition(1) single-task write
     spark.read.parquet(s"$path/postings")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .repartition(1).sortWithinPartitions(col("term"))
+      .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$path/df")
     toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$path/stats")
@@ -279,7 +287,7 @@ object Retrieval {
     docs.select(col(idCol).as("doc_id"),
         posexplode(graft.functions.TextFunctions.cleanTokens(col(textCol)))
           .as(Seq("pos", "term")))
-      .repartition(col("term")).sortWithinPartitions(col("term"))
+      .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
       .select(col("term"), col("doc_id"), col("pos"))
       .write.mode("overwrite").parquet(s"$path/postings")
   }
