@@ -87,7 +87,12 @@ object Bench {
     // AND parse as complete JSON: totals + the slowest queries at 3 dp
     // (as many as fit the budget), with a pointer to the full map.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
-    val entries = slowest.map { case (k, v) => f""""$k":$v%.3f""" }
+    // locale-free 3-dp formatting: the f"%.3f" interpolator follows the
+    // JVM default locale and would emit a decimal COMMA (invalid JSON)
+    // on comma-decimal locales
+    def dp3(v: Double): String = java.math.BigDecimal.valueOf(v)
+      .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+    val entries = slowest.map { case (k, v) => s""""$k":${dp3(v)}""" }
     val budget = 1600
     val kept = entries.scanLeft(0)((acc, e) => acc + e.length + 1).tail
       .zip(entries).takeWhile(_._1 <= budget).map(_._2)

@@ -404,15 +404,6 @@ object ScaleQueries {
           .as("n_signup_buy"))
     }),
 
-    // --- DAU/WAU stickiness (the product-analytics ratio): per day,
-    // distinct active users that day and over the trailing 7 days.
-    // Spark lacks COUNT(DISTINCT) over windows, so the trailing-window
-    // distinct is set algebra: one per-day collect_set (bounded by DAU),
-    // then a RANGE frame over integer day numbers unions 7 day-sets and
-    // counts the distinct flatten. The window input is the per-day
-    // AGGREGATE (≤ one row per day), so the set-union work is O(days ·
-    // DAU), never corpus-shaped. Ratio reported as exact integer ppm
-    // (wau never 0 — every day row has ≥ 1 user) ---
     // --- ClickBench URL/string-heavy family (q21–q28 flavor: referrer-
     // domain report): documents become URLs via a pure deterministic
     // projection (host = <source>.example.com, path = /<lang>/doc/<id>),
@@ -440,6 +431,15 @@ object ScaleQueries {
         .limit(10)
     }),
 
+    // --- DAU/WAU stickiness (the product-analytics ratio): per day,
+    // distinct active users that day and over the trailing 7 days.
+    // Spark lacks COUNT(DISTINCT) over windows, so the trailing-window
+    // distinct is set algebra: one per-day collect_set (bounded by DAU),
+    // then a RANGE frame over integer day numbers unions 7 day-sets and
+    // counts the distinct flatten. The window input is the per-day
+    // AGGREGATE (≤ one row per day), so the set-union work is O(days ·
+    // DAU), never corpus-shaped. Ratio reported as exact integer ppm
+    // (wau never 0 — every day row has ≥ 1 user) ---
     "c19_stickiness" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byDay = graft.Tables.events(s, dir)

@@ -14,6 +14,25 @@ import graft.operators.Dedup
   * driver's rows-only check.
   */
 object TextQueries {
+  /** The shared hashed-linear-classifier logit (g4/g7/d24): every token
+    * hashed onto 256 buckets, bucket weight = (b·2654435761 mod 1000003)
+    * − 500001 (a pure expression of the bucket id — nothing broadcast),
+    * per-doc logit = Σ c_b·w_b in BIGINT. One narrow explode + one
+    * (doc, bucket) aggregation; docs with no tokens are absent.
+    * Output: (doc_id, n_feats, logit). */
+  private def docLogits(s: SparkSession, dir: String): DataFrame = {
+    val wExpr = pmod(col("bk") * lit(2654435761L), lit(1000003L)) -
+      lit(500001L)
+    docs(s, dir)
+      .select(col("doc_id"), explode(cleanTokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(md5Bits60(col("tok")), lit(256L)).as("bk"))
+      .groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"), (col("c") * wExpr).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"), sum(col("contrib")).as("logit"))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -500,19 +519,10 @@ object TextQueries {
     // (doc, bucket) aggregation; the weight is a pure expression of the
     // bucket id, so nothing is broadcast at all ---
     "g4_linear_classifier" -> ((s, dir) => {
-      val wExpr = pmod(col("bk") * lit(2654435761L), lit(1000003L)) -
-        lit(500001L)
-      docs(s, dir)
-        .select(col("doc_id"), explode(cleanTokens(col("text"))).as("tok"))
-        .select(col("doc_id"),
-          pmod(md5Bits60(col("tok")), lit(256L)).as("bk"))
-        .groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("c"))
-        .select(col("doc_id"), col("c"), (col("c") * wExpr).as("contrib"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_feats"),
-          sum(col("contrib")).as("logit_micro"))
-        .select(col("doc_id"), col("n_feats"), col("logit_micro"),
-          (col("logit_micro") > 0L).as("keep"))
+      docLogits(s, dir)
+        .select(col("doc_id"), col("n_feats"),
+          col("logit").as("logit_micro"),
+          (col("logit") > 0L).as("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -525,16 +535,8 @@ object TextQueries {
     // is monotone in the decile; a flat table says the classifier adds
     // nothing. All-integer — hash-exact ---
     "g7_calibration" -> ((s, dir) => {
-      val wExpr = pmod(col("bk") * lit(2654435761L), lit(1000003L)) -
-        lit(500001L)
       val d = docs(s, dir)
-      val logits = d
-        .select(col("doc_id"), explode(cleanTokens(col("text"))).as("tok"))
-        .select(col("doc_id"),
-          pmod(md5Bits60(col("tok")), lit(256L)).as("bk"))
-        .groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("c"))
-        .select(col("doc_id"), (col("c") * wExpr).as("contrib"))
-        .groupBy(col("doc_id")).agg(sum(col("contrib")).as("logit"))
+      val logits = docLogits(s, dir).select(col("doc_id"), col("logit"))
       graft.operators.Ranks.rankPhases(logits,
           Seq(col("logit").desc, col("doc_id")), k = 10,
           phaseCol = "decile")
@@ -581,11 +583,12 @@ object TextQueries {
 
     // --- BM25 top-5 retrieval for three term queries: the inverted-index
     // ranking path (postings → query-term broadcast restriction →
-    // driver-computed idf literals → one rounded double chain per posting
-    // riding as DECIMAL). The idf `ln` runs once on the driver and the
-    // same literals land in this plan AND the oracle (stashBm25Idf), so
-    // the check is hash-exact including the DECIMAL(28,6) scores on any
-    // libm build ---
+    // driver-computed idf micro-unit literals → ONE integral division per
+    // posting, all-integer — see Retrieval.scoreAndRank for the algebra).
+    // The idf `ln` runs once on the driver and the same BIGINT literals
+    // land in this plan AND the oracle (stashBm25Idf); no round(double)
+    // exists anywhere in the scoring, so the score_micro BIGINTs are
+    // hash-exact on any engine build ---
     "ir1_bm25" -> ((s, dir) => {
       graft.operators.Retrieval.bm25TopK(docs(s, dir), "text", "doc_id",
         Bm25Queries, k = 5, onModel = stashBm25Idf)
@@ -727,15 +730,7 @@ object TextQueries {
     // (total order), but no single-partition window over |docs| rows
     // (VERDICT r9 #3; PlanGuardSpec pins the shape) ---
     "d24_curriculum" -> ((s, dir) => {
-      val wExpr = pmod(col("bk") * lit(2654435761L), lit(1000003L)) -
-        lit(500001L)
-      val logits = docs(s, dir)
-        .select(col("doc_id"), explode(cleanTokens(col("text"))).as("tok"))
-        .select(col("doc_id"),
-          pmod(md5Bits60(col("tok")), lit(256L)).as("bk"))
-        .groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("c"))
-        .select(col("doc_id"), (col("c") * wExpr).as("contrib"))
-        .groupBy(col("doc_id")).agg(sum(col("contrib")).as("logit"))
+      val logits = docLogits(s, dir).select(col("doc_id"), col("logit"))
       val ranked = graft.operators.Ranks.rankPhases(logits,
         Seq(col("logit").desc, col("doc_id")), k = 4, phaseCol = "phase")
       ranked
