@@ -1,5 +1,17 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// No "[success] Total time: …" banner after run tasks: the driver's
+// bench harness parses the LAST stdout line as JSON, and the banner was
+// landing after graft.Bench's compact JSON line (BENCH_r10 parsed:null).
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude
+// it from the unused-key lint.
+Global / excludeLintKeys += showSuccess
+// Forked run tasks inherit stdout/stderr directly instead of being
+// rerouted through sbt's logger, which prefixes every line with
+// "[info] " / "[error] " — the prefix breaks last-line JSON parsing of
+// graft.Bench's output (and interleaves streams).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 name := "otterbrixspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

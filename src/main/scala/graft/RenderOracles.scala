@@ -3,11 +3,13 @@ package graft
 /** Renders `SparkEntry.oracleSql` to a JSON file WITHOUT running any
   * query — the cold-stash path a driver-side harness may take
   * (CORRECTNESS_r09 failed exactly the stash-dependent oracles because
-  * of it). With the persisted literal snapshot on the classpath
-  * ([[OracleLiterals.ResourcePath]], committed under
-  * `src/main/resources`), the SQL rendered here is byte-identical to
-  * what [[Verify]] renders after a full run; `tools/check.py
-  * --render-first` pins that property against the whole registry.
+  * of it). The literals come from the COMPILED-IN
+  * [[OracleLiteralsSnapshot]] (committed source — present on any
+  * classpath that can run this main, unlike the resource file, which a
+  * bare `sbt compile` does not copy; CORRECTNESS_r10), so the SQL
+  * rendered here is byte-identical to what [[Verify]] renders after a
+  * full run; `tools/check.py --render-first --no-resource` pins that
+  * property against the whole registry with the resource deleted.
   *
   * Usage: `java -cp ... graft.RenderOracles /path/to/oracle_sql.json`
   */

@@ -35,15 +35,19 @@ object SparkEntry {
     * fragments (transcendental models — see [[OracleLiterals]]). Render
     * this map EITHER (a) after the queries have executed in the same JVM
     * (what [[Verify]] does — it then also writes the rendered map to
-    * `outDir/oracle_sql.json`, the preferred artifact for any harness),
-    * OR (b) in any JVM whose classpath carries the persisted snapshot
-    * `graft/oracle_literals.b64` (a plain compile of this repo does —
-    * the sf0.01 snapshot is committed under src/main/resources and
-    * refreshed by every Verify run). A cold render WITHOUT the snapshot
-    * falls back to in-SQL `round(ln(...))` spellings that can flip a
-    * 6-dp rounding boundary across libm builds (the CORRECTNESS_r09
-    * failure) and warns loudly on stderr. `tools/check.py --render-first`
-    * gates render-order independence end to end. */
+    * `outDir/oracle_sql.json`, the preferred artifact for any harness;
+    * valid at ANY scale, since the stash carries that run's values),
+    * OR (b) cold, in any JVM that can call this method at all: the
+    * sf0.01 literal snapshot is a COMPILED-IN constant
+    * ([[OracleLiteralsSnapshot]], generated source committed in-repo),
+    * so it is present wherever these classes are — no resource-copy
+    * step involved (CORRECTNESS_r10 failed exactly because a resource
+    * file missed the driver's render classpath). Cold renders are only
+    * valid at the snapshot's scale (sf0.01); if a hash-checked literal
+    * is somehow absent, the rendered SQL FAILS LOUDLY in the oracle
+    * engine naming the missing key instead of silently recomputing a
+    * boundary-fragile `round(ln(...))`. `tools/check.py --render-first
+    * --no-resource` gates all of this end to end. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
     graft.queries.TextQueries.oracles ++

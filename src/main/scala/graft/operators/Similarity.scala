@@ -517,21 +517,24 @@ object Similarity {
     * holds the per-subspace codeword distances. The LUT is O(#queries ·
     * M · k) driver metadata: each entry is |cw|² − 2·q_sub·cw (the
     * |q_sub|²-dropped form — rank-equivalent for a fixed query) computed
-    * ONCE on the driver, rounded to 6 dp, and riding as DECIMAL
-    * literals, so the per-vector sum is order-independent and the result
-    * hash-exact in any engine (the d18/BM25 literal-injection pattern —
-    * no FP aggregation anywhere).
+    * ONCE on the driver, rounded half-up to 6 dp and scaled to BIGINT
+    * micro-units, riding as integer literals — so the per-vector sum is
+    * pure BIGINT arithmetic, order-independent, and hash-exact in any
+    * engine (the d18/BM25 literal-injection pattern — no FP aggregation,
+    * no decimal parsing anywhere).
     *
     * Scale shape: codes ⋈ broadcast LUT on (m, code) — narrow against
     * the corpus — then one (q_id, vec_id) rollup and a rank-limited
     * per-query top-k. Query cost never touches the original vectors:
     * that is the PQ deployment story (codes are ~D·8/subDim× smaller).
     *
-    * Output: (q_id, rnk, vec_id, adist DECIMAL(28,6)), rnk 1..k by
-    * (adist asc, vec_id asc) — a total order. */
+    * Output: (q_id, rnk, vec_id, adist_micro BIGINT), rnk 1..k by
+    * (adist_micro asc, vec_id asc) — a total order (micro-units are a
+    * monotone ×10⁶ rescale of the 6-dp distance, so the ranking is
+    * unchanged). */
   def pqAdcTopK(codes: DataFrame, queries: Seq[(Long, Seq[Double])],
                 codebooks: Seq[Seq[Seq[Double]]], k: Int,
-                onLut: Seq[(Long, Long, Long, java.math.BigDecimal)] => Unit
+                onLut: Seq[(Long, Long, Long, Long)] => Unit
                   = _ => ()): DataFrame = {
     require(queries.nonEmpty, "pqAdcTopK needs at least one query")
     val spark = codes.sparkSession
@@ -546,21 +549,17 @@ object Similarity {
       val normSq = cw.foldLeft(0.0)((s, v) => s + v * v)
       val dot = qSub.zip(cw).foldLeft(0.0)((s, p) => s + p._1 * p._2)
       (qid, m.toLong, j.toLong,
-        graft.OracleLiterals.round6(normSq - 2.0 * dot))
+        graft.OracleLiterals.micro6(normSq - 2.0 * dot))
     }
     onLut(lut)
-    val lutDf = broadcast(
-      lut.map { case (q, m, j, v) => (q, m, j, v.toPlainString) }
-        .toDF("q_id", "m", "code", "dtxt")
-        .select(col("q_id"), col("m"), col("code"),
-          col("dtxt").cast("decimal(20,6)").as("dq")))
+    val lutDf = broadcast(lut.toDF("q_id", "m", "code", "dq_micro"))
     val scored = codes.join(lutDf, Seq("m", "code"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("dq")).cast("decimal(28,6)").as("adist"))
+      .agg(sum(col("dq_micro")).cast("bigint").as("adist_micro"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist").asc, col("vec_id").asc)
+      .orderBy(col("adist_micro").asc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("vec_id"), col("adist"))
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("adist_micro"))
   }
 }

@@ -261,9 +261,60 @@ object DsQueries {
           col("q_ret").cast("double").as("ret_qty"), col("n_lines"))
         .orderBy(col("net_qty").desc, col("l_orderkey"))
         .limit(15)
+    }),
+
+    // --- q67 shape proper (VERDICT r10 #6): ROLLUP over a 3-level
+    // hierarchy (priority → year → month) THEN a per-priority top-k
+    // window over the rolled-up rows — TPC-DS q67's
+    // rollup-then-rank-within-category composition. Money as exact
+    // integer cents (the ds6 scan-level convention) so every aggregate
+    // and the ranking are hash-exact. Scale shape: one partial+final
+    // rollup aggregate (Catalyst expands to grouping sets with map-side
+    // combine) and the window runs on the AGGREGATED frame (≤ priorities
+    // × years × months rows), rank-limit pushed as WindowGroupLimit —
+    // never corpus-shaped ---
+    "ds11_rollup_topk" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "orders").select(
+        col("o_orderpriority").as("prio"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        month(col("o_orderdate")).cast("int").as("mo"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      val agg = base.rollup(col("prio"), col("yr"), col("mo"))
+        .agg(sum(col("cents")).cast("bigint").as("sales_cents"),
+          grouping_id().cast("int").as("gid"))
+      // (sales desc, gid, yr, mo) is total within a prio partition:
+      // gid separates rollup levels, and within a level the non-rolled
+      // (yr, mo) prefix is unique
+      val w = Window.partitionBy(col("prio"))
+        .orderBy(col("sales_cents").desc, col("gid").asc,
+          col("yr").asc_nulls_first, col("mo").asc_nulls_first)
+      agg.withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 5)
+        .select(col("prio"), col("yr"), col("mo"), col("sales_cents"),
+          col("gid"), col("rk"))
+        .orderBy(col("prio").asc_nulls_first, col("rk"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "ds11_rollup_topk" -> """
+      WITH base AS (
+        SELECT o_orderpriority AS prio,
+          CAST(year(o_orderdate) AS INT) AS yr,
+          CAST(month(o_orderdate) AS INT) AS mo,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      agg AS (
+        SELECT prio, yr, mo, CAST(SUM(cents) AS BIGINT) AS sales_cents,
+          CAST(GROUPING(prio) * 4 + GROUPING(yr) * 2 + GROUPING(mo)
+            AS INT) AS gid
+        FROM base GROUP BY ROLLUP (prio, yr, mo)),
+      rk AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY prio
+          ORDER BY sales_cents DESC, gid ASC,
+                   yr ASC NULLS FIRST, mo ASC NULLS FIRST) AS INT) AS rk
+        FROM agg)
+      SELECT prio, yr, mo, sales_cents, gid, rk
+      FROM rk WHERE rk <= 5 ORDER BY prio NULLS FIRST, rk""",
     "ds9_count_band" -> """
       SELECT o_custkey, COUNT(*) AS n_orders,
         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

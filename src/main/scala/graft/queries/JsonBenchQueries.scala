@@ -128,6 +128,62 @@ object JsonBenchQueries {
           AND commit.collection = 'app.bsky.feed.post'
         GROUP BY did
         ORDER BY last_ts DESC, did LIMIT 3""")
+    }),
+
+    // Q6 (beyond the reference corpus — VERDICT r10 #6): a genuinely
+    // RAGGED semi-structured shape, where rows disagree on which fields
+    // exist AND on a field's TYPE, so no schema inference can struct it:
+    //   k%3=0 → commit with record.{text, langs[2], stars:NUMBER}
+    //   k%3=1 → commit with record.{subject.uri, stars:STRING}
+    //   k%3=2 → identity with top-level seq, no commit at all
+    // The Spark-first answer is the VARIANT path end-to-end:
+    // parse_json → VariantType column → variant_get / try_variant_get
+    // navigation (nested paths + array index) + schema_of_variant for
+    // the per-row runtime TYPE of the heterogeneous field. All navigation
+    // is per-row and codegen-friendly; the aggregate is one partial+final
+    // group-by on (kind, collection) — the plan shape is scale-free.
+    // The oracle rebuilds ground truth relationally from the same
+    // deterministic k-mapping (the corpusCte convention)
+    "jb6_ragged_variant" -> ((s, dir) => {
+      val k = kExpr
+      val j =
+        when(k % 3 === 0, concat(
+          lit("{\"kind\":\"commit\",\"commit\":{\"collection\":\""),
+          collectionExpr,
+          lit("\",\"record\":{\"text\":\""), col("event_type"),
+          lit("\",\"langs\":[\"en\",\"fr\"],\"stars\":"),
+          (k % 7).cast("string"), lit("}}}")))
+        .when(k % 3 === 1, concat(
+          lit("{\"kind\":\"commit\",\"commit\":{\"collection\":\""),
+          collectionExpr,
+          lit("\",\"record\":{\"subject\":{\"uri\":\"at://did:plc:"),
+          col("user_id").cast("string"),
+          lit("\"},\"stars\":\""), (k % 7).cast("string"),
+          lit("\"}}}")))
+        .otherwise(concat(
+          lit("{\"kind\":\"identity\",\"seq\":"), k.cast("string"),
+          lit("}")))
+      graft.Tables.events(s, dir)
+        .select(parse_json(j).as("v"))
+        .select(
+          expr("variant_get(v, '$.kind', 'string')").as("kind"),
+          expr("try_variant_get(v, '$.commit.collection', 'string')")
+            .as("collection"),
+          expr("try_variant_get(v, '$.commit.record.text', 'string')")
+            .as("text"),
+          expr("try_variant_get(v, '$.commit.record.langs[1]', 'string')")
+            .as("lang2"),
+          expr("schema_of_variant(try_variant_get(v," +
+            " '$.commit.record.stars', 'variant'))").as("stars_type"),
+          expr("try_variant_get(v, '$.seq', 'bigint')").as("seq"))
+        .groupBy(col("kind"), col("collection"))
+        .agg(count(lit(1)).as("n"),
+          count(col("text")).as("n_text"),
+          sum(when(col("lang2") === "fr", 1L).otherwise(0L)).as("n_fr"),
+          sum(when(col("stars_type") === "STRING", 1L).otherwise(0L))
+            .as("n_str_stars"),
+          sum(coalesce(col("seq"), lit(0L))).as("sum_seq"))
+        .orderBy(col("kind"), col("collection").asc_nulls_first)
     })
   )
 
@@ -175,5 +231,34 @@ object JsonBenchQueries {
       SELECT did, MIN(time_us) AS first_ts, MAX(time_us) AS last_ts
       FROM bsky WHERE kind = 'commit' AND operation = 'create'
         AND collection = 'app.bsky.feed.post'
-      GROUP BY did ORDER BY last_ts DESC, did LIMIT 3"""))
+      GROUP BY did ORDER BY last_ts DESC, did LIMIT 3"""),
+    // ground truth for the ragged shape, rebuilt relationally from the
+    // same deterministic k-mapping (no JSON in the oracle — the check is
+    // that Spark's parse_json/variant_get navigation recovers it)
+    "jb6_ragged_variant" -> """
+      WITH base AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          CASE event_type
+            WHEN 'click' THEN 'app.bsky.feed.like'
+            WHEN 'view' THEN 'app.bsky.feed.post'
+            WHEN 'purchase' THEN 'app.bsky.feed.repost'
+            WHEN 'signup' THEN 'app.bsky.graph.follow'
+            ELSE 'app.bsky.feed.post' END AS coll
+        FROM events),
+      shaped AS (
+        SELECT
+          CASE WHEN k % 3 = 2 THEN 'identity' ELSE 'commit' END AS kind,
+          CASE WHEN k % 3 = 2 THEN NULL ELSE coll END AS collection,
+          CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS has_text,
+          CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS has_fr,
+          CASE WHEN k % 3 = 1 THEN 1 ELSE 0 END AS str_stars,
+          CASE WHEN k % 3 = 2 THEN k ELSE 0 END AS seq
+        FROM base)
+      SELECT kind, collection, COUNT(*) AS n,
+        CAST(SUM(has_text) AS BIGINT) AS n_text,
+        CAST(SUM(has_fr) AS BIGINT) AS n_fr,
+        CAST(SUM(str_stars) AS BIGINT) AS n_str_stars,
+        CAST(SUM(seq) AS BIGINT) AS sum_seq
+      FROM shaped GROUP BY kind, collection
+      ORDER BY kind, collection NULLS FIRST""")
 }

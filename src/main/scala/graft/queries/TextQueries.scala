@@ -335,15 +335,16 @@ object TextQueries {
     // --- DSIR-style importance weights: log-likelihood ratio of hashed
     // unigram+bigram models, target = English docs vs raw = everything.
     // The 64 bucket log-ratios are computed ONCE on the driver (bounded
-    // metadata) and the same DECIMAL literals ride in this plan AND the
-    // DuckDB oracle (stashed below), so no engine runs `ln` and the
-    // check is hash-exact regardless of libm build ---
+    // metadata) and the same BIGINT micro-unit literals ride in this
+    // plan AND the DuckDB oracle (stashed below), so no engine runs `ln`
+    // and every downstream operation is integer sum/multiply —
+    // hash-exact regardless of libm build ---
     "d18_dsir_weights" -> ((s, dir) => {
       val d = docs(s, dir)
       val en = col("lang") === "en"
       val model = graft.operators.Mixing.importanceModel(d, "text", en, 64)
-      graft.OracleLiterals.put("d18_w", graft.OracleLiterals.valuesCte(
-        "w", "b", "w_b", "DECIMAL(20,6)", model))
+      graft.OracleLiterals.put("d18_w", graft.OracleLiterals.valuesCteL(
+        "w", "b", "w_micro", model))
       graft.operators.Mixing.importanceWeights(
           d, "text", "doc_id", isTarget = en, buckets = 64,
           model = Some(model))
@@ -379,10 +380,11 @@ object TextQueries {
     // shape) and P(b) = (c_b+1)/(tot+512). nll = −Σ ln P; cross-entropy
     // = nll/n_bigrams is left to the reader (a final double division can
     // land exactly on a rounding boundary and flip the last digit between
-    // engines — seen at sf0.1 — so the output stays in exact DECIMAL).
+    // engines — seen at sf0.1 — so the output stays exact).
     // The 512 bucket log-probs are computed ONCE on the driver and ride
-    // as identical DECIMAL literals in this plan and the oracle — no
-    // in-engine `ln`, hash-exact on any libm build (CORRECTNESS_r08
+    // as identical BIGINT micro-unit literals in this plan and the
+    // oracle — no in-engine `ln`, pure integer arithmetic downstream,
+    // hash-exact on any libm build (CORRECTNESS_r08
     // showed the in-plan round(ln) chain flipping vs the driver's DuckDB).
     // Scale shape: model = one equi-keyed aggregation onto 512 keys
     // collected as bounded driver metadata; scoring = one (doc, bucket)
@@ -402,19 +404,17 @@ object TextQueries {
       val counts = occ.groupBy(col("bk")).agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       val tot = counts.valuesIterator.sum
-      val model = (0L until B).map(b => b -> graft.OracleLiterals.ln6(
+      val model = (0L until B).map(b => b -> graft.OracleLiterals.lnMicro6(
         (counts.getOrElse(b, 0L) + 1L).toDouble, (tot + B).toDouble))
-      graft.OracleLiterals.put("g3_lp", graft.OracleLiterals.valuesCte(
-        "lp", "bk", "lp", "DECIMAL(20,6)", model))
-      val lpDf = model.map { case (b, v) => (b, v.toPlainString) }
-        .toDF("bk", "ltxt")
-        .select(col("bk"), col("ltxt").cast("decimal(20,6)").as("lp"))
+      graft.OracleLiterals.put("g3_lp", graft.OracleLiterals.valuesCteL(
+        "lp", "bk", "lp_micro", model))
+      val lpDf = model.toDF("bk", "lp_micro")
       occ.groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("c"))
         .join(broadcast(lpDf), Seq("bk"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n_bigrams"),
-          (sum(col("c") * col("lp")) * lit(-1))
-            .cast("decimal(28,6)").as("nll"))
+          (sum(col("c") * col("lp_micro")) * lit(-1L))
+            .cast("bigint").as("nll_micro"))
         .orderBy(col("doc_id"))
     }),
 
@@ -890,8 +890,10 @@ object TextQueries {
     *
     * A def, not a val: the idfl CTE reads the driver-stashed idf literals
     * (see [[graft.OracleLiterals]]) once ir1/ir2 have run — or from the
-    * persisted classpath snapshot in a cold JVM; the fallback spelling
-    * keeps the fragment self-contained as a last resort. */
+    * compiled-in snapshot in a cold JVM; with neither, the fragment
+    * FAILS LOUDLY inside the oracle engine instead of recomputing
+    * `round(ln(...))` with boundary-fragile libm (VERDICT r10 #1 — the
+    * old in-SQL fallback "passed by luck" three rounds running). */
   private[queries] def bm25RankedCtes: String = s"""
       q(q_id, term) AS (VALUES
         ('hash_join', 'hash'), ('hash_join', 'join'), ('hash_join', 'table'),
@@ -913,14 +915,10 @@ object TextQueries {
         SELECT t.doc_id, t.term, t.tf, d.dl
         FROM tf t JOIN dls d USING (doc_id)
         WHERE t.term IN (SELECT DISTINCT term FROM q)),
-      dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
       stats AS (SELECT COUNT(*) AS n_docs,
                   CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
-      ${graft.OracleLiterals.get("bm25_idf", """idfl(term, idf_micro) AS (
-        SELECT f.term, CAST(round(ln(1.0 +
-          (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
-          (CAST(f.df AS DOUBLE) + 0.5)), 6) * 1000000 AS BIGINT)
-        FROM dfq f CROSS JOIN stats s)""")},
+      ${graft.OracleLiterals.get("bm25_idf", graft.OracleLiterals.missingCte(
+        "bm25_idf", "idfl", Seq("term", "idf_micro")))},
       sc AS (
         SELECT q.q_id, t.doc_id,
           CAST((CAST(i.idf_micro AS HUGEINT) * 880 * t.tf * s.sum_dl) //
@@ -1005,16 +1003,13 @@ object TextQueries {
         SELECT doc_id,
           CAST('0x' || substr(md5(b), 1, 15) AS BIGINT) % 512 AS bk
         FROM bg),
-      ${graft.OracleLiterals.get("g3_lp", """lp(bk, lp) AS (
-        SELECT bk, CAST(round(ln(CAST(c + 1 AS DOUBLE) /
-            CAST(tot + 512 AS DOUBLE)), 6) AS DECIMAL(20,6))
-        FROM (SELECT bk, COUNT(*) AS c FROM occ GROUP BY bk),
-             (SELECT COUNT(*) AS tot FROM occ))""")},
+      ${graft.OracleLiterals.get("g3_lp",
+        graft.OracleLiterals.missingCte("g3_lp", "lp", Seq("bk", "lp_micro")))},
       per AS (
         SELECT doc_id, bk, COUNT(*) AS c
         FROM occ GROUP BY doc_id, bk)
       SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-        CAST(SUM(c * lp) * -1 AS DECIMAL(28,6)) AS nll
+        CAST(SUM(c * lp_micro) * -1 AS BIGINT) AS nll_micro
       FROM per JOIN lp USING (bk)
       GROUP BY doc_id ORDER BY doc_id""",
     "d20_bpe_pairs" -> """
@@ -1235,29 +1230,17 @@ object TextQueries {
         SELECT doc_id, is_t,
                CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 64 AS b
         FROM feats),
-      stats AS (
-        SELECT b,
-          CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
-          COUNT(*) AS r_b
-        FROM occ GROUP BY b),
-      tot AS (
-        SELECT CAST(SUM(t_b) AS BIGINT) AS t_tot,
-               CAST(SUM(r_b) AS BIGINT) AS r_tot FROM stats),
-      ${graft.OracleLiterals.get("d18_w", """w AS (
-        SELECT b, CAST(round(ln(
-            (CAST(t_b + 1 AS DOUBLE) * CAST(r_tot + 64 AS DOUBLE)) /
-            (CAST(r_b + 1 AS DOUBLE) * CAST(t_tot + 64 AS DOUBLE))), 6)
-          AS DECIMAL(20,6)) AS w_b
-        FROM stats, tot)""")},
+      ${graft.OracleLiterals.get("d18_w",
+        graft.OracleLiterals.missingCte("d18_w", "w", Seq("b", "w_micro")))},
       pd AS (SELECT doc_id, b, COUNT(*) AS c FROM occ GROUP BY doc_id, b),
       agg AS (
         SELECT doc_id,
           CAST(SUM(c) AS BIGINT) AS n_feats,
-          CAST(SUM(c * w_b) AS DECIMAL(28,6)) AS w
+          CAST(SUM(c * w_micro) AS BIGINT) AS w_micro
         FROM pd JOIN w USING (b)
         GROUP BY doc_id)
       SELECT d.doc_id, COALESCE(a.n_feats, 0) AS n_feats,
-        COALESCE(a.w, CAST(0 AS DECIMAL(28,6))) AS w
+        COALESCE(a.w_micro, 0) AS w_micro
       FROM documents d LEFT JOIN agg a USING (doc_id)
       ORDER BY d.doc_id""",
     "d17_segment_dedup" -> """

@@ -182,17 +182,18 @@ object VectorQueries {
 
     // --- asymmetric-distance (ADC) PQ search: query vectors 0/1/2
     // against the coded corpus. The O(#q·M·k) lookup table is computed
-    // ONCE on the driver and injected as identical DECIMAL literals into
-    // this plan AND the oracle (the d18/BM25 pattern), so the Σ_m sum is
-    // order-independent and hash-exact ---
+    // ONCE on the driver and injected as identical BIGINT micro-unit
+    // literals into this plan AND the oracle (the d18/BM25 pattern), so
+    // the Σ_m sum is pure integer arithmetic — order-independent and
+    // hash-exact ---
     "e12_pq_adc" -> ((s, dir) => {
       val e = emb(s, dir)
       val cbs = pqCodebooks(e)
       val qs = seedEmbeddings(e, 3)
       val codes = Similarity.pqCodes(e, cbs)
       Similarity.pqAdcTopK(codes, qs, cbs, k = 5, onLut = lut =>
-        graft.OracleLiterals.put("e12_lut", graft.OracleLiterals.valuesCte3(
-          "lut", "q_id", "m", "code", "dq", "DECIMAL(20,6)", lut)))
+        graft.OracleLiterals.put("e12_lut", graft.OracleLiterals.valuesCte3L(
+          "lut", "q_id", "m", "code", "dq_micro", lut)))
         .orderBy(col("q_id"), col("rnk"))
     }),
 
@@ -386,32 +387,21 @@ object VectorQueries {
     WITH $pqCodesSql
     SELECT vec_id, m, code FROM codes ORDER BY vec_id, m"""
 
-  /** In-SQL ADC lookup table — fallback only; the run path injects the
-    * driver-stashed DECIMAL literals (OracleLiterals "e12_lut"). */
-  private def e12LutFallback: String = {
-    val cSub = "list_slice(c.c_emb, m.m * 16 + 1, m.m * 16 + 16)"
-    val qSub = "list_slice(q.embedding, m.m * 16 + 1, m.m * 16 + 16)"
-    s"""lut AS (
-      SELECT q.vec_id AS q_id, m.m, c.j AS code,
-        CAST(round((${dotSql(cSub, cSub)})
-          - 2.0 * (${dotSql(qSub, cSub)}), 6) AS DECIMAL(20,6)) AS dq
-      FROM embeddings q CROSS JOIN range(0, 4) AS m(m) CROSS JOIN cents c
-      WHERE q.vec_id < 3)"""
-  }
-
   private def e12Oracle: String = s"""
     WITH $pqCodesSql,
-    ${graft.OracleLiterals.get("e12_lut", e12LutFallback)},
+    ${graft.OracleLiterals.get("e12_lut", graft.OracleLiterals.missingCte(
+      "e12_lut", "lut", Seq("q_id", "m", "code", "dq_micro")))},
     scored AS (
-      SELECT l.q_id, c.vec_id, CAST(SUM(l.dq) AS DECIMAL(28,6)) AS adist
+      SELECT l.q_id, c.vec_id, CAST(SUM(l.dq_micro) AS BIGINT)
+        AS adist_micro
       FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
       GROUP BY l.q_id, c.vec_id),
     ranked AS (
-      SELECT q_id, vec_id, adist,
+      SELECT q_id, vec_id, adist_micro,
         ROW_NUMBER() OVER (PARTITION BY q_id
-                           ORDER BY adist ASC, vec_id ASC) AS rnk
+                           ORDER BY adist_micro ASC, vec_id ASC) AS rnk
       FROM scored)
-    SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, adist
+    SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, adist_micro
     FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
   private def e5Oracle: String = s"""
@@ -569,7 +559,7 @@ object VectorQueries {
     * [[TextQueries.bm25RankedCtes]]) + the e2-style dense cosine ranking
     * + the integer RRF fusion replica of
     * [[graft.operators.Retrieval.rrfFuse]], ending in
-    * `fr(q_id, doc_id, rrf_micro, rnk)`. */
+    * `fr(q_id, doc_id, rrf_pico, rnk)`. */
   private def ir2Ctes: String = s"""
     ${TextQueries.bm25RankedCtes},
     bms AS (SELECT q_id, doc_id, rnk FROM bmr WHERE rnk <= 20),
@@ -595,17 +585,17 @@ object VectorQueries {
       SELECT q_id, doc_id,
         1000000000000 // (60 + CAST(rnk AS BIGINT)) AS c FROM den),
     fused AS (
-      SELECT q_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro
+      SELECT q_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_pico
       FROM contrib GROUP BY q_id, doc_id),
     fr AS (
-      SELECT q_id, doc_id, rrf_micro,
+      SELECT q_id, doc_id, rrf_pico,
         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-          ORDER BY rrf_micro DESC, doc_id ASC) AS INT) AS rnk
+          ORDER BY rrf_pico DESC, doc_id ASC) AS INT) AS rnk
       FROM fused)"""
 
   private def ir2Oracle: String = s"""
     WITH $ir2Ctes
-    SELECT q_id, rnk, doc_id, rrf_micro FROM fr WHERE rnk <= 10
+    SELECT q_id, rnk, doc_id, rrf_pico FROM fr WHERE rnk <= 10
     ORDER BY q_id, rnk"""
 
   /** ir4: the ir2 fused top-10 re-scored by exact cosine (the e2 fold)

@@ -127,4 +127,29 @@ class DeterminismLintSpec extends SparkSpec {
         sqrt(col("x")).cast("decimal(20,6)").as("ok_sqrt"))
     assert(lint(df).isEmpty)
   }
+
+  // VERDICT r10 #2: the same ban, applied to the RENDERED DuckDB oracle
+  // texts. A `round(ln(...))` spelling inside oracle SQL recomputes the
+  // transcendental in the oracle engine — the exact failure mode the
+  // literal snapshot exists to prevent; it survived three rounds inside
+  // "fallback" branches that were supposed to never render.
+  test("no rendered oracle SQL recomputes round(<transcendental>)") {
+    val rx = "(?i)round\\s*\\(\\s*(ln|log|log2|log10|exp|pow)\\s*\\(".r
+    val offenders = SparkEntry.oracleSql.collect {
+      case (k, sql) if rx.findFirstIn(sql).isDefined => k
+    }
+    assert(offenders.isEmpty,
+      s"oracle SQL recomputes a rounded transcendental (use the " +
+        s"OracleLiterals snapshot): ${offenders.mkString(", ")}")
+  }
+
+  test("literal-injected oracles are integer-only: no round() at all") {
+    for (q <- Seq("d18_dsir_weights", "g3_bigram_xent", "e12_pq_adc",
+        "ir1_bm25", "ir2_hybrid_rrf")) {
+      val sql = SparkEntry.oracleSql(q).toLowerCase
+      assert(!sql.contains("round("),
+        s"$q: hash-checked literal-model oracle must be pure integer " +
+          "arithmetic (BIGINT micro-units), found round()")
+    }
+  }
 }

@@ -1,54 +1,74 @@
 package graft
 
-/** Pins the COMMITTED literal snapshot (src/main/resources/graft/
-  * oracle_literals.b64 — what a fresh JVM's cold oracle render consumes,
-  * see [[OracleLiterals]]) against freshly computed models at sf0.01,
-  * the driver's verify scale. If a model definition, the corpus hashing,
-  * or the literal rendering ever changes without regenerating the
-  * snapshot, a cold render would inject STALE literals and every
-  * stash-dependent oracle would silently hash-fail — this spec turns
-  * that into a red test instead.
+/** Pins the COMMITTED literal snapshot against freshly computed models
+  * at sf0.01, the driver's verify scale — across BOTH channels:
   *
-  * Regenerate with: `python3 tools/check.py /root/testdata/sf0.01 <out>`
-  * then `cp <out>/oracle_literals.b64 src/main/resources/graft/`.
+  *   - the COMPILED-IN [[OracleLiteralsSnapshot]] (what a cold oracle
+  *     render consumes on ANY classpath that can call
+  *     `SparkEntry.oracleSql` — the primary channel since VERDICT r10
+  *     proved a resource file can miss the driver's render classpath);
+  *   - the committed resource `src/main/resources/graft/
+  *     oracle_literals.b64` (the secondary refresh channel).
+  *
+  * If a model definition, the corpus hashing, or the literal rendering
+  * ever changes without regenerating the snapshot, a cold render would
+  * inject STALE literals and every stash-dependent oracle would fail —
+  * this spec turns that into a red test instead. Regeneration is
+  * deterministic on any host (exact integer counts + StrictMath.log +
+  * BigDecimal HALF_UP): `sbt "runMain graft.SnapshotGen"` then commit
+  * the regenerated source + resource.
   */
 class OracleLiteralsResourceSpec extends SparkSpec {
 
   private val sf001 = "/root/testdata/sf0.01"
 
-  private def committed: Map[String, String] = {
-    val p = java.nio.file.Paths.get(
-      "src/main/resources/graft/oracle_literals.b64")
-    assert(java.nio.file.Files.exists(p),
-      s"committed literal snapshot missing: $p")
-    java.nio.file.Files.readString(p).linesIterator
+  private def decodeSnapshot(text: String): Map[String, String] =
+    text.linesIterator
       .filterNot(l => l.isEmpty || l.startsWith("#"))
       .map { l =>
         val Array(k, v64) = l.split("\t", 2)
         k -> new String(java.util.Base64.getDecoder.decode(v64),
           java.nio.charset.StandardCharsets.UTF_8)
       }.toMap
+
+  private def compiledText: String = {
+    assert(OracleLiteralsSnapshot.b64.nonEmpty,
+      "compiled snapshot is EMPTY — run graft.SnapshotGen and commit " +
+        OracleLiterals.SourcePath)
+    new String(
+      java.util.Base64.getDecoder.decode(OracleLiteralsSnapshot.b64),
+      java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  test("committed snapshot == freshly computed sf0.01 models, all keys") {
-    // building these four queries stashes their literal fragments
-    // (models collect bounded metadata — a few small Spark jobs)
-    for (q <- Seq("d18_dsir_weights", "g3_bigram_xent", "ir1_bm25",
-        "e12_pq_adc"))
+  test("compiled snapshot == freshly computed sf0.01 models, all keys") {
+    // building these queries stashes their literal fragments (models
+    // collect bounded metadata — a few small Spark jobs)
+    for (q <- SnapshotGen.StashQueries)
       SparkEntry.queries(q)(spark, sf001)
-    val snap = committed
-    for (k <- Seq("d18_w", "g3_lp", "bm25_idf", "e12_lut")) {
+    val snap = decodeSnapshot(compiledText)
+    for (k <- SnapshotGen.StashKeys) {
       // read the in-process stash DIRECTLY: OracleLiterals.get falls
       // back to the persisted snapshot, which would mask a query build
       // that stopped stashing — exactly the regression this spec exists
       // to catch
       val fresh = OracleLiterals.stashed(k)
       assert(fresh.isDefined, s"$k: query build did not stash a literal")
-      assert(snap.contains(k), s"$k: not in the committed snapshot")
+      assert(snap.contains(k), s"$k: not in the compiled snapshot")
       assert(fresh.get == snap(k),
-        s"$k: committed snapshot is STALE — regenerate it (fresh model " +
-          s"differs)\nfresh:     ${fresh.get.take(200)}…\ncommitted: " +
-          s"${snap(k).take(200)}…")
+        s"$k: compiled snapshot is STALE — run graft.SnapshotGen and " +
+          s"commit (fresh model differs)\nfresh:     " +
+          s"${fresh.get.take(200)}…\ncompiled: ${snap(k).take(200)}…")
     }
+  }
+
+  test("committed resource (secondary channel) matches the compiled snapshot") {
+    val p = java.nio.file.Paths.get(
+      "src/main/resources/graft/oracle_literals.b64")
+    assert(java.nio.file.Files.exists(p),
+      s"committed literal snapshot missing: $p")
+    assert(java.nio.file.Files.readString(p) == compiledText,
+      "src/main/resources/graft/oracle_literals.b64 drifted from the " +
+        "compiled OracleLiteralsSnapshot — run graft.SnapshotGen and " +
+        "commit both")
   }
 }

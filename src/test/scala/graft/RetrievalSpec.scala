@@ -89,7 +89,7 @@ class RetrievalSpec extends SparkSpec {
       val bigL = corpus.map(_._2.size.toLong).sum
       def idfMicro(df0: Long): Long =
         java.math.BigDecimal.valueOf(
-            math.log(1.0 + (n - df0 + 0.5) / (df0 + 0.5)))
+            StrictMath.log(1.0 + (n - df0 + 0.5) / (df0 + 0.5)))
           .setScale(6, java.math.RoundingMode.HALF_UP)
           .movePointRight(6).longValueExact
       val want = (for {

@@ -81,8 +81,7 @@ class SkewSpec extends SparkSpec {
       (101L, false, "quux corge grault garply"))
     val df = (target ++ noise ++ probes).toDF("id", "is_t", "body")
     val w = Mixing.importanceWeights(df, "body", "id", col("is_t"))
-      .collect().map(r => r.getLong(0) ->
-        r.getDecimal(2).doubleValue()).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(w(100L) > 0, s"target-like probe should be positive: ${w(100L)}")
     assert(w(100L) > w(101L))
     // weight scales with evidence: the full target docs outrank the probe

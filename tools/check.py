@@ -9,20 +9,29 @@ row counts, and values (exact for ints/strings; exact-or-report for
 doubles). Strictly stricter than the driver's hash compare — if this
 passes, the driver's gate passes.
 
-Usage: python3 tools/check.py [--render-first] [sf_dir] [out_dir] [filter]
+Usage: python3 tools/check.py [--render-first] [--no-resource] \
+           [sf_dir] [out_dir] [filter]
 
 --render-first pins render-order independence (the CORRECTNESS_r09
 failure mode): it renders ALL oracle SQL in a FRESH JVM — no query has
-run, the literal stash is cold, so literals must come from the persisted
-classpath snapshot (graft/oracle_literals.b64) — and then compares every
-query against THAT cold-rendered SQL. Green here means a driver harness
-may render SparkEntry.oracleSql in any process, in any order, and still
-get the exact literals the Spark plans use.
+run, the literal stash is cold, so literals must come from the committed
+snapshot (the compiled-in graft.OracleLiteralsSnapshot, with the
+graft/oracle_literals.b64 resource as secondary) — and then compares
+every query against THAT cold-rendered SQL. Green here means a driver
+harness may render SparkEntry.oracleSql in any process, in any order,
+and still get the exact literals the Spark plans use.
+
+--no-resource additionally DELETES the classpath resource copy from
+target/scala-2.13/classes before the cold render, proving the
+compiled-in constant alone carries the literals (VERDICT r10 #1: the
+driver's render classpath demonstrably lacked the resource).
 """
 import json, math, subprocess, sys, glob, os
 
-args = [a for a in sys.argv[1:] if a != "--render-first"]
+args = [a for a in sys.argv[1:]
+        if a not in ("--render-first", "--no-resource")]
 RENDER_FIRST = "--render-first" in sys.argv[1:]
+NO_RESOURCE = "--no-resource" in sys.argv[1:]
 SF = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
 OUT = args[1] if len(args) > 1 else "/tmp/graft_verify"
 FILT = args[2] if len(args) > 2 else ""
@@ -56,16 +65,26 @@ def render_cold():
     construction. A WARNING line from OracleLiterals means a fallback was
     emitted: that is exactly the render-order bug, so fail loudly."""
     cold = f"{OUT}/oracle_sql_cold.json"
+    if NO_RESOURCE:
+        res = "/root/repo/target/scala-2.13/classes/graft/oracle_literals.b64"
+        if os.path.exists(res):
+            os.remove(res)
+            print(f"no-resource: deleted {res} — compiled-in snapshot "
+                  "must carry the literals alone")
     cmd = (["java"] + ADD_OPENS + ["-cp", CP, "graft.RenderOracles", cold])
     r = subprocess.run(cmd, capture_output=True, text=True)
     if r.returncode != 0:
         print("render-first: RenderOracles failed rc", r.returncode)
         print(r.stderr[-3000:])
         sys.exit(1)
-    warn = [l for l in r.stderr.splitlines() if "[OracleLiterals]" in l]
+    # OracleLiterals also prints per-key INFO notes when serving from the
+    # committed snapshot (the designed cold path) — only WARNINGs mean a
+    # fallback was emitted.
+    warn = [l for l in r.stderr.splitlines()
+            if "[OracleLiterals]" in l and "WARNING" in l]
     if warn:
         print(f"render-first: {len(warn)} cold-stash fallback(s) emitted "
-              "— the persisted literal snapshot is missing entries:")
+              "— the committed literal snapshot is missing entries:")
         for l in warn[:10]:
             print("  ", l[:220])
         sys.exit(1)
