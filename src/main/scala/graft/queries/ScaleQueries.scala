@@ -48,6 +48,26 @@ object ScaleQueries {
         .orderBy(col("user_id"))
     }),
 
+    // --- NATIVE session windows (Spark's session_window) — the same
+    // declarative spelling runs unchanged on a readStream frame with the
+    // purpose-built merging session state store (StreamingSpec pins
+    // batch≡stream); s2 above is the manual gaps-and-islands twin. The
+    // value sum goes double→DECIMAL so it is order-independent under any
+    // partitioning; window end = last event + gap (Spark semantics),
+    // which the oracle reproduces from an independent lag/cumsum
+    // spelling ---
+    "s4_session_window" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(D)).cast("double").as("total"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s_start_us"),
+          unix_micros(col("session_window.end")).as("s_end_us"),
+          col("n_events"), col("total"))
+        .orderBy(col("user_id"), col("s_start_us"))
+    }),
+
     // --- BPE-ish subword token stats ---
     "d9_bpe_tokens" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -629,6 +649,31 @@ object ScaleQueries {
         SELECT user_id, sid, COUNT(*) AS sz FROM sid GROUP BY user_id, sid)
       SELECT user_id, COUNT(*) AS n_sessions, MAX(sz) AS max_len
       FROM sess GROUP BY user_id ORDER BY user_id""",
+    // independent spelling of Spark's native session_window semantics:
+    // session start = first event time, end = LAST event time + gap
+    "s4_session_window" -> """
+      WITH m AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS mu, value
+        FROM events),
+      flagged AS (
+        SELECT user_id, mu, value,
+          CASE WHEN lag(mu) OVER (PARTITION BY user_id ORDER BY mu)
+                    IS NULL
+                 OR mu - lag(mu) OVER (PARTITION BY user_id ORDER BY mu)
+                    > 30 * 60 * 1000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM m),
+      sid AS (
+        SELECT user_id, mu, value,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY mu
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, MIN(mu) AS s_start_us,
+        MAX(mu) + 30 * 60 * 1000000 AS s_end_us,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+      FROM sid GROUP BY user_id, sid
+      ORDER BY user_id, s_start_us""",
     "d9_bpe_tokens" -> """
       SELECT doc_id,
         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
