@@ -133,9 +133,13 @@ class DeterminismLintSpec extends SparkSpec {
   // transcendental in the oracle engine — the exact failure mode the
   // literal snapshot exists to prevent; it survived three rounds inside
   // "fallback" branches that were supposed to never render.
+  // oracleSql is a def that re-renders the whole registry per call —
+  // render once and index into it
+  private lazy val renderedOracles: Map[String, String] = SparkEntry.oracleSql
+
   test("no rendered oracle SQL recomputes round(<transcendental>)") {
     val rx = "(?i)round\\s*\\(\\s*(ln|log|log2|log10|exp|pow)\\s*\\(".r
-    val offenders = SparkEntry.oracleSql.collect {
+    val offenders = renderedOracles.collect {
       case (k, sql) if rx.findFirstIn(sql).isDefined => k
     }
     assert(offenders.isEmpty,
@@ -146,7 +150,7 @@ class DeterminismLintSpec extends SparkSpec {
   test("literal-injected oracles are integer-only: no round() at all") {
     for (q <- Seq("d18_dsir_weights", "g3_bigram_xent", "e12_pq_adc",
         "ir1_bm25", "ir2_hybrid_rrf")) {
-      val sql = SparkEntry.oracleSql(q).toLowerCase
+      val sql = renderedOracles(q).toLowerCase
       assert(!sql.contains("round("),
         s"$q: hash-checked literal-model oracle must be pure integer " +
           "arithmetic (BIGINT micro-units), found round()")

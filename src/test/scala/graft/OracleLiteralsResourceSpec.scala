@@ -22,22 +22,17 @@ class OracleLiteralsResourceSpec extends SparkSpec {
 
   private val sf001 = "/root/testdata/sf0.01"
 
+  // reuse the EXACT decode path a cold render uses — a private copy here
+  // could drift from the wire format and validate with stale parsing
   private def decodeSnapshot(text: String): Map[String, String] =
-    text.linesIterator
-      .filterNot(l => l.isEmpty || l.startsWith("#"))
-      .map { l =>
-        val Array(k, v64) = l.split("\t", 2)
-        k -> new String(java.util.Base64.getDecoder.decode(v64),
-          java.nio.charset.StandardCharsets.UTF_8)
-      }.toMap
+    OracleLiterals.decode(text)
 
   private def compiledText: String = {
-    assert(OracleLiteralsSnapshot.b64.nonEmpty,
+    val t = OracleLiterals.compiledText
+    assert(t.isDefined,
       "compiled snapshot is EMPTY — run graft.SnapshotGen and commit " +
         OracleLiterals.SourcePath)
-    new String(
-      java.util.Base64.getDecoder.decode(OracleLiteralsSnapshot.b64),
-      java.nio.charset.StandardCharsets.UTF_8)
+    t.get
   }
 
   test("compiled snapshot == freshly computed sf0.01 models, all keys") {

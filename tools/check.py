@@ -32,6 +32,12 @@ args = [a for a in sys.argv[1:]
         if a not in ("--render-first", "--no-resource")]
 RENDER_FIRST = "--render-first" in sys.argv[1:]
 NO_RESOURCE = "--no-resource" in sys.argv[1:]
+# --no-resource only has meaning for the cold render; alone it would be a
+# silent no-op that reports green without testing anything — imply the mode
+# it parameterizes instead.
+if NO_RESOURCE and not RENDER_FIRST:
+    RENDER_FIRST = True
+    print("no-resource implies render-first: enabling cold render")
 SF = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
 OUT = args[1] if len(args) > 1 else "/tmp/graft_verify"
 FILT = args[2] if len(args) > 2 else ""
