@@ -94,4 +94,46 @@ object Graphs {
     }
     d
   }
+
+  /** Synchronous label propagation (LPA community detection, the LDBC
+    * Graphalytics CDLP workload: reference `benchmark/SOURCES.md` names
+    * the LDBC suite): every vertex starts labeled with its own id; each
+    * round, every vertex adopts the label that is MOST FREQUENT among
+    * its neighbors' current labels, ties broken by the SMALLEST label —
+    * the deterministic tie rule that makes synchronous LPA reproducible
+    * on any engine and any partitioning (all arithmetic is integer
+    * counts over BIGINT labels). Isolated vertices keep their label.
+    *
+    * Scale shape: per round, one vertex-key equi-join (labels ⋈
+    * undirected edges) and one (vertex, label) count + one per-vertex
+    * max-of-struct aggregate — partial aggregation collapses label
+    * multiplicities map-side, so the exchange carries distinct
+    * (vertex, label) pairs. The argmax is `max(struct(count, -label))`,
+    * a plain aggregate (max count, then min label), NOT a per-vertex
+    * window — nothing global, nothing collected, rounds compose into
+    * one declarative plan.
+    *
+    * `nodes`: one `node` column. `undirected`: (v, w) with BOTH
+    * directions present for each edge. Output: (node, lab) after
+    * `rounds` synchronous rounds. */
+  def labelPropagation(nodes: DataFrame, undirected: DataFrame,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 0 && rounds <= 16,
+      s"labelPropagation: rounds=$rounds — bounded synchronous rounds " +
+        "only (each round adds a join+aggregate stage to the plan)")
+    var lab = nodes.select(col("node"), col("node").as("lab"))
+    for (_ <- 0 until rounds) {
+      val neigh = undirected
+        .join(lab.select(col("node").as("w"), col("lab")), Seq("w"))
+        .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("c"))
+      val pick = neigh
+        .groupBy(col("v"))
+        .agg(max(struct(col("c").as("c"),
+          (lit(0L) - col("lab")).as("nl"))).as("m"))
+        .select(col("v"), (lit(0L) - col("m.nl")).as("newlab"))
+      lab = lab.join(pick, col("node") === col("v"), "left")
+        .select(col("node"), coalesce(col("newlab"), col("lab")).as("lab"))
+    }
+    lab
+  }
 }

@@ -493,6 +493,36 @@ object ExtQueries {
         .orderBy(col("seg"))
     }),
 
+    // --- LPA community detection (the LDBC Graphalytics CDLP
+    // workload): synchronous most-frequent-neighbor-label rounds with
+    // the smallest-label tie-break — pure integer counts over BIGINT
+    // labels, so the fixpoint is bit-identical on any engine (see
+    // operators/Graphs.labelPropagation). Same-nation chain projection
+    // as ldbc2/ldbc6; top communities by size ---
+    "ldbc9_community" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_nationkey").cast("bigint").as("nat"))
+      val cand = c.select(col("k").as("src"), col("nat"),
+        explode(array(col("k") + 1, col("k") + 2, col("k") + 3))
+          .as("dst"))
+      val edges = cand
+        .join(c.select(col("k").as("dst"), col("nat")), Seq("dst", "nat"))
+        .select(col("src"), col("dst"))
+      val und = edges.select(col("src").as("v"), col("dst").as("w"))
+        .unionByName(edges.select(col("dst").as("v"), col("src").as("w")))
+      graft.operators.Graphs.labelPropagation(
+          c.select(col("k").as("node")), und, rounds = 2)
+        .groupBy(col("lab"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("node")).as("first_member"),
+          max(col("node")).as("last_member"))
+        .select(col("lab").as("community"), col("n_members"),
+          col("first_member"), col("last_member"))
+        .orderBy(col("n_members").desc, col("community"))
+        .limit(20)
+    }),
+
     // --- forward as-of join (pandas direction='forward'): each event
     // picks the EARLIEST hourly rate bucket at-or-after it — the
     // backward j1 on a negated axis, so both directions share one code
@@ -1064,6 +1094,49 @@ object ExtQueries {
         CAST(COUNT(DISTINCT spl.seed) AS BIGINT) AS n_seeds
       FROM spl JOIN seeds s ON spl.seed = s.seed
       GROUP BY s.seg ORDER BY s.seg""",
+    // two synchronous LPA rounds unrolled as CTEs; the per-vertex argmax
+    // (count DESC, label ASC) is the exact tie rule of
+    // Graphs.labelPropagation's max(struct(c, -lab))
+    "ldbc9_community" -> """
+      WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                        CAST(c_nationkey AS BIGINT) AS nat
+                 FROM customer),
+      edges AS (
+        SELECT a.k AS src, b.k AS dst
+        FROM c a JOIN c b
+          ON b.nat = a.nat AND b.k IN (a.k + 1, a.k + 2, a.k + 3)),
+      und AS (
+        SELECT src AS v, dst AS w FROM edges
+        UNION ALL SELECT dst, src FROM edges),
+      l0 AS (SELECT k AS node, k AS lab FROM c),
+      n1 AS (
+        SELECT u.v, l.lab, COUNT(*) AS cnt
+        FROM und u JOIN l0 l ON l.node = u.w GROUP BY u.v, l.lab),
+      p1 AS (
+        SELECT v, lab FROM (
+          SELECT v, lab,
+            ROW_NUMBER() OVER (PARTITION BY v
+              ORDER BY cnt DESC, lab) AS rn
+          FROM n1) WHERE rn = 1),
+      l1 AS (
+        SELECT l0.node, COALESCE(p1.lab, l0.lab) AS lab
+        FROM l0 LEFT JOIN p1 ON p1.v = l0.node),
+      n2 AS (
+        SELECT u.v, l.lab, COUNT(*) AS cnt
+        FROM und u JOIN l1 l ON l.node = u.w GROUP BY u.v, l.lab),
+      p2 AS (
+        SELECT v, lab FROM (
+          SELECT v, lab,
+            ROW_NUMBER() OVER (PARTITION BY v
+              ORDER BY cnt DESC, lab) AS rn
+          FROM n2) WHERE rn = 1),
+      l2 AS (
+        SELECT l1.node, COALESCE(p2.lab, l1.lab) AS lab
+        FROM l1 LEFT JOIN p2 ON p2.v = l1.node)
+      SELECT lab AS community, COUNT(*) AS n_members,
+        MIN(node) AS first_member, MAX(node) AS last_member
+      FROM l2 GROUP BY lab
+      ORDER BY n_members DESC, community LIMIT 20""",
     "j5_asof_forward" -> """
       WITH e AS (SELECT event_id, event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS lt

@@ -495,6 +495,21 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // --- per-day share-of-traffic report (ClickBench ratio family):
+    // counts per (day, type), day totals via a day-PARTITIONED window
+    // over the already-aggregated frame (O(#types) rows per partition —
+    // nothing global), share in exact integer ppm: n·10⁶ div total —
+    // no double division, bit-identical in both engines ---
+    "c17_type_share" -> ((s, dir) => {
+      val per = graft.Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("t")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      per.withColumn("day_total",
+          sum(col("n")).over(Window.partitionBy(col("d"))))
+        .withColumn("share_ppm", expr("n * 1000000 div day_total"))
+        .orderBy(col("d"), col("event_type"))
     })
   )
 
@@ -571,6 +586,18 @@ object ScaleQueries {
         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
       FROM seq WHERE next_type IS NOT NULL
       GROUP BY from_type, to_type ORDER BY from_type, to_type""",
+    "c17_type_share" -> """
+      WITH per AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d,
+          event_type, COUNT(*) AS n
+        FROM events GROUP BY d, event_type),
+      tot AS (
+        SELECT d, event_type, n,
+          CAST(SUM(n) OVER (PARTITION BY d) AS BIGINT) AS day_total
+        FROM per)
+      SELECT d, event_type, n, day_total,
+        n * 1000000 // day_total AS share_ppm
+      FROM tot ORDER BY d, event_type""",
     "c13_regex_scan" -> """
       WITH x AS (
         SELECT lang,

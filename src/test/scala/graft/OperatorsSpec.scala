@@ -635,6 +635,41 @@ class GraphsSpec extends SparkSpec {
     assert(out(2L) == out(3L))
     assert(out(2L) > out(1L))
   }
+
+  // two triangles {1,2,3} / {10,11,12} bridged at 3–10, plus isolated 99
+  private def lpaFixture = {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("node")
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L,
+      10L -> 11L, 11L -> 12L, 10L -> 12L, 3L -> 10L)
+    val und = (pairs ++ pairs.map(_.swap)).toDF("v", "w")
+    (nodes, und)
+  }
+
+  test("label propagation: hand-computed 2-round trace (tie-break + frequency)") {
+    val (nodes, und) = lpaFixture
+    def labs(rounds: Int): Map[Long, Long] =
+      graft.operators.Graphs.labelPropagation(nodes, und, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 is pure min-of-neighbors (all counts are 1 → smallest
+    // label wins every tie); isolated 99 keeps its own label
+    assert(labs(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+    // round 2 exercises the FREQUENCY rule: node 10's neighbors carry
+    // labels {1, 10, 10} — label 10 (count 2) beats the smaller label 1
+    assert(labs(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 3L, 12L -> 3L, 99L -> 99L))
+  }
+
+  test("label propagation: zero rounds is the identity labeling; bound enforced") {
+    val (nodes, und) = lpaFixture
+    val out = graft.operators.Graphs.labelPropagation(nodes, und, 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (v, l) => v == l } && out.size == 7)
+    intercept[IllegalArgumentException] {
+      graft.operators.Graphs.labelPropagation(nodes, und, 17)
+    }
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {

@@ -110,6 +110,44 @@ class RandomizedPropertySpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation == in-memory synchronous LPA on random graphs") {
+    // distributed rounds (join + count + max-of-struct argmax) must
+    // equal a straightforward single-machine synchronous LPA with the
+    // (max count, min label) tie rule — including vertices whose
+    // neighbor multiset is empty (isolated: keep own label)
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(700 + seed)
+      val n = 40
+      val vs = (0L until n.toLong).toVector
+      val pairs = (0 until 70).map { _ =>
+        (r.nextInt(n).toLong, r.nextInt(n).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      val und = pairs ++ pairs.map(_.swap)
+      val rounds = 1 + r.nextInt(3)
+      // reference: adjacency lists, synchronous update
+      val adj = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      var ref = vs.map(v => v -> v).toMap
+      for (_ <- 0 until rounds) {
+        val prev = ref
+        ref = vs.map { v =>
+          val labs = adj.getOrElse(v, Seq.empty).map(prev)
+          if (labs.isEmpty) v -> prev(v)
+          else {
+            val counts = labs.groupBy(identity).map {
+              case (l, o) => l -> o.size
+            }
+            val best = counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+            v -> best
+          }
+        }.toMap
+      }
+      val got = graft.operators.Graphs.labelPropagation(
+          vs.toDF("node"), und.toDF("v", "w"), rounds)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == ref, s"seed=$seed rounds=$rounds")
+    }
+  }
+
   test("temperatureShares == BigInt floor formula on random counts") {
     for (seed <- 1 to 3) {
       val r = new scala.util.Random(200 + seed)
