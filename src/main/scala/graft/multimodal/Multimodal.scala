@@ -12,12 +12,17 @@ import org.apache.spark.sql.functions._
   * readers, no external libraries), so [[decodeImageStats]] runs an
   * actual pixel decode partition-parallel over the binary column — see
   * m3_image_decode, whose encode→PNG-bytes→decode→stats round trip is
-  * oracle-checked against closed-form pixel sums. Audio/video codecs are
-  * NOT in this container, so [[FakeDecoder]] remains the clearly-marked
-  * deterministic stub for those modalities — the Spark-side contract
-  * (schema, batch shape, partitioning, typed mapPartitions signature) is
-  * the real, tested part, and a production codec drops in by replacing
-  * one function. At 100 TB the binary column stays columnar in parquet
+  * oracle-checked against closed-form pixel sums. VIDEO is real for
+  * intra-coded containers: [[demuxAviFrames]] walks the RIFF/AVI chunk
+  * tree (pure byte arithmetic) and [[decodeVideoStats]] ImageIO-decodes
+  * every frame — see m6_video_decode, container-built → demuxed →
+  * pixel-decoded and oracle-checked frame by frame. Compressed-audio
+  * and inter-coded video codecs (MP3, H.264…) are NOT in this
+  * container, so [[FakeDecoder]] remains the clearly-marked
+  * deterministic stub for those — the Spark-side contract (schema,
+  * batch shape, partitioning, typed mapPartitions signature) is the
+  * real, tested part, and a production codec drops in by replacing one
+  * function. At 100 TB the binary column stays columnar in parquet
   * (never materialized on the driver) and decode is a narrow map — no
   * shuffle.
   */
@@ -203,9 +208,10 @@ object Multimodal {
       .toDF()
   }
 
-  /** STUB decoder — stands in for codecs the JDK does NOT ship (video,
-    * compressed audio); images and PCM WAV audio have REAL decoders
-    * above. Deterministic features derived from payload bytes so tests
+  /** STUB decoder — stands in for codecs the JDK does NOT ship
+    * (inter-coded video like H.264, compressed audio like MP3); images,
+    * PCM WAV audio, and intra-coded AVI video have REAL decoders in this
+    * file. Deterministic features derived from payload bytes so tests
     * are stable; replace the body with the real codec to productionize. */
   object FakeDecoder {
     def decode(payload: Array[Byte], dim: Int): Array[Float] = {
@@ -246,5 +252,167 @@ object Multimodal {
           FakeDecoder.decode(r.payload :+ f.toByte, 8))
       }
     }
+  }
+
+  // ---------------------------------------------------------------- video
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def le32(v: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(v); b.array
+  }
+
+  /** RIFF chunk: fourcc id + little-endian size + body, padded to even
+    * length (the RIFF rule; the pad byte is NOT counted in the size). */
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad: Array[Byte] =
+      if (body.length % 2 == 1) Array(0.toByte) else Array.empty
+    fourcc(id) ++ le32(body.length) ++ body ++ pad
+  }
+
+  private def riffList(typ: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fourcc(typ) ++ body)
+
+  /** Deterministic test VIDEO for id `d`: `nFrames` frames, frame `f`
+    * being exactly [[testPng]]'s pattern for `d + f`, wrapped in a REAL
+    * AVI (RIFF) container — proper `hdrl` (avih + strh/strf headers,
+    * fourcc MPNG = PNG-coded frames) and a `movi` LIST of `00dc` frame
+    * chunks with even-padding per the RIFF rule. Every byte is produced
+    * by the JDK (PNG encoder + explicit little-endian header math), so
+    * payloads are bit-stable and frame channel sums inherit testPng's
+    * closed forms at `d + f`. */
+  def testAvi(d: Long, nFrames: Int): Array[Byte] = {
+    require(d >= 0 && nFrames >= 1 && d + nFrames <= 200,
+      s"testAvi pattern needs d >= 0, nFrames >= 1, d + nFrames <= 200; " +
+        s"got d=$d nFrames=$nFrames")
+    val frames = (0 until nFrames).map(f => testPng(d + f))
+    val (w0, h0) = ((8 + d % 8).toInt, (8 + d % 5).toInt)
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40000)         // dwMicroSecPerFrame (25 fps)
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(nFrames)       // dwTotalFrames
+      b.putInt(0)
+      b.putInt(1)             // dwStreams
+      b.putInt(0)
+      b.putInt(w0).putInt(h0) // dwWidth / dwHeight (frame 0)
+      b.putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array
+    }
+    val strh = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(fourcc("vids")).put(fourcc("MPNG"))
+      b.putInt(0)                       // dwFlags
+      b.putShort(0).putShort(0)         // wPriority / wLanguage
+      b.putInt(0)                       // dwInitialFrames
+      b.putInt(1).putInt(25)            // dwScale / dwRate = 25 fps
+      b.putInt(0)
+      b.putInt(nFrames)                 // dwLength
+      b.putInt(0).putInt(-1).putInt(0)  // bufSize / quality / sampleSize
+      b.putShort(0).putShort(0)
+      b.putShort(w0.toShort).putShort(h0.toShort) // rcFrame
+      b.array
+    }
+    val strf = {
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40)                      // biSize (BITMAPINFOHEADER)
+      b.putInt(w0).putInt(h0)
+      b.putShort(1).putShort(24)        // biPlanes / biBitCount
+      b.put(fourcc("MPNG"))             // biCompression
+      b.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array
+    }
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih) ++
+        riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val movi = riffList("movi",
+      frames.iterator.flatMap(p => riffChunk("00dc", p)).toArray)
+    riffChunk("RIFF", fourcc("AVI ") ++ hdrl ++ movi)
+  }
+
+  /** REAL AVI demux: walks the RIFF chunk tree and returns the video
+    * frame payloads (`..dc`/`..db` chunks inside any `movi`/`rec ` LIST)
+    * in stream order. Pure byte-offset arithmetic — no codec involved;
+    * works on any intra-coded AVI whose frames the JDK can then decode
+    * (MPNG here; MJPG likewise via ImageIO's JPEG reader). Truncated or
+    * non-RIFF payloads fail loudly. */
+  def demuxAviFrames(payload: Array[Byte]): Vector[Array[Byte]] = {
+    def at(off: Int): String = new String(payload, off, 4, "US-ASCII")
+    def u32(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+        ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+    require(payload.length >= 12 && at(0) == "RIFF" && at(8) == "AVI ",
+      "not a RIFF AVI payload")
+    val out = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = at(off)
+        val sz = u32(off + 4)
+        val body = off + 8
+        require(sz >= 0 && body + sz <= payload.length,
+          s"truncated RIFF chunk $id at offset $off")
+        if (id == "LIST") {
+          val typ = at(body)
+          walk(body + 4, body + sz,
+            inMovi || typ == "movi" || typ == "rec ")
+        } else if (inMovi && sz > 0 &&
+            (id.endsWith("dc") || id.endsWith("db"))) {
+          out += java.util.Arrays.copyOfRange(payload, body, body + sz)
+        }
+        off = body + sz + (sz & 1) // RIFF: chunks are even-aligned
+      }
+    }
+    walk(12, payload.length, inMovi = false)
+    out.result()
+  }
+
+  case class FrameStats(id: Long, frame: Int, width: Int, height: Int,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL video decode: demux the AVI container, then ImageIO-decode
+    * every frame — one row per (video, frame) with dimensions and exact
+    * per-channel pixel sums. A generator-shaped narrow map (flatMap —
+    * one input row explodes into its frames), no shuffle, bytes never on
+    * the driver; the 100 TB posture matches the image path. This retires
+    * the video STUB for intra-coded containers (each frame is a
+    * standalone picture the JDK can decode); inter-coded codecs (H.264
+    * etc.) still need an external library — [[FakeDecoder]] remains the
+    * documented stand-in for those. */
+  def decodeVideoStats(df: DataFrame, idCol: String,
+                       payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          demuxAviFrames(bytes).iterator.zipWithIndex.map {
+            case (fb, f) =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(fb))
+              require(img != null, s"undecodable frame $f for id $id")
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff
+                  sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              FrameStats(id, f, img.getWidth, img.getHeight, sr, sg, sb)
+          }
+        }
+      }
+      .toDF()
   }
 }

@@ -819,6 +819,26 @@ object TextQueries {
     // per media row (narrow flatMap, no shuffle). The decoded features
     // are the documented stub, so the ORACLE-checkable contract is the
     // generator's cardinality and id algebra plus feature-vector shape ---
+    // --- REAL video decode end-to-end: build a real AVI container (RIFF
+    // hdrl/movi, MPNG frames — every byte JDK-produced), demux the chunk
+    // tree, ImageIO-decode every frame, emit per-(video, frame)
+    // dimensions + exact channel sums. Frame f of video d is exactly
+    // the m3 pattern at d + f, so the oracle replays the closed forms
+    // over a (doc, frame) grid — no bytes, no codec on the oracle side ---
+    "m6_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id"))
+      val vids = ids.as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.multimodal.Multimodal.testAvi(id, nFrames = 4))))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal
+        .decodeVideoStats(vids, "doc_id", "payload")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("frame"))
+    }),
+
     "m2_frame_sample" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir)
@@ -1668,6 +1688,21 @@ object TextQueries {
         sha256(text) AS payload_sha,
         source
       FROM documents ORDER BY doc_id""",
+    // the (doc, frame) grid at e = doc_id + f inherits m3's closed-form
+    // channel sums — the oracle never touches container bytes or a codec
+    "m6_video_decode" -> """
+      WITH grid AS (
+        SELECT doc_id, f, doc_id + f AS e,
+          8 + (doc_id + f) % 8 AS w, 8 + (doc_id + f) % 5 AS h
+        FROM documents, (VALUES (0), (1), (2), (3)) AS t(f)
+        WHERE doc_id < 40)
+      SELECT doc_id, CAST(f AS INT) AS frame,
+        CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        CAST(h * (w * e + (w * (w - 1)) // 2) AS BIGINT) AS sum_r,
+        CAST(w * (h * e + (h * (h - 1)) // 2) AS BIGINT) AS sum_g,
+        CAST(w * h * e + h * ((w * (w - 1)) // 2)
+          + w * ((h * (h - 1)) // 2) AS BIGINT) AS sum_b
+      FROM grid ORDER BY doc_id, frame""",
     "m2_frame_sample" -> """
       SELECT COUNT(*) * 3 AS n_frames,
         COUNT(*) * 3 AS n_ids,

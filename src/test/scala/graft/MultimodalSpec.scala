@@ -88,4 +88,51 @@ class MultimodalSpec extends SparkSpec {
       assert(got(d) == ((w, h, sr, sg, sb)), s"d=$d")
     }
   }
+
+  test("real AVI: container is RIFF, demux recovers the exact frame bytes") {
+    val avi = Multimodal.testAvi(11L, nFrames = 3)
+    // the payload really is an AVI (RIFF magic + form type)
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val frames = Multimodal.demuxAviFrames(avi)
+    assert(frames.size == 3)
+    // demux is byte-exact: frame f IS the PNG encoding of pattern d + f
+    for (f <- 0 until 3)
+      assert(frames(f).sameElements(Multimodal.testPng(11L + f)),
+        s"frame $f bytes differ from the source PNG")
+  }
+
+  test("real AVI demux rejects non-RIFF and truncated payloads loudly") {
+    intercept[IllegalArgumentException] {
+      Multimodal.demuxAviFrames("not a video".getBytes("US-ASCII"))
+    }
+    val avi = Multimodal.testAvi(3L, nFrames = 2)
+    intercept[IllegalArgumentException] {
+      // cut inside the movi LIST: a chunk size now points past the end
+      Multimodal.demuxAviFrames(avi.take(avi.length - 5))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.testAvi(199L, nFrames = 4) // d + nFrames > 200
+    }
+  }
+
+  test("real video decode: per-frame pixel sums match the closed forms") {
+    import spark.implicits._
+    val df = Seq(5L, 60L).toDF("doc_id")
+      .as[Long].map(id => (id, Multimodal.testAvi(id, nFrames = 4)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.decodeVideoStats(df, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got.size == 8)
+    for (d <- Seq(5L, 60L); f <- 0 until 4) {
+      val e = d + f
+      val (w, h) = ((8 + e % 8).toInt, (8 + e % 5).toInt)
+      val sr = (0 until h).map(_ => (0 until w).map(x => e + x).sum).sum
+      val sg = (0 until w).map(_ => (0 until h).map(y => e + y).sum).sum
+      val sb = (for (x <- 0 until w; y <- 0 until h) yield e + x + y).sum
+      assert(got((d, f)) == ((w, h, sr, sg, sb)), s"d=$d f=$f")
+    }
+  }
 }
