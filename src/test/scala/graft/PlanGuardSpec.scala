@@ -131,12 +131,50 @@ class PlanGuardSpec extends SparkSpec {
     // show up as a second exchange here.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.SparkPlan
-    def countEx(p: SparkPlan): Int =
-      p.collect { case e: ShuffleExchangeExec => e }.size
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // unwrap AQE: AdaptiveSparkPlanExec is a leaf for collect, so
+    // counting on the wrapper alone would vacuously pass
+    def countEx(p: SparkPlan): Int = (p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }).collect { case e: ShuffleExchangeExec => e }.size
     val phys = SparkEntry.queries("e11_pq_codes")(spark, sf)
       .queryExecution.executedPlan
     assert(countEx(phys) <= 1,
       s"PQ encode must not shuffle before the presentation sort:\n$phys")
+  }
+
+  test("ldbc9/c17/m6: round-11 additions keep their scale shapes") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AdaptiveSparkPlanExec is a LEAF for collect — unwrap to the inner
+    // physical plan or the assertions below would look at nothing
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // LPA is aggregates + keyed joins ONLY — a window creeping into the
+    // argmax (the easy-but-wrong spelling) would be a per-vertex
+    // row_number; and the top-20 must stay a distributed partial top-k
+    val l9 = SparkEntry.queries("ldbc9_community")(spark, sf).queryExecution
+    assert(l9.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "ldbc9: the LPA argmax must be an aggregate, not a window")
+    assert(unwrap(l9.executedPlan).collect {
+      case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "ldbc9 top-20 must plan as TakeOrderedAndProject")
+    // c17's day-total window must keep its PARTITION BY (and sit above
+    // the aggregate, so it sees O(#types) rows per day, not raw events)
+    val c17 = SparkEntry.queries("c17_type_share")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(c17.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      .isEmpty, "c17: day-total window lost its PARTITION BY")
+    // video decode is narrow: the ONLY exchange is the presentation sort
+    val m6 = unwrap(SparkEntry.queries("m6_video_decode")(spark, sf)
+      .queryExecution.executedPlan)
+    assert(m6.collect { case e: ShuffleExchangeExec => e }.size <= 1,
+      s"m6 demux+decode must not shuffle before the presentation sort:\n$m6")
   }
 
   test("d25/d24/c7: no single-partition window anywhere (VERDICT r9 #2-4)") {
