@@ -68,6 +68,29 @@ object ScaleQueries {
         .orderBy(col("user_id"), col("s_start_us"))
     }),
 
+    // --- stream-STREAM interval join, batch twin: the EXACT
+    // EventPipeline.intervalJoin spelling (watermarks + key equi-join +
+    // event-time band) run on batch frames — the optimizer elides the
+    // batch watermark, leaving a pure range-banded equi-join, while the
+    // same code on readStream sources runs the stateful join with
+    // watermark-evicted state (StreamingSpec pins the streaming side).
+    // Each click pairs with the same user's views in [t, t+10min] ---
+    "s5_interval_join" -> ((s, dir) => {
+      val e = graft.Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t"), col("event_id").as("l_id"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("t").as("rt"),
+          col("event_id").as("r_id"))
+      graft.streaming.EventPipeline.intervalJoin(clicks, views,
+          key = "user_id", band = "10 minutes")
+        .groupBy(date_trunc("day", col("t")).as("d"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("l_id")).as("n_clicks_matched"),
+          countDistinct(col("r_id")).as("n_views_matched"))
+        .orderBy(col("d"))
+    }),
+
     // --- BPE-ish subword token stats ---
     "d9_bpe_tokens" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -586,6 +609,22 @@ object ScaleQueries {
         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
       FROM seq WHERE next_type IS NOT NULL
       GROUP BY from_type, to_type ORDER BY from_type, to_type""",
+    "s5_interval_join" -> """
+      WITH c AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id AS l_id
+        FROM events WHERE event_type = 'click'),
+      v AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS rt, event_id AS r_id
+        FROM events WHERE event_type = 'view'),
+      j AS (
+        SELECT c.t, c.l_id, v.r_id
+        FROM c JOIN v ON v.user_id = c.user_id
+         AND v.rt >= c.t AND v.rt <= c.t + INTERVAL 10 MINUTE)
+      SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS d,
+        COUNT(*) AS n_pairs,
+        CAST(COUNT(DISTINCT l_id) AS BIGINT) AS n_clicks_matched,
+        CAST(COUNT(DISTINCT r_id) AS BIGINT) AS n_views_matched
+      FROM j GROUP BY d ORDER BY d""",
     "c17_type_share" -> """
       WITH per AS (
         SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d,
