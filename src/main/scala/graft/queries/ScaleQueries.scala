@@ -74,7 +74,8 @@ object ScaleQueries {
     // batch watermark, leaving a pure range-banded equi-join, while the
     // same code on readStream sources runs the stateful join with
     // watermark-evicted state (StreamingSpec pins the streaming side).
-    // Each click pairs with the same user's views in [t, t+10min] ---
+    // Each click pairs with the same user's views in [t, t+60min]
+    // (60 so the sparse sf0.001 smoke corpus still has matches) ---
     "s5_interval_join" -> ((s, dir) => {
       val e = graft.Tables.events(s, dir)
       val clicks = e.filter(col("event_type") === "click")
@@ -83,7 +84,7 @@ object ScaleQueries {
         .select(col("user_id"), col("t").as("rt"),
           col("event_id").as("r_id"))
       graft.streaming.EventPipeline.intervalJoin(clicks, views,
-          key = "user_id", band = "10 minutes")
+          key = "user_id", band = "60 minutes")
         .groupBy(date_trunc("day", col("t")).as("d"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("l_id")).as("n_clicks_matched"),
@@ -619,7 +620,7 @@ object ScaleQueries {
       j AS (
         SELECT c.t, c.l_id, v.r_id
         FROM c JOIN v ON v.user_id = c.user_id
-         AND v.rt >= c.t AND v.rt <= c.t + INTERVAL 10 MINUTE)
+         AND v.rt >= c.t AND v.rt <= c.t + INTERVAL 60 MINUTE)
       SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS d,
         COUNT(*) AS n_pairs,
         CAST(COUNT(DISTINCT l_id) AS BIGINT) AS n_clicks_matched,
