@@ -478,23 +478,42 @@ object Similarity {
     * be hashed by the driver's compare harness), M rows per vector. */
   def pqCodes(corpus: DataFrame,
               codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    pqChecked(corpus, codebooks)
+      .select(col("vec_id"),
+        explode(pqCodeArray(spark, codebooks)).as("mc"))
+      .select(col("vec_id"), col("mc").getField("m").as("m"),
+        col("mc").getField("code").as("code"))
+  }
+
+  /** Length-guarded corpus for a codebook set. Runtime guard (ADVICE r9):
+    * a short or mismatched embedding would make slice/zip_with null-pad
+    * the dot products and emit silently WRONG codes — fail the job
+    * instead. assert_true returns NULL when the condition holds, so the
+    * `.isNull` filter keeps every valid row while pinning the check into
+    * the codegen'd scan. */
+  private def pqChecked(corpus: DataFrame,
+                        codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
       "pqCodes needs at least one codebook with at least one codeword")
     val subDim = codebooks.head.head.length
     require(codebooks.flatten.forall(_.length == subDim),
       "all codewords must share one subspace dimension")
     val expectDim = codebooks.length * subDim
-    val spark = corpus.sparkSession
-    // runtime guard (ADVICE r9): a short or mismatched embedding would
-    // make slice/zip_with null-pad the dot products and emit silently
-    // WRONG codes — fail the job instead. assert_true returns NULL when
-    // the condition holds, so the `.isNull` filter keeps every valid row
-    // while pinning the check into the codegen'd scan.
-    val checked = corpus.filter(assert_true(
+    corpus.filter(assert_true(
       size(col("embedding")) === expectDim,
       lit(s"pqCodes: embedding length must equal M*subDim = $expectDim"))
       .isNull)
-    val mcs = codebooks.zipWithIndex.map { case (cb, m) =>
+  }
+
+  /** `array<struct<m, code>>` of the per-subspace argmin codes of
+    * `embedding` — the PQ encode as ONE narrow expression column, shared
+    * by [[pqCodes]] and the fused IVF-ADC projection ([[ivfAdcTopK]]) so
+    * the assignment fold can never silently diverge between them. */
+  private def pqCodeArray(spark: org.apache.spark.sql.SparkSession,
+                          codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val subDim = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cb, m) =>
       val sub = slice(col("embedding"), m * subDim + 1, subDim)
       val scored = array(cb.zipWithIndex.map { case (cw, j) =>
         val normSq = cw.foldLeft(0.0)((s, v) => s + v * v)
@@ -505,10 +524,7 @@ object Similarity {
       }: _*)
       struct(lit(m.toLong).as("m"),
         array_min(scored).getField("j").as("code"))
-    }
-    checked.select(col("vec_id"), explode(array(mcs: _*)).as("mc"))
-      .select(col("vec_id"), col("mc").getField("m").as("m"),
-        col("mc").getField("code").as("code"))
+    }: _*)
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
@@ -539,8 +555,28 @@ object Similarity {
     require(queries.nonEmpty, "pqAdcTopK needs at least one query")
     val spark = codes.sparkSession
     import spark.implicits._
+    val lut = adcLut(queries, codebooks)
+    onLut(lut)
+    val lutDf = broadcast(lut.toDF("q_id", "m", "code", "dq_micro"))
+    val scored = codes.join(lutDf, Seq("m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dq_micro")).cast("bigint").as("adist_micro"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist_micro").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("adist_micro"))
+  }
+
+  /** The ADC lookup table: per (query, subspace, codeword) the
+    * |cw|² − 2·q_sub·cw distance term in exact BIGINT micro-units —
+    * O(#queries · M · k) driver metadata, computed once and injected as
+    * identical integer literals into the Spark plan and any oracle. */
+  private def adcLut(queries: Seq[(Long, Seq[Double])],
+                     codebooks: Seq[Seq[Seq[Double]]])
+      : Seq[(Long, Long, Long, Long)] = {
     val subDim = codebooks.head.head.length
-    val lut = for {
+    for {
       (qid, q) <- queries
       (cb, m) <- codebooks.zipWithIndex
       (cw, j) <- cb.zipWithIndex
@@ -551,9 +587,74 @@ object Similarity {
       (qid, m.toLong, j.toLong,
         graft.OracleLiterals.micro6(normSq - 2.0 * dot))
     }
+  }
+
+  /** IVF-ADC search — the combined coarse-quantizer + product-quantizer
+    * stack (IVF-PQ, Jégou et al. 2011 §V-A, "non-exhaustive search") that
+    * a billion-vector ANN deployment actually runs: the IVF layer prunes
+    * the corpus to the `nProbe` cells nearest each query, and ONLY those
+    * cells' PQ codes are ADC-scored. Composes the e5 cell machinery with
+    * the e12 LUT machinery end to end.
+    *
+    * Scale shape — ONE wide exchange total:
+    *   1. cell assignment AND PQ encode are fused into a single NARROW
+    *      fully-codegen'd projection over the corpus (both are literal
+    *      argmin folds — zero shuffle, embarrassingly parallel);
+    *   2. the query probes are bounded O(#q · nCells) DRIVER arithmetic
+    *      (same |c|²−2·q·c fold) riding as a broadcast, so the probe
+    *      join prunes corpus rows without shuffling them — against a
+    *      persisted cell-PARTITIONED code layout (cf. [[buildIvfIndex]])
+    *      it prunes at the directory level and reads ~nProbe/nCells of
+    *      the index;
+    *   3. the ADC LUT is bounded driver metadata broadcast as BIGINT
+    *      micro-unit literals (the e12/d18/BM25 pattern — pure integer
+    *      sums downstream, hash-exact on any engine);
+    *   4. the only shuffle is the (q_id, vec_id) rollup + the
+    *      rank-limited per-query top-k (WindowGroupLimit keeps map-side
+    *      contributions to k rows per query).
+    *
+    * Output: (q_id, rnk, vec_id, adist_micro BIGINT), rnk 1..k by
+    * (adist_micro asc, vec_id asc) over the probed cells only. */
+  def ivfAdcTopK(corpus: DataFrame, queries: Seq[(Long, Seq[Double])],
+                 codebooks: Seq[Seq[Seq[Double]]], k: Int,
+                 nCells: Int = 16, nProbe: Int = 4,
+                 maxLiteralCells: Int = 128,
+                 onLut: Seq[(Long, Long, Long, Long)] => Unit = _ => (),
+                 onProbes: Seq[(Long, Long)] => Unit = _ => ())
+      : DataFrame = {
+    require(queries.nonEmpty, "ivfAdcTopK needs at least one query")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroidStats(corpus, nCells)
+    require(cents.length <= maxLiteralCells,
+      s"ivfAdcTopK: nCells=${cents.length} exceeds the literal-argmin " +
+        s"cap $maxLiteralCells — persist the index and use the " +
+        "broadcast-join assignment instead")
+    // fused narrow projection: coarse cell (the e5 argmin over the seed
+    // centroids, cell ids = seed vec_ids) + the M PQ codes, one pass
+    val codesWithCell = pqChecked(corpus, codebooks).select(
+        array_min(scoredLiteral(spark, cents)(col("embedding")))
+          .getField("c_id").as("cell"),
+        col("vec_id"), explode(pqCodeArray(spark, codebooks)).as("mc"))
+      .select(col("cell"), col("vec_id"), col("mc").getField("m").as("m"),
+        col("mc").getField("code").as("code"))
+    // bounded driver-side probe selection — nProbe nearest cells per
+    // query by (d asc, c_id asc), injected as literals into both engines
+    val probes: Seq[(Long, Long)] = for {
+      (qid, q) <- queries
+      cell <- cents.map { case (cid, emb, normSq) =>
+          val dot = q.zip(emb).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+          (normSq - 2.0 * dot, cid)
+        }.sortBy(identity)(Ordering.Tuple2(Ordering.Double.TotalOrdering,
+          Ordering.Long)).take(nProbe).map(_._2)
+    } yield (qid, cell)
+    onProbes(probes)
+    val lut = adcLut(queries, codebooks)
     onLut(lut)
-    val lutDf = broadcast(lut.toDF("q_id", "m", "code", "dq_micro"))
-    val scored = codes.join(lutDf, Seq("m", "code"))
+    val scored = codesWithCell
+      .join(broadcast(probes.toDF("q_id", "cell")), Seq("cell"))
+      .join(broadcast(lut.toDF("q_id", "m", "code", "dq_micro")),
+        Seq("q_id", "m", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("dq_micro")).cast("bigint").as("adist_micro"))
     val w = Window.partitionBy(col("q_id"))

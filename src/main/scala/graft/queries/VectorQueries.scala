@@ -197,6 +197,28 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // --- IVF-ADC: the COMBINED coarse-quantizer + product-quantizer
+    // search (IVF-PQ, Jégou et al. 2011 §V-A) — the e5 cell pruning and
+    // the e12 ADC scoring composed end to end, which is what a
+    // billion-vector deployment actually runs: only the nProbe=4 (of 16)
+    // cells nearest each query are ADC-scored. Cell assignment + PQ
+    // encode fuse into ONE narrow codegen'd projection; probes and LUT
+    // are bounded driver metadata injected as identical BIGINT micro-unit
+    // literals into this plan AND the oracle — pure integer sums, so the
+    // cell-pruned ranking is hash-exact on any engine ---
+    "e15_ivf_adc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cbs = pqCodebooks(e)
+      val qs = seedEmbeddings(e, 3)
+      Similarity.ivfAdcTopK(e, qs, cbs, k = 5, nCells = 16, nProbe = 4,
+        onLut = lut => graft.OracleLiterals.put("e15_lut",
+          graft.OracleLiterals.valuesCte3L(
+            "lut", "q_id", "m", "code", "dq_micro", lut)),
+        onProbes = ps => graft.OracleLiterals.put("e15_probes",
+          graft.OracleLiterals.valuesCteL("probes", "q_id", "cell", ps)))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // --- hybrid retrieval: BM25 top-20 (sparse) fused with brute-force
     // cosine top-20 (dense, query vectors = embeddings 0/1/2 standing in
     // for encoded query text) via reciprocal-rank fusion — the two-tower
@@ -396,6 +418,46 @@ object VectorQueries {
         AS adist_micro
       FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
       GROUP BY l.q_id, c.vec_id),
+    ranked AS (
+      SELECT q_id, vec_id, adist_micro,
+        ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY adist_micro ASC, vec_id ASC) AS rnk
+      FROM scored)
+    SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, adist_micro
+    FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** e15: the e5 coarse-assignment chain (16 seed centroids, argmin by
+    * (d asc, c_id asc)) prunes to the literal probe cells, then the e11
+    * code chain + the literal LUT replay the integer ADC sum. CTE names
+    * cents/sc/asg/codes come from [[pqCodesSql]]; the coarse chain uses
+    * cents16/csc/casg to avoid collision. */
+  private def e15Oracle: String = s"""
+    WITH $pqCodesSql,
+    cents16 AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings ORDER BY vec_id LIMIT 16),
+    csc AS (
+      SELECT e.vec_id, c.c_id,
+        (${dotSql("c.c_emb", "c.c_emb")}) - 2.0 * (${dotSql("e.embedding", "c.c_emb")}) AS d
+      FROM embeddings e CROSS JOIN cents16 c),
+    casg AS (
+      SELECT vec_id, c_id AS cell,
+        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, c_id ASC) AS r
+      FROM csc),
+    cellof AS (SELECT vec_id, cell FROM casg WHERE r = 1),
+    ${graft.OracleLiterals.get("e15_probes", graft.OracleLiterals.missingCte(
+      "e15_probes", "probes", Seq("q_id", "cell")))},
+    ${graft.OracleLiterals.get("e15_lut", graft.OracleLiterals.missingCte(
+      "e15_lut", "lut", Seq("q_id", "m", "code", "dq_micro")))},
+    cand AS (
+      SELECT p.q_id, a.vec_id
+      FROM probes p JOIN cellof a ON a.cell = p.cell),
+    scored AS (
+      SELECT cd.q_id, c.vec_id, CAST(SUM(l.dq_micro) AS BIGINT)
+        AS adist_micro
+      FROM cand cd JOIN codes c ON c.vec_id = cd.vec_id
+        JOIN lut l ON l.q_id = cd.q_id AND l.m = c.m AND l.code = c.code
+      GROUP BY cd.q_id, c.vec_id),
     ranked AS (
       SELECT q_id, vec_id, adist_micro,
         ROW_NUMBER() OVER (PARTITION BY q_id
@@ -630,6 +692,7 @@ object VectorQueries {
     "e14_ann_recall" -> e14Oracle,
     "e11_pq_codes" -> e11Oracle,
     "e12_pq_adc" -> e12Oracle,
+    "e15_ivf_adc" -> e15Oracle,
     "e5_knn_ivf" -> e5Oracle,
     "e6_embedding_dedup" -> e6Oracle,
     "e7_kmeans_step" -> e7Oracle,
