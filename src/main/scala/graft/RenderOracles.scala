@@ -16,6 +16,10 @@ package graft
 object RenderOracles {
   def main(args: Array[String]): Unit = {
     val Array(outPath) = args
+    // a flag mistaken for the output path once littered the repo with a
+    // file named '--list' (ADVICE r11) — fail fast instead
+    require(!outPath.startsWith("-"),
+      s"output path looks like a CLI flag: '$outPath'")
     val p = java.nio.file.Paths.get(outPath)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     Verify.writeOracleSql(p)

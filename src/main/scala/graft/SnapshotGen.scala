@@ -16,14 +16,21 @@ import org.apache.spark.sql.SparkSession
   * `src/main/scala/graft/OracleLiteralsSnapshot.scala`.
   */
 object SnapshotGen {
-  /** Queries whose BUILD stashes every hash-checked literal key
-    * (d18_w, g3_lp, bm25_idf, e12_lut). Kept in one place so the
-    * staleness spec and this generator can never drift. */
+  /** Queries whose BUILD stashes every hash-checked literal key. These
+    * lists are convenient, not load-bearing: [[main]] derives the set of
+    * keys the registry ACTUALLY consumes by recording every
+    * [[OracleLiterals.get]] call during a full oracle render, and fails
+    * if consumption and these lists disagree in either direction — so a
+    * literal-consuming query added without extending them cannot
+    * regenerate a partial snapshot (VERDICT r11 #1: e15 did exactly
+    * that). OracleLiteralsResourceSpec pins the same equality. */
   val StashQueries: Seq[String] =
-    Seq("d18_dsir_weights", "g3_bigram_xent", "ir1_bm25", "e12_pq_adc")
+    Seq("d18_dsir_weights", "g3_bigram_xent", "ir1_bm25", "e12_pq_adc",
+        "e15_ivf_adc")
 
   /** Every key those builds are expected to stash. */
-  val StashKeys: Seq[String] = Seq("d18_w", "g3_lp", "bm25_idf", "e12_lut")
+  val StashKeys: Seq[String] =
+    Seq("d18_w", "g3_lp", "bm25_idf", "e12_lut", "e15_lut", "e15_probes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -39,6 +46,28 @@ object SnapshotGen {
     val missing = StashKeys.filter(OracleLiterals.stashed(_).isEmpty)
     require(missing.isEmpty,
       s"query builds did not stash: ${missing.mkString(", ")}")
+    // STRUCTURAL completeness check: render the WHOLE registry's oracle
+    // SQL, recording every literal key actually consumed. Every consumed
+    // key must have been freshly stashed by this run's builds (not merely
+    // inherited from the old snapshot — that would silently freeze a
+    // stale value), and the hand lists above must match consumption
+    // exactly so they can never drift again.
+    val (rendered, consumed) =
+      OracleLiterals.recordConsumed(SparkEntry.oracleSql)
+    val unstashed = consumed.filter(OracleLiterals.stashed(_).isEmpty)
+    require(unstashed.isEmpty,
+      "oracle render consumes literal keys that no StashQueries build " +
+        s"stashed — extend SnapshotGen.StashQueries: " +
+        unstashed.toSeq.sorted.mkString(", "))
+    require(consumed == StashKeys.toSet,
+      "SnapshotGen.StashKeys drifted from actual registry consumption — " +
+        s"listed=${StashKeys.sorted.mkString(",")} " +
+        s"consumed=${consumed.toSeq.sorted.mkString(",")}")
+    val broken = rendered.collect {
+      case (n, sql) if sql.contains(OracleLiterals.MissingMarker) => n }
+    require(broken.isEmpty,
+      s"rendered oracles still carry the missing-literal marker: " +
+        broken.toSeq.sorted.mkString(", "))
     OracleLiterals.persist(sfDir)
     spark.stop()
   }

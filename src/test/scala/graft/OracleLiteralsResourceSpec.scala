@@ -56,6 +56,57 @@ class OracleLiteralsResourceSpec extends SparkSpec {
     }
   }
 
+  test("STRUCTURAL: a clean-checkout cold render of EVERY registry oracle " +
+    "serves all literals from the compiled snapshot") {
+    // coldRender makes the in-process stash invisible, so this renders
+    // exactly what the driver's harness sees at a clean checkout before
+    // any query has run — regardless of which suites ran first in this
+    // JVM. recordConsumed derives the key set from ACTUAL consumption,
+    // so a new literal-consuming query can never slip past a hand list
+    // (VERDICT r11 #1: e15 landed with its keys absent from the
+    // committed snapshot and only the driver's warm-stash ordering hid
+    // it).
+    val (rendered, consumed) = OracleLiterals.recordConsumed {
+      OracleLiterals.coldRender(SparkEntry.oracleSql)
+    }
+    val broken = rendered.collect {
+      case (n, sql) if sql.contains(OracleLiterals.MissingMarker) => n }
+    assert(broken.isEmpty,
+      "cold render at a clean checkout would emit a loud-fail oracle " +
+        s"for: ${broken.toSeq.sorted.mkString(", ")} — run " +
+        "graft.SnapshotGen and commit the regenerated snapshot")
+    assert(consumed == SnapshotGen.StashKeys.toSet,
+      "SnapshotGen.StashKeys drifted from actual registry consumption — " +
+        s"listed=${SnapshotGen.StashKeys.sorted.mkString(",")} " +
+        s"consumed=${consumed.toSeq.sorted.mkString(",")}")
+    val snapKeys = decodeSnapshot(compiledText).keySet
+    assert(snapKeys == consumed,
+      "compiled snapshot key set differs from registry consumption " +
+        s"(stale or missing keys) — snapshot=" +
+        s"${snapKeys.toSeq.sorted.mkString(",")} consumed=" +
+        s"${consumed.toSeq.sorted.mkString(",")}; run graft.SnapshotGen")
+  }
+
+  test("literal-consuming query modules render oracles per call (def, " +
+    "not a memoized val)") {
+    // recordConsumed/coldRender only see keys requested AT RENDER TIME;
+    // a `val oracles` in a literal-consuming module would memoize its
+    // first render (possibly warm) and make every structural check above
+    // vacuous for that module. Enforce `def oracles` at the source level.
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    val files = java.nio.file.Files.list(dir).iterator.asScala
+      .filter(_.toString.endsWith(".scala")).toSeq
+    assert(files.nonEmpty, s"no query modules found under $dir")
+    for (f <- files) {
+      val t = java.nio.file.Files.readString(f)
+      if (t.contains("OracleLiterals.get"))
+        assert(!t.contains("val oracles"),
+          s"$f consumes OracleLiterals but declares `val oracles` — " +
+            "memoized renders defeat the cold-render gate; use `def`")
+    }
+  }
+
   test("committed resource (secondary channel) matches the compiled snapshot") {
     val p = java.nio.file.Paths.get(
       "src/main/resources/graft/oracle_literals.b64")

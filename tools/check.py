@@ -94,7 +94,18 @@ def render_cold():
         for l in warn[:10]:
             print("  ", l[:220])
         sys.exit(1)
-    print("render-first: cold render OK, no fallback warnings")
+    # structural: grep the rendered SQL itself for the loud-fail marker —
+    # independent of stderr wording, this is the exact text missingCte
+    # embeds (graft.OracleLiterals.MissingMarker)
+    rendered = json.load(open(cold))
+    bad = sorted(k for k, v in rendered.items()
+                 if "graft literal snapshot missing" in v)
+    if bad:
+        print("render-first: cold-rendered oracles carry the "
+              f"missing-literal marker: {', '.join(bad)}")
+        sys.exit(1)
+    print("render-first: cold render OK, no fallback warnings, no "
+          "missing-literal markers")
     return cold
 
 def compare(oracle_path):
