@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -161,6 +161,63 @@ object BreadthQueries {
           min(col("supp_nation")).as("first_supp_nation"),
           min(col("p_name")).as("first_part"),
           count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's third signature: the SAME table aliased THREE times in a
+    // chain (IMDb's movie_link t1→t2→t3 / cast n1/n2/n3). Here the fact
+    // itself is the bridge: three lineitem aliases of one order, strictly
+    // ordered by linenumber so each triple counts once, each alias
+    // joined to its OWN part alias with a disjoint size band. The
+    // optimizer must reorder a 6-join chain where the selective
+    // predicates sit on the THIRD hop's dimensions — classic JOB
+    // join-order stress. Per-order lineitem count is bounded (≤7), so
+    // the self-joins stay linear in the fact, never quadratic ---
+    "job3_triple_alias" -> ((s, dir) => {
+      def li(a: String) = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey").as(s"${a}_ok"),
+        col("l_linenumber").as(s"${a}_ln"),
+        col("l_partkey").as(s"${a}_pk"))
+      def pt(a: String, f: Column => Column) =
+        Tables.load(s, dir, "part")
+          .filter(f(col("p_size")))
+          .select(col("p_partkey").as(s"${a}_key"),
+            col("p_name").as(s"${a}_name"))
+      li("l1")
+        .join(li("l2"), col("l1_ok") === col("l2_ok") &&
+          col("l1_ln") < col("l2_ln"))
+        .join(li("l3"), col("l2_ok") === col("l3_ok") &&
+          col("l2_ln") < col("l3_ln"))
+        .join(pt("p1", _ < 10), col("l1_pk") === col("p1_key"))
+        .join(pt("p2", s => s.between(10, 25)), col("l2_pk") === col("p2_key"))
+        .join(pt("p3", _ > 25), col("l3_pk") === col("p3_key"))
+        .agg(min(col("p1_name")).as("small_part"),
+          min(col("p2_name")).as("mid_part"),
+          min(col("p3_name")).as("big_part"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's correlated-LIKE star: pattern filters on TWO independent
+    // dimension arms (part names, supplier names) plus a third on the
+    // orders arm — selectivities the optimizer can only get right by
+    // estimating LIKEs, which is exactly what JOB punishes. MIN-star
+    // output like job1/job2 so the join order is the whole game ---
+    "job4_correlated_like" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("%rod%"))
+      val sup = Tables.load(s, dir, "supplier")
+        .filter(col("s_name").like("%5%"))
+      val n = broadcast(Tables.load(s, dir, "nation"))
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority").like("%HIGH%"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .agg(min(col("p_name")).as("first_part"),
+          min(col("s_name")).as("first_supp"),
+          min(col("n_name")).as("first_nation"),
+          count(lit(1)).as("n"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -250,5 +307,28 @@ object BreadthQueries {
         JOIN part ON l_partkey = p_partkey
       WHERE o_orderpriority LIKE '%URGENT%'
         AND r_name = 'EUROPE'
-        AND p_name LIKE '%bolt'""")
+        AND p_name LIKE '%bolt'""",
+    "job3_triple_alias" -> """
+      SELECT MIN(p1.p_name) AS small_part, MIN(p2.p_name) AS mid_part,
+        MIN(p3.p_name) AS big_part, COUNT(*) AS n
+      FROM lineitem l1
+        JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+          AND l1.l_linenumber < l2.l_linenumber
+        JOIN lineitem l3 ON l2.l_orderkey = l3.l_orderkey
+          AND l2.l_linenumber < l3.l_linenumber
+        JOIN part p1 ON l1.l_partkey = p1.p_partkey
+        JOIN part p2 ON l2.l_partkey = p2.p_partkey
+        JOIN part p3 ON l3.l_partkey = p3.p_partkey
+      WHERE p1.p_size < 10 AND p2.p_size BETWEEN 10 AND 25
+        AND p3.p_size > 25""",
+    "job4_correlated_like" -> """
+      SELECT MIN(p_name) AS first_part, MIN(s_name) AS first_supp,
+        MIN(n_name) AS first_nation, COUNT(*) AS n
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%rod%' AND s_name LIKE '%5%'
+        AND o_orderpriority LIKE '%HIGH%'""")
 }
