@@ -523,6 +523,57 @@ object ExtQueries {
         .limit(20)
     }),
 
+    // --- LDBC BI Q8-style message-thread fanout: persons = customers on
+    // the standard synthetic knows-graph (k → k+1..k+12, same nation —
+    // the ldbc1/ldbc5 projection), messages = orders authored by
+    // o_custkey, and a reply edge exists when a message with a key in
+    // (mid+1..mid+5) is authored by someone the parent's author KNOWS.
+    // The BI Q8 score weights direct replies 2× and second-level replies
+    // 1× (the spec's 1.0/0.5 ratio in integers). Scale shape: reply
+    // candidates are an explode-bounded ×5 fan (never a theta join), the
+    // knows check is one equi-join, depth 2 is one self-equi-join of the
+    // bounded reply set, and both depth counts are map-side-combined
+    // aggregates — all BIGINT, hash-exact.
+    // Ref: /root/reference/benchmark/ldbc/ (BI Q8 "central person") ---
+    "ldbc10_thread_fanout" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_nationkey").cast("bigint").as("nat"))
+      val knows = c.select(col("k").as("src"), col("nat"),
+          explode(sequence(col("k") + 1, col("k") + 12)).as("dst"))
+        .join(c.select(col("k").as("dst"), col("nat")), Seq("dst", "nat"))
+        .select(col("src"), col("dst"))
+      val msgs = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("mid"),
+          col("o_custkey").cast("bigint").as("author"))
+      val replies = msgs
+        .select(col("mid").as("parent"), col("author").as("p_author"),
+          explode(sequence(col("mid") + 1, col("mid") + 5)).as("child"))
+        .join(msgs.select(col("mid").as("child"),
+          col("author").as("r_author")), Seq("child"))
+        .join(knows, col("p_author") === col("src") &&
+          col("r_author") === col("dst"))
+        .select(col("parent"), col("child"), col("p_author"))
+      val d1 = replies.groupBy(col("p_author").as("person"))
+        .agg(count(lit(1)).as("n1"))
+      val d2 = replies
+        .join(replies.select(col("parent").as("r2_parent")),
+          col("child") === col("r2_parent"))
+        .groupBy(col("p_author").as("person"))
+        .agg(count(lit(1)).as("n2"))
+      c.select(col("k").as("person"))
+        .join(d1, Seq("person"), "left")
+        .join(d2, Seq("person"), "left")
+        .select(col("person"),
+          (coalesce(col("n1"), lit(0L)) * 2 +
+            coalesce(col("n2"), lit(0L))).as("score"),
+          coalesce(col("n1"), lit(0L)).as("direct_replies"),
+          coalesce(col("n2"), lit(0L)).as("second_level"))
+        .filter(col("direct_replies") + col("second_level") > 0)
+        .orderBy(col("score").desc, col("person"))
+        .limit(20)
+    }),
+
     // --- forward as-of join (pandas direction='forward'): each event
     // picks the EARLIEST hourly rate bucket at-or-after it — the
     // backward j1 on a negated axis, so both directions share one code
@@ -1137,6 +1188,36 @@ object ExtQueries {
         MIN(node) AS first_member, MAX(node) AS last_member
       FROM l2 GROUP BY lab
       ORDER BY n_members DESC, community LIMIT 20""",
+    "ldbc10_thread_fanout" -> """
+      WITH knows AS (
+        SELECT a.c_custkey AS src, b.c_custkey AS dst
+        FROM customer a JOIN customer b
+          ON b.c_custkey BETWEEN a.c_custkey + 1 AND a.c_custkey + 12
+         AND a.c_nationkey = b.c_nationkey),
+      msgs AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS mid,
+               CAST(o_custkey AS BIGINT) AS author
+        FROM orders),
+      replies AS (
+        SELECT m.mid AS parent, r.mid AS child, m.author AS p_author
+        FROM msgs m
+        JOIN msgs r ON r.mid BETWEEN m.mid + 1 AND m.mid + 5
+        JOIN knows k ON k.src = m.author AND k.dst = r.author),
+      d1 AS (SELECT p_author AS person, COUNT(*) AS n1
+             FROM replies GROUP BY 1),
+      d2 AS (
+        SELECT r1.p_author AS person, COUNT(*) AS n2
+        FROM replies r1 JOIN replies r2 ON r2.parent = r1.child
+        GROUP BY 1)
+      SELECT CAST(c.c_custkey AS BIGINT) AS person,
+        COALESCE(n1, 0) * 2 + COALESCE(n2, 0) AS score,
+        COALESCE(n1, 0) AS direct_replies,
+        COALESCE(n2, 0) AS second_level
+      FROM customer c
+        LEFT JOIN d1 ON d1.person = c.c_custkey
+        LEFT JOIN d2 ON d2.person = c.c_custkey
+      WHERE COALESCE(n1, 0) + COALESCE(n2, 0) > 0
+      ORDER BY score DESC, person LIMIT 20""",
     "j5_asof_forward" -> """
       WITH e AS (SELECT event_id, event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS lt

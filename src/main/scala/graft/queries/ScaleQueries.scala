@@ -534,6 +534,29 @@ object ScaleQueries {
           sum(col("n")).over(Window.partitionBy(col("d"))))
         .withColumn("share_ppm", expr("n * 1000000 div day_total"))
         .orderBy(col("d"), col("event_type"))
+    }),
+
+    // --- ClickBench's mobile-dimension split (queries.sql Q11/Q12:
+    // GROUP BY MobilePhone, MobilePhoneModel + COUNT(DISTINCT UserID)
+    // with the empty-model filter): coarse dim = event_type, fine dim =
+    // a bounded device-model bucket derived from the JSON payload
+    // (k % 7), metric = exact COUNT(DISTINCT user_id). One
+    // partial-aggregated shuffle on the two grouping keys; the JSON
+    // extraction is a codegen'd path get pushed into the scan
+    // projection; top-10 by (u desc, n desc, dims asc) is a total
+    // order. Ref: /root/reference/benchmark/clickbench/queries.sql:11-12
+    "c21_device_split" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+          col("user_id"))
+        .filter(col("k") =!= 0)
+        .groupBy(col("event_type"), (col("k") % 7).as("model"))
+        .agg(countDistinct(col("user_id")).as("u"),
+          count(lit(1)).as("n"))
+        .orderBy(col("u").desc, col("n").desc, col("event_type"),
+          col("model"))
+        .limit(10)
     })
   )
 
@@ -638,6 +661,16 @@ object ScaleQueries {
       SELECT d, event_type, n, day_total,
         n * 1000000 // day_total AS share_ppm
       FROM tot ORDER BY d, event_type""",
+    "c21_device_split" -> """
+      SELECT event_type,
+        CAST(props->>'k' AS BIGINT) % 7 AS model,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u,
+        COUNT(*) AS n
+      FROM events
+      WHERE CAST(props->>'k' AS BIGINT) <> 0
+      GROUP BY 1, 2
+      ORDER BY u DESC, n DESC, event_type, model
+      LIMIT 10""",
     "c13_regex_scan" -> """
       WITH x AS (
         SELECT lang,
