@@ -589,6 +589,86 @@ object Similarity {
     }
   }
 
+  /** Per-dimension (min, max) of the embedding column — the SQ8 scale
+    * model. One posexplode + a D-key map-side-combined aggregate; the
+    * collect is bounded O(dim) driver metadata (like [[centroidStats]]).
+    * Values stay the EXACT floats of the data (min/max does no FP
+    * arithmetic), so any engine recomputes them bit-identically. */
+  private def sq8Stats(corpus: DataFrame): Seq[(Int, Double, Double)] =
+    corpus.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("pos"))
+      .collect().toSeq.map { r =>
+        def d(a: Any): Double = a match {
+          case f: Float => f.toDouble
+          case x: java.lang.Number => x.doubleValue
+        }
+        (r.getInt(0), d(r.get(1)), d(r.get(2)))
+      }
+
+  /** The SQ8 quantizer: `clamp(floor((x − mn_d) · 255 / span_d), 0, 255)`
+    * with `span_d = 1` on constant dimensions (code 0 either way). The
+    * EXACT operand order matters: both engines evaluate
+    * `((double(x) − mn) * 255.0) / span` on identical IEEE doubles, so
+    * the codes — and everything downstream, which is pure integer —
+    * are hash-exact with no literal-snapshot machinery. */
+  private def sq8Span(mn: Double, mx: Double): Double =
+    if (mx == mn) 1.0 else mx - mn
+
+  def sq8Code(x: Double, mn: Double, span: Double): Long =
+    math.min(255L, math.max(0L,
+      math.floor((x - mn) * 255.0 / span).toLong))
+
+  /** SQ8 (int8 scalar quantization) top-k by quantized inner product —
+    * the other production vector-compression path next to PQ (FAISS
+    * `SQ8` / the int8-GEMM serving stack): each dimension is quantized
+    * independently to 0..255 against the corpus per-dim range, and
+    * ranking uses the INTEGER dot product of code vectors (a monotone
+    * proxy for the inner product on the dequantized grid). 4× smaller
+    * than float32, no codebook training.
+    *
+    * Scale shape: the scale model is one bounded D-key aggregate; the
+    * encode and the per-query integer dots are ONE narrow fully
+    * codegen'd projection over the corpus scan (queries ride as literal
+    * code arrays — zero joins); the only exchanges are the per-query
+    * rank and the presentation sort. All scoring is BIGINT — hash-exact
+    * on any engine.
+    *
+    * Output: (q_id, rnk, vec_id, ip_int BIGINT), rnk 1..k by
+    * (ip_int desc, vec_id asc); the query vector itself is excluded. */
+  def sq8TopK(corpus: DataFrame, queries: Seq[(Long, Seq[Double])],
+              k: Int): DataFrame = {
+    require(queries.nonEmpty, "sq8TopK needs at least one query")
+    val spark = corpus.sparkSession
+    val stats = sq8Stats(corpus)
+    val mnArr = array(stats.map(s => lit(s._2)): _*)
+    val spanArr = array(stats.map(s => lit(sq8Span(s._2, s._3))): _*)
+    val codes = transform(col("embedding"), (x, i) =>
+      least(greatest(
+        floor((x.cast("double") - element_at(mnArr, i + 1)) * lit(255.0) /
+          element_at(spanArr, i + 1)), lit(0.0)), lit(255.0)).cast("long"))
+    val qCodes: Seq[(Long, Seq[Long])] = queries.map { case (qid, q) =>
+      qid -> q.zip(stats).map { case (x, (_, mn, mx)) =>
+        sq8Code(x, mn, sq8Span(mn, mx)) }
+    }
+    def ip(c: Column, qc: Seq[Long]): Column =
+      aggregate(zip_with(c, array(qc.map(lit): _*), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+    val perQ = corpus
+      .select(col("vec_id"), codes.as("codes"))
+      .select(col("vec_id"), explode(array(qCodes.map { case (qid, qc) =>
+        struct(lit(qid).as("q_id"), ip(col("codes"), qc).as("ip_int"))
+      }: _*)).as("s"))
+      .select(col("s.q_id"), col("vec_id"), col("s.ip_int"))
+      .filter(col("q_id") =!= col("vec_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ip_int").desc, col("vec_id").asc)
+    perQ.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("ip_int"))
+  }
+
   /** IVF-ADC search — the combined coarse-quantizer + product-quantizer
     * stack (IVF-PQ, Jégou et al. 2011 §V-A, "non-exhaustive search") that
     * a billion-vector ANN deployment actually runs: the IVF layer prunes

@@ -219,6 +219,18 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // --- SQ8 scalar-quantized search: per-dim 0..255 codes against the
+    // corpus min/max range, ranking by INTEGER code dot product — the
+    // 4×-compression serving path next to PQ (FAISS SQ8 / int8 GEMM).
+    // No literal snapshot needed: min/max are exact float aggregates
+    // both engines recompute bit-identically, the encode is the same
+    // IEEE double expression on both sides, and all scoring is BIGINT ---
+    "e16_sq8_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.sq8TopK(e, seedEmbeddings(e, 3), k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // --- hybrid retrieval: BM25 top-20 (sparse) fused with brute-force
     // cosine top-20 (dense, query vectors = embeddings 0/1/2 standing in
     // for encoded query text) via reciprocal-rank fusion — the two-tower
@@ -693,6 +705,35 @@ object VectorQueries {
     "e11_pq_codes" -> e11Oracle,
     "e12_pq_adc" -> e12Oracle,
     "e15_ivf_adc" -> e15Oracle,
+    "e16_sq8_search" -> """
+      WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+          unnest(embedding) AS x
+        FROM embeddings),
+      stats AS (
+        SELECT pos, MIN(x) AS mn, MAX(x) AS mx
+        FROM ex GROUP BY pos),
+      codes AS (
+        SELECT vec_id, e.pos,
+          CAST(LEAST(GREATEST(floor(
+            (CAST(x AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0 /
+            (CASE WHEN mx = mn THEN 1.0
+                  ELSE CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE) END)),
+            0.0), 255.0) AS BIGINT) AS c
+        FROM ex e JOIN stats s ON s.pos = e.pos),
+      qcodes AS (SELECT vec_id AS q_id, pos, c FROM codes WHERE vec_id < 3),
+      scored AS (
+        SELECT q.q_id, c.vec_id, CAST(SUM(q.c * c.c) AS BIGINT) AS ip_int
+        FROM qcodes q JOIN codes c ON c.pos = q.pos
+        WHERE c.vec_id <> q.q_id
+        GROUP BY q.q_id, c.vec_id),
+      ranked AS (
+        SELECT q_id, vec_id, ip_int,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY ip_int DESC, vec_id ASC) AS rnk
+        FROM scored)
+      SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, ip_int
+      FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "e5_knn_ivf" -> e5Oracle,
     "e6_embedding_dedup" -> e6Oracle,
     "e7_kmeans_step" -> e7Oracle,

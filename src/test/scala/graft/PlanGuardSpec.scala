@@ -144,6 +144,60 @@ class PlanGuardSpec extends SparkSpec {
       s"PQ encode must not shuffle before the presentation sort:\n$phys")
   }
 
+  test("e15 IVF-ADC: fused projection narrow, joins broadcast, " +
+    "shuffles only at rollup/rank/presentation") {
+    // the IVF-PQ deployment shape (VERDICT r11 #3): cell assignment + PQ
+    // encode must stay ONE narrow codegen'd projection over the corpus
+    // scan; the probe and LUT joins must ride broadcast (bounded driver
+    // metadata), never shuffle the corpus; the only exchanges allowed
+    // are the (q_id, vec_id) rollup and the per-query rank. A regression
+    // that plans either join as SortMergeJoin — or splits the fused
+    // projection into a self-join — shows up as an extra exchange here.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      SortMergeJoinExec}
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val phys = unwrap(SparkEntry.queries("e15_ivf_adc")(spark, sf)
+      .queryExecution.executedPlan)
+    assert(phys.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"e15: probe/LUT joins must be broadcast, not sort-merge:\n$phys")
+    assert(phys.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+      s"e15: expected the probe AND LUT joins to plan broadcast:\n$phys")
+    // rollup + rank + presentation sort — never an exchange under a join
+    assert(phys.collect { case e: ShuffleExchangeExec => e }.size <= 3,
+      s"e15: corpus must not shuffle before the rollup:\n$phys")
+    assert(phys.collect { case s: FileSourceScanExec => s }.size == 1,
+      s"e15: cell+code fusion must keep ONE corpus scan:\n$phys")
+  }
+
+  test("e16 SQ8: zero joins, one corpus scan, shuffles only at rank/sort") {
+    // the int8 serving shape: encode + per-query integer dots are ONE
+    // narrow projection (queries ride as literal code arrays), so the
+    // plan must contain NO join node at all and exactly one corpus scan;
+    // the only exchanges are the per-query rank and presentation sort.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec}
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val phys = unwrap(SparkEntry.queries("e16_sq8_search")(spark, sf)
+      .queryExecution.executedPlan)
+    assert(phys.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"e16: the encode+dot must be join-free:\n$phys")
+    assert(phys.collect { case s: FileSourceScanExec => s }.size == 1,
+      s"e16: expected ONE corpus scan:\n$phys")
+    assert(phys.collect { case e: ShuffleExchangeExec => e }.size <= 2,
+      s"e16: only the rank + presentation sort may shuffle:\n$phys")
+  }
+
   test("ldbc9/c17/m6: round-11 additions keep their scale shapes") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}

@@ -193,6 +193,108 @@ class RandomizedPropertySpec extends SparkSpec {
     }
   }
 
+  test("ivfAdcTopK == in-memory IVF-PQ reference on random vectors") {
+    // full-stack differential for e15 (VERDICT r11 #3): an independent
+    // in-memory IVF-PQ — coarse argmin by (|c|²−2·v·c asc, c_id asc)
+    // over the first-nCells seed centroids, probe selection the same
+    // way over the query, per-subspace PQ argmin with j-asc ties, ADC
+    // sum of micro6(|cw|²−2·q_sub·cw) over the probed cells only, rank
+    // by (adist asc, vec_id asc). Every fold is a left-to-right sum, so
+    // doubles are bit-identical with the plan's zip_with/aggregate fold.
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(500 + seed)
+      val subDim = 3; val m = 2; val kCode = 4; val dim = m * subDim
+      val nCells = 6; val nProbe = 2; val topK = 5; val n = 40
+      val cbs = Seq.fill(m)(Seq.fill(kCode)(Seq.fill(subDim)(
+        r.nextInt(10).toDouble)))
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Seq.fill(dim)(r.nextInt(10).toFloat)))
+      val queries = (0 until 3).map(qi =>
+        (100L + qi, Seq.fill(dim)(r.nextInt(10).toDouble)))
+      val corpus = vecs.toDF("vec_id", "embedding")
+
+      def dot(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+      def normSq(a: Seq[Double]): Double =
+        a.foldLeft(0.0)((s, v) => s + v * v)
+      val cents = vecs.take(nCells).map { case (id, v) =>
+        (id, v.map(_.toDouble)) }
+      def nearestCells(v: Seq[Double], take: Int): Seq[Long] =
+        cents.map { case (cid, c) => (normSq(c) - 2.0 * dot(v, c), cid) }
+          .sortBy(identity)(Ordering.Tuple2(
+            Ordering.Double.TotalOrdering, Ordering.Long))
+          .take(take).map(_._2)
+      val cellOf = vecs.map { case (id, v) =>
+        id -> nearestCells(v.map(_.toDouble), 1).head }.toMap
+      def codeOf(v: Seq[Double], mm: Int): Int = {
+        val sub = v.slice(mm * subDim, (mm + 1) * subDim)
+        cbs(mm).zipWithIndex.map { case (cw, j) =>
+          (normSq(cw) - 2.0 * dot(sub, cw), j) }.min._2
+      }
+      def lut(q: Seq[Double], mm: Int, j: Int): Long = {
+        val qSub = q.slice(mm * subDim, (mm + 1) * subDim)
+        OracleLiterals.micro6(normSq(cbs(mm)(j)) - 2.0 * dot(qSub, cbs(mm)(j)))
+      }
+      val want = queries.flatMap { case (qid, q) =>
+        val probed = nearestCells(q, nProbe).toSet
+        vecs.filter(v => probed(cellOf(v._1)))
+          .map { case (id, v) =>
+            val vd = v.map(_.toDouble)
+            (id, (0 until m).map(mm => lut(q, mm, codeOf(vd, mm))).sum) }
+          .sortBy { case (id, d) => (d, id) }
+          .take(topK).zipWithIndex
+          .map { case ((id, d), i) => (qid, i + 1, id, d) }
+      }.toSet
+
+      val got = Similarity.ivfAdcTopK(corpus, queries, cbs, k = topK,
+          nCells = nCells, nProbe = nProbe)
+        .collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+        .toSet
+      assert(got == want, s"seed=$seed\n got=${got.toSeq.sorted}\n" +
+        s"want=${want.toSeq.sorted}")
+    }
+  }
+
+  test("sq8TopK == in-memory SQ8 reference on random vectors") {
+    // independent reference for e16: per-dim min/max over the corpus,
+    // clamp(floor((x−mn)·255/span)) codes via Similarity.sq8Code's own
+    // formula order, integer dot, rank by (ip desc, vec_id asc) with
+    // the query row excluded.
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(600 + seed)
+      val dim = 5; val n = 30; val topK = 4
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Seq.fill(dim)((r.nextInt(200) - 100) / 7.0f)))
+      val queries = (0 until 2).map(qi =>
+        (qi.toLong, vecs(qi)._2.map(_.toDouble)))
+      val corpus = vecs.toDF("vec_id", "embedding")
+
+      val mn = (0 until dim).map(d => vecs.map(_._2(d).toDouble).min)
+      val mx = (0 until dim).map(d => vecs.map(_._2(d).toDouble).max)
+      def span(d: Int) = if (mx(d) == mn(d)) 1.0 else mx(d) - mn(d)
+      def code(v: Seq[Double]): Seq[Long] =
+        (0 until dim).map(d => Similarity.sq8Code(v(d), mn(d), span(d)))
+      val want = queries.flatMap { case (qid, q) =>
+        val qc = code(q)
+        vecs.filter(_._1 != qid).map { case (id, v) =>
+          (id, qc.zip(code(v.map(_.toDouble))).map(p => p._1 * p._2).sum) }
+          .sortBy { case (id, ip) => (-ip, id) }
+          .take(topK).zipWithIndex
+          .map { case ((id, ip), i) => (qid, i + 1, id, ip) }
+      }.toSet
+
+      val got = Similarity.sq8TopK(corpus, queries, k = topK)
+        .collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+        .toSet
+      assert(got == want, s"seed=$seed\n got=${got.toSeq.sorted}\n" +
+        s"want=${want.toSeq.sorted}")
+    }
+  }
+
   test("pqCodes == naive per-subspace argmin on random vectors") {
     for (seed <- 1 to 3) {
       val r = new scala.util.Random(400 + seed)
