@@ -92,6 +92,24 @@ object ScaleQueries {
         .orderBy(col("d"))
     }),
 
+    // --- streaming exact-dedup surface, batch twin: the EXACT
+    // EventPipeline.dedupStream spelling (watermark +
+    // dropDuplicatesWithinWatermark on a content-hash key) run on a
+    // batch frame, where Spark defines its semantics as plain exact
+    // dedup; on readStream sources the same code keeps
+    // watermark-bounded first-seen state (StreamingSpec pins eviction).
+    // WHICH physical row survives per key is engine-dependent, so the
+    // checked output is key-derived only: distinct payloads per type ---
+    "s6_stream_dedup" -> ((s, dir) => {
+      val keyed = graft.Tables.events(s, dir)
+        .select(col("event_type"), col("props"), col("t"),
+          md5(concat_ws("|", col("event_type"), col("props"))).as("k"))
+      graft.streaming.EventPipeline.dedupStream(keyed, keyCol = "k")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique"))
+        .orderBy(col("event_type"))
+    }),
+
     // --- BPE-ish subword token stats ---
     "d9_bpe_tokens" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -749,6 +767,10 @@ object ScaleQueries {
         SELECT user_id, sid, COUNT(*) AS sz FROM sid GROUP BY user_id, sid)
       SELECT user_id, COUNT(*) AS n_sessions, MAX(sz) AS max_len
       FROM sess GROUP BY user_id ORDER BY user_id""",
+    "s6_stream_dedup" -> """
+      SELECT event_type,
+        CAST(COUNT(DISTINCT props) AS BIGINT) AS n_unique
+      FROM events GROUP BY event_type ORDER BY event_type""",
     // independent spelling of Spark's native session_window semantics:
     // session start = first event time, end = LAST event time + gap
     "s4_session_window" -> """

@@ -74,9 +74,15 @@ object EventPipeline {
     * `md5(col("text"))` pre-projected as the key column. */
   def dedupStream(events: DataFrame, keyCol: String, timeCol: String = "t",
                   watermark: String = "2 hours"): DataFrame =
-    events
-      .withWatermark(timeCol, watermark)
-      .dropDuplicatesWithinWatermark(keyCol)
+    if (events.isStreaming)
+      events
+        .withWatermark(timeCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCol)
+    else
+      // batch twin: dropDuplicatesWithinWatermark refuses batch frames
+      // (AnalysisException) — and Spark defines its batch semantics as
+      // plain exact dedup, so dispatch instead of making callers fork
+      events.dropDuplicates(keyCol)
 
   /** Stream-static enrichment join: each micro-batch of the stream joins
     * a STATIC dimension frame (no state, no watermark needed — the static
