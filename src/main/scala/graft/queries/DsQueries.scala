@@ -293,9 +293,60 @@ object DsQueries {
         .select(col("prio"), col("yr"), col("mo"), col("sales_cents"),
           col("gid"), col("rk"))
         .orderBy(col("prio").asc_nulls_first, col("rk"))
+    }),
+
+    // --- q97 shape: two channels' distinct (customer, item) sets over a
+    // date window, FULL OUTER joined, three-way overlap counts
+    // (store_only / catalog_only / both). Channels here are click vs
+    // purchase events, the (customer, item) grain is (user_id, day).
+    // Scale shape: each channel is a partial-aggregated DISTINCT on its
+    // own (u, d) key, the FULL OUTER join shuffles both sides on that
+    // same key (no broadcast — both channels are corpus-proportional),
+    // and the output is a 1-row global aggregate. All-integer.
+    // Ref: /root/reference/benchmark/tpcds/query97.tpl ---
+    "ds12_channel_overlap" -> ((s, dir) => {
+      val e = graft.Tables.events(s, dir)
+        .filter(col("t") < lit("2024-01-16").cast("timestamp"))
+      def chan(tp: String, a: String) =
+        e.filter(col("event_type") === tp)
+          .select(col("user_id").as(s"${a}_u"),
+            date_trunc("day", col("t")).as(s"${a}_d"))
+          .distinct()
+      chan("click", "c")
+        .join(chan("purchase", "p"),
+          col("c_u") === col("p_u") && col("c_d") === col("p_d"),
+          "full_outer")
+        .agg(
+          sum(when(col("c_u").isNotNull && col("p_u").isNull, 1L)
+            .otherwise(0L)).as("click_only"),
+          sum(when(col("c_u").isNull && col("p_u").isNotNull, 1L)
+            .otherwise(0L)).as("purchase_only"),
+          sum(when(col("c_u").isNotNull && col("p_u").isNotNull, 1L)
+            .otherwise(0L)).as("click_and_purchase"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "ds12_channel_overlap" -> """
+      WITH cs AS (
+        SELECT DISTINCT user_id AS u,
+          CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d
+        FROM events
+        WHERE event_type = 'click'
+          AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'),
+      ps AS (
+        SELECT DISTINCT user_id AS u,
+          CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d
+        FROM events
+        WHERE event_type = 'purchase'
+          AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16')
+      SELECT
+        CAST(SUM(CASE WHEN cs.u IS NOT NULL AND ps.u IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS click_only,
+        CAST(SUM(CASE WHEN cs.u IS NULL AND ps.u IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS purchase_only,
+        CAST(SUM(CASE WHEN cs.u IS NOT NULL AND ps.u IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS click_and_purchase
+      FROM cs FULL OUTER JOIN ps ON cs.u = ps.u AND cs.d = ps.d""",
     "ds11_rollup_topk" -> """
       WITH base AS (
         SELECT o_orderpriority AS prio,
