@@ -637,26 +637,34 @@ object Similarity {
     *
     * Output: (q_id, rnk, vec_id, ip_int BIGINT), rnk 1..k by
     * (ip_int desc, vec_id asc); the query vector itself is excluded. */
-  def sq8TopK(corpus: DataFrame, queries: Seq[(Long, Seq[Double])],
-              k: Int): DataFrame = {
-    require(queries.nonEmpty, "sq8TopK needs at least one query")
-    val spark = corpus.sparkSession
-    val stats = sq8Stats(corpus)
+  /** The SQ8 encode as ONE narrow expression column over `embedding` —
+    * shared by [[sq8TopK]] and [[buildSq8Index]] so the quantizer can
+    * never silently diverge between the one-shot and persisted paths. */
+  private def sq8CodesCol(stats: Seq[(Int, Double, Double)]): Column = {
     val mnArr = array(stats.map(s => lit(s._2)): _*)
     val spanArr = array(stats.map(s => lit(sq8Span(s._2, s._3))): _*)
-    val codes = transform(col("embedding"), (x, i) =>
+    transform(col("embedding"), (x, i) =>
       least(greatest(
         floor((x.cast("double") - element_at(mnArr, i + 1)) * lit(255.0) /
           element_at(spanArr, i + 1)), lit(0.0)), lit(255.0)).cast("long"))
-    val qCodes: Seq[(Long, Seq[Long])] = queries.map { case (qid, q) =>
+  }
+
+  private def sq8QueryCodes(stats: Seq[(Int, Double, Double)],
+                            queries: Seq[(Long, Seq[Double])])
+      : Seq[(Long, Seq[Long])] =
+    queries.map { case (qid, q) =>
       qid -> q.zip(stats).map { case (x, (_, mn, mx)) =>
         sq8Code(x, mn, sq8Span(mn, mx)) }
     }
+
+  /** Per-query integer dots + rank over a (vec_id, codes) frame —
+    * queries ride as literal code arrays, so this stays join-free. */
+  private def sq8Rank(codesDf: DataFrame, qCodes: Seq[(Long, Seq[Long])],
+                      k: Int): DataFrame = {
     def ip(c: Column, qc: Seq[Long]): Column =
       aggregate(zip_with(c, array(qc.map(lit): _*), (a, b) => a * b),
         lit(0L), (acc, v) => acc + v)
-    val perQ = corpus
-      .select(col("vec_id"), codes.as("codes"))
+    val perQ = codesDf
       .select(col("vec_id"), explode(array(qCodes.map { case (qid, qc) =>
         struct(lit(qid).as("q_id"), ip(col("codes"), qc).as("ip_int"))
       }: _*)).as("s"))
@@ -667,6 +675,43 @@ object Similarity {
     perQ.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id"), col("ip_int"))
+  }
+
+  def sq8TopK(corpus: DataFrame, queries: Seq[(Long, Seq[Double])],
+              k: Int): DataFrame = {
+    require(queries.nonEmpty, "sq8TopK needs at least one query")
+    val stats = sq8Stats(corpus)
+    sq8Rank(corpus.select(col("vec_id"), sq8CodesCol(stats).as("codes")),
+      sq8QueryCodes(stats, queries), k)
+  }
+
+  /** Persists the SQ8 index: the per-dim scale stats (bounded metadata)
+    * and the encoded code arrays — ~4× smaller than the float corpus.
+    * The serving decomposition of [[sq8TopK]]: encode once, query many
+    * (cf. [[buildIvfIndex]]/[[queryIvfIndex]] for the IVF analogue). */
+  def buildSq8Index(corpus: DataFrame, path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val stats = sq8Stats(corpus)
+    stats.toDF("pos", "mn", "mx").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/stats")
+    corpus.select(col("vec_id"), sq8CodesCol(stats).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Top-k by quantized inner product against a persisted
+    * [[buildSq8Index]] index. The stats read is bounded O(dim) metadata;
+    * the code scan never touches the original vectors. Results are
+    * identical to [[sq8TopK]] over the same corpus. */
+  def querySq8Index(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    require(queries.nonEmpty, "querySq8Index needs at least one query")
+    val stats: Seq[(Int, Double, Double)] =
+      spark.read.parquet(s"$path/stats")
+        .orderBy(col("pos")).collect().toSeq
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    sq8Rank(spark.read.parquet(s"$path/codes"),
+      sq8QueryCodes(stats, queries), k)
   }
 
   /** IVF-ADC search — the combined coarse-quantizer + product-quantizer

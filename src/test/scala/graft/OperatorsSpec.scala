@@ -333,6 +333,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.groupBy(_.getLong(0)).values.forall(_.length <= 4))
   }
 
+  test("persisted SQ8 index: build once, query matches one-shot sq8TopK") {
+    val path = java.nio.file.Files.createTempDirectory("sq8_idx").toString
+    Similarity.buildSq8Index(emb, path)
+    val qs = emb.orderBy(col("vec_id")).limit(2)
+      .collect().toSeq.map(r => (r.getLong(0),
+        r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case n: java.lang.Number => n.doubleValue
+        }.toSeq))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(rows(Similarity.querySq8Index(spark, path, qs, k = 4)) ==
+      rows(Similarity.sq8TopK(emb, qs, k = 4)))
+    // the persisted codes are integer arrays — the query path must never
+    // read the float corpus
+    val codeSchema = spark.read.parquet(s"$path/codes").schema
+    assert(codeSchema.fieldNames.toSet == Set("vec_id", "codes"))
+  }
+
   test("persisted IVF index: build once, query matches one-shot ivfKnn") {
     val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     Similarity.buildIvfIndex(emb, path, nCells = 16)
