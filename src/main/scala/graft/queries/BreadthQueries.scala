@@ -218,6 +218,58 @@ object BreadthQueries {
           min(col("s_name")).as("first_supp"),
           min(col("n_name")).as("first_nation"),
           count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's IN-list star: the corpus' most common predicate form is
+    // `dim.attr IN ('a','b',...)` on SEVERAL dimension arms at once
+    // (IMDb's keyword/company-country/info-type lists). Each IN-list
+    // reaches its scan as an In PushedFilter; the optimizer must rank
+    // three differently-selective list filters to pick the join order.
+    // MIN-star output like job1–job4 ---
+    "job5_inlist_star" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_size").isin(2, 7, 12, 17, 22, 27, 32, 37, 42, 47))
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      val c = Tables.load(s, dir, "customer")
+      val n = broadcast(Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_4", "NATION_9",
+          "NATION_13", "NATION_17", "NATION_21")))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .agg(min(col("p_name")).as("first_part"),
+          min(col("n_name")).as("first_nation"),
+          min(col("o_orderdate")).as("earliest"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's cross-table disjunction: an OR whose branches test
+    // columns of TWO DIFFERENT dimension tables (IMDb's
+    // `mc.note LIKE ... OR t.title LIKE ...`). Neither branch can be
+    // pushed below its join — the predicate is only evaluable on the
+    // joined row — so the optimizer keeps a post-join filter while the
+    // conjunctive l_quantity band still prunes the fact scan. The
+    // scale discipline: both arms stay equi-joins (the OR lives in a
+    // Filter ABOVE the join, never as a join condition, which would
+    // degrade to nested-loop) ---
+    "job6_cross_disjunction" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") < 30)
+      val p = Tables.load(s, dir, "part")
+      val sup = Tables.load(s, dir, "supplier")
+      val n = broadcast(Tables.load(s, dir, "nation"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .filter(col("p_name").like("%rod%") ||
+          col("s_name").like("%7%"))
+        .agg(min(col("p_name")).as("first_part"),
+          min(col("s_name")).as("first_supp"),
+          min(col("n_name")).as("first_nation"),
+          count(lit(1)).as("n"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -330,5 +382,26 @@ object BreadthQueries {
         JOIN nation ON s_nationkey = n_nationkey
         JOIN orders ON l_orderkey = o_orderkey
       WHERE p_name LIKE '%rod%' AND s_name LIKE '%5%'
-        AND o_orderpriority LIKE '%HIGH%'""")
+        AND o_orderpriority LIKE '%HIGH%'""",
+    "job5_inlist_star" -> """
+      SELECT MIN(p_name) AS first_part, MIN(n_name) AS first_nation,
+        MIN(CAST(o_orderdate AS TIMESTAMP)) AS earliest, COUNT(*) AS n
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE p_size IN (2, 7, 12, 17, 22, 27, 32, 37, 42, 47)
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND n_name IN ('NATION_1', 'NATION_4', 'NATION_9',
+                       'NATION_13', 'NATION_17', 'NATION_21')""",
+    "job6_cross_disjunction" -> """
+      SELECT MIN(p_name) AS first_part, MIN(s_name) AS first_supp,
+        MIN(n_name) AS first_nation, COUNT(*) AS n
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE l_quantity < 30
+        AND (p_name LIKE '%rod%' OR s_name LIKE '%7%')""")
 }

@@ -323,9 +323,105 @@ object DsQueries {
             .otherwise(0L)).as("purchase_only"),
           sum(when(col("c_u").isNotNull && col("p_u").isNotNull, 1L)
             .otherwise(0L)).as("click_and_purchase"))
+    }),
+
+    // --- TPC-DS q35's signature: EXISTS a AND (EXISTS b OR EXISTS c) —
+    // customers present in one channel AND in at least one of two
+    // others, rolled up by a demographic dim. The scale-right rewrite:
+    // each EXISTS is a LEFT SEMI join on the customer key, and the OR
+    // of two EXISTS becomes ONE semi join against the UNION of the two
+    // subqueries' keys (never a correlated per-row probe, never a
+    // row-exploding inner join — semi joins can't duplicate). Grain
+    // stays one row per customer until the final O(#segments) rollup.
+    // Ref: /root/reference/benchmark/tpcds/query35.tpl ---
+    "ds13_multi_exists" -> ((s, dir) => {
+      val c = graft.Tables.load(s, dir, "customer")
+      val o = graft.Tables.load(s, dir, "orders")
+      val chanA = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val chanB = o.filter(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey"))
+      val chanC = o.filter(col("o_orderpriority") === "5-LOW")
+        .select(col("o_custkey"))
+      val chanBorC = chanB.union(chanC)
+      c.join(chanA, c("c_custkey") === chanA("o_custkey"), "left_semi")
+        .join(chanBorC, c("c_custkey") === chanBorC("o_custkey"),
+          "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          min(col("c_name")).as("first_cust"),
+          sum(round(col("c_acctbal") * 100).cast("bigint"))
+            .as("acctbal_cents"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // --- TPC-DS q21's before/after pivot: per (warehouse, item) — here
+    // (supplier, part) — quantity shipped strictly before vs on-or-after
+    // a pivot date, kept only where both sides are non-zero and their
+    // ratio sits in [2/3, 3/2]. The ratio gate is pure integer
+    // cross-multiplication (2·qb ≤ 3·qa AND 2·qa ≤ 3·qb) — no division,
+    // bit-identical in both engines. One shuffle on the (supp, part)
+    // grain with partial aggregation; supplier is scale-proportional
+    // (SF×10k) so no broadcast hint — AQE picks the build side from
+    // runtime sizes ---
+    "ds14_before_after" -> ((s, dir) => {
+      val pivot = lit("1998-07-01").cast("timestamp")
+      val g = graft.Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey"),
+          col("l_quantity").cast("bigint").as("qty"),
+          (col("l_shipdate") < pivot).as("before"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(when(col("before"), col("qty")).otherwise(0L))
+            .as("qty_before"),
+          sum(when(!col("before"), col("qty")).otherwise(0L))
+            .as("qty_after"))
+        .filter(col("qty_before") > 0 && col("qty_after") > 0 &&
+          col("qty_before") * 2 <= col("qty_after") * 3 &&
+          col("qty_after") * 2 <= col("qty_before") * 3)
+      val sup = graft.Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))
+      g.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("l_partkey").as("p_partkey"),
+          col("qty_before"), col("qty_after"))
+        .orderBy(col("s_name"), col("p_partkey"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "ds13_multi_exists" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_cust,
+        MIN(c_name) AS first_cust,
+        CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+          AS acctbal_cents
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c.c_custkey
+                      AND o_orderpriority = '1-URGENT')
+        AND (EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c.c_custkey
+                       AND o_totalprice > 150000.0)
+          OR EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c.c_custkey
+                       AND o_orderpriority = '5-LOW'))
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+    "ds14_before_after" -> """
+      WITH g AS (
+        SELECT l_suppkey, l_partkey,
+          CAST(SUM(CASE WHEN CAST(l_shipdate AS TIMESTAMP)
+                             < TIMESTAMP '1998-07-01'
+                        THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS qty_before,
+          CAST(SUM(CASE WHEN CAST(l_shipdate AS TIMESTAMP)
+                             >= TIMESTAMP '1998-07-01'
+                        THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS qty_after
+        FROM lineitem GROUP BY l_suppkey, l_partkey)
+      SELECT s_name, l_partkey AS p_partkey, qty_before, qty_after
+      FROM g JOIN supplier ON l_suppkey = s_suppkey
+      WHERE qty_before > 0 AND qty_after > 0
+        AND qty_before * 2 <= qty_after * 3
+        AND qty_after * 2 <= qty_before * 3
+      ORDER BY s_name, p_partkey""",
     "ds12_channel_overlap" -> """
       WITH cs AS (
         SELECT DISTINCT user_id AS u,

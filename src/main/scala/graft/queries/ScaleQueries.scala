@@ -575,10 +575,54 @@ object ScaleQueries {
         .orderBy(col("u").desc, col("n").desc, col("event_type"),
           col("model"))
         .limit(10)
+    }),
+
+    // --- ClickBench's wide-sum scan (queries.sql Q30: 90 SUM
+    // expressions over one table): stresses expression-tree WIDTH in a
+    // single ungrouped aggregate — one scan, 30 independent SUM
+    // kernels, all inside one WholeStageCodegen span, partial+final
+    // split so the wide row never shuffles more than once per
+    // partition. Integer cents keep every sum exact.
+    // Ref: /root/reference/benchmark/clickbench/queries.sql:30 ---
+    "c22_wide_sums" -> ((s, dir) => {
+      val cents = round(col("value") * 100).cast("bigint")
+      val sums = (0 until 30).map(k =>
+        sum(col("cents") + lit(k.toLong)).as(s"s$k"))
+      graft.Tables.events(s, dir)
+        .select(cents.as("cents"))
+        .agg(sums.head, sums.tail: _*)
+    }),
+
+    // --- ClickBench's deep-offset page (queries.sql Q39–Q43: ORDER BY
+    // agg DESC LIMIT 10 OFFSET 1000): pagination deep into a sorted
+    // aggregate. The engine must fetch offset+limit rows through the
+    // top-k machinery (ONE TakeOrderedAndProject over the partial
+    // aggregate, never a global sort). Tiebreak keys make the page
+    // deterministic. Ref: clickbench/queries.sql:39-43 ---
+    "c23_deep_offset" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("user_id"), col("event_type"))
+        .offset(25).limit(10)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "c22_wide_sums" -> ("""
+      WITH e AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      SELECT
+        """ + (0 until 30).map(k =>
+          s"CAST(SUM(cents + $k) AS BIGINT) AS s$k")
+          .mkString(",\n        ") + """
+      FROM e"""),
+    "c23_deep_offset" -> """
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events
+      GROUP BY user_id, event_type
+      ORDER BY c DESC, user_id, event_type
+      LIMIT 10 OFFSET 25""",
     // exact replica of TextFunctions.fingerprintRolling: fold tokens
     // through acc <- (acc*31 + (md5-60-bit hash mod p)) mod p, acc0 = 1
     "d10_rolling_fp" -> """
