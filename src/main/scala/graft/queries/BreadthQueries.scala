@@ -270,6 +270,31 @@ object BreadthQueries {
           min(col("s_name")).as("first_supp"),
           min(col("n_name")).as("first_nation"),
           count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's negative filters: NOT LIKE on two dimension arms plus a
+    // range band on the fact (the corpus is full of `note NOT LIKE
+    // '%(as Metro-Goldwyn-Mayer Pictures)%'` + `production_year
+    // BETWEEN`). Negations push to the scans as Not(StringContains);
+    // the date band prunes parquet row groups via min/max stats. The
+    // optimizer must price NOT-LIKE selectivity (high) vs the band
+    // (low) to order the joins ---
+    "job7_negative_filters" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val p = Tables.load(s, dir, "part")
+        .filter(!col("p_name").like("%widget%"))
+      val sup = Tables.load(s, dir, "supplier")
+        .filter(!col("s_name").like("%1%"))
+      val o = Tables.load(s, dir, "orders")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .agg(min(col("p_name")).as("first_part"),
+          min(col("s_name")).as("first_supp"),
+          min(col("o_orderdate")).as("earliest"),
+          count(lit(1)).as("n"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -403,5 +428,16 @@ object BreadthQueries {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
       WHERE l_quantity < 30
-        AND (p_name LIKE '%rod%' OR s_name LIKE '%7%')""")
+        AND (p_name LIKE '%rod%' OR s_name LIKE '%7%')""",
+    "job7_negative_filters" -> """
+      SELECT MIN(p_name) AS first_part, MIN(s_name) AS first_supp,
+        MIN(CAST(o_orderdate AS TIMESTAMP)) AS earliest, COUNT(*) AS n
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+      WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+        AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1998-01-01'
+        AND p_name NOT LIKE '%widget%'
+        AND s_name NOT LIKE '%1%'""")
 }

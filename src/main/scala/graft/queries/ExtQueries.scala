@@ -574,6 +574,75 @@ object ExtQueries {
         .limit(20)
     }),
 
+    // --- LDBC BI Q5-style "most active posters in a topic": messages =
+    // orders (author = o_custkey), topic filter = priority, replies =
+    // the ldbc10 ×5 explode fan (no knows check — Q5 counts ALL
+    // replies), likes = lineitems referencing the message's order key.
+    // Q5's exact structure: per-message reply/like counts arrive as
+    // pre-aggregated LEFT JOINs (sum(coalesce(c,0))), rolled up per
+    // author, weighted score = 1·messages + 2·replies + 10·likes,
+    // top-100. Scale shape: both engagement arms aggregate BEFORE
+    // joining (grain = message key, never an exploded fact-fact row),
+    // the fan is explode-bounded ×5, everything BIGINT.
+    // Ref: /root/reference/benchmark/ldbc/bi-5.sql ---
+    "ldbc11_engagement_score" -> ((s, dir) => {
+      val all = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("mid"),
+          col("o_custkey").cast("bigint").as("author"))
+      val topic = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_orderkey").cast("bigint").as("mid"),
+          col("o_custkey").cast("bigint").as("author"))
+      val rc = topic
+        .select(col("mid").as("rparent"),
+          explode(sequence(col("mid") + 1, col("mid") + 5)).as("child"))
+        .join(all.select(col("mid").as("child")), Seq("child"))
+        .groupBy(col("rparent")).agg(count(lit(1)).as("r"))
+      val lc = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").cast("bigint").as("lparent"))
+        .agg(count(lit(1)).as("l"))
+      topic
+        .join(rc, col("mid") === col("rparent"), "left")
+        .join(lc, col("mid") === col("lparent"), "left")
+        .groupBy(col("author"))
+        .agg(count(lit(1)).as("message_count"),
+          sum(coalesce(col("r"), lit(0L))).as("reply_count"),
+          sum(coalesce(col("l"), lit(0L))).as("like_count"))
+        .select(col("author").as("person"), col("message_count"),
+          col("reply_count"), col("like_count"),
+          (col("message_count") + col("reply_count") * 2 +
+            col("like_count") * 10).as("score"))
+        .orderBy(col("score").desc, col("person"))
+        .limit(100)
+    }),
+
+    // --- LDBC BI Q9-style "top thread initiators": threads = orders in
+    // a date window, thread messages = the order's lineitems shipped in
+    // the same window, pre-aggregated per thread (Q9's MPP CTE) and
+    // INNER-joined back to the root — initiators with zero in-window
+    // messages drop out, exactly like Q9. Per person: threadCount +
+    // total messageCount, top-100 by messages. One (orderkey) grain
+    // aggregate, one equi-join, one author rollup — no windows.
+    // Ref: /root/reference/benchmark/ldbc/bi-9.sql ---
+    "ldbc12_thread_initiators" -> ((s, dir) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1999-01-01").cast("timestamp")
+      val mpp = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_orderkey").cast("bigint").as("root"))
+        .agg(count(lit(1)).as("mc"))
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey").cast("bigint").as("root"),
+          col("o_custkey").cast("bigint").as("person"))
+        .join(mpp, Seq("root"))
+        .groupBy(col("person"))
+        .agg(count(lit(1)).as("thread_count"),
+          sum(col("mc")).as("message_count"))
+        .orderBy(col("message_count").desc, col("person"))
+        .limit(100)
+    }),
+
     // --- forward as-of join (pandas direction='forward'): each event
     // picks the EARLIEST hourly rate bucket at-or-after it — the
     // backward j1 on a negated axis, so both directions share one code
@@ -1218,6 +1287,49 @@ object ExtQueries {
         LEFT JOIN d2 ON d2.person = c.c_custkey
       WHERE COALESCE(n1, 0) + COALESCE(n2, 0) > 0
       ORDER BY score DESC, person LIMIT 20""",
+    "ldbc11_engagement_score" -> """
+      WITH msgs AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS mid,
+               CAST(o_custkey AS BIGINT) AS author
+        FROM orders),
+      topic AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS mid,
+               CAST(o_custkey AS BIGINT) AS author
+        FROM orders WHERE o_orderpriority = '2-HIGH'),
+      rc AS (
+        SELECT t.mid, COUNT(*) AS r
+        FROM topic t JOIN msgs m
+          ON m.mid BETWEEN t.mid + 1 AND t.mid + 5
+        GROUP BY t.mid),
+      lc AS (
+        SELECT CAST(l_orderkey AS BIGINT) AS mid, COUNT(*) AS l
+        FROM lineitem GROUP BY 1)
+      SELECT t.author AS person,
+        COUNT(*) AS message_count,
+        CAST(SUM(COALESCE(rc.r, 0)) AS BIGINT) AS reply_count,
+        CAST(SUM(COALESCE(lc.l, 0)) AS BIGINT) AS like_count,
+        CAST(COUNT(*) + SUM(COALESCE(rc.r, 0)) * 2 +
+             SUM(COALESCE(lc.l, 0)) * 10 AS BIGINT) AS score
+      FROM topic t
+        LEFT JOIN rc ON rc.mid = t.mid
+        LEFT JOIN lc ON lc.mid = t.mid
+      GROUP BY t.author
+      ORDER BY score DESC, person LIMIT 100""",
+    "ldbc12_thread_initiators" -> """
+      WITH mpp AS (
+        SELECT CAST(l_orderkey AS BIGINT) AS root, COUNT(*) AS mc
+        FROM lineitem
+        WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01'
+          AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1999-01-01'
+        GROUP BY 1)
+      SELECT CAST(o_custkey AS BIGINT) AS person,
+        COUNT(*) AS thread_count,
+        CAST(SUM(mc) AS BIGINT) AS message_count
+      FROM orders JOIN mpp ON mpp.root = o_orderkey
+      WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01'
+        AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1999-01-01'
+      GROUP BY o_custkey
+      ORDER BY message_count DESC, person LIMIT 100""",
     "j5_asof_forward" -> """
       WITH e AS (SELECT event_id, event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS lt
