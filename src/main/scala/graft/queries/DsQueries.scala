@@ -384,9 +384,59 @@ object DsQueries {
         .select(col("s_name"), col("l_partkey").as("p_partkey"),
           col("qty_before"), col("qty_after"))
         .orderBy(col("s_name"), col("p_partkey"))
+    }),
+
+    // --- TPC-DS q14's cross_items: items sold in ALL channels (the
+    // INTERSECT of three per-channel item-key sets), then revenue of
+    // exactly those items rolled up by brand. Channels here are
+    // return-flag classes (R / A / N — the driver schema carries no
+    // ship mode). Scale shape: each channel
+    // set is a partial-aggregated DISTINCT on the bare item key (narrow
+    // — one BIGINT column reaches the shuffle), INTERSECT is Spark's
+    // left-semi aggregate (never materializes pairs), and the small
+    // surviving set comes back as ONE semi join on the fact — the wide
+    // lineitem columns are scanned once, after pruning. No row can
+    // duplicate (semi), so the brand rollup grain is exact.
+    // Ref: /root/reference/benchmark/tpcds/query14.tpl ---
+    "ds15_cross_channel_items" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      def chan(flags: String*) =
+        l.filter(col("l_returnflag").isin(flags: _*))
+          .select(col("l_partkey")).distinct()
+      val cross = chan("R").intersect(chan("A")).intersect(chan("N"))
+      l.join(cross, Seq("l_partkey"), "left_semi")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(D)).cast("double").as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "ds15_cross_channel_items" -> """
+      WITH ret AS (SELECT DISTINCT l_partkey FROM lineitem
+                   WHERE l_returnflag = 'R'),
+      acc AS (SELECT DISTINCT l_partkey FROM lineitem
+              WHERE l_returnflag = 'A'),
+      non AS (SELECT DISTINCT l_partkey FROM lineitem
+              WHERE l_returnflag = 'N'),
+      cross_items AS (
+        SELECT l_partkey FROM ret
+        INTERSECT SELECT l_partkey FROM acc
+        INTERSECT SELECT l_partkey FROM non)
+      SELECT p_brand,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(28,6))) AS DOUBLE) AS rev,
+        COUNT(*) AS n
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+      WHERE l_partkey IN (SELECT l_partkey FROM cross_items)
+      GROUP BY p_brand
+      ORDER BY p_brand""",
     "ds13_multi_exists" -> """
       SELECT c_mktsegment, COUNT(*) AS n_cust,
         MIN(c_name) AS first_cust,

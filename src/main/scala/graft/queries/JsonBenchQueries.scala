@@ -145,26 +145,8 @@ object JsonBenchQueries {
     // The oracle rebuilds ground truth relationally from the same
     // deterministic k-mapping (the corpusCte convention)
     "jb6_ragged_variant" -> ((s, dir) => {
-      val k = kExpr
-      val j =
-        when(k % 3 === 0, concat(
-          lit("{\"kind\":\"commit\",\"commit\":{\"collection\":\""),
-          collectionExpr,
-          lit("\",\"record\":{\"text\":\""), col("event_type"),
-          lit("\",\"langs\":[\"en\",\"fr\"],\"stars\":"),
-          (k % 7).cast("string"), lit("}}}")))
-        .when(k % 3 === 1, concat(
-          lit("{\"kind\":\"commit\",\"commit\":{\"collection\":\""),
-          collectionExpr,
-          lit("\",\"record\":{\"subject\":{\"uri\":\"at://did:plc:"),
-          col("user_id").cast("string"),
-          lit("\"},\"stars\":\""), (k % 7).cast("string"),
-          lit("\"}}}")))
-        .otherwise(concat(
-          lit("{\"kind\":\"identity\",\"seq\":"), k.cast("string"),
-          lit("}")))
       graft.Tables.events(s, dir)
-        .select(parse_json(j).as("v"))
+        .select(parse_json(raggedJson).as("v"))
         .select(
           expr("variant_get(v, '$.kind', 'string')").as("kind"),
           expr("try_variant_get(v, '$.commit.collection', 'string')")
@@ -184,8 +166,57 @@ object JsonBenchQueries {
             .as("n_str_stars"),
           sum(coalesce(col("seq"), lit(0L))).as("sum_seq"))
         .orderBy(col("kind"), col("collection").asc_nulls_first)
+    }),
+
+    // Q7 (beyond the reference corpus): VARIANT ARRAY navigation — pull
+    // the whole `langs` array out of the variant as a TYPED
+    // array<string> (one variant_get, not one per index), explode it to
+    // the (doc, lang) grain, and roll up per (collection, lang) with
+    // the numeric stars sum. Docs without the array (k%3≠0) are
+    // DROPPED by the inner explode — the generator is the filter.
+    // Scale shape: parse/navigate/explode are all per-row narrow ops
+    // fused in one codegen stage ahead of a single partial+final
+    // aggregate on a bounded (collection, lang) key space; the fan-out
+    // is the array arity (2), not corpus-dependent.
+    "jb7_lang_explode" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .select(parse_json(raggedJson).as("v"))
+        .select(
+          expr("try_variant_get(v, '$.commit.collection', 'string')")
+            .as("collection"),
+          expr("try_variant_get(v, '$.commit.record.stars', 'bigint')")
+            .as("stars"),
+          explode(expr(
+            "try_variant_get(v, '$.commit.record.langs', 'array<string>')"))
+            .as("lang"))
+        .groupBy(col("collection"), col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("stars"), lit(0L))).as("sum_stars"))
+        .orderBy(col("collection"), col("lang"))
     })
   )
+
+  /** jb6/jb7's deterministically ragged JSON document (three disjoint
+    * shapes keyed on k%3 — see jb6's comment). */
+  private def raggedJson: Column = {
+    val k = kExpr
+    when(k % 3 === 0, concat(
+      lit("{\"kind\":\"commit\",\"commit\":{\"collection\":\""),
+      collectionExpr,
+      lit("\",\"record\":{\"text\":\""), col("event_type"),
+      lit("\",\"langs\":[\"en\",\"fr\"],\"stars\":"),
+      (k % 7).cast("string"), lit("}}}")))
+      .when(k % 3 === 1, concat(
+        lit("{\"kind\":\"commit\",\"commit\":{\"collection\":\""),
+        collectionExpr,
+        lit("\",\"record\":{\"subject\":{\"uri\":\"at://did:plc:"),
+        col("user_id").cast("string"),
+        lit("\"},\"stars\":\""), (k % 7).cast("string"),
+        lit("\"}}}")))
+      .otherwise(concat(
+        lit("{\"kind\":\"identity\",\"seq\":"), k.cast("string"),
+        lit("}")))
+  }
 
   /** The oracle rebuilds the corpus relationally — identical mappings. */
   private val corpusCte = """
@@ -260,5 +291,25 @@ object JsonBenchQueries {
         CAST(SUM(str_stars) AS BIGINT) AS n_str_stars,
         CAST(SUM(seq) AS BIGINT) AS sum_seq
       FROM shaped GROUP BY kind, collection
-      ORDER BY kind, collection NULLS FIRST""")
+      ORDER BY kind, collection NULLS FIRST""",
+    // ground truth for the array-explode shape: only k%3=0 docs carry
+    // the langs array, always exactly ['en','fr'], stars = k%7 numeric
+    "jb7_lang_explode" -> """
+      WITH base AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          CASE event_type
+            WHEN 'click' THEN 'app.bsky.feed.like'
+            WHEN 'view' THEN 'app.bsky.feed.post'
+            WHEN 'purchase' THEN 'app.bsky.feed.repost'
+            WHEN 'signup' THEN 'app.bsky.graph.follow'
+            ELSE 'app.bsky.feed.post' END AS collection
+        FROM events),
+      l AS (
+        SELECT collection, lang, k % 7 AS stars
+        FROM base, (VALUES ('en'), ('fr')) AS langs(lang)
+        WHERE k % 3 = 0)
+      SELECT collection, lang, COUNT(*) AS n,
+        CAST(SUM(stars) AS BIGINT) AS sum_stars
+      FROM l GROUP BY collection, lang
+      ORDER BY collection, lang""")
 }

@@ -605,6 +605,24 @@ object ScaleQueries {
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("user_id"), col("event_type"))
         .offset(25).limit(10)
+    }),
+
+    // --- ClickBench's minute-resolution traffic histogram
+    // (queries.sql Q36: date_trunc minute + COUNT over a one-week
+    // band): a HIGH-CARDINALITY time-key aggregate — the grouping key
+    // count grows linearly with the time window (10k keys/week), so
+    // unlike the per-day shapes the aggregate itself must scale out.
+    // date_trunc stays a codegen'd scan projection, the band filter
+    // prunes parquet row groups on ts min/max stats, and the shuffle
+    // carries only (minute, partial-count). Output ordered by minute.
+    // Ref: /root/reference/benchmark/clickbench/queries.sql:36 ---
+    "c24_minute_histogram" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .filter(col("t") >= lit("2024-01-08").cast("timestamp") &&
+          col("t") < lit("2024-01-15").cast("timestamp"))
+        .groupBy(date_trunc("minute", col("t")).as("m"))
+        .agg(count(lit(1)).as("hits"))
+        .orderBy(col("m"))
     })
   )
 
@@ -623,6 +641,14 @@ object ScaleQueries {
       GROUP BY user_id, event_type
       ORDER BY c DESC, user_id, event_type
       LIMIT 10 OFFSET 25""",
+    "c24_minute_histogram" -> """
+      SELECT CAST(date_trunc('minute', CAST(ts AS TIMESTAMP))
+                  AS TIMESTAMP) AS m,
+        COUNT(*) AS hits
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+      GROUP BY 1 ORDER BY m""",
     // exact replica of TextFunctions.fingerprintRolling: fold tokens
     // through acc <- (acc*31 + (md5-60-bit hash mod p)) mod p, acc0 = 1
     "d10_rolling_fp" -> """
