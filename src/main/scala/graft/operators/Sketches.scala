@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.md5Bits60
 
 /** Bounded-memory frequency sketches. At 100 TB an exact top-k over a
   * high-cardinality key (vocabulary building over web-scale n-grams) pays
@@ -13,8 +14,70 @@ import org.apache.spark.sql.functions._
   * vocabulary-sized one, and the result is EXACT (not approximate)
   * whenever the k-th count clears the n/capacity bound — which the
   * operator verifies from its own outputs.
+  *
+  * Alongside it: the two classic DECLARATIVE sketches — Count-Min
+  * frequency estimation and Bloom-filter membership pruning — keyed on
+  * md5-derived buckets (the one hash every engine shares, so results
+  * are oracle-matchable; see TextFunctions.md5Bits60). Their scale
+  * contract: a sketch relation is bounded BY CONSTRUCTION — its row
+  * count is the key-domain product (depth·width cells, ≤m bits), never
+  * the input size — so it is broadcast-safe at any corpus scale
+  * (PlanGuardSpec.boundedKeyAgg recognizes the `pmod(_, lit)` keys
+  * structurally), and partial aggregation caps what any map task ships
+  * at the same bound; sketches from disjoint partitions merge by cell
+  * addition / bit union, which is exactly what groupBy/distinct do.
+  *
+  * Ref: reference sketch kernels under /root/reference/src/aggregate;
+  * Cormode & Muthukrishnan (J. Algorithms 55, 2005); Bloom (CACM 1970).
   */
 object Sketches {
+
+  /** Bucket of `key` under hash-family member `seed`:
+    * md5-60-bit(key || ':' || seed) mod width. Non-negative. */
+  def sketchBucket(key: Column, seed: Int, width: Long): Column =
+    pmod(md5Bits60(concat(key, lit(":"), lit(seed))), lit(width))
+
+  /** Count-Min frequency estimates for the `k` exactly-heaviest keys of
+    * `df(keyCol)` (string-typed), depth×width cells, estimate = min over
+    * the key's cells; CMS guarantees est >= exact. Output columns:
+    * (keyCol, exact, cms_est), unordered — callers add presentation
+    * order. The exact side is only for the report; a pure-sketch caller
+    * would probe arbitrary keys against the same `cells` plan. */
+  def countMinTopK(df: DataFrame, keyCol: String, depth: Int, width: Long,
+      k: Int): DataFrame = {
+    val u = col(keyCol)
+    def buckets = posexplode(array((1 to depth).map(sd =>
+      sketchBucket(u, sd, width)): _*))
+    val cells = df
+      .select(u, buckets.as(Seq("sidx", "bucket")))
+      .groupBy(col("sidx"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = df.groupBy(u).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, u).limit(k)
+    top
+      .select(u, col("exact"), buckets.as(Seq("sidx", "bucket")))
+      .join(broadcast(cells), Seq("sidx", "bucket"))
+      .groupBy(u, col("exact"))
+      .agg(min(col("cnt")).as("cms_est"))
+  }
+
+  /** Bloom-filter semi join: the rows of `probe` whose `keyCol` MIGHT be
+    * in `build(keyCol)` — no false negatives, false positives bounded by
+    * the filter's load factor. The filter ships as a broadcast ≤m-row
+    * distinct-bit relation into `hashes` consecutive left-semi joins;
+    * the probe side never shuffles. The spelled-out twin of Spark's
+    * InjectRuntimeFilter bloom pruning. */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame, keyCol: String,
+      m: Long, hashes: Int): DataFrame = {
+    def bit(sd: Int) = sketchBucket(col(keyCol).cast("string"), sd, m)
+    val bits = build
+      .select(explode(array((1 to hashes).map(bit): _*)).as("bit"))
+      .distinct()
+    (1 to hashes).foldLeft(probe) { (df, sd) =>
+      df.join(broadcast(bits.select(col("bit").as(s"__b$sd"))),
+        bit(sd) === col(s"__b$sd"), "left_semi")
+    }
+  }
 
   /** Exact top-k most frequent values of `keyCol` via per-partition
     * Misra–Gries candidate generation + exact recount.

@@ -623,6 +623,55 @@ object ScaleQueries {
         .groupBy(date_trunc("minute", col("t")).as("m"))
         .agg(count(lit(1)).as("hits"))
         .orderBy(col("m"))
+    }),
+
+    // --- Count-Min Sketch frequency estimation (operators/Sketches):
+    // depth 3 × width 64 cells keyed on md5-derived buckets (the one
+    // hash both engines share — see TextFunctions.md5Bits60), estimate =
+    // min over the key's cells. THE mergeable-sketch scale story: the
+    // sketch build is a bounded aggregate — buckets are computed
+    // row-side in the scan projection, partial aggregation caps what
+    // any task ships at d*w = 192 cells no matter how many input rows,
+    // and sketches from disjoint partitions merge by cell addition
+    // (what groupBy does). Probing broadcasts the tiny sketch to the
+    // 20 heaviest exact keys; CMS guarantees est >= exact (14/20 keys
+    // visibly inflated at sf0.01 — collisions exercised, hash-matched).
+    // Differential: RandomizedPropertySpec "countMinTopK".
+    // Ref: /root/reference/src/aggregate/sketch (CM sketch kernels) ---
+    "k5_count_min" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id").cast("string").as("u"))
+      graft.operators.Sketches
+        .countMinTopK(ev, "u", depth = 3, width = 64L, k = 20)
+        .orderBy(col("exact").desc, col("u"))
+    }),
+
+    // --- Bloom-filter semi-join pruning (operators/Sketches — the
+    // manual twin of Spark's InjectRuntimeFilter): the build side's
+    // distinct keys set k=2 bits in an m=64 slot filter; the probe side
+    // keeps rows whose bits are ALL set (two broadcast semi-joins on
+    // md5-derived bit positions — the filter ships as a tiny
+    // distinct-bit set, never the keys), then a final membership join
+    // splits survivors into true members vs false positives. At 100 TB
+    // this is the shape that turns a fact-side shuffle join into a
+    // scan-side prune: no false negatives by construction (the oracle's
+    // exact LEFT JOIN proves n_member matches exact semi-join counts),
+    // and the FP rows are the bounded cost of skipping the shuffle.
+    // Differential: RandomizedPropertySpec "bloomSemiJoin". ---
+    "k6_bloom_semijoin" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("value"))
+      val users = ev.filter(col("event_type") === "signup" &&
+          col("value") > 250.0)
+        .select(col("user_id")).distinct()
+      graft.operators.Sketches
+        .bloomSemiJoin(ev, users, "user_id", m = 64L, hashes = 2)
+        .join(users.withColumn("is_m", lit(1L)), Seq("user_id"), "left")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_bloom_pass"),
+          sum(when(col("is_m").isNotNull, 1L).otherwise(0L)).as("n_member"),
+          sum(when(col("is_m").isNull, 1L).otherwise(0L)).as("n_false_pos"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -663,6 +712,53 @@ object ScaleQueries {
         COUNT(DISTINCT user_id) AS n_users,
         COUNT(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
+    // exact replica of the CM sketch: depth 3 (seeds 1..3) × width 64,
+    // bucket = md5-60-bit(u || ':' || seed) % 64, estimate = MIN cell
+    "k5_count_min" -> """
+      WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events),
+      seeds AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(sd)),
+      cells AS (
+        SELECT sd,
+          CAST('0x' || substr(md5(u || ':' || sd), 1, 15) AS BIGINT)
+            % 64 AS bucket,
+          COUNT(*) AS cnt
+        FROM ev, seeds GROUP BY 1, 2),
+      top AS (
+        SELECT u, COUNT(*) AS exact FROM ev GROUP BY u
+        ORDER BY exact DESC, u LIMIT 20),
+      probe AS (
+        SELECT top.u, top.exact, sd,
+          CAST('0x' || substr(md5(top.u || ':' || sd), 1, 15) AS BIGINT)
+            % 64 AS bucket
+        FROM top, seeds)
+      SELECT p.u, p.exact, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+      FROM probe p JOIN cells c ON c.sd = p.sd AND c.bucket = p.bucket
+      GROUP BY p.u, p.exact
+      ORDER BY p.exact DESC, p.u""",
+    // exact replica of the bloom filter: k=2 bits (seeds 1,2) in m=64
+    // slots over the big-signup users' distinct ids; pass = both bits set
+    "k6_bloom_semijoin" -> """
+      WITH ev AS (SELECT event_type, user_id, value FROM events),
+      users AS (SELECT DISTINCT user_id FROM ev
+                WHERE event_type = 'signup' AND value > 250),
+      bits AS (
+        SELECT DISTINCT
+          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || sd),
+               1, 15) AS BIGINT) % 64 AS bit
+        FROM users, (VALUES (1), (2)) AS t(sd)),
+      pass AS (
+        SELECT e.event_type, e.user_id FROM ev e
+        WHERE CAST('0x' || substr(md5(CAST(e.user_id AS VARCHAR) || ':1'),
+                   1, 15) AS BIGINT) % 64 IN (SELECT bit FROM bits)
+          AND CAST('0x' || substr(md5(CAST(e.user_id AS VARCHAR) || ':2'),
+                   1, 15) AS BIGINT) % 64 IN (SELECT bit FROM bits))
+      SELECT p.event_type, COUNT(*) AS n_bloom_pass,
+        CAST(SUM(CASE WHEN u.user_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_member,
+        CAST(SUM(CASE WHEN u.user_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos
+      FROM pass p LEFT JOIN users u USING (user_id)
+      GROUP BY p.event_type ORDER BY p.event_type""",
     "c20_url_report" -> """
       WITH u AS (
         SELECT 'https://' || source || '.example.com/' || lang ||

@@ -31,7 +31,49 @@ class PlanGuardSpec extends SparkSpec {
     val globalAgg = p.collectFirst {
       case a: Aggregate if a.groupingExpressions.isEmpty => a
     }.isDefined
-    globalAgg || scanFiles(p).forall(boundedScans)
+    globalAgg || scanFiles(p).forall(boundedScans) || boundedKeyAgg(p)
+  }
+
+  /** True when the subtree's topmost aggregate/distinct groups on keys
+    * whose value DOMAIN is bounded by construction — every key traces
+    * (through projections and generators) to `pmod(_, lit(c))` with a
+    * small constant c, so the output can never exceed the product of the
+    * key domains no matter how many rows feed it. This is what makes a
+    * sketch (count-min cells, bloom bit sets) broadcast-safe at any
+    * scale: the hint rides on ≤ c₁·…·cₖ rows, not on the input. */
+  private def boundedKeyAgg(p: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, Generate, Project}
+    val origins: Map[ExprId, Expression] = p.collect {
+      case pr: Project =>
+        pr.projectList.collect { case a: Alias => a.exprId -> (a.child: Expression) }
+      case g: Generate =>
+        g.generatorOutput.map(o => o.exprId -> (g.generator: Expression))
+    }.flatten.toMap
+    def bounded(e: Expression, depth: Int): Boolean = depth < 16 && (e match {
+      case _: Literal => true
+      case a: Alias => bounded(a.child, depth + 1)
+      case c: Cast => bounded(c.child, depth + 1)
+      case pm: Pmod => pm.right match {
+        case Literal(v: Number, _) => v.longValue <= 4096
+        case _ => false
+      }
+      case ca: CreateArray => ca.children.forall(bounded(_, depth + 1))
+      case ex: ExplodeBase => bounded(ex.child, depth + 1)
+      case ar: AttributeReference =>
+        origins.get(ar.exprId).exists(bounded(_, depth + 1))
+      case _ => false
+    })
+    def strip(q: LogicalPlan): LogicalPlan = q match {
+      case pr: Project => strip(pr.child)
+      case other => other
+    }
+    strip(p) match {
+      case a: Aggregate if a.groupingExpressions.nonEmpty =>
+        a.groupingExpressions.forall(bounded(_, 0))
+      case d: Deduplicate => d.keys.forall(bounded(_, 0))
+      case _ => false
+    }
   }
 
   test("no unbounded cartesian/nested-loop joins in the corpus") {
@@ -173,6 +215,38 @@ class PlanGuardSpec extends SparkSpec {
       s"e15: corpus must not shuffle before the rollup:\n$phys")
     assert(phys.collect { case s: FileSourceScanExec => s }.size == 1,
       s"e15: cell+code fusion must keep ONE corpus scan:\n$phys")
+  }
+
+  test("k5/k6 sketches: fact never shuffles, sketch sides ride broadcast") {
+    // the mergeable-sketch deployment shape: the CM cells / bloom bit
+    // set are bounded-domain aggregates (pmod to a constant — see
+    // boundedKeyAgg) that must reach the fact as BROADCAST builds; the
+    // fact side itself must never sort-merge. k5's probe join and k6's
+    // two bit semi-joins + membership join all ride broadcast here.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      SortMergeJoinExec}
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val k5 = unwrap(SparkEntry.queries("k5_count_min")(spark, sf)
+      .queryExecution.executedPlan)
+    assert(k5.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"k5: the sketch probe must broadcast, not sort-merge:\n$k5")
+    assert(k5.collect { case j: BroadcastHashJoinExec => j }.size == 1,
+      s"k5: expected exactly the one broadcast probe join:\n$k5")
+    val k6 = unwrap(SparkEntry.queries("k6_bloom_semijoin")(spark, sf)
+      .queryExecution.executedPlan)
+    assert(k6.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"k6: bit/membership joins must broadcast at this sf:\n$k6")
+    val semis = k6.collect {
+      case j: BroadcastHashJoinExec
+          if j.joinType.toString == "LeftSemi" => j
+    }
+    assert(semis.size == 2,
+      s"k6: expected BOTH bloom bit probes as broadcast semi-joins:\n$k6")
   }
 
   test("e16 SQ8: zero joins, one corpus scan, shuffles only at rank/sort") {

@@ -320,4 +320,64 @@ class RandomizedPropertySpec extends SparkSpec {
       }
     }
   }
+
+  /** Same md5-60-bit bucket as TextFunctions.md5Bits60 / Sketches
+    * .sketchBucket, computed in plain JVM code: first 15 hex digits of
+    * md5(s"$key:$seed") as a long, mod width. */
+  private def refBucket(key: String, seed: Int, width: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$key:$seed".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % width
+  }
+
+  test("countMinTopK == in-memory CMS on random keys; est >= exact") {
+    import graft.operators.Sketches
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(500 + seed)
+      val depth = 3; val width = 32L; val k = 10
+      // 60-key domain over 32 buckets forces collisions — the min-over-
+      // rows path must matter, not just echo exact counts
+      val keys = Seq.fill(400)(s"k${r.nextInt(60)}")
+      val got = Sketches.countMinTopK(keys.toDF("u"), "u", depth, width, k)
+        .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2)))
+        .toMap
+      val exact = keys.groupBy(identity).map { case (u, g) =>
+        u -> g.size.toLong }
+      val cells = scala.collection.mutable
+        .Map[(Int, Long), Long]().withDefaultValue(0L)
+      for (u <- keys; sd <- 1 to depth)
+        cells((sd, refBucket(u, sd, width))) += 1L
+      val top = exact.toSeq.sortBy { case (u, n) => (-n, u) }.take(k)
+      assert(got.keySet == top.map(_._1).toSet, s"seed=$seed top-k set")
+      top.foreach { case (u, n) =>
+        val est = (1 to depth).map(sd => cells((sd, refBucket(u, sd, width)))).min
+        assert(got(u) == ((n, est)), s"seed=$seed key=$u")
+        assert(est >= n, s"seed=$seed key=$u: CMS must overestimate")
+      }
+    }
+  }
+
+  test("bloomSemiJoin == in-memory bit set; never drops a member") {
+    import graft.operators.Sketches
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(600 + seed)
+      val m = 32L; val hashes = 2
+      val probe = (0 until 200).map(i => (i.toLong, r.nextInt(80).toLong))
+      val members = probe.map(_._2).distinct.filter(_ => r.nextBoolean())
+        .take(12)
+      val got = Sketches.bloomSemiJoin(probe.toDF("id", "key"),
+          members.toDF("key"), "key", m, hashes)
+        .select("id").as[Long].collect().toSet
+      val bits = (for (u <- members; sd <- 1 to hashes)
+        yield refBucket(u.toString, sd, m)).toSet
+      val want = probe.collect { case (id, u)
+        if (1 to hashes).forall(sd => bits(refBucket(u.toString, sd, m))) =>
+          id }.toSet
+      assert(got == want, s"seed=$seed")
+      val memberIds = probe.collect { case (id, u)
+        if members.contains(u) => id }.toSet
+      assert(memberIds.subsetOf(got), s"seed=$seed: false negative!")
+    }
+  }
 }
