@@ -148,6 +148,10 @@ object Multimodal {
   case class AudioStats(id: Long, n_samples: Long, sum_amp: Long,
                         min_amp: Long, max_amp: Long)
 
+  case class AudioWindowFeats(id: Long, win: Long, n_samples: Long,
+                              sum_amp: Long, sum_sq: Long,
+                              n_zero_cross: Long)
+
   /** Deterministic 16-bit mono PCM test signal for id `d`
     * (n = 400 + d%100 samples, sample(i) = ((d·31 + i·7) mod 2001) −
     * 1000), encoded as a REAL RIFF/WAVE file via the JDK's
@@ -203,6 +207,60 @@ object Multimodal {
             i += 1
           }
           AudioStats(id, n.toLong, sum, mn, mx)
+        }
+      }
+      .toDF()
+  }
+
+  /** Windowed audio FEATURE EXTRACTION over decoded PCM (the
+    * spectrogram precursor): fixed `window`-sample frames, per frame the
+    * exact integer L1/L2 accumulators (sum, sum of squares — RMS is
+    * sqrt(sum_sq/n), left to the caller so the checked output stays
+    * integral) and the zero-crossing count (sign flips between adjacent
+    * samples WITHIN the frame — the classic voiced/unvoiced and
+    * pitch-band heuristic). Decode + featurize is one narrow flatMap per
+    * clip — no shuffle, output grain (clip, frame) bounded by clip
+    * length / window, embarrassingly parallel at any corpus size. */
+  def decodeAudioWindows(df: DataFrame, idCol: String, payloadCol: String,
+                         window: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"expected 16-bit mono PCM for id $id, got $fmt")
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          def sample(i: Int): Long = {
+            val lo = raw(2 * i) & 0xff
+            val hi = raw(2 * i + 1).toInt
+            (if (fmt.isBigEndian) (lo << 8) | (hi & 0xff)
+             else (hi << 8) | lo).toShort.toLong
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[AudioWindowFeats]
+          var w0 = 0
+          while (w0 < n) {
+            val w1 = math.min(w0 + window, n)
+            var (sum, sumSq, zc) = (0L, 0L, 0L)
+            var i = w0
+            while (i < w1) {
+              val s = sample(i)
+              sum += s; sumSq += s * s
+              if (i > w0 && sample(i - 1) * s < 0) zc += 1
+              i += 1
+            }
+            out += AudioWindowFeats(id, (w0 / window).toLong,
+              (w1 - w0).toLong, sum, sumSq, zc)
+            w0 += window
+          }
+          out
         }
       }
       .toDF()

@@ -815,6 +815,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- windowed audio FEATURE EXTRACTION (the spectrogram precursor):
+    // decode the same real RIFF/WAVE clips as m5, then per fixed
+    // 100-sample frame emit exact integer L1/L2 accumulators and the
+    // zero-crossing count (sign flips between adjacent in-frame
+    // samples). Decode + featurize is ONE narrow flatMap per clip — no
+    // shuffle, grain bounded by clip length / window. The oracle replays
+    // the generator's closed form over generate_series with a lag()
+    // for the crossings — every output integral, hash-exact ---
+    "m7_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"))
+      val wavs = ids.as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.multimodal.Multimodal.testWav(id))))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal
+        .decodeAudioWindows(wavs, "doc_id", "payload", window = 100)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("win"))
+    }),
+
     // --- frame-sampling generator end to end: k pseudo-frames explode
     // per media row (narrow flatMap, no shuffle). The decoded features
     // are the documented stub, so the ORACLE-checkable contract is the
@@ -1433,6 +1455,27 @@ object TextQueries {
         CAST(MIN(s) AS BIGINT) AS min_amp,
         CAST(MAX(s) AS BIGINT) AS max_amp
       FROM samp GROUP BY d, n ORDER BY doc_id""",
+    // exact replica of decodeAudioWindows over the closed-form signal:
+    // window = 100 samples, crossings = strict sign flips within frame
+    "m7_audio_features" -> """
+      WITH ids AS (
+        SELECT doc_id AS d, 400 + doc_id % 100 AS n
+        FROM documents WHERE doc_id < 200),
+      samp AS (
+        SELECT d, i.i AS i, ((d * 31 + i.i * 7) % 2001) - 1000 AS s,
+          i.i // 100 AS win
+        FROM ids, LATERAL unnest(generate_series(0, n - 1)) AS i(i)),
+      lagd AS (
+        SELECT d, i, s, win,
+          lag(s) OVER (PARTITION BY d ORDER BY i) AS prev
+        FROM samp)
+      SELECT d AS doc_id, CAST(win AS BIGINT) AS win,
+        COUNT(*) AS n_samples,
+        CAST(SUM(s) AS BIGINT) AS sum_amp,
+        CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+        CAST(SUM(CASE WHEN i % 100 <> 0 AND prev * s < 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+      FROM lagd GROUP BY d, win ORDER BY doc_id, win""",
     "g6_pii_redact" -> """
       SELECT doc_id,
         CAST(len(regexp_extract_all(text,
