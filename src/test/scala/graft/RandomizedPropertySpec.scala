@@ -358,6 +358,33 @@ class RandomizedPropertySpec extends SparkSpec {
     }
   }
 
+  test("topKFrequent == exact top-k above the bound; counts always exact") {
+    import graft.operators.Sketches
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(700 + seed)
+      // skewed keys so the top-k is distinctive
+      val keys = Seq.fill(500)(s"w${(r.nextInt(40) * r.nextInt(40)) / 40}")
+      val exact = keys.groupBy(identity).map { case (u, g) =>
+        u -> g.size.toLong }
+      val want = exact.toSeq.sortBy { case (u, n) => (-n, u) }.take(8)
+      // capacity far above n/f_k: Misra–Gries candidates must contain
+      // the true top-k, so the recount returns EXACTLY it, all flagged
+      val got = Sketches.topKFrequent(keys.toDF("w"), "w", k = 8,
+          capacity = 256)
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getBoolean(2)))
+      assert(got.map(t => (t._1, t._2)).toSeq == want, s"seed=$seed")
+      assert(got.forall(_._3), s"seed=$seed: all guaranteed at cap 256")
+      // tiny capacity: the candidate set may miss tail keys, but every
+      // RETURNED count must still be the exact count (pass 2 recounts)
+      val small = Sketches.topKFrequent(keys.toDF("w"), "w", k = 8,
+          capacity = 4)
+        .collect().map(x => (x.getString(0), x.getLong(1)))
+      small.foreach { case (u, n) =>
+        assert(n == exact(u), s"seed=$seed key=$u recount must be exact")
+      }
+    }
+  }
+
   test("bloomSemiJoin == in-memory bit set; never drops a member") {
     import graft.operators.Sketches
     for (seed <- 1 to 3) {
