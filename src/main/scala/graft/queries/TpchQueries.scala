@@ -78,6 +78,34 @@ object TpchQueries {
           count(lit(1)).as("n"))
     }),
 
+    // Q11's signature: per-group value filtered against a GLOBAL scalar
+    // (q11 keeps parts whose stock value exceeds a fraction of the
+    // nation's total; the driver schema has no partsupp, and q11's
+    // fraction is SF-aware by spec, so the scale-invariant spelling is
+    // "parts whose lineitem value exceeds 1.2x the mean part value").
+    // The comparison is BIGINT micro-units on both sides —
+    // v_mu*np*5 > tot_mu*6 is v > 1.2*tot/np with zero FP and zero
+    // decimal-precision-cap rounding. Scale shape: the global is a
+    // 1-ROW ungrouped aggregate — broadcast-safe BY CONSTRUCTION (the
+    // plan guard's documented exemption), so the HAVING filter is a
+    // map-side predicate over the per-part aggregate: one shuffle for
+    // the groupBy, a broadcast for the scalar, never a correlated
+    // per-row subquery. Ref: /root/reference/benchmark/tpch/q11.sql
+    "h11_important_parts" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(D)).as("v"))
+        .withColumn("v_mu", (col("v") * lit(1000000)).cast("bigint"))
+      val g = pp.agg(
+        sum(col("v_mu")).as("tot_mu"),
+        count(lit(1)).as("np"))
+      pp.crossJoin(broadcast(g))
+        .filter(col("v_mu") * col("np") * lit(5L) >
+          col("tot_mu") * lit(6L))
+        .select(col("l_partkey"), col("v").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
     // Q10 returned-item reporting: top customers by lost revenue
     "h10_returned_items" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -406,6 +434,20 @@ object TpchQueries {
         AND l_shipdate < TIMESTAMP '1998-01-01'
         AND l_discount BETWEEN 0.03 AND 0.07
         AND l_quantity < 24""",
+    "h11_important_parts" -> """
+      WITH pp AS (
+        SELECT l_partkey,
+          SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS v,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) * 1000000
+               AS BIGINT) AS v_mu
+        FROM lineitem GROUP BY l_partkey),
+      g AS (
+        SELECT CAST(SUM(v_mu) AS BIGINT) AS tot_mu, COUNT(*) AS np
+        FROM pp)
+      SELECT l_partkey, CAST(v AS DOUBLE) AS value
+      FROM pp, g
+      WHERE v_mu * np * 5 > tot_mu * 6
+      ORDER BY value DESC, l_partkey""",
     "h10_returned_items" -> """
       SELECT c_custkey, c_name, n_name,
         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
