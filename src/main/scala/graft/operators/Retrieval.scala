@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Sparse text retrieval: BM25 scoring over a tokenized corpus — the
   * inverted-index ranking a training-data pipeline uses for quality-aware
-  * selection and for sparse RAG retrieval (the reference's full-text search
-  * surface, re-expressed as one declarative plan; cf.
-  * /root/reference/services/collection/search — semantics only, not code).
+  * selection and for sparse RAG retrieval. The reference exposes only an
+  * index `search` contract (cf.
+  * /root/reference/services/index/index_contract.hpp:100 — semantics only,
+  * not code); BM25 ranked text retrieval itself EXCEEDS the reference
+  * (Robertson & Zaragoza, FnTIR 2009).
   *
   * Scale design: the query set is retrieval-tiny (10s–1000s of term rows)
   * and rides as a BROADCAST on every join, so the corpus-side term table is

@@ -27,8 +27,11 @@ import graft.functions.TextFunctions.md5Bits60
   * at the same bound; sketches from disjoint partitions merge by cell
   * addition / bit union, which is exactly what groupBy/distinct do.
   *
-  * Ref: reference sketch kernels under /root/reference/src/aggregate;
-  * Cormode & Muthukrishnan (J. Algorithms 55, 2005); Bloom (CACM 1970).
+  * EXCEEDS the reference: its aggregate surface is exact
+  * sum/min/max/count/avg only (SURVEY §2.4) — it ships no probabilistic
+  * sketch kernels. Algorithms from the literature: Cormode &
+  * Muthukrishnan (J. Algorithms 55, 2005); Bloom (CACM 1970);
+  * Misra & Gries (Sci. Comput. Program. 2, 1982).
   */
 object Sketches {
 

@@ -637,7 +637,9 @@ object ScaleQueries {
     // 20 heaviest exact keys; CMS guarantees est >= exact (14/20 keys
     // visibly inflated at sf0.01 — collisions exercised, hash-matched).
     // Differential: RandomizedPropertySpec "countMinTopK".
-    // Ref: /root/reference/src/aggregate/sketch (CM sketch kernels) ---
+    // Exceeds-reference: the reference has no sketch kernels (its agg
+    // surface is exact sum/min/max/count/avg); CM sketch per Cormode &
+    // Muthukrishnan (J. Algorithms 55, 2005). ---
     "k5_count_min" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
         .select(col("user_id").cast("string").as("u"))

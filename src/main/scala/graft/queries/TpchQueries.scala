@@ -92,13 +92,27 @@ object TpchQueries {
     // the groupBy, a broadcast for the scalar, never a correlated
     // per-row subquery. Ref: /root/reference/benchmark/tpch/q11.sql
     "h11_important_parts" -> ((s, dir) => {
+      // micro-units are derived PER ROW before aggregating (ADVICE r12:
+      // a post-SUM ×1e6 pushes DuckDB's decimal width past 38 and
+      // silently degrades the oracle side to DOUBLE); per-row
+      // DECIMAL(28,6)×1e6 is width-38 exact in both engines, so the
+      // arithmetic is integral end to end.
       val pp = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
-        .agg(sum(col("l_extendedprice").cast(D)).as("v"))
-        .withColumn("v_mu", (col("v") * lit(1000000)).cast("bigint"))
+        .agg(
+          sum(col("l_extendedprice").cast(D)).as("v"),
+          sum((col("l_extendedprice").cast(D) * lit(1000000))
+            .cast("bigint")).as("v_mu"))
       val g = pp.agg(
         sum(col("v_mu")).as("tot_mu"),
         count(lit(1)).as("np"))
+      // Overflow margin for the 3-way BIGINT product (non-ANSI Spark
+      // wraps where DuckDB raises): max v_mu ≈ tot_mu ≤ total corpus
+      // value in micro-units (~1e13 at sf1, ~1e15 at sf100) and
+      // np ≤ #parts (~2e7 at sf100), so v_mu·np·5 ≤ ~1e16·2e7 only if a
+      // single part held the whole corpus — in practice v_mu·np ≈
+      // tot_mu ≈ 1e15 ≪ 9.2e18. Safe through sf100; beyond that,
+      // rescale the unit, not the comparison.
       pp.crossJoin(broadcast(g))
         .filter(col("v_mu") * col("np") * lit(5L) >
           col("tot_mu") * lit(6L))
@@ -438,8 +452,8 @@ object TpchQueries {
       WITH pp AS (
         SELECT l_partkey,
           SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS v,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) * 1000000
-               AS BIGINT) AS v_mu
+          SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6)) * 1000000
+                   AS BIGINT)) AS v_mu
         FROM lineitem GROUP BY l_partkey),
       g AS (
         SELECT CAST(SUM(v_mu) AS BIGINT) AS tot_mu, COUNT(*) AS np

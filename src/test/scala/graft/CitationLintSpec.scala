@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Provenance lint: every reference-tree path cited in a source comment
+  * must exist in the actual reference tree. VERDICT r12 found two
+  * comments citing an invented `src/aggregate` directory under the
+  * reference root — a repo whose provenance comments invent reference
+  * files cannot be trusted on provenance by grep alone, so nonexistent
+  * citations are a red test.
+  */
+class CitationLintSpec extends AnyFunSuite {
+
+  private val refRoot = java.nio.file.Paths.get("/root/reference")
+
+  // a cited path: /root/reference/ followed by path chars; an optional
+  // trailing `:123` line anchor is not part of the filesystem path
+  private val cite = """/root/reference/[A-Za-z0-9_./\-]+""".r
+
+  private def sourceFiles(root: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(dir)) Seq.empty
+    else java.nio.file.Files.walk(dir).iterator.asScala
+      .filter(p => { val s = p.toString
+        s.endsWith(".scala") || s.endsWith(".py") || s.endsWith(".md") })
+      .toSeq
+  }
+
+  test("every cited /root/reference path exists") {
+    assume(java.nio.file.Files.isDirectory(refRoot),
+      "reference tree absent on this host — lint not applicable")
+    val files = sourceFiles("src") ++ sourceFiles("python") ++
+      sourceFiles("tools")
+    assert(files.nonEmpty, "no source files found — lint is vacuous")
+    val bad = for {
+      f <- files
+      text = java.nio.file.Files.readString(f)
+      m <- cite.findAllIn(text).toSeq
+      // strip punctuation a prose sentence may glue onto the path, then
+      // any `file.ext:123` line anchor
+      p0 = m.replaceAll("""[.,;)]+$""", "")
+      p = p0.replaceAll(""":\d+$""", "")
+      if !java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    } yield s"$f cites nonexistent $p"
+    assert(bad.isEmpty,
+      "fabricated reference citations (fix the comment or the path):\n" +
+        bad.distinct.mkString("\n"))
+  }
+}

@@ -100,10 +100,17 @@ class OracleLiteralsResourceSpec extends SparkSpec {
     assert(files.nonEmpty, s"no query modules found under $dir")
     for (f <- files) {
       val t = java.nio.file.Files.readString(f)
+      // anchor on the DECLARATION (ADVICE r12: a raw substring check
+      // false-positives on comments mentioning "val oracles" and misses
+      // a renamed memo like `lazy val oracleMap`) — reject any val/lazy
+      // val whose name starts with "oracle", case-insensitive
+      val memoDecl =
+        """(?mi)^\s*(?:private\s+)?(?:lazy\s+)?val\s+oracle\w*""".r
       if (t.contains("OracleLiterals.get"))
-        assert(!t.contains("val oracles"),
-          s"$f consumes OracleLiterals but declares `val oracles` — " +
-            "memoized renders defeat the cold-render gate; use `def`")
+        assert(memoDecl.findFirstIn(t).isEmpty,
+          s"$f consumes OracleLiterals but declares a memoized " +
+            s"`${memoDecl.findFirstIn(t).getOrElse("")}` — memoized " +
+            "renders defeat the cold-render gate; use `def`")
     }
   }
 

@@ -44,34 +44,78 @@ class PlanGuardSpec extends SparkSpec {
   private def boundedKeyAgg(p: LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, Generate, Project}
-    val origins: Map[ExprId, Expression] = p.collect {
-      case pr: Project =>
-        pr.projectList.collect { case a: Alias => a.exprId -> (a.child: Expression) }
-      case g: Generate =>
-        g.generatorOutput.map(o => o.exprId -> (g.generator: Expression))
-    }.flatten.toMap
-    def bounded(e: Expression, depth: Int): Boolean = depth < 16 && (e match {
-      case _: Literal => true
-      case a: Alias => bounded(a.child, depth + 1)
-      case c: Cast => bounded(c.child, depth + 1)
-      case pm: Pmod => pm.right match {
-        case Literal(v: Number, _) => v.longValue <= 4096
-        case _ => false
+    // per-key domain size, or None if unbounded. ADVICE r12: checking
+    // each key independently would bless a 3×pmod-4096 grouping (~7e10
+    // cells); the PRODUCT of the domains is what actually bounds the
+    // aggregate's output, so that is what gets capped below. Generator
+    // outputs are modeled per-output (a posexplode's pos column has
+    // domain = array arity, its value column the UNION of the element
+    // domains) — mapping both to the whole generator would square the
+    // product and mis-flag the 192-cell count-min sketch.
+    var originDomains: Map[ExprId, () => Option[Long]] = Map.empty
+    def domain(e: Expression, depth: Int): Option[Long] =
+      if (depth >= 16) None else e match {
+        case _: Literal => Some(1L)
+        case a: Alias => domain(a.child, depth + 1)
+        case c: Cast => domain(c.child, depth + 1)
+        case pm: Pmod => pm.right match {
+          case Literal(v: Number, _) if v.longValue <= 4096 =>
+            Some(v.longValue)
+          case _ => None
+        }
+        case ca: CreateArray =>
+          // an array VALUE as a key: cartesian of its components
+          ca.children.foldLeft(Option(1L)) { (acc, ch) =>
+            for (a <- acc; d <- domain(ch, depth + 1)) yield a * d }
+        case ar: AttributeReference =>
+          originDomains.get(ar.exprId).flatMap(f => f())
+        case _ => None
       }
-      case ca: CreateArray => ca.children.forall(bounded(_, depth + 1))
-      case ex: ExplodeBase => bounded(ex.child, depth + 1)
-      case ar: AttributeReference =>
-        origins.get(ar.exprId).exists(bounded(_, depth + 1))
-      case _ => false
-    })
+    // domain of ONE exploded element of `e`: union of element domains,
+    // bounded above by their sum
+    def explodedDomain(e: Expression, depth: Int): Option[Long] =
+      if (depth >= 16) None else e match {
+        case a: Alias => explodedDomain(a.child, depth + 1)
+        case ca: CreateArray =>
+          ca.children.foldLeft(Option(0L)) { (acc, ch) =>
+            for (a <- acc; d <- domain(ch, depth + 1)) yield a + d }
+        case _ => None
+      }
+    originDomains = p.collect {
+      case pr: Project =>
+        pr.projectList.collect {
+          case a: Alias => a.exprId -> (() => domain(a.child, 1)) }
+      case g: Generate => g.generator match {
+        case pe: PosExplode =>
+          val arity: Option[Long] = pe.child match {
+            case ca: CreateArray => Some(ca.children.size.toLong)
+            case _ => None
+          }
+          g.generatorOutput match {
+            case Seq(pos, value) => Seq(
+              pos.exprId -> (() => arity),
+              value.exprId -> (() => explodedDomain(pe.child, 1)))
+            case outs => outs.map(o => o.exprId -> (() => Option.empty[Long]))
+          }
+        case ex: ExplodeBase =>
+          g.generatorOutput.map(o =>
+            o.exprId -> (() => explodedDomain(ex.child, 1)))
+        case _ =>
+          g.generatorOutput.map(o => o.exprId -> (() => Option.empty[Long]))
+      }
+    }.flatten.toMap
+    def cellCap(keys: Seq[Expression]): Boolean =
+      keys.foldLeft(Option(1L)) { (acc, k) =>
+        for (a <- acc; d <- domain(k, 0)) yield a * d
+      }.exists(_ <= 1000000L)
     def strip(q: LogicalPlan): LogicalPlan = q match {
       case pr: Project => strip(pr.child)
       case other => other
     }
     strip(p) match {
       case a: Aggregate if a.groupingExpressions.nonEmpty =>
-        a.groupingExpressions.forall(bounded(_, 0))
-      case d: Deduplicate => d.keys.forall(bounded(_, 0))
+        cellCap(a.groupingExpressions)
+      case d: Deduplicate => cellCap(d.keys)
       case _ => false
     }
   }
