@@ -414,9 +414,232 @@ object DsQueries {
             .cast(D)).cast("double").as("rev"),
           count(lit(1)).as("n"))
         .orderBy(col("p_brand"))
+    }),
+
+    // --- TPC-DS q11/q74's two-channel year-over-year ratio compare:
+    // customers whose channel-B revenue grew FASTER year-over-year than
+    // their channel-A revenue. The template materializes a year_total
+    // CTE and self-joins it FOUR ways (s_first/s_sec/w_first/w_sec);
+    // re-expressed Spark-first as ONE conditional aggregation on the
+    // customer grain — the four logical year_total scans become four
+    // CASE sums in a single shuffle, and the ratio-of-ratios filter
+    // w2/w1 > s2/s1 becomes the integer cross-multiplication
+    // w2·s1 > s2·w1 (all four totals required positive, as in the
+    // template's year_total > 0 guards) — zero FP, bit-identical in
+    // both engines. Channels ride o_orderpriority (the driver schema
+    // has one sales fact, not store/web). Revenue is per-row exact
+    // cents: l_extendedprice is a 2-dp money value, so
+    // DECIMAL(28,2)×100 → BIGINT is exact. Overflow margin: a
+    // customer-year total below 9.2e16 cents (~$9e14) keeps the
+    // cross-product under Long.Max through any plausible scale.
+    // Ref: /root/reference/benchmark/tpcds/query11.tpl ---
+    "ds16_yoy_channel_ratio" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        // the two years as a timestamp RANGE, not year(...) IN — an
+        // expression over the column cannot reach the scan; the range
+        // shows up in PushedFilters and prunes at the reader
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("yr"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "s")
+            .otherwise("w").as("chan"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast(DecimalType(28, 2)) * lit(100))
+            .cast("bigint").as("cents"))
+      def cell(ch: String, y: Int) =
+        sum(when(col("chan") === ch && col("yr") === y, col("cents"))
+          .otherwise(0L))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(cell("s", 1997).as("s1"), cell("s", 1998).as("s2"),
+          cell("w", 1997).as("w1"), cell("w", 1998).as("w2"))
+        .filter(col("s1") > 0 && col("w1") > 0 &&
+          col("s2") > 0 && col("w2") > 0 &&
+          col("w2") * col("s1") > col("s2") * col("w1"))
+        .select(col("o_custkey").as("c_custkey"),
+          col("s1"), col("s2"), col("w1"), col("w2"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // --- TPC-DS q39's mean/stdev volatility band over a (key, period)
+    // grid, self-joined across consecutive periods: per (supplier,
+    // month) quantity series whose coefficient of variation exceeds 1/2
+    // in BOTH month m and month m+1. The template's cov = stdev/mean
+    // filter is FP-hazardous cross-engine (stddev_samp summation order
+    // differs), so the band test is algebraized to integers:
+    //   cov > 1/2  ⟺  var_samp > mean²/4
+    //             ⟺  4·n·(n·Σx² − (Σx)²) > (n−1)·(Σx)²
+    // computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact for
+    // n up to ~2e11 rows per cell. Scale shape: ONE shuffle to the
+    // (supp, month) grain with partial agg (the moments are
+    // sum/sum-of-squares — map-side combinable); the template's
+    // consecutive-period SELF-JOIN is re-expressed as a lead() window
+    // over the AGGREGATED grid — one lineitem scan instead of two (the
+    // self-join plan does not get exchange reuse), with the window
+    // partitioned per supplier over ≤12 month rows (bounded frame — the
+    // sanctioned unpartitioned-window exception does not even apply).
+    // Means in the output are a single BIGINT→double division — the one
+    // IEEE op both engines spell identically.
+    // Ref: /root/reference/benchmark/tpcds/query39.tpl ---
+    "ds17_volatility_band" -> ((s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val q = col("l_quantity").cast("bigint")
+      val g = Tables.load(s, dir, "lineitem")
+        // timestamp range, not year(...) ===, so the filter reaches the
+        // parquet scan as PushedFilters
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"), month(col("l_shipdate")).as("m"))
+        .agg(count(lit(1)).as("n"), sum(q).as("sx"),
+          sum(q * q).as("sx2"))
+        .filter(col("n") >= 2)
+        .withColumn("band",
+          lit(4).cast(D38) * col("n").cast(D38) *
+            (col("n").cast(D38) * col("sx2").cast(D38) -
+              col("sx").cast(D38) * col("sx").cast(D38)) >
+          (col("n") - 1).cast(D38) *
+            col("sx").cast(D38) * col("sx").cast(D38))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("m"))
+      g.select(col("l_suppkey"), col("m"), col("n"), col("sx"),
+          col("band"),
+          lead(col("m"), 1).over(w).as("m_next"),
+          lead(col("n"), 1).over(w).as("n_next"),
+          lead(col("sx"), 1).over(w).as("sx_next"),
+          lead(col("band"), 1).over(w).as("band_next"))
+        .filter(col("band") && col("band_next") &&
+          col("m_next") === col("m") + 1)
+        .select(col("l_suppkey"), col("m").cast("int").as("m"),
+          col("n").as("n1"),
+          (col("sx").cast("double") / col("n")).as("mean1"),
+          col("n_next").as("n2"),
+          (col("sx_next").cast("double") / col("n_next")).as("mean2"))
+        .orderBy(col("l_suppkey"), col("m"))
+    }),
+
+    // --- TPC-DS q54's revenue-band customer histogram: customers who
+    // bought a target part segment in a seed month, their revenue over
+    // the following quarter, bucketed into $50k bands with a customer
+    // count per band. Scale shape: my_customers is a DISTINCT on the
+    // bare custkey after two narrow joins (part prune rides a LEFT SEMI
+    // — part is scale-proportional, no broadcast hint, AQE sizes the
+    // build side); the quarter revenue re-joins the fact ONCE, pruned
+    // by a semi join on the small qualifying-customer set; the final
+    // histogram is a groupBy on the already-tiny per-customer rollup.
+    // Bands are exact: per-row cents (2-dp money ×100 in DECIMAL) and
+    // `div 5000000` BIGINT integer division — no FP anywhere.
+    // Ref: /root/reference/benchmark/tpcds/query54.tpl ---
+    "ds18_revenue_bands" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_type").isin("PROMO", "ECONOMY"))
+        .select(col("p_partkey"))
+      val seedOrders = o
+        .filter(col("o_orderdate") >= lit("1997-03-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val myCust = l.select(col("l_orderkey"), col("l_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(seedOrders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey")).distinct()
+      val qtrOrders = o
+        .filter(col("o_orderdate") >= lit("1997-04-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(myCust, Seq("o_custkey"), "left_semi")
+      val rev = l
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast(DecimalType(28, 2)) * lit(100))
+            .cast("bigint").as("cents"))
+        .join(qtrOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("cents")).as("rev_c"))
+      rev
+        .select(expr("rev_c div 5000000").cast("int").as("segment"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("num_customers"))
+        .withColumn("segment_base_usd", (col("segment") * 50000).cast("int"))
+        .orderBy(col("segment"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "ds16_yoy_channel_ratio" -> """
+      WITH piv AS (
+        SELECT o_custkey AS c_custkey,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         AND year(o_orderdate) = 1997
+                    THEN CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+                              AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         AND year(o_orderdate) = 1998
+                    THEN CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+                              AS BIGINT) ELSE 0 END) AS BIGINT) AS s2,
+          CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         AND year(o_orderdate) = 1997
+                    THEN CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+                              AS BIGINT) ELSE 0 END) AS BIGINT) AS w1,
+          CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         AND year(o_orderdate) = 1998
+                    THEN CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+                              AS BIGINT) ELSE 0 END) AS BIGINT) AS w2
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY o_custkey)
+      SELECT c_custkey, s1, s2, w1, w2
+      FROM piv
+      WHERE s1 > 0 AND w1 > 0 AND s2 > 0 AND w2 > 0
+        AND w2 * s1 > s2 * w1
+      ORDER BY c_custkey""",
+    "ds17_volatility_band" -> """
+      WITH g AS (
+        SELECT l_suppkey, month(l_shipdate) AS m,
+          COUNT(*) AS n,
+          SUM(CAST(l_quantity AS BIGINT)) AS sx,
+          SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+            AS sx2
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+      band AS (
+        SELECT * FROM g
+        WHERE 4 * CAST(n AS HUGEINT) * (n * sx2 - sx * sx)
+              > CAST(n - 1 AS HUGEINT) * sx * sx)
+      SELECT b1.l_suppkey, CAST(b1.m AS INT) AS m,
+        b1.n AS n1, CAST(b1.sx AS DOUBLE) / CAST(b1.n AS DOUBLE) AS mean1,
+        b2.n AS n2, CAST(b2.sx AS DOUBLE) / CAST(b2.n AS DOUBLE) AS mean2
+      FROM band b1 JOIN band b2
+        ON b1.l_suppkey = b2.l_suppkey AND b2.m = b1.m + 1
+      ORDER BY b1.l_suppkey, m""",
+    "ds18_revenue_bands" -> """
+      WITH my_customers AS (
+        SELECT DISTINCT o_custkey
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+        WHERE p_type IN ('PROMO', 'ECONOMY')
+          AND o_orderdate >= TIMESTAMP '1997-03-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'),
+      my_revenue AS (
+        SELECT o_custkey,
+          SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+                   AS BIGINT)) AS rev_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey IN (SELECT o_custkey FROM my_customers)
+          AND o_orderdate >= TIMESTAMP '1997-04-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY o_custkey)
+      SELECT CAST(rev_c // 5000000 AS INT) AS segment,
+        COUNT(*) AS num_customers,
+        CAST(CAST(rev_c // 5000000 AS INT) * 50000 AS INT)
+          AS segment_base_usd
+      FROM my_revenue
+      GROUP BY 1
+      ORDER BY segment""",
     "ds15_cross_channel_items" -> """
       WITH ret AS (SELECT DISTINCT l_partkey FROM lineitem
                    WHERE l_returnflag = 'R'),

@@ -643,6 +643,87 @@ object ExtQueries {
         .limit(100)
     }),
 
+    // --- LDBC BI Q2 tag evolution: for every tag in a tag class, the
+    // message count in each half of a 200-day window and the
+    // window-over-window |delta|, keeping zero-activity tags. Mapping:
+    // tag class = p_type 'PROMO', tags = its brands, a message tagged t
+    // = a lineitem of a brand-t part, creationDate = l_shipdate. Scale
+    // shape: the two half-window counts are ONE conditional aggregation
+    // over a single range-pruned lineitem scan (PushedFilters carries
+    // the 200-day band; the split point is a row-side CASE, not a
+    // second scan); the tag dimension re-enters by LEFT join from the
+    // DISTINCT brand set — aggregated to ≤ |brands| rows before any
+    // join, so the spec's COALESCE(0) zero-tag contract costs nothing.
+    // All-integer — hash-exact.
+    // Ref: /root/reference/benchmark/ldbc/bi-2.sql ---
+    "ldbc13_tag_evolution" -> ((s, dir) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val mid = lit("1997-04-11").cast("timestamp") // +100 days
+      val hi = lit("1997-07-20").cast("timestamp") // +200 days
+      val myTag = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"), col("p_brand"))
+      val detail = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_partkey"), col("l_shipdate"))
+        .join(myTag, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(when(col("l_shipdate") < mid, 1)).as("c1"),
+          count(when(col("l_shipdate") >= mid, 1)).as("c2"))
+      myTag.select(col("p_brand")).distinct()
+        .join(detail, Seq("p_brand"), "left")
+        .select(col("p_brand").as("brand"),
+          coalesce(col("c1"), lit(0L)).as("cnt1"),
+          coalesce(col("c2"), lit(0L)).as("cnt2"),
+          abs(coalesce(col("c1"), lit(0L)) - coalesce(col("c2"), lit(0L)))
+            .as("diff"))
+        .orderBy(col("diff").desc, col("brand"))
+        .limit(100)
+    }),
+
+    // --- LDBC BI Q18 friend recommendation: pairs of interested
+    // persons who share a mutual friend but are NOT already connected,
+    // scored by common-friend count. Mapping: persons = customers on a
+    // k → k+1..k+4 chain knows-graph (nation-free — the same-nation
+    // projection leaves the interest-filtered wedge empty at the smoke
+    // scale), interest = c_mktsegment 'BUILDING'. Scale shape: the
+    // candidate pairs come from a WEDGE equi-join on the shared friend
+    // (work is Σ deg² with deg ≤ 8 — never all-pairs), the spec's NOT
+    // EXISTS knows-edge is a LeftAnti against the undirected edge set
+    // AFTER the pair aggregation (≤ one row per pair reaches it), and
+    // the ×4 fan is explode-bounded. Ordered pairs, both orientations,
+    // as in the spec. All-integer — hash-exact.
+    // Ref: /root/reference/benchmark/ldbc/bi-18.sql ---
+    "ldbc14_friend_recommendation" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_mktsegment").as("seg"))
+      val cand = c.select(col("k").as("src"),
+        explode(array(col("k") + 1, col("k") + 2, col("k") + 3,
+          col("k") + 4)).as("dst"))
+      val edges = cand
+        .join(c.select(col("k").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+      val und = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val interested = c.filter(col("seg") === "BUILDING").select(col("k"))
+      val foi = und.join(interested, col("src") === col("k"), "left_semi")
+      val pairs = foi.select(col("dst").as("mid"), col("src").as("p1"))
+        .join(foi.select(col("dst").as("mid"), col("src").as("p2")),
+          Seq("mid"))
+        .filter(col("p1") =!= col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("mutual_friends"))
+      pairs
+        .join(und.select(col("src").as("p1"), col("dst").as("p2")),
+          Seq("p1", "p2"), "left_anti")
+        .orderBy(col("mutual_friends").desc, col("p1"), col("p2"))
+        .limit(20)
+        .select(col("p1").as("person1"), col("p2").as("person2"),
+          col("mutual_friends"))
+    }),
+
     // --- forward as-of join (pandas direction='forward'): each event
     // picks the EARLIEST hourly rate bucket at-or-after it — the
     // backward j1 on a negated axis, so both directions share one code
@@ -1330,6 +1411,53 @@ object ExtQueries {
         AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1999-01-01'
       GROUP BY o_custkey
       ORDER BY message_count DESC, person LIMIT 100""",
+    "ldbc13_tag_evolution" -> """
+      WITH my_tag AS (
+        SELECT p_partkey, p_brand FROM part WHERE p_type = 'PROMO'),
+      detail AS (
+        SELECT p_brand,
+          CAST(COUNT(CASE WHEN l_shipdate < TIMESTAMP '1997-04-11'
+                     THEN 1 END) AS BIGINT) AS c1,
+          CAST(COUNT(CASE WHEN l_shipdate >= TIMESTAMP '1997-04-11'
+                     THEN 1 END) AS BIGINT) AS c2
+        FROM lineitem JOIN my_tag ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-07-20'
+        GROUP BY 1),
+      tags AS (SELECT DISTINCT p_brand FROM my_tag)
+      SELECT t.p_brand AS brand,
+        COALESCE(c1, 0) AS cnt1, COALESCE(c2, 0) AS cnt2,
+        ABS(COALESCE(c1, 0) - COALESCE(c2, 0)) AS diff
+      FROM tags t LEFT JOIN detail d ON t.p_brand = d.p_brand
+      ORDER BY diff DESC, brand LIMIT 100""",
+    "ldbc14_friend_recommendation" -> """
+      WITH c AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg
+        FROM customer),
+      cand AS (
+        SELECT k AS src, k + d AS dst
+        FROM c, (VALUES (1), (2), (3), (4)) AS t(d)),
+      edges AS (
+        SELECT cand.src, cand.dst
+        FROM cand JOIN c ON cand.dst = c.k),
+      und AS (
+        SELECT src, dst FROM edges
+        UNION ALL SELECT dst AS src, src AS dst FROM edges),
+      foi AS (
+        SELECT u.src, u.dst FROM und u
+        WHERE u.src IN (SELECT k FROM c WHERE seg = 'BUILDING')),
+      pairs AS (
+        SELECT f1.src AS p1, f2.src AS p2, COUNT(*) AS mutual_friends
+        FROM foi f1 JOIN foi f2 ON f1.dst = f2.dst
+        WHERE f1.src <> f2.src
+        GROUP BY 1, 2),
+      rec AS (
+        SELECT p.p1, p.p2, p.mutual_friends
+        FROM pairs p LEFT JOIN und e ON p.p1 = e.src AND p.p2 = e.dst
+        WHERE e.src IS NULL)
+      SELECT p1 AS person1, p2 AS person2, mutual_friends
+      FROM rec
+      ORDER BY mutual_friends DESC, p1, p2 LIMIT 20""",
     "j5_asof_forward" -> """
       WITH e AS (SELECT event_id, event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS lt

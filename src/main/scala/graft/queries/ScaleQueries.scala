@@ -625,6 +625,66 @@ object ScaleQueries {
         .orderBy(col("m"))
     }),
 
+    // --- ClickBench Q28's referer-domain report: extract the domain
+    // from a URL with a regex, aggregate count / average length /
+    // MIN(url) per domain, HAVING-prune sparse domains, rank by average
+    // length. URLs are synthesized from documents columns (the corpus
+    // carries no raw URL column — same convention as c20); the
+    // source prefix predicate is a plain column filter, so it reaches
+    // the parquet scan as PushedFilters (StringStartsWith) and prunes
+    // BEFORE the regex runs — the Q28 contract that the regex only sees
+    // surviving rows. The ranking average is SUM(length)/COUNT — two
+    // exact integers and ONE double division, bit-identical in both
+    // engines; ties broken on the domain key. ---
+    "c25_referer_domains" -> ((s, dir) => {
+      val referer = concat(lit("https://"), col("source"),
+        lit(".example.com/"), col("lang"), lit("/ref/"),
+        (col("doc_id") % 100).cast("string"))
+      Tables.load(s, dir, "documents")
+        .filter(col("source").startsWith("src1"))
+        .select(referer.as("referer"))
+        .select(
+          regexp_extract(col("referer"), "^https?://([^/]+)/", 1)
+            .as("domain"),
+          length(col("referer")).cast("bigint").as("rlen"),
+          col("referer"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("c"),
+          (sum(col("rlen")).cast("double") / count(lit(1)))
+            .as("avg_len"),
+          min(col("referer")).as("first_ref"))
+        .filter(col("c") > 20)
+        .orderBy(col("avg_len").desc, col("domain"))
+        .limit(25)
+    }),
+
+    // --- ClickBench Q40's multi-key top-k with a COMPUTED grouping
+    // key (+ deep OFFSET page): page views per (event_type, JSON-model
+    // bucket, CASE-derived value band) over a date- and type-pruned
+    // scan, ranked by count with a 20-row offset. Scale shape: both
+    // predicates are pushable scan filters (timestamp range + In on
+    // event_type); the computed keys are row-side projections feeding
+    // ONE partial-aggregated shuffle on the composite key; the
+    // offset+limit page rides TakeOrderedAndProject — each task ships
+    // at most offset+limit rows, no global sort. The value<10 band
+    // compares the RAW stored double — no arithmetic, so the branch is
+    // bit-identical cross-engine. ---
+    "c26_multi_key_topk" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .filter(col("t") >= lit("2024-01-02").cast("timestamp"))
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("event_type"),
+          (get_json_object(col("props"), "$.k").cast("bigint") % 8)
+            .as("kb"),
+          when(col("value") < 10, "low").otherwise("high").as("band"))
+        .groupBy(col("event_type"), col("kb"), col("band"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type"), col("kb"),
+          col("band"))
+        .offset(20)
+        .limit(10)
+    }),
+
     // --- Count-Min Sketch frequency estimation (operators/Sketches):
     // depth 3 × width 64 cells keyed on md5-derived buckets (the one
     // hash both engines share — see TextFunctions.md5Bits60), estimate =
@@ -700,6 +760,29 @@ object ScaleQueries {
       WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08'
         AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
       GROUP BY 1 ORDER BY m""",
+    "c25_referer_domains" -> """
+      WITH refs AS (
+        SELECT 'https://' || source || '.example.com/' || lang ||
+               '/ref/' || CAST(doc_id % 100 AS VARCHAR) AS referer
+        FROM documents WHERE source LIKE 'src1%')
+      SELECT regexp_extract(referer, '^https?://([^/]+)/', 1) AS domain,
+        COUNT(*) AS c,
+        CAST(SUM(length(referer)) AS DOUBLE) / COUNT(*) AS avg_len,
+        MIN(referer) AS first_ref
+      FROM refs
+      GROUP BY domain HAVING COUNT(*) > 20
+      ORDER BY avg_len DESC, domain LIMIT 25""",
+    "c26_multi_key_topk" -> """
+      SELECT event_type,
+        CAST(props->>'k' AS BIGINT) % 8 AS kb,
+        CASE WHEN value < 10 THEN 'low' ELSE 'high' END AS band,
+        COUNT(*) AS n
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02'
+        AND event_type IN ('view', 'click', 'purchase')
+      GROUP BY 1, 2, 3
+      ORDER BY n DESC, event_type, kb, band
+      LIMIT 10 OFFSET 20""",
     // exact replica of TextFunctions.fingerprintRolling: fold tokens
     // through acc <- (acc*31 + (md5-60-bit hash mod p)) mod p, acc0 = 1
     "d10_rolling_fp" -> """

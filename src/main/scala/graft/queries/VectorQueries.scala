@@ -231,6 +231,25 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // --- SQ8 build-once/query-many: the SERVING decomposition of e16 —
+    // buildSq8Index persists per-dim scale stats (O(dim) metadata) and
+    // the 4×-compressed code arrays; querySq8Index then ranks against
+    // the CODES SCAN ONLY, never re-touching the float corpus (the
+    // ir1-family persisted-index precedent; cf. buildBm25Index). The
+    // index lands under java.io.tmpdir keyed by the corpus dir, so the
+    // registry entry is idempotent per scale. k=8 distinguishes the
+    // result from e16's k=5; the quantizer is the SHARED sq8CodesCol
+    // expression, so inline and persisted paths cannot diverge ---
+    "e17_sq8_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_sq8_index_" + java.lang.Integer.toHexString(
+          new java.io.File(dir).getAbsolutePath.hashCode)).getPath
+      Similarity.buildSq8Index(e, path)
+      Similarity.querySq8Index(s, path, seedEmbeddings(e, 3), k = 8)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // --- hybrid retrieval: BM25 top-20 (sparse) fused with brute-force
     // cosine top-20 (dense, query vectors = embeddings 0/1/2 standing in
     // for encoded query text) via reciprocal-rank fusion — the two-tower
@@ -734,6 +753,37 @@ object VectorQueries {
         FROM scored)
       SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, ip_int
       FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    // e17 = e16's pipeline through the PERSISTED index — same exact
+    // min/max + IEEE encode algebra, deeper cut (k=8)
+    "e17_sq8_persisted" -> """
+      WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+          unnest(embedding) AS x
+        FROM embeddings),
+      stats AS (
+        SELECT pos, MIN(x) AS mn, MAX(x) AS mx
+        FROM ex GROUP BY pos),
+      codes AS (
+        SELECT vec_id, e.pos,
+          CAST(LEAST(GREATEST(floor(
+            (CAST(x AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0 /
+            (CASE WHEN mx = mn THEN 1.0
+                  ELSE CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE) END)),
+            0.0), 255.0) AS BIGINT) AS c
+        FROM ex e JOIN stats s ON s.pos = e.pos),
+      qcodes AS (SELECT vec_id AS q_id, pos, c FROM codes WHERE vec_id < 3),
+      scored AS (
+        SELECT q.q_id, c.vec_id, CAST(SUM(q.c * c.c) AS BIGINT) AS ip_int
+        FROM qcodes q JOIN codes c ON c.pos = q.pos
+        WHERE c.vec_id <> q.q_id
+        GROUP BY q.q_id, c.vec_id),
+      ranked AS (
+        SELECT q_id, vec_id, ip_int,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY ip_int DESC, vec_id ASC) AS rnk
+        FROM scored)
+      SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, ip_int
+      FROM ranked WHERE rnk <= 8 ORDER BY q_id, rnk""",
     "e5_knn_ivf" -> e5Oracle,
     "e6_embedding_dedup" -> e6Oracle,
     "e7_kmeans_step" -> e7Oracle,
