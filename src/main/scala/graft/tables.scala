@@ -36,7 +36,10 @@ object Tables {
     df.schema("ts").dataType match {
       // epoch-nanos long (legacy TIMESTAMP(NANOS) surfaced via
       // nanosAsLong): floor-truncate to micros, matching CAST(ns AS
-      // TIMESTAMP) in the oracle engine.
+      // TIMESTAMP) in the oracle engine. NOTE: on this path `t` is a
+      // DERIVED column, so time-band predicates on `t` cannot reach the
+      // parquet scan as PushedFilters (they do on the canonical
+      // TIMESTAMP path below — pinned in PlanGuardSpec via c24).
       case LongType => df.withColumn("t", timestamp_micros(expr("ts DIV 1000")))
       // already a micros timestamp: use as-is.
       case TimestampType => df.withColumn("t", col("ts"))

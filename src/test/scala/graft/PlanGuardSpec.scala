@@ -349,6 +349,74 @@ class PlanGuardSpec extends SparkSpec {
       s"m6 demux+decode must not shuffle before the presentation sort:\n$m6")
   }
 
+  test("c24 week band reaches the parquet scan as PushedFilters " +
+    "(canonical TIMESTAMP corpus)") {
+    // the claim lived only in SURVEY prose (VERDICT r12 #7): on the
+    // canonical micros-TIMESTAMP events encoding, `t` IS the stored
+    // column, so the band must prune at the reader. (On the legacy
+    // nanos-long encoding `t` is derived and cannot push — documented
+    // at Tables.withEventTime; this pin runs on the canonical corpus.)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val phys = SparkEntry.queries("c24_minute_histogram")(spark, sf)
+      .queryExecution.sparkPlan
+    val pushed = phys.collect { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "") }.mkString(";")
+    assert(pushed.contains("GreaterThanOrEqual(ts") &&
+      pushed.contains("LessThan(ts"), s"c24 week band not pushed: $pushed")
+  }
+
+  test("ds16/ds17/c25/c26/e17: round-13 additions keep their scale shapes") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan,
+      TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // ds16: the four year_total arms are CASE sums in ONE aggregation —
+    // exactly one join (fact⋈orders), never a self-join of aggregates
+    val ds16 = unwrap(SparkEntry.queries("ds16_yoy_channel_ratio")(
+      spark, sf).queryExecution.executedPlan)
+    assert(ds16.collect { case j: BaseJoinExec => j }.size == 1,
+      s"ds16 must join fact to orders exactly once:\n$ds16")
+    // ds17: the lead()-window rewrite's point is ONE lineitem scan (the
+    // self-join spelling scans the fact twice; exchange reuse does not
+    // rescue it) and its date band pushed
+    val ds17phys = SparkEntry.queries("ds17_volatility_band")(spark, sf)
+      .queryExecution
+    val ds17 = unwrap(ds17phys.executedPlan)
+    assert(ds17.collect { case s: FileSourceScanExec => s }.size == 1,
+      s"ds17 must scan lineitem once:\n$ds17")
+    assert(ds17phys.sparkPlan.collect { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "") }.mkString
+      .contains("GreaterThanOrEqual(l_shipdate"),
+      "ds17 year band must prune at the scan")
+    // c25: the source prefix prunes BEFORE the regex sees a row
+    val c25 = SparkEntry.queries("c25_referer_domains")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(c25.collect { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "") }.mkString
+      .contains("StringStartsWith(source,src1)"),
+      "c25 prefix filter must reach the documents scan")
+    // c26: offset+limit page must stay a distributed partial top-k
+    // (TakeOrderedAndProject), never a global sort
+    val c26 = unwrap(SparkEntry.queries("c26_multi_key_topk")(spark, sf)
+      .queryExecution.executedPlan)
+    assert(c26.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"c26 offset page must plan as TakeOrderedAndProject:\n$c26")
+    // e17: the query path ranks against the persisted CODES scan only —
+    // the float corpus parquet must not appear in the serving plan
+    val e17 = SparkEntry.queries("e17_sq8_persisted")(spark, sf)
+      .queryExecution.sparkPlan
+    val scanned = e17.collect { case s: FileSourceScanExec =>
+      s.relation.location.rootPaths.map(_.toString).mkString }.mkString
+    assert(scanned.contains("graft_sq8_index"),
+      s"e17 must scan the persisted index: $scanned")
+    assert(!scanned.contains("embeddings.parquet"),
+      s"e17 serving plan must never re-touch the float corpus: $scanned")
+  }
+
   test("d25/d24/c7: no single-partition window anywhere (VERDICT r9 #2-4)") {
     // an unpartitioned row_number()/ntile() window drags EVERY row
     // through one task — invisible at sf0.01, fatal at 100 TB. d25's
