@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -562,9 +562,191 @@ object DsQueries {
         .agg(count(lit(1)).as("num_customers"))
         .withColumn("segment_base_usd", (col("segment") * 50000).cast("int"))
         .orderBy(col("segment"))
+    }),
+
+    // --- TPC-DS q59's week-over-week day-of-week pivot: per (store →
+    // nation, week) revenue split across weekdays, each week compared
+    // against the SAME week one year (52 weeks) later. The calendar is
+    // pure integer arithmetic — absolute week = days-since-epoch div 7
+    // (q59's d_week_seq), dow = (days+4) mod 7 — so no ISO-week or
+    // locale semantics can diverge between engines. The template's
+    // year1⋈year2 self-join of the pivoted CTE is re-expressed as ONE
+    // conditional aggregation: each row lands on the pair key
+    // week_seq − 52·(yr−1997), so both years of a pair meet in the same
+    // group and the fact is scanned ONCE (the self-join spelling scans
+    // it twice). Ratios are exact integer ppm (non-negative cents, so
+    // floor-div == trunc-div in both engines); tot1·1e6 stays under
+    // Long.Max while a nation-week stays under ~9e12 cents ($9e10).
+    // Ref: /root/reference/benchmark/tpcds/query59.tpl ---
+    "ds19_wow_dow_pivot" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey"),
+          unix_date(col("o_orderdate").cast("date")).cast("bigint")
+            .as("ud"),
+          year(col("o_orderdate")).as("yr"),
+          (col("o_totalprice").cast(DecimalType(28, 2)) * lit(100))
+            .cast("bigint").as("cents"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("nat"))
+      def cell(y: Int, dow: Int) =
+        sum(when(col("yr") === y && pmod(col("ud") + 4, lit(7)) === dow,
+          col("cents")).otherwise(0L))
+      def ppm(a: String, b: String) =
+        expr(s"CASE WHEN $a > 0 THEN $b * 1000000 div $a END")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("nat"),
+          (expr("ud div 7") - lit(52) * (col("yr") - 1997)).as("wk"))
+        .agg(cell(1997, 0).as("sun1"), cell(1998, 0).as("sun2"),
+          cell(1997, 3).as("wed1"), cell(1998, 3).as("wed2"),
+          cell(1997, 6).as("sat1"), cell(1998, 6).as("sat2"),
+          sum(when(col("yr") === 1997, col("cents")).otherwise(0L))
+            .as("tot1"),
+          sum(when(col("yr") === 1998, col("cents")).otherwise(0L))
+            .as("tot2"))
+        .filter(col("tot1") > 0 && col("tot2") > 0)
+        .select(col("nat"), col("wk"),
+          ppm("sun1", "sun2").as("sun_ppm"),
+          ppm("wed1", "wed2").as("wed_ppm"),
+          ppm("sat1", "sat2").as("sat_ppm"),
+          expr("tot2 * 1000000 div tot1").as("tot_ppm"))
+        .orderBy(col("nat"), col("wk"))
+    }),
+
+    // --- TPC-DS q75's declining-brands report: per-brand net activity
+    // (sales minus returns — the template's three-channel UNION of
+    // sales-less-returns, here one fact with returnflag R as the
+    // returns channel) for two consecutive years, keeping brands whose
+    // net quantity DROPPED. The year self-join is again a conditional
+    // aggregation (one shuffle, fact scanned once); quantities and
+    // cents are signed BIGINTs, the decline test and deltas are exact
+    // integer subtraction.
+    // Ref: /root/reference/benchmark/tpcds/query75.tpl ---
+    "ds20_declining_brands" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity").cast("bigint").as("qty"),
+          (col("l_extendedprice").cast(DecimalType(28, 2)) * lit(100))
+            .cast("bigint").as("cents"),
+          when(col("l_returnflag") === "R", -1L).otherwise(1L).as("sgn"))
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      def cell(y: Int, c: Column) =
+        sum(when(col("yr") === y, col("sgn") * c).otherwise(0L))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(cell(1997, col("qty")).as("q1"),
+          cell(1998, col("qty")).as("q2"),
+          cell(1997, col("cents")).as("r1"),
+          cell(1998, col("cents")).as("r2"))
+        .filter(col("q2") < col("q1"))
+        .select(col("p_brand"), col("q1"), col("q2"),
+          (col("q1") - col("q2")).as("qty_drop"),
+          (col("r1") - col("r2")).as("rev_drop_cents"))
+        .orderBy(col("qty_drop").desc, col("p_brand"))
+    }),
+
+    // --- TPC-DS q34/q73's frequent-buyer band: orders whose item count
+    // sits in a band (8..12 — the synthetic corpus tops out at ~13
+    // lines per order), listed with their customers. The band is a
+    // HAVING on the per-order count BEFORE any dimension join — the
+    // fact aggregates to one row per order first, so the customer join
+    // sees only band survivors. All-integer — hash-exact.
+    // Ref: /root/reference/benchmark/tpcds/query34.tpl ---
+    "ds21_frequent_buyers" -> ((s, dir) => {
+      val cnt = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+        .filter(col("n_items") >= 8 && col("n_items") <= 12)
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      cnt.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("n_items"))
+        .orderBy(col("n_items").desc, col("c_custkey"), col("o_orderkey"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "ds19_wow_dow_pivot" -> """
+      WITH base AS (
+        SELECT c_nationkey AS nat,
+          CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+               AS BIGINT) AS ud,
+          year(o_orderdate) AS yr,
+          CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+            AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'),
+      piv AS (
+        SELECT nat, ud // 7 - 52 * (yr - 1997) AS wk,
+          CAST(SUM(CASE WHEN yr=1997 AND (ud+4)%7=0 THEN cents ELSE 0 END)
+               AS BIGINT) AS sun1,
+          CAST(SUM(CASE WHEN yr=1998 AND (ud+4)%7=0 THEN cents ELSE 0 END)
+               AS BIGINT) AS sun2,
+          CAST(SUM(CASE WHEN yr=1997 AND (ud+4)%7=3 THEN cents ELSE 0 END)
+               AS BIGINT) AS wed1,
+          CAST(SUM(CASE WHEN yr=1998 AND (ud+4)%7=3 THEN cents ELSE 0 END)
+               AS BIGINT) AS wed2,
+          CAST(SUM(CASE WHEN yr=1997 AND (ud+4)%7=6 THEN cents ELSE 0 END)
+               AS BIGINT) AS sat1,
+          CAST(SUM(CASE WHEN yr=1998 AND (ud+4)%7=6 THEN cents ELSE 0 END)
+               AS BIGINT) AS sat2,
+          CAST(SUM(CASE WHEN yr=1997 THEN cents ELSE 0 END) AS BIGINT)
+            AS tot1,
+          CAST(SUM(CASE WHEN yr=1998 THEN cents ELSE 0 END) AS BIGINT)
+            AS tot2
+        FROM base GROUP BY 1, 2)
+      SELECT nat, wk,
+        CASE WHEN sun1 > 0 THEN sun2 * 1000000 // sun1 END AS sun_ppm,
+        CASE WHEN wed1 > 0 THEN wed2 * 1000000 // wed1 END AS wed_ppm,
+        CASE WHEN sat1 > 0 THEN sat2 * 1000000 // sat1 END AS sat_ppm,
+        tot2 * 1000000 // tot1 AS tot_ppm
+      FROM piv WHERE tot1 > 0 AND tot2 > 0
+      ORDER BY nat, wk""",
+    "ds20_declining_brands" -> """
+      WITH chan AS (
+        SELECT l_partkey, year(o_orderdate) AS yr,
+          CAST(l_quantity AS BIGINT) AS qty,
+          CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+            AS cents,
+          CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END AS sgn
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'),
+      agg AS (
+        SELECT p_brand,
+          CAST(SUM(CASE WHEN yr=1997 THEN sgn*qty ELSE 0 END) AS BIGINT)
+            AS q1,
+          CAST(SUM(CASE WHEN yr=1998 THEN sgn*qty ELSE 0 END) AS BIGINT)
+            AS q2,
+          CAST(SUM(CASE WHEN yr=1997 THEN sgn*cents ELSE 0 END) AS BIGINT)
+            AS r1,
+          CAST(SUM(CASE WHEN yr=1998 THEN sgn*cents ELSE 0 END) AS BIGINT)
+            AS r2
+        FROM chan JOIN part ON l_partkey = p_partkey GROUP BY 1)
+      SELECT p_brand, q1, q2, q1 - q2 AS qty_drop,
+        r1 - r2 AS rev_drop_cents
+      FROM agg WHERE q2 < q1
+      ORDER BY qty_drop DESC, p_brand""",
+    "ds21_frequent_buyers" -> """
+      WITH cnt AS (
+        SELECT l_orderkey, COUNT(*) AS n_items
+        FROM lineitem GROUP BY 1
+        HAVING COUNT(*) BETWEEN 8 AND 12)
+      SELECT c_custkey, c_name, o_orderkey, n_items
+      FROM cnt JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+      ORDER BY n_items DESC, c_custkey, o_orderkey""",
     "ds16_yoy_channel_ratio" -> """
       WITH piv AS (
         SELECT o_custkey AS c_custkey,
