@@ -673,9 +673,115 @@ object DsQueries {
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           col("n_items"))
         .orderBy(col("n_items").desc, col("c_custkey"), col("o_orderkey"))
+    }),
+
+    // --- TPC-DS q31's quarter-over-quarter growth-rate compare between
+    // two channels per geography: nations where the w-channel grew
+    // FASTER from Q2 to Q3 than the s-channel. Same conditional-
+    // aggregation collapse as ds16 (the template self-joins six
+    // quarterly CTEs; here the four (chan, quarter) cells are CASE sums
+    // in ONE shuffle on the nation grain) and the growth-rate
+    // comparison w3/w2 > s3/s2 is the exact cross-product
+    // w3·s2 > s3·w2 over per-row-derived cents — zero FP. Unlike
+    // ds16's per-CUSTOMER cells, a nation-quarter cell is
+    // corpus-proportional (~3.7e9 cents at sf0.1 → the product tops
+    // 9.9e18 and overflows INT64), so the compare runs in
+    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact to 1e38, and
+    // DuckDB RAISES rather than wraps, which is how this was caught at
+    // sf0.1. The two-quarter band is a pushable timestamp range.
+    // Ref: /root/reference/benchmark/tpcds/query31.tpl ---
+    "ds22_growth_compare" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-04-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+        .select(col("o_custkey"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "s")
+            .otherwise("w").as("chan"),
+          quarter(col("o_orderdate")).as("q"),
+          (col("o_totalprice").cast(DecimalType(28, 2)) * lit(100))
+            .cast("bigint").as("cents"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("nat"))
+      def cell(ch: String, q: Int) =
+        sum(when(col("chan") === ch && col("q") === q, col("cents"))
+          .otherwise(0L))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("nat"))
+        .agg(cell("s", 2).as("s2"), cell("s", 3).as("s3"),
+          cell("w", 2).as("w2"), cell("w", 3).as("w3"))
+        .filter(col("s2") > 0 && col("w2") > 0 &&
+          col("s3") > 0 && col("w3") > 0 &&
+          col("w3").cast(DecimalType(38, 0)) *
+            col("s2").cast(DecimalType(38, 0)) >
+          col("s3").cast(DecimalType(38, 0)) *
+            col("w2").cast(DecimalType(38, 0)))
+        .orderBy(col("nat"))
+    }),
+
+    // --- TPC-DS q41's combinatorial attribute fan: DISTINCT part
+    // attributes under an OR-of-ANDs predicate, restricted by EXISTS to
+    // parts that actually moved in bulk. The boolean fan is a scan-side
+    // predicate (each disjunct is sargable; Catalyst pushes the whole
+    // disjunction); the EXISTS is a LEFT SEMI against a
+    // quantity-pruned lineitem scan — the dimension never fans out.
+    // All string/integer — hash-exact.
+    // Ref: /root/reference/benchmark/tpcds/query41.tpl ---
+    "ds23_attribute_fan" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .filter(
+          (col("p_type") === "PROMO" &&
+            col("p_size").between(1, 15)) ||
+          (col("p_type") === "ECONOMY" &&
+            col("p_size").between(16, 30)) ||
+          (col("p_type") === "STANDARD" &&
+            col("p_size").between(31, 50)))
+      val bulk = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 40)
+        .select(col("l_partkey"))
+      p.join(bulk, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_name"), col("p_brand"), col("p_size"))
+        .distinct()
+        .orderBy(col("p_name"), col("p_brand"), col("p_size"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "ds22_growth_compare" -> """
+      WITH base AS (
+        SELECT c_nationkey AS nat,
+          CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+               THEN 's' ELSE 'w' END AS chan,
+          CAST(quarter(o_orderdate) AS INT) AS q,
+          CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+            AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1997-04-01'
+          AND o_orderdate < TIMESTAMP '1997-10-01'),
+      piv AS (
+        SELECT nat,
+          CAST(SUM(CASE WHEN chan='s' AND q=2 THEN cents ELSE 0 END)
+               AS BIGINT) AS s2,
+          CAST(SUM(CASE WHEN chan='s' AND q=3 THEN cents ELSE 0 END)
+               AS BIGINT) AS s3,
+          CAST(SUM(CASE WHEN chan='w' AND q=2 THEN cents ELSE 0 END)
+               AS BIGINT) AS w2,
+          CAST(SUM(CASE WHEN chan='w' AND q=3 THEN cents ELSE 0 END)
+               AS BIGINT) AS w3
+        FROM base GROUP BY 1)
+      SELECT nat, s2, s3, w2, w3
+      FROM piv
+      WHERE s2 > 0 AND w2 > 0 AND s3 > 0 AND w3 > 0
+        AND CAST(w3 AS HUGEINT) * s2 > CAST(s3 AS HUGEINT) * w2
+      ORDER BY nat""",
+    "ds23_attribute_fan" -> """
+      SELECT DISTINCT p_name, p_brand, p_size
+      FROM part p
+      WHERE ( (p_type = 'PROMO'    AND p_size BETWEEN 1 AND 15)
+           OR (p_type = 'ECONOMY'  AND p_size BETWEEN 16 AND 30)
+           OR (p_type = 'STANDARD' AND p_size BETWEEN 31 AND 50) )
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_partkey = p.p_partkey
+                      AND l.l_quantity >= 40)
+      ORDER BY p_name, p_brand, p_size""",
     "ds19_wow_dow_pivot" -> """
       WITH base AS (
         SELECT c_nationkey AS nat,

@@ -724,6 +724,54 @@ object ExtQueries {
           col("mutual_friends"))
     }),
 
+    // --- LDBC BI Q12 message-count histogram: how many persons wrote
+    // exactly k messages — the count-of-counts double aggregation.
+    // Mapping: messages = orders since the window start. Scale shape:
+    // the inner aggregate shuffles once to the person grain; the outer
+    // histogram's key space is ≤ max-messages-per-person (bounded
+    // metadata), so the second shuffle carries one row per person and
+    // outputs one row per count value. All-integer — hash-exact.
+    // Ref: /root/reference/benchmark/ldbc/bi-12.sql ---
+    "ldbc15_msg_histogram" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_msgs"))
+        .groupBy(col("n_msgs"))
+        .agg(count(lit(1)).as("n_persons"))
+        .orderBy(col("n_persons").desc, col("n_msgs").desc)
+    }),
+
+    // --- LDBC BI Q6-style authority score: a person's score is the sum,
+    // over all likers of their messages, of each liker's own popularity
+    // (their total like count) — the two-level join-aggregate that makes
+    // Q6 distinctive. Mapping: messages = orders, a like = a lineitem
+    // row, liker = the supplier on that lineitem, liker popularity = the
+    // supplier's total lineitem count. Scale shape: liker popularity is
+    // ONE partial-aggregated shuffle on the bare suppkey; it re-enters
+    // the like fact by equi-join (supplier is scale-proportional — no
+    // broadcast hint, AQE sizes it); per-message and per-person rollups
+    // are two more keyed aggregations; top-100 rides
+    // TakeOrderedAndProject. All-integer — hash-exact.
+    // Ref: /root/reference/benchmark/ldbc/bi-6.sql ---
+    "ldbc16_authority_score" -> ((s, dir) => {
+      val likes = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val likerPop = likes.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("pop"))
+      val msgScore = likes
+        .join(likerPop, Seq("l_suppkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("pop")).as("msc"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(msgScore, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("person"))
+        .agg(sum(col("msc")).cast("bigint").as("score"))
+        .orderBy(col("score").desc, col("person"))
+        .limit(100)
+    }),
+
     // --- forward as-of join (pandas direction='forward'): each event
     // picks the EARLIEST hourly rate bucket at-or-after it — the
     // backward j1 on a negated axis, so both directions share one code
@@ -1458,6 +1506,25 @@ object ExtQueries {
       SELECT p1 AS person1, p2 AS person2, mutual_friends
       FROM rec
       ORDER BY mutual_friends DESC, p1, p2 LIMIT 20""",
+    "ldbc15_msg_histogram" -> """
+      WITH per AS (
+        SELECT o_custkey, COUNT(*) AS n_msgs
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY 1)
+      SELECT n_msgs, COUNT(*) AS n_persons
+      FROM per GROUP BY 1
+      ORDER BY n_persons DESC, n_msgs DESC""",
+    "ldbc16_authority_score" -> """
+      WITH liker_pop AS (
+        SELECT l_suppkey, COUNT(*) AS pop FROM lineitem GROUP BY 1),
+      msg_score AS (
+        SELECT k.l_orderkey, CAST(SUM(p.pop) AS BIGINT) AS msc
+        FROM lineitem k JOIN liker_pop p ON k.l_suppkey = p.l_suppkey
+        GROUP BY 1)
+      SELECT o_custkey AS person, CAST(SUM(msc) AS BIGINT) AS score
+      FROM orders JOIN msg_score ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY score DESC, person LIMIT 100""",
     "j5_asof_forward" -> """
       WITH e AS (SELECT event_id, event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS lt
