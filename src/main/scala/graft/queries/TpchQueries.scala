@@ -106,16 +106,17 @@ object TpchQueries {
       val g = pp.agg(
         sum(col("v_mu")).as("tot_mu"),
         count(lit(1)).as("np"))
-      // Overflow margin for the 3-way BIGINT product (non-ANSI Spark
-      // wraps where DuckDB raises): max v_mu ≈ tot_mu ≤ total corpus
-      // value in micro-units (~1e13 at sf1, ~1e15 at sf100) and
-      // np ≤ #parts (~2e7 at sf100), so v_mu·np·5 ≤ ~1e16·2e7 only if a
-      // single part held the whole corpus — in practice v_mu·np ≈
-      // tot_mu ≈ 1e15 ≪ 9.2e18. Safe through sf100; beyond that,
-      // rescale the unit, not the comparison.
+      // The cross-product runs in DECIMAL(38,0) (Spark) / HUGEINT
+      // (DuckDB) — the ds22 convention — because BIGINT does NOT hold
+      // it: measured tot_mu is 3.2e16 at sf0.1 already (corpus value in
+      // micro-units scales linearly, ~3e19 at sf100) and np ~2e7 at
+      // sf100, so v_mu·np·5 can reach ~1e27 ≫ 9.2e18 (Long.Max falls
+      // around sf3–30). DECIMAL(38,0) is exact to 1e38 — safe through
+      // sf100 with ~11 orders of margin.
+      val D38 = DecimalType(38, 0)
       pp.crossJoin(broadcast(g))
-        .filter(col("v_mu") * col("np") * lit(5L) >
-          col("tot_mu") * lit(6L))
+        .filter(col("v_mu").cast(D38) * col("np").cast(D38) * lit(5L) >
+          col("tot_mu").cast(D38) * lit(6L))
         .select(col("l_partkey"), col("v").cast("double").as("value"))
         .orderBy(col("value").desc, col("l_partkey"))
     }),
@@ -460,7 +461,7 @@ object TpchQueries {
         FROM pp)
       SELECT l_partkey, CAST(v AS DOUBLE) AS value
       FROM pp, g
-      WHERE v_mu * np * 5 > tot_mu * 6
+      WHERE CAST(v_mu AS HUGEINT) * np * 5 > CAST(tot_mu AS HUGEINT) * 6
       ORDER BY value DESC, l_partkey""",
     "h10_returned_items" -> """
       SELECT c_custkey, c_name, n_name,

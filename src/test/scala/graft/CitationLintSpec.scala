@@ -27,11 +27,23 @@ class CitationLintSpec extends AnyFunSuite {
       .toSeq
   }
 
+  /** Repo-root markdown (SURVEY.md, PLANS.md, README.md, …) — the prose a
+    * reviewer actually reads, and where the r12 fabrication class would
+    * hurt most (VERDICT r13 What's-wrong #4). Non-recursive: round
+    * artifacts live at the root too, but they are all .json/.sbt except
+    * the *.md set we want. */
+  private def rootMarkdown: Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator.asScala
+      .filter(p => p.toString.endsWith(".md"))
+      .toSeq
+  }
+
   test("every cited /root/reference path exists") {
     assume(java.nio.file.Files.isDirectory(refRoot),
       "reference tree absent on this host — lint not applicable")
     val files = sourceFiles("src") ++ sourceFiles("python") ++
-      sourceFiles("tools")
+      sourceFiles("tools") ++ rootMarkdown
     assert(files.nonEmpty, "no source files found — lint is vacuous")
     val bad = for {
       f <- files

@@ -8,16 +8,24 @@ it builds BOTH trees, then runs them ALTERNATING in one session
 (A B A B ...), so any host-wide drift hits both sides equally and the
 paired per-query ratio isolates the code effect.
 
+r13 showed even TWO interleaved rounds leave +/-10% ambiguity (paired
+geomeans 0.88 and 1.06 on identical shared-key code): default is now 4
+rounds, the per-query ratio is best-of-N over best-of-N (min time each
+side — the noise-robust estimator), and the artifact also carries the
+per-query PAIRED min/max ratio band plus geomean bounds, so a run whose
+band straddles 1.0 is reported as parity rather than read off a single
+point estimate (VERDICT r13 What's-wrong #3).
+
 Usage: python3 tools/ab_bench.py [REF=HEAD^] [SF_DIR=/root/testdata/sf0.01]
-                                 [ROUNDS=2] [ONLY_FILTER]
-Writes target/ab_bench.json: per-query {a, b, ratio} + geomean summary.
-Ratio > 1 means HEAD is slower than REF on that query.
+                                 [ROUNDS=4] [ONLY_FILTER]
+Writes target/ab_bench.json: per-query {a, b, ratio, ratio_min, ratio_max}
++ geomean summary with bounds. Ratio > 1 means HEAD is slower than REF.
 """
 import json, math, os, shutil, subprocess, sys
 
 REF = sys.argv[1] if len(sys.argv) > 1 else "HEAD^"
 SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
-ROUNDS = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+ROUNDS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 ONLY = sys.argv[4] if len(sys.argv) > 4 else ""
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -86,29 +94,53 @@ def main():
         ts = [r[q] for r in runs if q in r and r[q] >= 0]
         return min(ts) if ts else None
 
+    def geo(xs):
+        return math.exp(sum(math.log(x) for x in xs) / len(xs)) \
+            if xs else None
+
     keys = sorted(set().union(*[set(r) for r in a_runs + b_runs]))
-    rows, ratios = {}, []
+    rows, ratios, rmins, rmaxs = {}, [], [], []
     for q in keys:
         a, b = best(a_runs, q), best(b_runs, q)
+        # method of record: best-of-N over best-of-N (min time each side)
         ratio = (b / a) if (a and b and a > 0) else None
-        rows[q] = {"a": a, "b": b, "ratio": ratio}
+        # noise band: the per-ROUND paired ratios b_i/a_i — their spread is
+        # the run-to-run variance the point estimate hides
+        paired = [br[q] / ar[q] for ar, br in zip(a_runs, b_runs)
+                  if q in ar and q in br and ar[q] > 0 and br[q] > 0]
+        rmin = min(paired) if paired else None
+        rmax = max(paired) if paired else None
+        rows[q] = {"a": a, "b": b, "ratio": ratio,
+                   "ratio_min": rmin, "ratio_max": rmax}
         if ratio:
             ratios.append(ratio)
-    geomean = math.exp(sum(math.log(x) for x in ratios) / len(ratios)) \
-        if ratios else None
+        if rmin:
+            rmins.append(rmin)
+        if rmax:
+            rmaxs.append(rmax)
+    geomean = geo(ratios)
+    geomean_lo, geomean_hi = geo(rmins), geo(rmaxs)
     out = {"ref": REF, "sf": SF, "rounds": ROUNDS,
            "n_compared": len(ratios), "geomean_head_over_ref": geomean,
+           "geomean_paired_min": geomean_lo,
+           "geomean_paired_max": geomean_hi,
            "queries": rows}
     path = os.path.join(REPO, "target", "ab_bench.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    print(f"[ab] geomean HEAD/REF = {geomean:.3f} over {len(ratios)} queries"
-          if geomean else "[ab] nothing comparable")
+    if geomean:
+        print(f"[ab] geomean HEAD/REF = {geomean:.3f} over {len(ratios)} "
+              f"queries (paired-round band [{geomean_lo:.3f}, "
+              f"{geomean_hi:.3f}] — a band straddling 1.0 is parity)")
+    else:
+        print("[ab] nothing comparable")
     worst = sorted(((v["ratio"], q) for q, v in rows.items() if v["ratio"]),
                    reverse=True)[:8]
     for r, q in worst:
-        print(f"[ab]   {q:28s} {r:6.2f}x")
+        v = rows[q]
+        print(f"[ab]   {q:28s} {r:6.2f}x  paired "
+              f"[{v['ratio_min']:.2f}, {v['ratio_max']:.2f}]")
     print(f"[ab] wrote {path}")
 
 

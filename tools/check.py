@@ -28,6 +28,24 @@ driver's render classpath demonstrably lacked the resource).
 """
 import json, math, subprocess, sys, glob, os
 
+USAGE = ("usage: python3 tools/check.py [--render-first] [--no-resource] "
+         "[sf_dir] [out_dir] [filter]")
+
+# Reject unknown flags instead of binding them to positionals: `check.py
+# --help` used to launch a full Spark Verify against a dir literally named
+# `--help` (VERDICT r13 What's-wrong #2 — same class RenderOracles fixed
+# in r11).
+if any(a in ("--help", "-h") for a in sys.argv[1:]):
+    print(USAGE)
+    print(__doc__)
+    sys.exit(0)
+unknown = [a for a in sys.argv[1:]
+           if a.startswith("-") and a not in ("--render-first", "--no-resource")]
+if unknown:
+    print(f"check.py: unknown flag(s): {', '.join(unknown)}")
+    print(USAGE)
+    sys.exit(2)
+
 args = [a for a in sys.argv[1:]
         if a not in ("--render-first", "--no-resource")]
 RENDER_FIRST = "--render-first" in sys.argv[1:]
@@ -41,6 +59,29 @@ if NO_RESOURCE and not RENDER_FIRST:
 SF = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
 OUT = args[1] if len(args) > 1 else "/tmp/graft_verify"
 FILT = args[2] if len(args) > 2 else ""
+
+# A cold render is only valid at the canonical snapshot scale: the
+# compiled-in literal snapshot (graft.OracleLiteralsSnapshot) is pinned to
+# sf0.01 (OracleLiterals.CanonicalDir), so a cold render at any other
+# scale serves canonical-scale literals that the warm recompute then
+# contradicts — the run would die late with a misleading "cold vs warm
+# differ" diff (VERDICT r13 What's-wrong #1). Refuse the combination up
+# front, before any JVM launches.
+CANONICAL_SF = "/root/testdata/sf0.01"
+def _same_dir(a, b):
+    try:
+        return os.path.realpath(a) == os.path.realpath(b)
+    except OSError:
+        return a == b
+if RENDER_FIRST and not _same_dir(SF, CANONICAL_SF):
+    print(f"check.py: --render-first is only valid at the canonical "
+          f"snapshot scale {CANONICAL_SF} (got {SF}).\n"
+          "The compiled-in literal snapshot is sf0.01-pinned "
+          "(OracleLiterals.scala: CanonicalDir); a cold render at another "
+          "scale would serve canonical-scale literals that the warm "
+          "recompute contradicts. Run this scale WITHOUT --render-first "
+          "(the warm path recomputes literals for the actual corpus).")
+    sys.exit(2)
 
 ADD_OPENS = []
 for p in ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
@@ -77,7 +118,11 @@ def render_cold():
             os.remove(res)
             print(f"no-resource: deleted {res} — compiled-in snapshot "
                   "must carry the literals alone")
-    cmd = (["java"] + ADD_OPENS + ["-cp", CP, "graft.RenderOracles", cold])
+    # pass the intended verify scale: a persisted serve at a different
+    # snapshot scale then WARNs (caught just below) instead of slipping
+    # through to a misleading cold-vs-warm diff
+    cmd = (["java"] + ADD_OPENS +
+           ["-cp", CP, "graft.RenderOracles", cold, SF])
     r = subprocess.run(cmd, capture_output=True, text=True)
     if r.returncode != 0:
         print("render-first: RenderOracles failed rc", r.returncode)
