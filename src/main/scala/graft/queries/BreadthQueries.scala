@@ -295,6 +295,177 @@ object BreadthQueries {
           min(col("s_name")).as("first_supp"),
           min(col("o_orderdate")).as("earliest"),
           count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's 10a-class signature: a SIX-join chain with a filter on
+    // EVERY table — fact measure band, order status, customer balance,
+    // nation LIKE, region IN-list, supplier balance, part size band.
+    // This is the join-order stressor the benchmark exists for: seven
+    // differently-selective predicates, and a bad order materializes an
+    // unfiltered intermediate. Every dim predicate is scan-evaluable
+    // (PushedFilters — pinned in PlanGuardSpec), the two bounded dims
+    // carry broadcast hints, and customer/supplier/part build sides are
+    // AQE-sized. MIN-star output like job1–job7 ---
+    "job8_filter_chain" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") < 40)
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") =!= "F")
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+      // startsWith, not like("NATION_1%"): the `_` is a LIKE wildcard,
+      // so LikeSimplification cannot rewrite that pattern to a pushable
+      // StartsWith and the predicate would stay post-scan
+      val n = broadcast(Tables.load(s, dir, "nation")
+        .filter(col("n_name").startsWith("NATION_1")))
+      val r = broadcast(Tables.load(s, dir, "region")
+        .filter(col("r_name").isin("ASIA", "EUROPE", "AMERICA")))
+      val sup = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") > 0)
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_size").between(5, 45))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(p, l("l_partkey") === p("p_partkey"))
+        .agg(min(col("p_name")).as("first_part"),
+          min(col("s_name")).as("first_supp"),
+          min(col("c_name")).as("first_cust"),
+          min(col("n_name")).as("first_nation"),
+          min(col("o_orderdate")).as("earliest"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's same-DIM-triple-alias signature (IMDb's it1/it2/it3
+    // info_type aliases): ONE dimension table (nation) joined three
+    // times into one fact row, each alias reached through a DIFFERENT
+    // fact FK and carrying a DIFFERENT predicate class — region join on
+    // the customer arm, IN-list on the supplier arm, LIKE on a modeled
+    // part-origin arm (p_partkey % 25, a derived FK with the same
+    // 25-value domain). The optimizer cannot collapse the aliases and
+    // must price three unequal selectivities against each other. All
+    // three nation builds are bounded (≤25 rows) → broadcast hints ---
+    "job9_dim_triple_alias" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val sup = Tables.load(s, dir, "supplier")
+      val p = Tables.load(s, dir, "part")
+      val n1 = broadcast(Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"),
+          col("n_name").as("cust_nation_v"), col("n_regionkey")))
+      val r1 = broadcast(Tables.load(s, dir, "region")
+        .filter(col("r_name") === "EUROPE"))
+      val n2 = broadcast(Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_2", "NATION_8",
+          "NATION_14", "NATION_20"))
+        .select(col("n_nationkey").as("n2_key"),
+          col("n_name").as("supp_nation_v")))
+      val n3 = broadcast(Tables.load(s, dir, "nation")
+        .filter(col("n_name").like("%1%"))
+        .select(col("n_nationkey").as("n3_key"),
+          col("n_name").as("part_origin_v")))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(p, l("l_partkey") === p("p_partkey"))
+        .join(n1, c("c_nationkey") === col("n1_key"))
+        .join(r1, col("n_regionkey") === r1("r_regionkey"))
+        .join(n2, sup("s_nationkey") === col("n2_key"))
+        .join(n3, (p("p_partkey") % 25).cast("int") === col("n3_key"))
+        .agg(min(col("cust_nation_v")).as("cust_nation"),
+          min(col("supp_nation_v")).as("supp_nation"),
+          min(col("part_origin_v")).as("part_origin"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's wide disjunction: a THREE-branch OR spanning three
+    // different dimension tables, two branches themselves conjunctions
+    // (IMDb's `(mc.note LIKE ... AND ...) OR t.title LIKE ... OR ...`).
+    // No branch can push below its own join — the predicate only
+    // evaluates on the fully-joined row — so naive pushdown gets zero
+    // traction and the only scan-side pruning is the conjunctive fact
+    // band. The OR stays in a Filter above equi-joins (never a join
+    // condition → no nested-loop degradation) ---
+    "job10_wide_disjunction" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") < 35)
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val p = Tables.load(s, dir, "part")
+      val sup = Tables.load(s, dir, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(p, l("l_partkey") === p("p_partkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .filter((col("p_name").like("%bolt%") && col("p_size") < 20) ||
+          col("s_name").like("%3%") ||
+          (col("c_mktsegment") === "MACHINERY" && col("c_acctbal") < 100))
+        .agg(min(col("p_name")).as("first_part"),
+          min(col("s_name")).as("first_supp"),
+          min(col("c_mktsegment")).as("first_seg"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's join-KEY range signature (IMDb's `t.id BETWEEN ...`):
+    // the band sits on the fact's JOIN COLUMN itself, so it prunes the
+    // fact scan by min/max row-group stats AND transits the equi-join
+    // to the orders side (Catalyst's InferFiltersFromConstraints derives
+    // o_orderkey BETWEEN from the join equality — both scans prune) ---
+    "job11_key_range" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey").between(100L, 5000L))
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      val p = Tables.load(s, dir, "part").filter(col("p_size") < 25)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(p, l("l_partkey") === p("p_partkey"))
+        .agg(min(col("p_name")).as("first_part"),
+          min(col("c_name")).as("first_cust"),
+          min(col("o_orderdate")).as("earliest"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's cross-COLUMN comparison: a non-key inequality between a
+    // fact measure and a dimension attribute (l_quantity > p_size — the
+    // IMDb corpus compares production years across joined tables). The
+    // predicate is only evaluable on the joined row, so the optimizer
+    // gets no pushdown from it and must order the join from the
+    // conjunctive s_acctbal filter alone; the join itself stays a pure
+    // equi-join (the inequality lives in a post-join Filter, never in
+    // the join condition → no nested-loop degradation) ---
+    "job12_cross_column" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      val sup = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") > 100)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .filter(col("l_quantity") > col("p_size"))
+        .agg(min(col("p_name")).as("first_part"),
+          min(col("s_name")).as("first_supp"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's IN-list-on-the-JOIN-KEY signature (IMDb's
+    // `k.id IN (...)`): the list prunes the fact scan directly (In
+    // PushedFilter on l_partkey) and transits the equi-join to the part
+    // side — a 7-key probe against two tables at once ---
+    "job13_key_inlist" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_partkey").isin(3L, 17L, 42L, 77L, 101L, 150L, 188L))
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") =!= "P")
+      val p = Tables.load(s, dir, "part")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(p, l("l_partkey") === p("p_partkey"))
+        .agg(min(col("p_name")).as("first_part"),
+          min(col("o_orderdate")).as("earliest"),
+          count(lit(1)).as("n"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -439,5 +610,76 @@ object BreadthQueries {
       WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
         AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1998-01-01'
         AND p_name NOT LIKE '%widget%'
-        AND s_name NOT LIKE '%1%'""")
+        AND s_name NOT LIKE '%1%'""",
+    "job8_filter_chain" -> """
+      SELECT MIN(p_name) AS first_part, MIN(s_name) AS first_supp,
+        MIN(c_name) AS first_cust, MIN(n_name) AS first_nation,
+        MIN(CAST(o_orderdate AS TIMESTAMP)) AS earliest, COUNT(*) AS n
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part     ON l_partkey = p_partkey
+      WHERE l_quantity < 40
+        AND o_orderstatus <> 'F'
+        AND c_acctbal > 0
+        AND starts_with(n_name, 'NATION_1')
+        AND r_name IN ('ASIA', 'EUROPE', 'AMERICA')
+        AND s_acctbal > 0
+        AND p_size BETWEEN 5 AND 45""",
+    "job9_dim_triple_alias" -> """
+      SELECT MIN(n1.n_name) AS cust_nation, MIN(n2.n_name) AS supp_nation,
+        MIN(n3.n_name) AS part_origin, COUNT(*) AS n
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        JOIN nation n3 ON CAST(p_partkey % 25 AS INT) = n3.n_nationkey
+      WHERE r1.r_name = 'EUROPE'
+        AND n2.n_name IN ('NATION_2', 'NATION_8', 'NATION_14', 'NATION_20')
+        AND n3.n_name LIKE '%1%'""",
+    "job10_wide_disjunction" -> """
+      SELECT MIN(p_name) AS first_part, MIN(s_name) AS first_supp,
+        MIN(c_mktsegment) AS first_seg, COUNT(*) AS n
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_quantity < 35
+        AND ((p_name LIKE '%bolt%' AND p_size < 20)
+          OR s_name LIKE '%3%'
+          OR (c_mktsegment = 'MACHINERY' AND c_acctbal < 100))""",
+    "job11_key_range" -> """
+      SELECT MIN(p_name) AS first_part, MIN(c_name) AS first_cust,
+        MIN(CAST(o_orderdate AS TIMESTAMP)) AS earliest, COUNT(*) AS n
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN part ON l_partkey = p_partkey
+      WHERE l_orderkey BETWEEN 100 AND 5000
+        AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        AND p_size < 25""",
+    "job12_cross_column" -> """
+      SELECT MIN(p_name) AS first_part, MIN(s_name) AS first_supp,
+        COUNT(*) AS n
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_quantity > p_size
+        AND s_acctbal > 100""",
+    "job13_key_inlist" -> """
+      SELECT MIN(p_name) AS first_part,
+        MIN(CAST(o_orderdate AS TIMESTAMP)) AS earliest, COUNT(*) AS n
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+      WHERE l_partkey IN (3, 17, 42, 77, 101, 150, 188)
+        AND o_orderstatus <> 'P'""")
 }

@@ -742,6 +742,209 @@ object DsQueries {
         .select(col("p_name"), col("p_brand"), col("p_size"))
         .distinct()
         .orderBy(col("p_name"), col("p_brand"), col("p_size"))
+    }),
+
+    // --- TPC-DS q47/q57's moving-deviation selection: per-(brand, month)
+    // quantity vs the brand's yearly mean, keeping cells >10% off the
+    // mean, with the neighbor months (lag/lead) carried alongside — the
+    // template's v1_lag/v1_lead self-joins re-expressed as offset windows
+    // over the AGGREGATED grid. The deviation test is integer-exact
+    // (|12·q − Σyear|·10 > Σyear ⟺ |q − Σ/12| > 0.1·Σ/12 — no division,
+    // no FP); the only double in the output is the single BIGINT→double
+    // division for the displayed mean. Scale shape: ONE shuffle to the
+    // (brand, month) grain with partial agg; every window partitions by
+    // brand over ≤12 month rows (bounded frame); the year band is a
+    // pushed timestamp range. Ref: /root/reference/benchmark/tpcds/
+    // query47.tpl, query57.tpl ---
+    "ds24_cyclic_deviation" -> ((s, dir) => {
+      val g = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), month(col("l_shipdate")).as("m"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("q"))
+      // bounded frames: ≤12 rows per brand on the aggregated grid
+      val wb = Window.partitionBy(col("p_brand"))
+      val wo = Window.partitionBy(col("p_brand")).orderBy(col("m"))
+      g.select(col("p_brand"), col("m"), col("q"),
+          sum(col("q")).over(wb).as("yr"),
+          count(lit(1)).over(wb).as("nm"),
+          lag(col("q"), 1).over(wo).as("prev_q"),
+          lead(col("q"), 1).over(wo).as("next_q"))
+        .filter(col("nm") === 12 &&
+          abs(lit(12L) * col("q") - col("yr")) * lit(10L) > col("yr"))
+        .select(col("p_brand"), col("m"), col("q"),
+          col("prev_q"), col("next_q"),
+          (col("yr").cast("double") / col("nm").cast("double")).as("avg_q"))
+        .orderBy(col("p_brand"), col("m"))
+    }),
+
+    // --- TPC-DS q49's worst-return-ratios: per channel, rank items by
+    // quantity-return ratio AND by amount-return ratio, keep anything in
+    // either top-10. Channel ≈ l_linestatus, item ≈ brand, return ≈
+    // l_returnflag = 'R'. Amounts ride as per-row-derived BIGINT
+    // micro-units (the h11 convention); each ratio is ONE BIGINT→double
+    // division (IEEE-identical cross-engine), ranked with a brand
+    // tiebreak. Scale shape: one scan, one shuffle to the
+    // (channel, brand) grain; both rank windows partition by channel
+    // over ≤#brands rows (bounded grid — the dual rank never touches
+    // fact rows). Ref: /root/reference/benchmark/tpcds/query49.tpl ---
+    "ds25_return_ratios" -> ((s, dir) => {
+      val mu = (col("l_extendedprice").cast(DecimalType(28, 6)) *
+        lit(1000000)).cast("bigint")
+      val qn = col("l_quantity").cast("bigint")
+      val isR = col("l_returnflag") === "R"
+      val agg = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_linestatus").as("channel"), col("p_brand"))
+        .agg(
+          sum(when(isR, qn).otherwise(lit(0L))).as("ret_q"),
+          sum(qn).as("sold_q"),
+          sum(when(isR, mu).otherwise(lit(0L))).as("ret_amt"),
+          sum(mu).as("sold_amt"))
+        .withColumn("qty_ratio",
+          col("ret_q").cast("double") / col("sold_q").cast("double"))
+        .withColumn("amt_ratio",
+          col("ret_amt").cast("double") / col("sold_amt").cast("double"))
+      val wq = Window.partitionBy(col("channel"))
+        .orderBy(col("qty_ratio").desc, col("p_brand"))
+      val wa = Window.partitionBy(col("channel"))
+        .orderBy(col("amt_ratio").desc, col("p_brand"))
+      agg
+        .withColumn("rnk_qty", rank().over(wq))
+        .withColumn("rnk_amt", rank().over(wa))
+        .filter(col("rnk_qty") <= 10 || col("rnk_amt") <= 10)
+        .select(col("channel"), col("p_brand"),
+          col("qty_ratio"), col("amt_ratio"),
+          col("rnk_qty"), col("rnk_amt"))
+        .orderBy(col("channel"), col("rnk_qty"), col("rnk_amt"),
+          col("p_brand"))
+    }),
+
+    // --- TPC-DS q17's three-channel quantity statistics: per brand, the
+    // count/sum/sum-of-squares moments of quantity in each returnflag
+    // channel (N/A/R ≈ the template's store/catalog/web quantity triple),
+    // restricted to brands with return activity. The template's stdev
+    // outputs are FP-hazardous cross-engine, so the moments ship as exact
+    // BIGINTs (the ds17 convention) — any consumer can derive
+    // mean/variance from them. ONE conditional-aggregation scan instead
+    // of the template's three channel self-joins; the two-year band is a
+    // pushed timestamp range. Ref: /root/reference/benchmark/tpcds/
+    // query17.tpl ---
+    "ds26_channel_stats" -> ((s, dir) => {
+      val qn = col("l_quantity").cast("bigint")
+      def chan(f: String, v: Column): Column =
+        sum(when(col("l_returnflag") === f, v).otherwise(lit(0L)))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          chan("N", lit(1L)).as("n_cnt"),
+          chan("N", qn).as("n_sum"),
+          chan("N", qn * qn).as("n_sum2"),
+          chan("A", lit(1L)).as("a_cnt"),
+          chan("A", qn).as("a_sum"),
+          chan("A", qn * qn).as("a_sum2"),
+          chan("R", lit(1L)).as("r_cnt"),
+          chan("R", qn).as("r_sum"),
+          chan("R", qn * qn).as("r_sum2"))
+        .filter(col("r_cnt") > 0)
+        .orderBy(col("p_brand"))
+    }),
+
+    // --- TPC-DS q38/q87's n-way INTERSECT: customers active in ALL
+    // THREE consecutive quarters, counted. Catalyst rewrites each
+    // INTERSECT to a left-semi join over the distinct key — three
+    // window-pruned scans of the SAME table narrowing left to right
+    // (the second and third probes see only survivors). Each quarter
+    // band is a pushed timestamp range; the count is the only final
+    // row. Ref: /root/reference/benchmark/tpcds/query38.tpl,
+    // query87.tpl ---
+    "ds27_triple_intersect" -> ((s, dir) => {
+      def q(lo: String, hi: String) = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(lo).cast("timestamp"))
+        .filter(col("o_orderdate") < lit(hi).cast("timestamp"))
+        .select(col("o_custkey"))
+      q("1997-01-01", "1997-04-01")
+        .intersect(q("1997-04-01", "1997-07-01"))
+        .intersect(q("1997-07-01", "1997-10-01"))
+        .agg(count(lit(1)).cast("bigint").as("n_loyal"))
+    }),
+
+    // --- TPC-DS q65's below-half-average selection: per-(nation, brand)
+    // revenue kept where it is ≤ half the nation's average brand
+    // revenue. The template's correlated avg subquery decorrelates to a
+    // per-nation (total, count) aggregate OVER the already-reduced
+    // (nation, brand) grid — bounded rows — re-entering by equi-join;
+    // the ≤ half-average test is the exact cross-multiplication
+    // rev·2·nb ≤ total in DECIMAL(38,0)/HUGEINT (cents × brand-count
+    // exceeds INT64 at corpus scale — the ds22 lesson applied
+    // up-front). Revenue rides per-row-derived BIGINT cents.
+    // Ref: /root/reference/benchmark/tpcds/query65.tpl ---
+    "ds28_below_avg_brands" -> ((s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val rev = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.load(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("c_nationkey").as("nat"), col("p_brand"))
+        .agg(sum(cents).cast("bigint").as("rev_c"))
+      val avgRev = rev.groupBy(col("nat").as("a_nat"))
+        .agg(sum(col("rev_c")).cast("bigint").as("total_c"),
+          count(lit(1)).as("nb"))
+      rev.join(avgRev, col("nat") === col("a_nat"))
+        .filter(col("rev_c").cast(D38) * lit(2L) * col("nb").cast(D38) <=
+          col("total_c").cast(D38))
+        .select(col("nat"), col("p_brand"), col("rev_c"))
+        .orderBy(col("nat"), col("p_brand"))
+    }),
+
+    // --- TPC-DS q10/q35's OR-of-EXISTS gate: customers active in a
+    // window AND satisfying EITHER of two independent existence checks
+    // (a returned lineitem anywhere, or any jumbo order). The
+    // disjunction of correlated EXISTS cannot be one semi-join, so it
+    // is spelled scale-honestly as TWO left-semi probes over the
+    // distinct active set UNIONed then re-DISTINCTed — each probe is an
+    // equi-join on the bare key, no correlated per-row subquery
+    // survives. Demographic rollup = one ≤|segments| aggregate.
+    // Ref: /root/reference/benchmark/tpcds/query10.tpl, query35.tpl ---
+    "ds29_or_exists_profile" -> ((s, dir) => {
+      val active = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      val returned = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_custkey"))
+      val jumbo = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey"))
+      val flagged = active
+        .join(returned, Seq("o_custkey"), "left_semi")
+        .union(active.join(jumbo, Seq("o_custkey"), "left_semi"))
+        .distinct()
+      flagged
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("bigint").as("n_customers"))
+        .orderBy(col("c_mktsegment"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1195,5 +1398,141 @@ object DsQueries {
         ROUND(CAST(tot_d AS DOUBLE) / avg_tot, 6) AS ratio
       FROM ratioed
       WHERE ABS(CAST(tot_d AS DOUBLE) / avg_tot - 1.0) > 0.05
-      ORDER BY event_type, d""")
+      ORDER BY event_type, d""",
+    "ds24_cyclic_deviation" -> """
+      WITH g AS (
+        SELECT p_brand, CAST(EXTRACT(month FROM l_shipdate) AS INT) AS m,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2),
+      w AS (
+        SELECT p_brand, m, q,
+          CAST(SUM(q) OVER (PARTITION BY p_brand) AS BIGINT) AS yr,
+          COUNT(*) OVER (PARTITION BY p_brand) AS nm,
+          LAG(q)  OVER (PARTITION BY p_brand ORDER BY m) AS prev_q,
+          LEAD(q) OVER (PARTITION BY p_brand ORDER BY m) AS next_q
+        FROM g)
+      SELECT p_brand, m, q, prev_q, next_q,
+        CAST(yr AS DOUBLE) / CAST(nm AS DOUBLE) AS avg_q
+      FROM w
+      WHERE nm = 12 AND ABS(12 * q - yr) * 10 > yr
+      ORDER BY p_brand, m""",
+    "ds25_return_ratios" -> """
+      WITH agg AS (
+        SELECT l_linestatus AS channel, p_brand,
+          CAST(SUM(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(l_quantity AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS ret_q,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sold_q,
+          CAST(SUM(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(CAST(l_extendedprice AS DECIMAL(28,6))
+                                  * 1000000 AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS ret_amt,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6))
+                        * 1000000 AS BIGINT)) AS BIGINT) AS sold_amt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2),
+      rk AS (
+        SELECT channel, p_brand,
+          CAST(ret_q AS DOUBLE) / CAST(sold_q AS DOUBLE) AS qty_ratio,
+          CAST(ret_amt AS DOUBLE) / CAST(sold_amt AS DOUBLE) AS amt_ratio,
+          CAST(RANK() OVER (PARTITION BY channel
+            ORDER BY CAST(ret_q AS DOUBLE) / CAST(sold_q AS DOUBLE) DESC,
+                     p_brand) AS INT) AS rnk_qty,
+          CAST(RANK() OVER (PARTITION BY channel
+            ORDER BY CAST(ret_amt AS DOUBLE) / CAST(sold_amt AS DOUBLE) DESC,
+                     p_brand) AS INT) AS rnk_amt
+        FROM agg)
+      SELECT channel, p_brand, qty_ratio, amt_ratio, rnk_qty, rnk_amt
+      FROM rk WHERE rnk_qty <= 10 OR rnk_amt <= 10
+      ORDER BY channel, rnk_qty, rnk_amt, p_brand""",
+    "ds26_channel_stats" -> """
+      SELECT p_brand,
+        CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_cnt,
+        CAST(SUM(CASE WHEN l_returnflag = 'N'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS n_sum,
+        CAST(SUM(CASE WHEN l_returnflag = 'N'
+                      THEN CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS n_sum2,
+        CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+             AS BIGINT) AS a_cnt,
+        CAST(SUM(CASE WHEN l_returnflag = 'A'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS a_sum,
+        CAST(SUM(CASE WHEN l_returnflag = 'A'
+                      THEN CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS a_sum2,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             AS BIGINT) AS r_cnt,
+        CAST(SUM(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS r_sum,
+        CAST(SUM(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS r_sum2
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1
+      HAVING SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0
+      ORDER BY 1""",
+    "ds27_triple_intersect" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_loyal FROM (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+        INTERSECT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-04-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+        INTERSECT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o_orderdate < TIMESTAMP '1997-10-01')""",
+    "ds28_below_avg_brands" -> """
+      WITH rev AS (
+        SELECT c_nationkey AS nat, p_brand,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS rev_c
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2),
+      avg_rev AS (
+        SELECT nat, CAST(SUM(rev_c) AS BIGINT) AS total_c,
+               COUNT(*) AS nb
+        FROM rev GROUP BY 1)
+      SELECT r.nat, r.p_brand, r.rev_c
+      FROM rev r JOIN avg_rev a ON r.nat = a.nat
+      WHERE CAST(r.rev_c AS HUGEINT) * 2 * a.nb <= CAST(a.total_c AS HUGEINT)
+      ORDER BY r.nat, r.p_brand""",
+    "ds29_or_exists_profile" -> """
+      WITH active AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'),
+      flagged AS (
+        SELECT a.o_custkey FROM active a
+        WHERE EXISTS (SELECT 1 FROM orders o
+                        JOIN lineitem ON l_orderkey = o_orderkey
+                      WHERE o.o_custkey = a.o_custkey
+                        AND l_returnflag = 'R')
+           OR EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = a.o_custkey
+                        AND o2.o_totalprice > 400000))
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM flagged JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1""")
 }

@@ -3,6 +3,7 @@ package graft.queries
 import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.api.GraftSession
 import graft.functions.Jsonb
@@ -772,6 +773,206 @@ object ExtQueries {
         .limit(100)
     }),
 
+    // --- LDBC BI Q1 posting summary: corpus-wide message stats by
+    // (year, isComment, lengthCategory) with each cell's share of the
+    // GLOBAL total. Mapping: messages = orders before an end date,
+    // isComment = finished status, length category = totalprice bands,
+    // length = exact cents. Scale shape: one scan feeds BOTH the global
+    // 1-row count (broadcast by construction — the h11 exemption) and
+    // the grouped cells in a self-contained plan; the average is the
+    // single BIGINT→double division, the share is exact integral ppm —
+    // no FP in any grouping or filter.
+    // Ref: /root/reference/benchmark/ldbc/bi-1.sql ---
+    "ldbc17_posting_summary" -> ((s, dir) => {
+      val msgs = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(year(col("o_orderdate")).as("msg_year"),
+          when(col("o_orderstatus") === "F", 1).otherwise(0)
+            .as("is_comment"),
+          when(col("o_totalprice") < 50000, 0)
+            .when(col("o_totalprice") < 150000, 1)
+            .when(col("o_totalprice") < 300000, 2)
+            .otherwise(3).as("len_cat"),
+          (col("o_totalprice").cast(DecimalType(28, 2)) * lit(100))
+            .cast("bigint").as("cents"))
+      val total = msgs.agg(count(lit(1)).as("total_cnt"))
+      msgs.groupBy(col("msg_year"), col("is_comment"), col("len_cat"))
+        .agg(count(lit(1)).as("message_count"),
+          sum(col("cents")).as("sum_cents"))
+        .crossJoin(broadcast(total))
+        .select(col("msg_year"), col("is_comment"), col("len_cat"),
+          col("message_count"),
+          col("sum_cents").cast("bigint").as("sum_cents"),
+          (col("sum_cents").cast("double") /
+            col("message_count").cast("double")).as("avg_cents"),
+          expr("message_count * 1000000 div total_cnt").as("share_ppm"))
+        .orderBy(col("msg_year").desc, col("is_comment"), col("len_cat"))
+    }),
+
+    // --- LDBC BI Q7 related topics: messages tagged T → their comments
+    // (the ldbc10 ×5 reply fan) that are NOT themselves tagged T
+    // (LeftAnti — Q7's `NOT IN MyMessage`) → the tags of those comments,
+    // counted per related tag. Mapping: a message tagged t = an order
+    // containing brand-t lineitems. Scale shape: the tagged set is a
+    // DISTINCT on the order grain (one shuffle), the reply fan is
+    // explode-bounded ×5, the anti-join runs on the bare key, and the
+    // final rollup is ≤ |brands| rows. All-integer — hash-exact.
+    // Ref: /root/reference/benchmark/ldbc/bi-7.sql ---
+    "ldbc18_related_tags" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("bigint").as("mid"),
+          col("l_partkey"))
+      val brandOf = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val tagged = li.join(brandOf.filter(col("p_brand") === "Brand#7"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("mid")).distinct()
+      val replies = tagged
+        .select(col("mid").as("parent"),
+          explode(sequence(col("mid") + 1, col("mid") + 5)).as("child"))
+      val cmt = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("child"))
+        .join(replies, Seq("child"))
+        .join(tagged.select(col("mid").as("child")), Seq("child"),
+          "left_anti")
+        .select(col("child"))
+      cmt.join(li, col("child") === col("mid"))
+        .join(brandOf, col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") =!= "Brand#7")
+        .groupBy(col("p_brand").as("related_tag"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("related_tag"))
+        .limit(100)
+    }),
+
+    // --- LDBC BI Q13 zombies: low-activity persons (fewer messages than
+    // months since their first activity — the spec's <1 msg/month
+    // HAVING, all-integer calendar arithmetic) scored by what fraction
+    // of the "likes" on their messages come from OTHER low-activity
+    // accounts. Mapping: person = customer, creationDate = first order
+    // date, a like on a message = a lineitem of the order, liker = its
+    // supplier, low-activity liker = a supplier whose total lineitem
+    // count is below 20/21 of the mean (exact cross-multiplied
+    // integers — no FP threshold). Scale shape: the zombie cohort is one
+    // customer-grain aggregate with an integer HAVING; the liker cohort
+    // is one supplier-grain aggregate crossed with a 1-row global
+    // (broadcast by construction); the like rollup joins on bare keys
+    // and aggregates BEFORE the final LEFT join back to the cohort;
+    // score is exact integral ppm. Top-100 rides TakeOrderedAndProject.
+    // Ref: /root/reference/benchmark/ldbc/bi-13.sql ---
+    "ldbc19_zombies" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val zombies = o.groupBy(col("o_custkey").as("person"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderdate")).as("created"))
+        .filter(col("n_orders") <
+          lit(12 * 1999 + 1) -
+            (lit(12) * year(col("created")) + month(col("created"))) + 1)
+        .select(col("person"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val suppCnt = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      val g = suppCnt.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("ns"))
+      val lowSupp = suppCnt.crossJoin(broadcast(g))
+        .filter(col("cnt") * col("ns") * lit(21L) <
+          col("total") * lit(20L))
+        .select(col("l_suppkey").as("low_liker"))
+      val likes = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(zombies, col("o_custkey") === col("person"), "left_semi")
+        .select(col("o_custkey").as("person"), col("l_suppkey"))
+      val t = likes
+        .join(lowSupp.withColumn("is_low", lit(1L)),
+          col("l_suppkey") === col("low_liker"), "left")
+        .groupBy(col("person"))
+        .agg(count(lit(1)).as("total_likes"),
+          sum(when(col("is_low").isNotNull, 1L).otherwise(0L))
+            .as("zombie_likes"))
+      zombies.join(t, Seq("person"), "left")
+        .select(col("person"),
+          coalesce(col("zombie_likes"), lit(0L)).as("zombie_likes"),
+          coalesce(col("total_likes"), lit(0L)).as("total_likes"),
+          when(coalesce(col("total_likes"), lit(0L)) > 0,
+            expr("zombie_likes * 1000000 div total_likes"))
+            .otherwise(lit(0L)).as("zombie_score_ppm"))
+        .orderBy(col("zombie_score_ppm").desc, col("person"))
+        .limit(100)
+    }),
+
+    // --- LDBC BI Q8 central person for a tag: the interest cohort
+    // (fixed +100 score) FULL OUTER joined with the date-windowed
+    // message score — Q8's signature is exactly this FULL JOIN with
+    // coalesced score fusion, which none of the other shapes exercise.
+    // Mapping: tag = brand, interested = customers with ≥2 brand-T
+    // lineitems ever, message score = DISTINCT tagged orders in the
+    // window. Scale shape: both arms aggregate to the person grain
+    // BEFORE the full join (never row-level), the window band is a
+    // pushed timestamp range, top-100 rides TakeOrderedAndProject.
+    // Ref: /root/reference/benchmark/ldbc/bi-8.sql ---
+    "ldbc20_central_person" -> ((s, dir) => {
+      val tagged = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, dir, "part")
+          .filter(col("p_brand") === "Brand#7"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey").as("person"), col("o_orderkey"),
+          col("o_orderdate"))
+      val interested = tagged.groupBy(col("person"))
+        .agg(count(lit(1)).as("n_tagged"))
+        .filter(col("n_tagged") >= 2)
+        .select(col("person").as("i_person"))
+      val msgScore = tagged
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("person").as("m_person"))
+        .agg(countDistinct(col("o_orderkey")).as("score"))
+      interested.join(msgScore,
+          col("i_person") === col("m_person"), "full_outer")
+        .select(coalesce(col("i_person"), col("m_person")).as("person"),
+          (when(col("i_person").isNull, 0L).otherwise(100L) +
+            coalesce(col("score"), lit(0L))).cast("bigint").as("score"))
+        .orderBy(col("score").desc, col("person"))
+        .limit(100)
+    }),
+
+    // --- LDBC BI Q11 friend triangles, filtered: unique triangles
+    // (p1 < p2 < p3) in ONE region's knows-graph with a per-EDGE
+    // attribute window on both endpoints — Q11's distinction from the
+    // plain Graphalytics count (ldbc2) is exactly the region scope +
+    // per-edge filter + single global count. Knows-edges are the ldbc2
+    // synthetic projection (same-nation, key distance ≤ 8 — explode-
+    // bounded fan ×8, dst > src by construction so each triangle counts
+    // once as (a,b)(b,c)(a,c)). Scale shape: the edge build is one
+    // bounded explode + equi-join; the triangle enumeration is two
+    // equi-joins on vertex keys (never a cross product); the endpoint
+    // filters prune the customer scan BEFORE any join.
+    // Ref: /root/reference/benchmark/ldbc/bi-11.sql ---
+    "ldbc21_filtered_triangles" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_nationkey").cast("bigint").as("nat"))
+      val cand = c.select(col("k").as("src"), col("nat"),
+        explode(sequence(col("k") + 1, col("k") + 8)).as("dst"))
+      val edges = cand
+        .join(c.select(col("k").as("dst"), col("nat")), Seq("dst", "nat"))
+        .select(col("src"), col("dst"))
+      val e2 = edges.select(col("src").as("b2"), col("dst").as("c2"))
+      val e3 = edges.select(col("src").as("a3"), col("dst").as("c3"))
+      edges.select(col("src").as("a"), col("dst").as("b"))
+        .join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c2") === col("c3"))
+        .agg(count(lit(1)).cast("bigint").as("n_triangles"))
+    }),
+
     // --- forward as-of join (pandas direction='forward'): each event
     // picks the EARLIEST hourly rate bucket at-or-after it — the
     // backward j1 on a negated axis, so both directions share one code
@@ -1525,6 +1726,113 @@ object ExtQueries {
       SELECT o_custkey AS person, CAST(SUM(msc) AS BIGINT) AS score
       FROM orders JOIN msg_score ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY score DESC, person LIMIT 100""",
+    "ldbc17_posting_summary" -> """
+      WITH prep AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS msg_year,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_comment,
+          CASE WHEN o_totalprice < 50000 THEN 0
+               WHEN o_totalprice < 150000 THEN 1
+               WHEN o_totalprice < 300000 THEN 2 ELSE 3 END AS len_cat,
+          CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+            AS cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+      total AS (SELECT COUNT(*) AS total_cnt FROM prep)
+      SELECT msg_year, is_comment, len_cat,
+        CAST(COUNT(*) AS BIGINT) AS message_count,
+        CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_cents,
+        CAST(COUNT(*) * 1000000 // (SELECT total_cnt FROM total)
+             AS BIGINT) AS share_ppm
+      FROM prep
+      GROUP BY 1, 2, 3
+      ORDER BY msg_year DESC, is_comment, len_cat""",
+    "ldbc18_related_tags" -> """
+      WITH tagged AS (
+        SELECT DISTINCT l_orderkey AS mid
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#7'),
+      replies AS (
+        SELECT t.mid AS parent, t.mid + r.i AS child
+        FROM tagged t, (SELECT UNNEST(generate_series(1, 5)) AS i) r),
+      cmt AS (
+        SELECT o_orderkey AS child FROM orders
+        JOIN replies ON o_orderkey = replies.child
+        WHERE o_orderkey NOT IN (SELECT mid FROM tagged))
+      SELECT p_brand AS related_tag, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cmt
+        JOIN lineitem ON l_orderkey = cmt.child
+        JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#7'
+      GROUP BY 1 ORDER BY cnt DESC, related_tag LIMIT 100""",
+    "ldbc19_zombies" -> """
+      WITH o AS (
+        SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+      zombies AS (
+        SELECT o_custkey AS person FROM o
+        GROUP BY 1
+        HAVING COUNT(*) < (12*1999 + 1)
+          - (12*EXTRACT(year FROM MIN(o_orderdate))
+             + EXTRACT(month FROM MIN(o_orderdate))) + 1),
+      supp_cnt AS (
+        SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+      g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                   COUNT(*) AS ns FROM supp_cnt),
+      low_supp AS (
+        SELECT l_suppkey AS low_liker FROM supp_cnt, g
+        WHERE cnt * ns * 21 < total * 20),
+      likes AS (
+        SELECT o_custkey AS person, l_suppkey
+        FROM lineitem JOIN o ON l_orderkey = o_orderkey
+        WHERE o_custkey IN (SELECT person FROM zombies)),
+      t AS (
+        SELECT person, CAST(COUNT(*) AS BIGINT) AS total_likes,
+          CAST(SUM(CASE WHEN l_suppkey IN (SELECT low_liker FROM low_supp)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zombie_likes
+        FROM likes GROUP BY 1)
+      SELECT z.person,
+        COALESCE(t.zombie_likes, 0) AS zombie_likes,
+        COALESCE(t.total_likes, 0) AS total_likes,
+        CASE WHEN COALESCE(t.total_likes, 0) > 0
+             THEN CAST(t.zombie_likes * 1000000 // t.total_likes AS BIGINT)
+             ELSE 0 END AS zombie_score_ppm
+      FROM zombies z LEFT JOIN t ON z.person = t.person
+      ORDER BY zombie_score_ppm DESC, z.person LIMIT 100""",
+    "ldbc20_central_person" -> """
+      WITH tagged AS (
+        SELECT o_custkey AS person, o_orderkey, o_orderdate
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#7'),
+      interested AS (
+        SELECT person FROM tagged GROUP BY 1 HAVING COUNT(*) >= 2),
+      msg_score AS (
+        SELECT person, CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS score
+        FROM tagged
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1)
+      SELECT COALESCE(i.person, m.person) AS person,
+        CAST(CASE WHEN i.person IS NULL THEN 0 ELSE 100 END
+             + COALESCE(m.score, 0) AS BIGINT) AS score
+      FROM interested i FULL JOIN msg_score m ON i.person = m.person
+      ORDER BY score DESC, person LIMIT 100""",
+    "ldbc21_filtered_triangles" -> """
+      WITH c AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               CAST(c_nationkey AS BIGINT) AS nat
+        FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA' AND c_acctbal > 0),
+      edges AS (
+        SELECT a.k AS src, b.k AS dst
+        FROM c a JOIN c b
+          ON b.nat = a.nat AND b.k BETWEEN a.k + 1 AND a.k + 8)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+        JOIN edges e2 ON e1.dst = e2.src
+        JOIN edges e3 ON e2.dst = e3.dst AND e1.src = e3.src""",
     "j5_asof_forward" -> """
       WITH e AS (SELECT event_id, event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS lt

@@ -685,6 +685,49 @@ object ScaleQueries {
         .limit(10)
     }),
 
+    // --- ClickBench Q19's point lookup (`WHERE UserID = <const>`): the
+    // equality reaches the parquet scan as an EqualTo PushedFilter, so
+    // row groups whose user_id min/max excludes the key are skipped
+    // without decoding — the needle-in-100TB shape where scan pruning IS
+    // the query plan. Ref: benchmark/clickbench/queries.sql:19 ---
+    "c27_point_lookup" -> ((s, dir) => {
+      // Tables.events' canonical `t`, not raw ts — the physical ts type
+      // varies by driver round (see Tables.withEventTime)
+      graft.Tables.events(s, dir)
+        .filter(col("user_id") === 7L)
+        .select(col("event_id"), col("t").as("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // --- ClickBench Q24's SELECT-star top-k by time: the full-width
+    // row rides a TakeOrderedAndProject (each task ships ≤ 10 rows —
+    // never a global sort of the corpus), with event_id breaking ts
+    // ties for a total order. Ref: benchmark/clickbench/queries.sql:24 ---
+    "c28_star_topk" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .select(col("event_id"), col("t").as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .orderBy(col("ts"), col("event_id"))
+        .limit(10)
+    }),
+
+    // --- ClickBench Q35's adjacent-derived-keys group-by
+    // (`GROUP BY ClientIP, ClientIP - 1, ...`): the extra keys are
+    // functionally dependent row-side projections — the aggregate's
+    // cardinality (and its ONE shuffle) is exactly the user_id domain,
+    // the optimizer just must not treat the derived keys as independent.
+    // Count-desc ties broken on user_id for a deterministic page.
+    // Ref: benchmark/clickbench/queries.sql:35 ---
+    "c29_adjacent_keys" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), (col("user_id") - 1).as("u1"),
+          (col("user_id") - 2).as("u2"), (col("user_id") - 3).as("u3"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("user_id"))
+        .limit(10)
+    }),
+
     // --- Count-Min Sketch frequency estimation (operators/Sketches):
     // depth 3 × width 64 cells keyed on md5-derived buckets (the one
     // hash both engines share — see TextFunctions.md5Bits60), estimate =
@@ -783,6 +826,19 @@ object ScaleQueries {
       GROUP BY 1, 2, 3
       ORDER BY n DESC, event_type, kb, band
       LIMIT 10 OFFSET 20""",
+    "c27_point_lookup" -> """
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        event_type, value
+      FROM events WHERE user_id = 7 ORDER BY event_id""",
+    "c28_star_topk" -> """
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        event_type, value, props
+      FROM events ORDER BY ts, event_id LIMIT 10""",
+    "c29_adjacent_keys" -> """
+      SELECT user_id, user_id - 1 AS u1, user_id - 2 AS u2,
+        user_id - 3 AS u3, COUNT(*) AS c
+      FROM events GROUP BY 1, 2, 3, 4
+      ORDER BY c DESC, user_id LIMIT 10""",
     // exact replica of TextFunctions.fingerprintRolling: fold tokens
     // through acc <- (acc*31 + (md5-60-bit hash mod p)) mod p, acc0 = 1
     "d10_rolling_fp" -> """
