@@ -748,34 +748,61 @@ object Similarity {
                  onProbes: Seq[(Long, Long)] => Unit = _ => ())
       : DataFrame = {
     require(queries.nonEmpty, "ivfAdcTopK needs at least one query")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val cents = centroidStats(corpus, nCells)
     require(cents.length <= maxLiteralCells,
       s"ivfAdcTopK: nCells=${cents.length} exceeds the literal-argmin " +
         s"cap $maxLiteralCells — persist the index and use the " +
         "broadcast-join assignment instead")
-    // fused narrow projection: coarse cell (the e5 argmin over the seed
-    // centroids, cell ids = seed vec_ids) + the M PQ codes, one pass
-    val codesWithCell = pqChecked(corpus, codebooks).select(
+    val probes = ivfProbeCells(queries, cents, nProbe)
+    onProbes(probes)
+    val lut = adcLut(queries, codebooks)
+    onLut(lut)
+    adcScoreTopK(ivfPqCodesWithCell(corpus, cents, codebooks),
+      probes, lut, k)
+  }
+
+  /** The fused IVF-PQ encode: coarse cell (the e5 argmin over the seed
+    * centroids, cell ids = seed vec_ids) + the M PQ codes in ONE narrow
+    * fully-codegen'd projection — SHARED by [[ivfAdcTopK]] and
+    * [[buildIvfAdcIndex]] (the sq8CodesCol principle: the inline and
+    * persisted paths quantize through the same expression, so they can
+    * never silently diverge). */
+  private def ivfPqCodesWithCell(corpus: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)],
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    pqChecked(corpus, codebooks).select(
         array_min(scoredLiteral(spark, cents)(col("embedding")))
           .getField("c_id").as("cell"),
         col("vec_id"), explode(pqCodeArray(spark, codebooks)).as("mc"))
       .select(col("cell"), col("vec_id"), col("mc").getField("m").as("m"),
         col("mc").getField("code").as("code"))
-    // bounded driver-side probe selection — nProbe nearest cells per
-    // query by (d asc, c_id asc), injected as literals into both engines
-    val probes: Seq[(Long, Long)] = for {
-      (qid, q) <- queries
-      cell <- cents.map { case (cid, emb, normSq) =>
-          val dot = q.zip(emb).foldLeft(0.0)((s, p) => s + p._1 * p._2)
-          (normSq - 2.0 * dot, cid)
-        }.sortBy(identity)(Ordering.Tuple2(Ordering.Double.TotalOrdering,
-          Ordering.Long)).take(nProbe).map(_._2)
-    } yield (qid, cell)
-    onProbes(probes)
-    val lut = adcLut(queries, codebooks)
-    onLut(lut)
+  }
+
+  /** Bounded driver-side probe selection — nProbe nearest cells per
+    * query by (d asc, c_id asc) over O(#q · nCells) arithmetic, injected
+    * as literals into both engines. Shared by the inline and persisted
+    * IVF-ADC paths. */
+  private def ivfProbeCells(queries: Seq[(Long, Seq[Double])],
+      cents: Seq[(Long, Seq[Double], Double)],
+      nProbe: Int): Seq[(Long, Long)] = for {
+    (qid, q) <- queries
+    cell <- cents.map { case (cid, emb, normSq) =>
+        val dot = q.zip(emb).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+        (normSq - 2.0 * dot, cid)
+      }.sortBy(identity)(Ordering.Tuple2(Ordering.Double.TotalOrdering,
+        Ordering.Long)).take(nProbe).map(_._2)
+  } yield (qid, cell)
+
+  /** The ADC scoring tail shared by [[ivfAdcTopK]] and
+    * [[queryIvfAdcIndex]]: probe-join (broadcast, bounded), LUT-join
+    * (broadcast, bounded), one (q_id, vec_id) rollup, rank-limited
+    * per-query top-k. */
+  private def adcScoreTopK(codesWithCell: DataFrame,
+      probes: Seq[(Long, Long)], lut: Seq[(Long, Long, Long, Long)],
+      k: Int): DataFrame = {
+    val spark = codesWithCell.sparkSession
+    import spark.implicits._
     val scored = codesWithCell
       .join(broadcast(probes.toDF("q_id", "cell")), Seq("cell"))
       .join(broadcast(lut.toDF("q_id", "m", "code", "dq_micro")),
@@ -787,5 +814,65 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id"), col("adist_micro"))
+  }
+
+  /** Persists the IVF-ADC (IVF-PQ) index — the build-once half of the
+    * billion-vector serving stack ([[ivfAdcTopK]] is the one-shot form;
+    * this is what a deployment runs: encode once, query many). Layout:
+    *
+    *   path/centroids/ — nCells rows (c_id, c_emb, c_norm): tiny metadata
+    *   path/codes/     — (vec_id, m, code) PARTITIONED BY cell
+    *
+    * `cell` is a partition column, so [[queryIvfAdcIndex]]'s static
+    * probe-cell filter prunes at the DIRECTORY level — per-query I/O is
+    * ~ |codes| · nProbe / nCells of an already ~D·8/subDim×-compressed
+    * code table; the float corpus is never read again. */
+  def buildIvfAdcIndex(corpus: DataFrame, path: String,
+                       codebooks: Seq[Seq[Seq[Double]]], nCells: Int = 16,
+                       maxLiteralCells: Int = 128): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroidStats(corpus, nCells)
+    require(cents.length <= maxLiteralCells,
+      s"buildIvfAdcIndex: nCells=${cents.length} exceeds the " +
+        s"literal-argmin cap $maxLiteralCells")
+    cents.toDF("c_id", "c_emb", "c_norm").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    ivfPqCodesWithCell(corpus, cents, codebooks)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+  }
+
+  /** ADC top-k against a persisted [[buildIvfAdcIndex]] index. The
+    * centroid read is bounded O(nCells·dim) metadata; probes are the
+    * same driver-side fold as [[ivfAdcTopK]]; the code scan carries a
+    * STATIC `cell IN (probed…)` partition filter, so only the probed
+    * cells' directories are read — the plan touches the compressed code
+    * table only, never the float corpus. Results are identical to
+    * [[ivfAdcTopK]] with the same parameters. */
+  def queryIvfAdcIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queries: Seq[(Long, Seq[Double])],
+                       codebooks: Seq[Seq[Seq[Double]]], k: Int,
+                       nProbe: Int = 4,
+                       onLut: Seq[(Long, Long, Long, Long)] => Unit
+                         = _ => (),
+                       onProbes: Seq[(Long, Long)] => Unit = _ => ())
+      : DataFrame = {
+    require(queries.nonEmpty, "queryIvfAdcIndex needs at least one query")
+    val cents: Seq[(Long, Seq[Double], Double)] =
+      spark.read.parquet(s"$path/centroids")
+        .select(col("c_id"), col("c_emb"), col("c_norm"))
+        .collect().toSeq.map(r => (r.getLong(0),
+          r.getSeq[Double](1).toSeq, r.getDouble(2)))
+    val probes = ivfProbeCells(queries, cents, nProbe)
+    onProbes(probes)
+    val lut = adcLut(queries, codebooks)
+    onLut(lut)
+    val probedCells = probes.map(_._2).distinct.sorted
+    val codes = spark.read.parquet(s"$path/codes")
+      // static partition filter → directory-level pruning (the broadcast
+      // probe join alone would rely on runtime DPP; this is plan-time)
+      .filter(col("cell").isin(probedCells: _*))
+    adcScoreTopK(codes, probes, lut, k)
   }
 }

@@ -16,9 +16,29 @@ object VectorQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** e17's per-JVM build-once registry (path → built). */
+  /** e17's per-JVM build-once registry (path → built). ConcurrentHashMap
+    * because its computeIfAbsent runs the mapping function AT MOST ONCE
+    * per key and blocks concurrent callers until it returns — Scala's
+    * TrieMap.getOrElseUpdate evaluates the by-name builder OUTSIDE the
+    * atomic insert, so two first callers could both run the overwrite
+    * build while one of them scans (ADVICE r13). */
   private val sq8IndexBuilt =
-    scala.collection.concurrent.TrieMap.empty[String, Unit]
+    new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+
+  /** e18's per-JVM build-once registry — same contract as
+    * [[sq8IndexBuilt]]. */
+  private val ivfAdcIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+
+  /** Collision-free tmpdir key for a corpus dir: SHA-256 of the resolved
+    * absolute path (a 32-bit String.hashCode could silently alias two
+    * corpora onto one persisted index — ADVICE r13). */
+  private def corpusKey(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(16).map(b => f"$b%02x").mkString
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- per-vector norms and dimensions (sanity + pruning stats) ---
@@ -247,16 +267,44 @@ object VectorQueries {
     "e17_sq8_persisted" -> ((s, dir) => {
       val e = emb(s, dir)
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_sq8_index_v1_" + java.lang.Integer.toHexString(
-          new java.io.File(dir).getAbsolutePath.hashCode)).getPath
-      // build-once per JVM per corpus (atomic getOrElseUpdate): suites
-      // run in parallel in one JVM, and a concurrent overwrite-build
-      // racing another caller's index SCAN would be flaky. The index is
-      // data-deterministic, so a skipped rebuild can never go stale
-      // within a corpus; the v1 tag versions the on-disk format.
-      sq8IndexBuilt.getOrElseUpdate(path,
-        { Similarity.buildSq8Index(e, path); () })
+        "graft_sq8_index_v1_" + corpusKey(dir)).getPath
+      // build-once per JVM per corpus: suites run in parallel in one
+      // JVM, and a concurrent overwrite-build racing another caller's
+      // index SCAN would be flaky. computeIfAbsent runs the build at
+      // most once and blocks other first callers until it completes.
+      // The index is data-deterministic, so a skipped rebuild can never
+      // go stale within a corpus; the v1 tag versions the disk format.
+      sq8IndexBuilt.computeIfAbsent(path,
+        _ => { Similarity.buildSq8Index(e, path); () })
       Similarity.querySq8Index(s, path, seedEmbeddings(e, 3), k = 8)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // --- IVF-ADC build-once/query-many: the SERVING decomposition of
+    // e15 — buildIvfAdcIndex persists the nCells centroids (bounded
+    // metadata) plus the fused cell+PQ codes PARTITIONED BY cell, and
+    // queryIvfAdcIndex ranks against a statically cell-pruned CODES SCAN
+    // ONLY: the plan reads just the probed cells' directories of the
+    // compressed code table and never re-touches the float corpus — the
+    // billion-vector deployment shape (build the IVF-PQ index once,
+    // serve forever; cf. e17 for the SQ8 analogue). The encode is the
+    // SHARED ivfPqCodesWithCell projection and the probe fold is the
+    // SHARED ivfProbeCells, so inline and persisted paths cannot
+    // diverge. k=7 distinguishes the result from e15's k=5 ---
+    "e18_ivf_adc_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cbs = pqCodebooks(e)
+      val qs = seedEmbeddings(e, 3)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfadc_index_v1_" + corpusKey(dir)).getPath
+      ivfAdcIndexBuilt.computeIfAbsent(path,
+        _ => { Similarity.buildIvfAdcIndex(e, path, cbs, nCells = 16); () })
+      Similarity.queryIvfAdcIndex(s, path, qs, cbs, k = 7, nProbe = 4,
+        onLut = lut => graft.OracleLiterals.put("e18_lut",
+          graft.OracleLiterals.valuesCte3L(
+            "lut", "q_id", "m", "code", "dq_micro", lut)),
+        onProbes = ps => graft.OracleLiterals.put("e18_probes",
+          graft.OracleLiterals.valuesCteL("probes", "q_id", "cell", ps)))
         .orderBy(col("q_id"), col("rnk"))
     }),
 
@@ -467,12 +515,16 @@ object VectorQueries {
     SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, adist_micro
     FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
-  /** e15: the e5 coarse-assignment chain (16 seed centroids, argmin by
-    * (d asc, c_id asc)) prunes to the literal probe cells, then the e11
-    * code chain + the literal LUT replay the integer ADC sum. CTE names
-    * cents/sc/asg/codes come from [[pqCodesSql]]; the coarse chain uses
-    * cents16/csc/casg to avoid collision. */
-  private def e15Oracle: String = s"""
+  /** e15/e18: the e5 coarse-assignment chain (16 seed centroids, argmin
+    * by (d asc, c_id ASC)) prunes to the literal probe cells, then the
+    * e11 code chain + the literal LUT replay the integer ADC sum. CTE
+    * names cents/sc/asg/codes come from [[pqCodesSql]]; the coarse chain
+    * uses cents16/csc/casg to avoid collision. Parameterized by the
+    * literal-key prefix and cut depth: e18 is the SAME search against
+    * the persisted index, which by construction (shared fused encode +
+    * shared probe fold) returns the inline result — one oracle shape,
+    * two key namespaces. */
+  private def ivfAdcOracle(prefix: String, k: Int): String = s"""
     WITH $pqCodesSql,
     cents16 AS (
       SELECT vec_id AS c_id, embedding AS c_emb
@@ -486,10 +538,12 @@ object VectorQueries {
         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, c_id ASC) AS r
       FROM csc),
     cellof AS (SELECT vec_id, cell FROM casg WHERE r = 1),
-    ${graft.OracleLiterals.get("e15_probes", graft.OracleLiterals.missingCte(
-      "e15_probes", "probes", Seq("q_id", "cell")))},
-    ${graft.OracleLiterals.get("e15_lut", graft.OracleLiterals.missingCte(
-      "e15_lut", "lut", Seq("q_id", "m", "code", "dq_micro")))},
+    ${graft.OracleLiterals.get(s"${prefix}_probes",
+      graft.OracleLiterals.missingCte(
+        s"${prefix}_probes", "probes", Seq("q_id", "cell")))},
+    ${graft.OracleLiterals.get(s"${prefix}_lut",
+      graft.OracleLiterals.missingCte(
+        s"${prefix}_lut", "lut", Seq("q_id", "m", "code", "dq_micro")))},
     cand AS (
       SELECT p.q_id, a.vec_id
       FROM probes p JOIN cellof a ON a.cell = p.cell),
@@ -505,7 +559,7 @@ object VectorQueries {
                            ORDER BY adist_micro ASC, vec_id ASC) AS rnk
       FROM scored)
     SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, adist_micro
-    FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
+    FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
 
   private def e5Oracle: String = s"""
     WITH cents AS (
@@ -733,7 +787,10 @@ object VectorQueries {
     "e14_ann_recall" -> e14Oracle,
     "e11_pq_codes" -> e11Oracle,
     "e12_pq_adc" -> e12Oracle,
-    "e15_ivf_adc" -> e15Oracle,
+    "e15_ivf_adc" -> ivfAdcOracle("e15", 5),
+    // e18 = e15's search against the PERSISTED cell-partitioned code
+    // index — same algebra, deeper cut (k=7), own literal namespace
+    "e18_ivf_adc_persisted" -> ivfAdcOracle("e18", 7),
     "e16_sq8_search" -> """
       WITH ex AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS pos,

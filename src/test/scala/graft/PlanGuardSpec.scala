@@ -452,4 +452,75 @@ class PlanGuardSpec extends SparkSpec {
     assert(pushed.contains("StringContains(o_orderpriority,URGENT)"),
       pushed)
   }
+
+  test("job8/ds24/ds25/e18: round-14 additions keep their scale shapes") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // job8: EVERY table's predicate must reach its scan as a pushed
+    // filter — the query exists to stress join ordering over seven
+    // differently-selective scans, which only works if none of the
+    // predicates degrades to a post-join filter
+    val job8 = SparkEntry.queries("job8_filter_chain")(spark, sf)
+      .queryExecution.sparkPlan
+    val pushed8 = job8.collect { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "") }.mkString(";")
+    for (frag <- Seq("LessThan(l_quantity,40", "Not(EqualTo(o_orderstatus,F",
+        "GreaterThan(c_acctbal,0", "StringStartsWith(n_name,NATION_1)",
+        "In(r_name", "GreaterThan(s_acctbal,0",
+        "GreaterThanOrEqual(p_size,5", "LessThanOrEqual(p_size,45"))
+      assert(pushed8.contains(frag), s"job8 missing pushed '$frag': $pushed8")
+    // job11: the fact-side key band must transit the equi-join — BOTH
+    // the lineitem scan and the orders scan prune on the orderkey range
+    // (InferFiltersFromConstraints derives the orders-side band)
+    val job11 = SparkEntry.queries("job11_key_range")(spark, sf)
+      .queryExecution.sparkPlan
+    val pushed11 = job11.collect { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "") }.mkString(";")
+    assert(pushed11.contains("GreaterThanOrEqual(l_orderkey,100"),
+      s"job11 fact key band not pushed: $pushed11")
+    assert(pushed11.contains("GreaterThanOrEqual(o_orderkey,100"),
+      s"job11 key band must transit to the orders scan: $pushed11")
+    // job13: the join-key IN-list prunes the fact scan directly
+    val job13 = SparkEntry.queries("job13_key_inlist")(spark, sf)
+      .queryExecution.sparkPlan
+    val pushed13 = job13.collect { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "") }.mkString(";")
+    assert(pushed13.contains("In(l_partkey"),
+      s"job13 key IN-list not pushed: $pushed13")
+    // ds24/ds25: ONE lineitem scan each (the template's self-joins are
+    // collapsed), year band pushed
+    for (name <- Seq("ds24_cyclic_deviation", "ds25_return_ratios")) {
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      val liScans = unwrap(qe.executedPlan).collect {
+        case s: FileSourceScanExec if s.relation.location.rootPaths
+          .exists(_.toString.contains("lineitem")) => s }
+      assert(liScans.size == 1, s"$name must scan lineitem once: $liScans")
+      assert(qe.sparkPlan.collect { case s: FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "") }.mkString
+        .contains("GreaterThanOrEqual(l_shipdate"),
+        s"$name year band must prune at the scan")
+    }
+    // e18: the serving plan ranks against the persisted cell-partitioned
+    // CODES scan only — the float corpus must not appear — and the probe
+    // cells prune STATICALLY at the directory level (PartitionFilters on
+    // the scan, not a post-scan filter)
+    val e18 = SparkEntry.queries("e18_ivf_adc_persisted")(spark, sf)
+      .queryExecution.sparkPlan
+    val codeScans = e18.collect { case s: FileSourceScanExec => s }
+    val roots = codeScans.map(
+      _.relation.location.rootPaths.map(_.toString).mkString).mkString
+    assert(roots.contains("graft_ivfadc_index"),
+      s"e18 must scan the persisted index: $roots")
+    assert(!roots.contains("embeddings.parquet"),
+      s"e18 serving plan must never re-touch the float corpus: $roots")
+    val partFiltered = codeScans.filter(s =>
+      s.relation.location.rootPaths.exists(_.toString.contains(
+        "graft_ivfadc_index")) && s.partitionFilters.nonEmpty)
+    assert(partFiltered.nonEmpty,
+      s"e18 probe cells must prune as static PartitionFilters:\n$e18")
+  }
 }
