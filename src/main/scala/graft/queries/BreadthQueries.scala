@@ -466,6 +466,55 @@ object BreadthQueries {
         .agg(min(col("p_name")).as("first_part"),
           min(col("o_orderdate")).as("earliest"),
           count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's alias-PAIR-with-inequality signature (IMDb's
+    // t1.production_year < t2.production_year between two title
+    // aliases): the SAME table (orders) joined twice through the shared
+    // customer key with a time inequality BETWEEN the aliases and a
+    // different predicate on each. The inequality rides inside the
+    // second equi-join's condition on an already-key-matched pair —
+    // per-customer order count is bounded (~10), so the pair fan stays
+    // linear in the fact, never quadratic ---
+    "job14_alias_inequality" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o1 = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k1"),
+          col("o_orderdate").as("d1"))
+      val o2 = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k2"),
+          col("o_orderdate").as("d2"))
+      c.join(o1, col("c_custkey") === col("k1"))
+        .join(o2, col("c_custkey") === col("k2") && col("d1") < col("d2"))
+        .agg(min(col("c_name")).as("first_cust"),
+          min(col("d1")).as("first_early"),
+          min(col("d2")).as("first_late"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's ends-only chain: a 5-hop join chain whose ONLY filters
+    // sit at the two ENDS (region name, part-name LIKE) — the
+    // join-order stress where the optimizer must carry selectivity
+    // through three unfiltered middle hops instead of reading it off
+    // adjacent predicates ---
+    "job15_ends_only_chain" -> ((s, dir) => {
+      val r = broadcast(Tables.load(s, dir, "region")
+        .filter(col("r_name") === "EUROPE"))
+      val n = broadcast(Tables.load(s, dir, "nation"))
+      val sup = Tables.load(s, dir, "supplier")
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("%rod%"))
+      r.join(n, n("n_regionkey") === r("r_regionkey"))
+        .join(sup, sup("s_nationkey") === n("n_nationkey"))
+        .join(l, l("l_suppkey") === sup("s_suppkey"))
+        .join(p, l("l_partkey") === p("p_partkey"))
+        .agg(min(col("s_name")).as("first_supp"),
+          min(col("p_name")).as("first_part"),
+          count(lit(1)).as("n"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -681,5 +730,26 @@ object BreadthQueries {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN part ON l_partkey = p_partkey
       WHERE l_partkey IN (3, 17, 42, 77, 101, 150, 188)
-        AND o_orderstatus <> 'P'""")
+        AND o_orderstatus <> 'P'""",
+    "job14_alias_inequality" -> """
+      SELECT MIN(c_name) AS first_cust,
+        MIN(CAST(o1.o_orderdate AS TIMESTAMP)) AS first_early,
+        MIN(CAST(o2.o_orderdate AS TIMESTAMP)) AS first_late,
+        COUNT(*) AS n
+      FROM customer
+        JOIN orders o1 ON o1.o_custkey = c_custkey
+        JOIN orders o2 ON o2.o_custkey = c_custkey
+         AND o1.o_orderdate < o2.o_orderdate
+      WHERE c_mktsegment = 'BUILDING'
+        AND o1.o_orderpriority = '1-URGENT'
+        AND o2.o_orderstatus = 'F'""",
+    "job15_ends_only_chain" -> """
+      SELECT MIN(s_name) AS first_supp, MIN(p_name) AS first_part,
+        COUNT(*) AS n
+      FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN supplier ON s_nationkey = n_nationkey
+        JOIN lineitem ON l_suppkey = s_suppkey
+        JOIN part ON l_partkey = p_partkey
+      WHERE r_name = 'EUROPE' AND p_name LIKE '%rod%'""")
 }

@@ -945,6 +945,70 @@ object DsQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).cast("bigint").as("n_customers"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // --- TPC-DS q13/q48's demographic OR-of-ANDs over MEASURES: one
+    // ungrouped aggregate under a three-branch disjunction, each branch
+    // a conjunction across TWO dimensions plus a fact band — unlike
+    // ds23 (attribute DISTINCT), the disjunction here gates SUMS. No
+    // branch is scan-pushable (each needs the joined row), so the
+    // filter sits post-join while the joins stay pure equi; amounts
+    // ride per-row BIGINT cents. Ref: /root/reference/benchmark/tpcds/
+    // query13.tpl, query48.tpl ---
+    "ds30_demographic_bands" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .filter(
+          (col("c_mktsegment") === "BUILDING" &&
+            col("o_orderstatus") === "F" &&
+            col("l_quantity").between(10, 30)) ||
+          (col("c_mktsegment") === "MACHINERY" &&
+            col("o_orderstatus") === "O" &&
+            col("l_quantity").between(20, 40)) ||
+          (col("c_mktsegment") === "AUTOMOBILE" &&
+            col("o_orderpriority") === "1-URGENT" &&
+            col("l_quantity") < 15))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("l_quantity").cast("bigint")).cast("bigint")
+            .as("sum_qty"),
+          sum(cents).cast("bigint").as("sum_cents"))
+    }),
+
+    // --- TPC-DS q1/q30/q81's above-average-returns: customers whose
+    // total return value exceeds 1.2× their nation's average. The
+    // template's correlated scalar subquery decorrelates to a
+    // per-nation (total, count) aggregate over the already-reduced
+    // (nation, customer) grid, re-entering by equi-join; 1.2× is the
+    // exact cross-multiplication ret·5·nc > total·6 in
+    // DECIMAL(38,0)/HUGEINT (cents × customer-count is
+    // corpus-proportional — the ds22 lesson). The returnflag filter
+    // prunes the fact scan. Ref: /root/reference/benchmark/tpcds/
+    // query1.tpl, query30.tpl, query81.tpl ---
+    "ds31_return_outliers" -> ((s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val ret = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nat"), col("o_custkey").as("cust"))
+        .agg(sum(cents).cast("bigint").as("ret_c"))
+      val natAvg = ret.groupBy(col("nat").as("a_nat"))
+        .agg(sum(col("ret_c")).cast("bigint").as("total_c"),
+          count(lit(1)).as("nc"))
+      ret.join(natAvg, col("nat") === col("a_nat"))
+        .filter(col("ret_c").cast(D38) * lit(5L) * col("nc").cast(D38) >
+          col("total_c").cast(D38) * lit(6L))
+        .select(col("nat"), col("cust"), col("ret_c"))
+        .orderBy(col("nat"), col("cust"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1534,5 +1598,37 @@ object DsQueries {
                         AND o2.o_totalprice > 400000))
       SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
       FROM flagged JOIN customer ON o_custkey = c_custkey
-      GROUP BY 1 ORDER BY 1""")
+      GROUP BY 1 ORDER BY 1""",
+    "ds30_demographic_bands" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE ((c_mktsegment = 'BUILDING' AND o_orderstatus = 'F'
+              AND l_quantity BETWEEN 10 AND 30)
+          OR (c_mktsegment = 'MACHINERY' AND o_orderstatus = 'O'
+              AND l_quantity BETWEEN 20 AND 40)
+          OR (c_mktsegment = 'AUTOMOBILE' AND o_orderpriority = '1-URGENT'
+              AND l_quantity < 15))""",
+    "ds31_return_outliers" -> """
+      WITH ret AS (
+        SELECT c_nationkey AS nat, o_custkey AS cust,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS ret_c
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2),
+      nat_avg AS (
+        SELECT nat, CAST(SUM(ret_c) AS BIGINT) AS total_c,
+               COUNT(*) AS nc
+        FROM ret GROUP BY 1)
+      SELECT r.nat, r.cust, r.ret_c
+      FROM ret r JOIN nat_avg a ON r.nat = a.nat
+      WHERE CAST(r.ret_c AS HUGEINT) * 5 * a.nc > CAST(a.total_c AS HUGEINT) * 6
+      ORDER BY r.nat, r.cust""")
 }

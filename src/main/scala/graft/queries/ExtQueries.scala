@@ -973,6 +973,42 @@ object ExtQueries {
         .agg(count(lit(1)).cast("bigint").as("n_triangles"))
     }),
 
+    // --- LDBC BI Q10's hop-band frontier algebra: per seed, the nodes
+    // reachable in EXACTLY 3..4 hops — (hop3 ∪ hop4) EXCEPT
+    // (hop1 ∪ hop2 ∪ seed) — Q10's friends_between_3_and_4_hops
+    // UNION/EXCEPT structure verbatim. Graph = the ldbc10 reply fan
+    // (message k's replies are messages k+1..k+5 where they exist —
+    // deep chains, unlike the sparse customer knows-graph). Scale
+    // shape: each hop is ONE equi-join on
+    // the bare key followed by DISTINCT on (seed, node) — frontiers
+    // only, never paths; the set subtraction is a LeftAnti on the same
+    // pair key; per-seed counts are the bounded output.
+    // Ref: /root/reference/benchmark/ldbc/bi-10.sql ---
+    "ldbc22_hop_band" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("k"))
+      val edges = o
+        .select(col("k").as("src"),
+          explode(sequence(col("k") + 1, col("k") + 5)).as("dst"))
+        .join(o.select(col("k").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+      val seeds = o.filter(col("k") % 500 === 1).select(col("k").as("seed"))
+      def hop(frontier: DataFrame): DataFrame = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+      val h1 = hop(seeds.select(col("seed"), col("seed").as("node")))
+      val h2 = hop(h1)
+      val near = h1.union(h2).distinct()
+      val h3 = hop(near)
+      val h4 = hop(h3)
+      val far = h3.union(h4).distinct()
+        .join(near.union(seeds.select(col("seed"),
+          col("seed").as("node"))), Seq("seed", "node"), "left_anti")
+      far.groupBy(col("seed"))
+        .agg(count(lit(1)).cast("bigint").as("n_far"))
+        .orderBy(col("seed"))
+    }),
+
     // --- forward as-of join (pandas direction='forward'): each event
     // picks the EARLIEST hourly rate bucket at-or-after it — the
     // backward j1 on a negated axis, so both directions share one code
@@ -1833,6 +1869,28 @@ object ExtQueries {
       FROM edges e1
         JOIN edges e2 ON e1.dst = e2.src
         JOIN edges e3 ON e2.dst = e3.dst AND e1.src = e3.src""",
+    "ldbc22_hop_band" -> """
+      WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+      edges AS (
+        SELECT a.k AS src, a.k + d.i AS dst
+        FROM o a, (SELECT UNNEST(generate_series(1, 5)) AS i) d
+        WHERE EXISTS (SELECT 1 FROM o b WHERE b.k = a.k + d.i)),
+      seeds AS (SELECT k AS seed FROM o WHERE k % 500 = 1),
+      h1 AS (SELECT DISTINCT s.seed, e.dst AS node
+             FROM seeds s JOIN edges e ON e.src = s.seed),
+      h2 AS (SELECT DISTINCT h.seed, e.dst AS node
+             FROM h1 h JOIN edges e ON e.src = h.node),
+      near AS (SELECT seed, node FROM h1 UNION SELECT seed, node FROM h2),
+      h3 AS (SELECT DISTINCT n.seed, e.dst AS node
+             FROM near n JOIN edges e ON e.src = n.node),
+      h4 AS (SELECT DISTINCT h.seed, e.dst AS node
+             FROM h3 h JOIN edges e ON e.src = h.node),
+      far AS (
+        (SELECT seed, node FROM h3 UNION SELECT seed, node FROM h4)
+        EXCEPT
+        (SELECT seed, node FROM near UNION SELECT seed, seed FROM seeds))
+      SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_far
+      FROM far GROUP BY 1 ORDER BY seed""",
     "j5_asof_forward" -> """
       WITH e AS (SELECT event_id, event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS lt

@@ -728,6 +728,37 @@ object ScaleQueries {
         .limit(10)
     }),
 
+    // --- ClickBench Q23's wide-row LIKE + top-k: a substring filter on
+    // the widest string column gates full-width rows into a time-ordered
+    // top-10 — the Contains pushes to the scan (StringContains
+    // PushedFilter), the page rides TakeOrderedAndProject.
+    // Ref: benchmark/clickbench/queries.sql:23 ---
+    "c30_like_star_topk" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .filter(col("props").contains("\"k\": 7"))
+        .select(col("event_id"), col("t").as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .orderBy(col("ts"), col("event_id"))
+        .limit(10)
+    }),
+
+    // --- ClickBench Q33/Q34's heavy two-key aggregate: a high-
+    // cardinality composite key (user, derived watch-id bucket) with a
+    // count, a flag sum, and an exact cents sum — ONE partial-aggregated
+    // shuffle on the composite key, count-desc page with full
+    // tiebreaks. Ref: benchmark/clickbench/queries.sql:33-34 ---
+    "c31_heavy_pair_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), (col("event_id") % 1024).as("wid"))
+        .agg(count(lit(1)).cast("bigint").as("c"),
+          sum(when(col("value") > 100, 1L).otherwise(0L)).cast("bigint")
+            .as("n_big"),
+          sum(round(col("value") * 100).cast("bigint")).cast("bigint")
+            .as("cents"))
+        .orderBy(col("c").desc, col("user_id"), col("wid"))
+        .limit(10)
+    }),
+
     // --- Count-Min Sketch frequency estimation (operators/Sketches):
     // depth 3 × width 64 cells keyed on md5-derived buckets (the one
     // hash both engines share — see TextFunctions.md5Bits60), estimate =
@@ -839,6 +870,20 @@ object ScaleQueries {
         user_id - 3 AS u3, COUNT(*) AS c
       FROM events GROUP BY 1, 2, 3, 4
       ORDER BY c DESC, user_id LIMIT 10""",
+    "c30_like_star_topk" -> """
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        event_type, value, props
+      FROM events
+      WHERE props LIKE '%"k": 7%'
+      ORDER BY ts, event_id LIMIT 10""",
+    "c31_heavy_pair_agg" -> """
+      SELECT user_id, event_id % 1024 AS wid,
+        CAST(COUNT(*) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_big,
+        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      GROUP BY 1, 2 ORDER BY c DESC, user_id, wid LIMIT 10""",
     // exact replica of TextFunctions.fingerprintRolling: fold tokens
     // through acc <- (acc*31 + (md5-60-bit hash mod p)) mod p, acc0 = 1
     "d10_rolling_fp" -> """
