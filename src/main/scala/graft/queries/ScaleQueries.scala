@@ -615,7 +615,7 @@ object ScaleQueries {
     // date_trunc stays a codegen'd scan projection, the band filter
     // prunes parquet row groups on ts min/max stats, and the shuffle
     // carries only (minute, partial-count). Output ordered by minute.
-    // Ref: /root/reference/benchmark/clickbench/queries.sql:36 ---
+    // Ref: /root/reference/benchmark/clickbench/queries.sql:43 (Q42) ---
     "c24_minute_histogram" -> ((s, dir) => {
       graft.Tables.events(s, dir)
         .filter(col("t") >= lit("2024-01-08").cast("timestamp") &&
@@ -759,6 +759,149 @@ object ScaleQueries {
         .limit(10)
     }),
 
+    // --- ClickBench Q0–Q3 (0-based numbering of
+    // benchmark/clickbench/queries.sql): the scalar-aggregate scan
+    // family — COUNT(*), a filtered count (as a conditional sum — same
+    // scan), an exact integer measure sum with its average (one IEEE
+    // division), and a key sum. ONE pass, partial+final aggregate, no
+    // shuffle wider than the 1-row result ---
+    "c32_scalar_aggs" -> ((s, dir) => {
+      val cents = round(col("value") * 100).cast("bigint")
+      Tables.load(s, dir, "events")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(when(col("event_type") =!= "view", 1L).otherwise(0L))
+            .cast("bigint").as("n_nonview"),
+          sum(cents).cast("bigint").as("cents"),
+          (sum(cents).cast("double") / count(lit(1))).as("avg_cents"),
+          sum(col("user_id")).cast("bigint").as("uid_sum"))
+    }),
+
+    // --- ClickBench Q4–Q6: exact distinct cardinalities + the min/max
+    // date probe. COUNT(DISTINCT) expands to two-stage exact distinct
+    // aggregation; min/max ride the same scan ---
+    "c33_distinct_cards" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .agg(countDistinct(col("user_id")).cast("bigint").as("n_users"),
+          countDistinct(col("event_type")).cast("bigint").as("n_types"),
+          min(col("t")).as("first_t"), max(col("t")).as("last_t"))
+    }),
+
+    // --- ClickBench Q7: filtered group-count with a full count-desc
+    // order (no limit — the group domain is bounded) ---
+    "c34_group_count_full" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .filter(col("event_type") =!= "view")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("c"))
+        .orderBy(col("c").desc, col("event_type"))
+    }),
+
+    // --- ClickBench Q8–Q9: the per-region profile — count, DISTINCT
+    // sub-key cardinality, an exact sum and its average, top-10 by
+    // count (region ≈ lang on the documents corpus) ---
+    "c35_region_profile" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("c"),
+          countDistinct(col("source")).cast("bigint").as("n_sources"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("avg_chars"))
+        .orderBy(col("c").desc, col("lang"))
+        .limit(10)
+    }),
+
+    // --- ClickBench Q12–Q14: per-"search phrase" (the JSON k bucket)
+    // counts AND distinct-user counts over a filtered scan, top-10 with
+    // key tiebreaks ---
+    "c36_phrase_tops" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .filter(col("event_type") =!= "view")
+        .groupBy(get_json_object(col("props"), "$.k").cast("bigint")
+          .as("k"))
+        .agg(count(lit(1)).cast("bigint").as("c"),
+          countDistinct(col("user_id")).cast("bigint").as("u"))
+        .orderBy(col("c").desc, col("k"))
+        .limit(10)
+    }),
+
+    // --- ClickBench Q16–Q18: the (user, phrase[, minute]) composite-key
+    // count family — high-cardinality grouping with a derived time key,
+    // one partial-aggregated shuffle, deterministic count-desc page ---
+    "c37_user_phrase_minute" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+          minute(col("t")).as("m"))
+        .agg(count(lit(1)).cast("bigint").as("c"))
+        .orderBy(col("c").desc, col("user_id"), col("k"), col("m"))
+        .limit(10)
+    }),
+
+    // --- ClickBench Q20: the bare substring-count scan — one
+    // StringContains pushed filter into a 1-row count ---
+    "c38_like_count" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(col("text").contains("window"))
+        .agg(count(lit(1)).cast("bigint").as("n"))
+    }),
+
+    // --- ClickBench Q21–Q22: LIKE-filtered group report with MIN()
+    // witness columns and a distinct sub-key count ---
+    "c39_like_group_report" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(col("text").contains("window") && col("lang") =!= "de")
+        .groupBy(col("lang"))
+        .agg(min(col("text")).as("first_text"),
+          count(lit(1)).cast("bigint").as("c"),
+          countDistinct(col("source")).cast("bigint").as("u"))
+        .orderBy(col("c").desc, col("lang"))
+        .limit(10)
+    }),
+
+    // --- ClickBench Q25–Q27: the string-key sort page (ORDER BY a
+    // string column, first 10) — TakeOrderedAndProject over a filtered
+    // scan, never a global sort ---
+    "c40_string_sort_page" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(col("lang") =!= "en")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))
+        .limit(10)
+    }),
+
+    // --- ClickBench Q31–Q32: the FILTERED heavy composite-key
+    // aggregate (c31's Q33/Q34 shape with the phrase<>'' analog
+    // predicate pruning the scan first) ---
+    "c41_filtered_pair_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .filter(col("event_type") =!= "view")
+        .groupBy(col("user_id"), (col("event_id") % 1024).as("wid"))
+        .agg(count(lit(1)).cast("bigint").as("c"),
+          sum(when(col("value") > 100, 1L).otherwise(0L)).cast("bigint")
+            .as("n_big"),
+          sum(round(col("value") * 100).cast("bigint")).cast("bigint")
+            .as("cents"))
+        .orderBy(col("c").desc, col("user_id"), col("wid"))
+        .limit(10)
+    }),
+
+    // --- ClickBench Q36–Q38: the counter-scoped date-banded report
+    // page (CounterID = 62 ≈ the user_id % 8 cohort; date band pushed;
+    // flag conjunction as an In filter), count-desc top-10 ---
+    "c42_counter_report" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .filter(col("user_id") % 8 === 3)
+        .filter(col("t") >= lit("2024-01-05").cast("timestamp"))
+        .filter(col("t") < lit("2024-01-20").cast("timestamp"))
+        .filter(col("event_type").isin("view", "click"))
+        .groupBy(get_json_object(col("props"), "$.k").cast("bigint")
+          .as("k"))
+        .agg(count(lit(1)).cast("bigint").as("page_views"))
+        .orderBy(col("page_views").desc, col("k"))
+        .limit(10)
+    }),
+
     // --- Count-Min Sketch frequency estimation (operators/Sketches):
     // depth 3 × width 64 cells keyed on md5-derived buckets (the one
     // hash both engines share — see TextFunctions.md5Bits60), estimate =
@@ -884,6 +1027,71 @@ object ScaleQueries {
         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events
       GROUP BY 1, 2 ORDER BY c DESC, user_id, wid LIMIT 10""",
+    "c32_scalar_aggs" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_nonview,
+        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+          / COUNT(*) AS avg_cents,
+        CAST(SUM(user_id) AS BIGINT) AS uid_sum
+      FROM events""",
+    "c33_distinct_cards" -> """
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        MIN(CAST(ts AS TIMESTAMP)) AS first_t,
+        MAX(CAST(ts AS TIMESTAMP)) AS last_t
+      FROM events""",
+    "c34_group_count_full" -> """
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_type <> 'view'
+      GROUP BY 1 ORDER BY c DESC, event_type""",
+    "c35_region_profile" -> """
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS c,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+      FROM documents GROUP BY 1 ORDER BY c DESC, lang LIMIT 10""",
+    "c36_phrase_tops" -> """
+      SELECT CAST(props->>'k' AS BIGINT) AS k,
+        CAST(COUNT(*) AS BIGINT) AS c,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
+      FROM events WHERE event_type <> 'view'
+      GROUP BY 1 ORDER BY c DESC, k LIMIT 10""",
+    "c37_user_phrase_minute" -> """
+      SELECT user_id, CAST(props->>'k' AS BIGINT) AS k,
+        CAST(EXTRACT(minute FROM ts) AS INT) AS m,
+        CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+      ORDER BY c DESC, user_id, k, m LIMIT 10""",
+    "c38_like_count" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE text LIKE '%window%'""",
+    "c39_like_group_report" -> """
+      SELECT lang, MIN(text) AS first_text, CAST(COUNT(*) AS BIGINT) AS c,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS u
+      FROM documents WHERE text LIKE '%window%' AND lang <> 'de'
+      GROUP BY 1 ORDER BY c DESC, lang LIMIT 10""",
+    "c40_string_sort_page" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE lang <> 'en' ORDER BY lang, doc_id LIMIT 10""",
+    "c41_filtered_pair_agg" -> """
+      SELECT user_id, event_id % 1024 AS wid,
+        CAST(COUNT(*) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_big,
+        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type <> 'view'
+      GROUP BY 1, 2 ORDER BY c DESC, user_id, wid LIMIT 10""",
+    "c42_counter_report" -> """
+      SELECT CAST(props->>'k' AS BIGINT) AS k,
+        CAST(COUNT(*) AS BIGINT) AS page_views
+      FROM events
+      WHERE user_id % 8 = 3
+        AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20'
+        AND event_type IN ('view', 'click')
+      GROUP BY 1 ORDER BY page_views DESC, k LIMIT 10""",
     // exact replica of TextFunctions.fingerprintRolling: fold tokens
     // through acc <- (acc*31 + (md5-60-bit hash mod p)) mod p, acc0 = 1
     "d10_rolling_fp" -> """
