@@ -515,6 +515,44 @@ object BreadthQueries {
         .agg(min(col("s_name")).as("first_supp"),
           min(col("p_name")).as("first_part"),
           count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's fact-only-selectivity signature (inverse of job15): ALL
+    // the selectivity sits on the fact (quantity + discount + date
+    // band — every predicate a pushed scan filter), the dimensions are
+    // UNFILTERED — the optimizer must reduce the fact first and size
+    // both dim joins off the residual, not off dim predicates ---
+    "job16_fact_only_filters" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") < 5 && col("l_discount") > 0.08)
+        .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
+      val p = Tables.load(s, dir, "part")
+      val sup = Tables.load(s, dir, "supplier")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .agg(min(col("p_name")).as("first_part"),
+          min(col("s_name")).as("first_supp"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's double-LIKE conjunction (the corpus is full of
+    // `note LIKE '%a%' AND note LIKE '%b%'`): two substring predicates
+    // on the SAME dimension column — both push as StringContains, and
+    // their JOINT selectivity (far below either alone) is what the
+    // optimizer must price to order the joins ---
+    "job17_double_like" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_name").contains("small") &&
+          col("p_name").contains("bolt"))
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .agg(min(col("p_name")).as("first_part"),
+          min(col("o_orderdate")).as("earliest"),
+          count(lit(1)).as("n"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -751,5 +789,22 @@ object BreadthQueries {
         JOIN supplier ON s_nationkey = n_nationkey
         JOIN lineitem ON l_suppkey = s_suppkey
         JOIN part ON l_partkey = p_partkey
-      WHERE r_name = 'EUROPE' AND p_name LIKE '%rod%'""")
+      WHERE r_name = 'EUROPE' AND p_name LIKE '%rod%'""",
+    "job16_fact_only_filters" -> """
+      SELECT MIN(p_name) AS first_part, MIN(s_name) AS first_supp,
+        COUNT(*) AS n
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_quantity < 5 AND l_discount > 0.08
+        AND l_shipdate >= TIMESTAMP '1997-06-01'
+        AND l_shipdate < TIMESTAMP '1997-09-01'""",
+    "job17_double_like" -> """
+      SELECT MIN(p_name) AS first_part,
+        MIN(CAST(o_orderdate AS TIMESTAMP)) AS earliest, COUNT(*) AS n
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%small%' AND p_name LIKE '%bolt%'
+        AND o_orderpriority <> '5-LOW'""")
 }

@@ -1009,6 +1009,109 @@ object DsQueries {
           col("total_c").cast(D38) * lit(6L))
         .select(col("nat"), col("cust"), col("ret_c"))
         .orderBy(col("nat"), col("cust"))
+    }),
+
+    // --- TPC-DS q44's double-sided rank: best AND worst performers in
+    // one pass — two opposite-direction ranks over the SAME aggregated
+    // grid, top-5 of each UNIONed with a side tag. The windows are
+    // unpartitioned by the template's nature but run over the ≤|brands|
+    // aggregated frame (bounded — the sanctioned exception), never fact
+    // rows. Ref: /root/reference/benchmark/tpcds/query44.tpl ---
+    "ds32_best_worst" -> ((s, dir) => {
+      val perf = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_quantity").cast("bigint")).cast("bigint").as("q"))
+      // bounded frame: ≤|brands| rows post-aggregation
+      val best = Window.orderBy(col("q").desc, col("p_brand"))
+      val worst = Window.orderBy(col("q").asc, col("p_brand"))
+      val rk = perf
+        .withColumn("best_rnk", rank().over(best))
+        .withColumn("worst_rnk", rank().over(worst))
+      rk.filter(col("best_rnk") <= 5)
+        .select(lit("best").as("side"), col("best_rnk").as("rnk"),
+          col("p_brand"), col("q"))
+        .unionAll(rk.filter(col("worst_rnk") <= 5)
+          .select(lit("worst").as("side"), col("worst_rnk").as("rnk"),
+            col("p_brand"), col("q")))
+        .orderBy(col("side"), col("rnk"), col("p_brand"))
+    }),
+
+    // --- TPC-DS q58's cross-channel equality band: items whose revenue
+    // is within ~30% across ALL THREE channels (returnflag classes ≈
+    // the template's store/catalog/web). One conditional-aggregation
+    // scan to the brand grain; every pairwise band test is the exact
+    // cross-multiplication x·10 ≤ y·13 in DECIMAL(38,0)/HUGEINT — six
+    // comparisons, zero FP. Ref: /root/reference/benchmark/tpcds/
+    // query58.tpl ---
+    "ds33_channel_band" -> ((s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      def chanSum(f: String): Column =
+        sum(when(col("l_returnflag") === f, cents).otherwise(lit(0L)))
+          .cast("bigint")
+      val rev = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(chanSum("N").as("n_c"), chanSum("A").as("a_c"),
+          chanSum("R").as("r_c"))
+      def within(x: Column, y: Column): Column =
+        x.cast(D38) * lit(10L) <= y.cast(D38) * lit(13L) &&
+          y.cast(D38) * lit(10L) <= x.cast(D38) * lit(13L)
+      rev.filter(col("n_c") > 0 && col("a_c") > 0 && col("r_c") > 0 &&
+          within(col("n_c"), col("a_c")) &&
+          within(col("n_c"), col("r_c")) &&
+          within(col("a_c"), col("r_c")))
+        .orderBy(col("p_brand"))
+    }),
+
+    // --- TPC-DS q90's am/pm ratio: two time-band conditional counts in
+    // ONE scan and a single BIGINT→double division — the template's two
+    // scalar subqueries fused (the ds6 treatment applied to q90).
+    // Ref: /root/reference/benchmark/tpcds/query90.tpl ---
+    "ds34_am_pm_ratio" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .agg(
+          sum(when(hour(col("t")) < 12, 1L).otherwise(0L)).cast("bigint")
+            .as("am_cnt"),
+          sum(when(hour(col("t")) >= 12, 1L).otherwise(0L)).cast("bigint")
+            .as("pm_cnt"))
+        .select(col("am_cnt"), col("pm_cnt"),
+          (col("am_cnt").cast("double") / col("pm_cnt").cast("double"))
+            .as("am_pm_ratio"))
+    }),
+
+    // --- TPC-DS q92/q32's excess-discount: lineitems whose discount
+    // exceeds 1.3× their ITEM's average discount. The correlated avg
+    // subquery decorrelates to a per-partkey (total, count) aggregate
+    // re-entering by equi-join; 1.3× is the exact cross-multiplication
+    // disc·10·nl > total·13 in DECIMAL(38,0)/HUGEINT over basis-point
+    // integers (per-row ×10⁴ — exact for the 4-dp discount domain).
+    // Ref: /root/reference/benchmark/tpcds/query92.tpl, query32.tpl ---
+    "ds35_excess_discount" -> ((s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val d = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (col("l_discount").cast(DecimalType(18, 4)) * lit(10000))
+            .cast("bigint").as("disc_bp"))
+      val avgD = d.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("disc_bp")).cast("bigint").as("tot_bp"),
+          count(lit(1)).as("nl"))
+      d.join(avgD, col("l_partkey") === col("pk"))
+        .filter(col("disc_bp").cast(D38) * lit(10L) * col("nl").cast(D38) >
+          col("tot_bp").cast(D38) * lit(13L))
+        .agg(count(lit(1)).cast("bigint").as("n_excess"),
+          sum(col("disc_bp")).cast("bigint").as("sum_excess_bp"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1630,5 +1733,80 @@ object DsQueries {
       SELECT r.nat, r.cust, r.ret_c
       FROM ret r JOIN nat_avg a ON r.nat = a.nat
       WHERE CAST(r.ret_c AS HUGEINT) * 5 * a.nc > CAST(a.total_c AS HUGEINT) * 6
-      ORDER BY r.nat, r.cust""")
+      ORDER BY r.nat, r.cust""",
+    "ds32_best_worst" -> """
+      WITH perf AS (
+        SELECT p_brand,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1),
+      rk AS (
+        SELECT p_brand, q,
+          CAST(RANK() OVER (ORDER BY q DESC, p_brand) AS INT) AS best_rnk,
+          CAST(RANK() OVER (ORDER BY q ASC, p_brand) AS INT) AS worst_rnk
+        FROM perf)
+      SELECT 'best' AS side, best_rnk AS rnk, p_brand, q
+      FROM rk WHERE best_rnk <= 5
+      UNION ALL
+      SELECT 'worst' AS side, worst_rnk AS rnk, p_brand, q
+      FROM rk WHERE worst_rnk <= 5
+      ORDER BY side, rnk, p_brand""",
+    "ds33_channel_band" -> """
+      WITH rev AS (
+        SELECT p_brand,
+          CAST(SUM(CASE WHEN l_returnflag = 'N'
+                        THEN CAST(CAST(l_extendedprice AS DECIMAL(28,2))
+                                  * 100 AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS n_c,
+          CAST(SUM(CASE WHEN l_returnflag = 'A'
+                        THEN CAST(CAST(l_extendedprice AS DECIMAL(28,2))
+                                  * 100 AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS a_c,
+          CAST(SUM(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(CAST(l_extendedprice AS DECIMAL(28,2))
+                                  * 100 AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS r_c
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1)
+      SELECT p_brand, n_c, a_c, r_c FROM rev
+      WHERE n_c > 0 AND a_c > 0 AND r_c > 0
+        AND CAST(n_c AS HUGEINT) * 10 <= CAST(a_c AS HUGEINT) * 13
+        AND CAST(a_c AS HUGEINT) * 10 <= CAST(n_c AS HUGEINT) * 13
+        AND CAST(n_c AS HUGEINT) * 10 <= CAST(r_c AS HUGEINT) * 13
+        AND CAST(r_c AS HUGEINT) * 10 <= CAST(n_c AS HUGEINT) * 13
+        AND CAST(a_c AS HUGEINT) * 10 <= CAST(r_c AS HUGEINT) * 13
+        AND CAST(r_c AS HUGEINT) * 10 <= CAST(a_c AS HUGEINT) * 13
+      ORDER BY p_brand""",
+    "ds34_am_pm_ratio" -> """
+      WITH b AS (
+        SELECT
+          CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END)
+               AS BIGINT) AS am_cnt,
+          CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) >= 12 THEN 1 ELSE 0 END)
+               AS BIGINT) AS pm_cnt
+        FROM events WHERE event_type IN ('view', 'click'))
+      SELECT am_cnt, pm_cnt,
+        CAST(am_cnt AS DOUBLE) / CAST(pm_cnt AS DOUBLE) AS am_pm_ratio
+      FROM b""",
+    "ds35_excess_discount" -> """
+      WITH d AS (
+        SELECT l_partkey,
+          CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+            AS disc_bp
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'),
+      avg_d AS (
+        SELECT l_partkey, CAST(SUM(disc_bp) AS BIGINT) AS tot_bp,
+               COUNT(*) AS nl
+        FROM d GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_excess,
+        CAST(SUM(d.disc_bp) AS BIGINT) AS sum_excess_bp
+      FROM d JOIN avg_d a ON d.l_partkey = a.l_partkey
+      WHERE CAST(d.disc_bp AS HUGEINT) * 10 * a.nl
+            > CAST(a.tot_bp AS HUGEINT) * 13""")
 }
