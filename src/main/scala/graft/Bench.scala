@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line {"metric":...,"queries":{...}}.
   *
   * Profiling hooks (local dev, driver never sets them):
-  *   SPARK_GRAFT_ONLY=substr   — run only queries whose name contains substr
+  *   SPARK_GRAFT_ONLY=s1[,s2…] — run only queries whose name contains any
+  *                               of the comma-separated substrings
   *   SPARK_GRAFT_EXPLAIN=1     — print the formatted physical plan per query
   *   SPARK_GRAFT_REPEAT=n      — time best-of-n runs (default 1)
   */
@@ -46,8 +47,10 @@ object Bench {
       SparkEntry.queries.get("q1_tpch_agg").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("d1_exact_dedup").foreach(_(spark, sfDir).count())
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+    val onlySubs = only.toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(n.contains) }
+      .filter { case (n, _) =>
+        onlySubs.isEmpty || onlySubs.exists(n.contains) }
     val results = selected.map { case (name, fn) =>
       if (explain) {
         try fn(spark, sfDir).explain("formatted")

@@ -148,6 +148,37 @@ object TextFunctions {
         i => array_min(transform(sh, s => xxhash64(s, i))))
     }
 
+  /** Oracle-reproducible MinHash: hash family i is the first 60 bits of
+    * md5(i || ':' || shingle) — md5 being the one hash both engines
+    * share (cf. [[md5Bits60]], the d7 SimHash precedent), so a DuckDB
+    * oracle can replay the exact signature digit-for-digit. ~3× the
+    * cost of the xxhash64 [[minHash]] (use that one when the consumer
+    * doesn't need cross-engine replay). Shingles are de-duplicated
+    * inside the bind so the min runs over the set, matching the
+    * Jaccard estimator's definition. */
+  def md5MinHash(shinglesCol: Column, k: Int): Column =
+    bind(array_distinct(shinglesCol)) { sh =>
+      transform(sequence(lit(0), lit(k - 1)),
+        i => array_min(transform(sh,
+          s => md5Bits60(concat(i.cast("string"), lit(":"), s)))))
+    }
+
+  /** Per-band bucket hashes of an [[md5MinHash]] signature: band b
+    * hashes its `rows` consecutive components ('b<b>:' prefix +
+    * comma-joined decimal strings) through [[md5Bits60]] — the same
+    * recipe replayable in a DuckDB oracle. Band-hash equality is the
+    * LSH candidate condition (rather than component-tuple equality);
+    * with 60-bit hashes the distinction is negligible, and using the
+    * hash on BOTH engines keeps the semantics bit-identical. */
+  def md5BandHashes(sig: Column, bands: Int, rows: Int): Column =
+    bind(sig) { sg =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => md5Bits60(concat(lit("b"), b.cast("string"), lit(":"),
+          concat_ws(",", transform(
+            slice(sg, b * lit(rows) + lit(1), lit(rows)),
+            x => x.cast("string"))))))
+    }
+
   /** Estimated Jaccard similarity of two equal-length MinHash signatures:
     * fraction of agreeing components. */
   def minHashSimilarity(a: Column, b: Column): Column =

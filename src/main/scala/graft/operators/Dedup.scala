@@ -96,6 +96,79 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Build a persisted MinHash-LSH signature index over `corpus`: one
+    * row per (band, doc) carrying the band hash, the doc id, and the
+    * full signature, written PARTITIONED BY (band, bucket) where
+    * bucket = bandhash mod `nBuckets`. An incremental shard then
+    * dedups against the corpus WITHOUT recomputing corpus signatures
+    * (and without ever re-reading corpus text): [[queryLshIndex]]
+    * probes only the shard's (band, bucket) directories — the e17/e18
+    * build-once/serve-forever pattern applied to LSH dedup.
+    *
+    * Signatures are the oracle-reproducible [[md5MinHash]] family, so
+    * a DuckDB oracle can replay the whole pipeline. Each band row
+    * duplicates the signature (bands× storage) — the standard LSH
+    * hash-table trade: it makes a probe self-contained, so candidate
+    * scoring needs NO second lookup against a signature table.
+    *
+    * Scale shape: one corpus pass + one write shuffle; directory count
+    * is bands·nBuckets (bounded by construction, never by data). */
+  def buildLshIndex(corpus: DataFrame, textCol: String, idCol: String,
+                    path: String, bands: Int = 8, rows: Int = 2,
+                    shingleSize: Int = 3, nBuckets: Int = 32): Unit = {
+    val k = bands * rows
+    // repartition = materialization barrier (see minHashLsh): without
+    // it the signature tree is inlined into the band explode and
+    // re-evaluated bands× per row
+    val sig = corpus.select(col(idCol).as("id"),
+        md5MinHash(wordShingles(col(textCol), shingleSize), k).as("sig"))
+      .repartition(col("id"))
+    sig.select(col("id"), col("sig"),
+        posexplode(md5BandHashes(col("sig"), bands, rows))
+          .as(Seq("band", "bh")))
+      .withColumn("bucket", pmod(col("bh"), lit(nBuckets.toLong)))
+      .select(col("band"), col("bucket"), col("bh"), col("id"), col("sig"))
+      .write.mode("overwrite").partitionBy("band", "bucket")
+      .parquet(s"$path/buckets")
+  }
+
+  /** Near-dup candidates of `shard` against a [[buildLshIndex]] index:
+    * (a_id ∈ shard, b_id ∈ corpus, est_jaccard) for every pair sharing
+    * ≥1 LSH band whose signature agreement is ≥ `threshold`. The plan
+    * scans ONLY the shard text and the probed index buckets — the
+    * probe-key collect is bounded by bands·nBuckets BY CONSTRUCTION
+    * (bucket is mod-nBuckets), so it is driver-side metadata no matter
+    * how large the shard grows, and the bucket filter prunes the index
+    * read at the DIRECTORY level (static PartitionFilters, the e18
+    * pattern). */
+  def queryLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    shard: DataFrame, textCol: String, idCol: String,
+                    threshold: Double, bands: Int = 8, rows: Int = 2,
+                    shingleSize: Int = 3, nBuckets: Int = 32): DataFrame = {
+    val k = bands * rows
+    val sig = shard.select(col(idCol).as("a_id"),
+        md5MinHash(wordShingles(col(textCol), shingleSize), k).as("a_sig"))
+      .repartition(col("a_id"))
+    val probes = sig.select(col("a_id"), col("a_sig"),
+      posexplode(md5BandHashes(col("a_sig"), bands, rows))
+        .as(Seq("band", "bh")))
+    val probeKeys = probes
+      .select((col("band") * nBuckets +
+        pmod(col("bh"), lit(nBuckets.toLong))).cast("long").as("pk"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val idx = spark.read.parquet(s"$path/buckets")
+      .filter((col("band") * nBuckets + col("bucket")).cast("long")
+        .isin(probeKeys: _*))
+    probes.join(idx, Seq("band", "bh"))
+      .filter(col("a_id") =!= col("id"))
+      .select(col("a_id"), col("id").as("b_id"), col("a_sig"),
+        col("sig").as("b_sig"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        minHashSimilarity(col("a_sig"), col("b_sig")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** SimHash signatures (64-bit, as hex) per document. Near-dup pairs =
     * signatures within a small Hamming distance; candidate generation
     * joins on 16-bit signature quarters (any pair within distance 3 must

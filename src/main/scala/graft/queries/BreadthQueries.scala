@@ -553,6 +553,162 @@ object BreadthQueries {
         .agg(min(col("p_name")).as("first_part"),
           min(col("o_orderdate")).as("earliest"),
           count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's NULL-probe signature (11a's `mc.note IS NULL` over a
+    // joined table — /root/reference/benchmark/job/11a.sql): "keep rows
+    // with NO match in the probed table". The corpus spells it LEFT
+    // JOIN … IS NULL; the efficient distributed shape IS the anti-join
+    // (one hash probe, no padded rows materialized, no post-join
+    // filter), so the Spark side declares left_anti directly and the
+    // oracle keeps the corpus's outer-join spelling — semantically
+    // identical, and PlanGuardSpec pins that the plan really is
+    // LeftAnti, not outer-join-then-filter ---
+    "job18_null_probe" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val returned = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(returned, o("o_orderkey") === returned("l_orderkey"),
+          "left_anti")
+        .agg(min(col("c_name")).as("first_cust"),
+          min(col("o_orderdate")).as("earliest"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's cross-ALIAS disjunction: an OR whose two IN-lists sit on
+    // TWO aliases of the same dimension (nation as customer-arm n1 vs
+    // supplier-arm n2 — the cn1/cn2 aliasing of
+    // /root/reference/benchmark/job/33a.sql with the branches made
+    // disjunctive). Neither IN can prune below its own join — the
+    // disjunction is only evaluable on the doubly-joined row — so the
+    // only pushable selectivity is p_size, and the optimizer must keep
+    // both nation arms as cheap broadcasts with the OR as a post-join
+    // Filter over pure equi-joins ---
+    "job19_cross_alias_in" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val sup = Tables.load(s, dir, "supplier")
+      val p = Tables.load(s, dir, "part").filter(col("p_size") < 12)
+      val n1 = broadcast(Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("cust_nation")))
+      val n2 = broadcast(Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("supp_nation")))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(n1, col("c_nationkey") === col("nk1"))
+        .join(n2, col("s_nationkey") === col("nk2"))
+        .join(p, l("l_partkey") === p("p_partkey"))
+        .filter(col("cust_nation").isin("NATION_3", "NATION_7") ||
+          col("supp_nation").isin("NATION_11", "NATION_19"))
+        .agg(min(col("cust_nation")).as("cust_nation"),
+          min(col("supp_nation")).as("supp_nation"),
+          min(col("p_name")).as("first_part"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's linked-pair deep chain (the t1–movie_link–t2 shape of
+    // /root/reference/benchmark/job/33a.sql / 11c.sql): FOUR aliases —
+    // two fact aliases joined to EACH OTHER on the link key before any
+    // dimension is touched, each arm then resolving its own part alias
+    // with its own predicates ("orders containing both a small bolt AND
+    // a large rod"). Per-order line fan is bounded (≤7 lines), so the
+    // fact self-join stays linear in the fact, never quadratic ---
+    "job20_linked_pair" -> ((s, dir) => {
+      val l1 = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok1"),
+          col("l_linenumber").as("ln1"), col("l_partkey").as("pk1"))
+      val l2 = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok2"),
+          col("l_linenumber").as("ln2"), col("l_partkey").as("pk2"))
+      val p1 = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("%bolt%") && col("p_size") < 15)
+        .select(col("p_partkey").as("ppk1"), col("p_name").as("bolt_name"))
+      val p2 = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("%rod%") && col("p_size") > 30)
+        .select(col("p_partkey").as("ppk2"), col("p_name").as("rod_name"))
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") =!= "P")
+      l1.join(l2, col("ok1") === col("ok2") && col("ln1") =!= col("ln2"))
+        .join(p1, col("pk1") === col("ppk1"))
+        .join(p2, col("pk2") === col("ppk2"))
+        .join(o, col("ok1") === o("o_orderkey"))
+        .agg(min(col("bolt_name")).as("bolt_part"),
+          min(col("rod_name")).as("rod_part"),
+          min(col("o_orderdate")).as("earliest"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's dual-prefix disjunction (11c's `cn.name LIKE '20th
+    // Century Fox%' OR cn.name LIKE 'Twentieth Century Fox%'` —
+    // /root/reference/benchmark/job/11c.sql): an OR of two PREFIX
+    // patterns on one dim column. Unlike job10's cross-dimension OR,
+    // both branches sit on the SAME scan, so the whole disjunction
+    // pushes as Or(StringStartsWith, StringStartsWith) and prunes at
+    // the reader — pinned in PlanGuardSpec ---
+    "job21_or_prefix" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_name").startsWith("small") ||
+          col("p_name").startsWith("large"))
+      val sup = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") > 50)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .agg(min(col("p_name")).as("first_part"),
+          min(col("s_name")).as("first_supp"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- JOB's disjunction-with-NULL-branch (11a's `mc.note IS NULL`
+    // OR-composed with value predicates elsewhere in the corpus —
+    // /root/reference/benchmark/job/11a.sql, 11b.sql): keep orders
+    // that were NEVER returned (no match in the probe — padded NULL)
+    // OR heavily returned (matched with count ≥ 3). Unlike job18, the
+    // OR branch USES the matched value, so the outer join can neither
+    // become an anti-join nor be eliminated (the filter is not
+    // null-rejecting) — the optimizer must keep a true LeftOuter, and
+    // the probe side arrives PRE-AGGREGATED at the order grain so the
+    // padded stream stays one row per order ---
+    "job22_null_or_branch" -> ((s, dir) => {
+      val r = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_orderkey").as("rk"))
+        .agg(count(lit(1)).as("rc"))
+      Tables.load(s, dir, "orders")
+        .join(r, col("o_orderkey") === col("rk"), "left")
+        .filter(col("rk").isNull || col("rc") >= 3)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(when(col("rk").isNull, 1L).otherwise(0L)).cast("bigint")
+            .as("n_clean"),
+          sum(when(col("rc") >= 3, 1L).otherwise(0L)).cast("bigint")
+            .as("n_heavy"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // --- JOB's string-RANGE predicate (33a's `mi_idx2.info < '3.0'` —
+    // lexicographic inequality on a string dim column,
+    // /root/reference/benchmark/job/33a.sql): both bounds push to the
+    // part scan as string LessThan/GreaterThanOrEqual and prune row
+    // groups by the column's min/max stats, exactly like a numeric
+    // band — pinned in PlanGuardSpec ---
+    "job23_string_range" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_name") < "cold" && col("p_name") >= "blue")
+      val sup = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") > 20)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .agg(min(col("p_name")).as("first_part"),
+          min(col("s_name")).as("first_supp"),
+          count(lit(1)).cast("bigint").as("n"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -806,5 +962,66 @@ object BreadthQueries {
         JOIN part ON l_partkey = p_partkey
         JOIN orders ON l_orderkey = o_orderkey
       WHERE p_name LIKE '%small%' AND p_name LIKE '%bolt%'
-        AND o_orderpriority <> '5-LOW'""")
+        AND o_orderpriority <> '5-LOW'""",
+    "job18_null_probe" -> """
+      SELECT MIN(c_name) AS first_cust,
+        MIN(CAST(o_orderdate AS TIMESTAMP)) AS earliest, COUNT(*) AS n
+      FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem
+                   WHERE l_returnflag = 'R') r ON o_orderkey = r.l_orderkey
+      WHERE c_mktsegment = 'BUILDING' AND r.l_orderkey IS NULL""",
+    "job19_cross_alias_in" -> """
+      SELECT MIN(n1.n_name) AS cust_nation, MIN(n2.n_name) AS supp_nation,
+        MIN(p_name) AS first_part, COUNT(*) AS n
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        JOIN part ON l_partkey = p_partkey
+      WHERE p_size < 12
+        AND (n1.n_name IN ('NATION_3', 'NATION_7')
+          OR n2.n_name IN ('NATION_11', 'NATION_19'))""",
+    "job20_linked_pair" -> """
+      SELECT MIN(p1.p_name) AS bolt_part, MIN(p2.p_name) AS rod_part,
+        MIN(CAST(o_orderdate AS TIMESTAMP)) AS earliest, COUNT(*) AS n
+      FROM lineitem l1
+        JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+          AND l1.l_linenumber <> l2.l_linenumber
+        JOIN part p1 ON l1.l_partkey = p1.p_partkey
+        JOIN part p2 ON l2.l_partkey = p2.p_partkey
+        JOIN orders ON l1.l_orderkey = o_orderkey
+      WHERE p1.p_name LIKE '%bolt%' AND p1.p_size < 15
+        AND p2.p_name LIKE '%rod%' AND p2.p_size > 30
+        AND o_orderstatus <> 'P'""",
+    "job21_or_prefix" -> """
+      SELECT MIN(p_name) AS first_part, MIN(s_name) AS first_supp,
+        COUNT(*) AS n
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE (starts_with(p_name, 'small') OR starts_with(p_name, 'large'))
+        AND s_acctbal > 50""",
+    "job22_null_or_branch" -> """
+      WITH r AS (
+        SELECT l_orderkey AS rk, COUNT(*) AS rc
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN rk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clean,
+        CAST(SUM(CASE WHEN rc >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_heavy
+      FROM orders LEFT JOIN r ON o_orderkey = rk
+      WHERE rk IS NULL OR rc >= 3
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "job23_string_range" -> """
+      SELECT MIN(p_name) AS first_part, MIN(s_name) AS first_supp,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE p_name < 'cold' AND p_name >= 'blue'
+        AND s_acctbal > 20""")
 }

@@ -1112,6 +1112,304 @@ object DsQueries {
           col("tot_bp").cast(D38) * lit(13L))
         .agg(count(lit(1)).cast("bigint").as("n_excess"),
           sum(col("disc_bp")).cast("bigint").as("sum_excess_bp"))
+    }),
+
+    // --- TPC-DS q51's cumulative channel compare: per (item, month),
+    // the running web total vs the running store total, keeping months
+    // where web's cume leads. Channels ≈ returnflag A (web) / N
+    // (store). The template computes each channel's cume over its OWN
+    // date grid, FULL-OUTER joins them, and carry-forwards with a
+    // running max; here both channels ride ONE scan as conditional
+    // sums on the unified (item, month) grid — the carry-forward is
+    // sum-of-coalesced with a count()>0 null gate, which reproduces the
+    // outer-join + running-max semantics exactly (NULL before a
+    // channel's first active month, carried cume after). Money is
+    // BIGINT micros; per-item cumes are entity-bounded (≤12 month rows
+    // per item — bounded window frames; the grid shuffle is the single
+    // exchange). Oracle keeps the template's two-CTE FULL OUTER
+    // spelling, so the pass doubles as an equivalence proof.
+    // Ref: /root/reference/benchmark/tpcds/query51.tpl ---
+    "ds36_cumulative_compare" -> ((s, dir) => {
+      val mu = (col("l_extendedprice").cast(DecimalType(28, 6)) *
+        lit(1000000)).cast("bigint")
+      val g = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .filter(col("l_returnflag").isin("A", "N"))
+        .groupBy(col("l_partkey").as("item"),
+          date_trunc("month", col("l_shipdate")).as("m"))
+        .agg(sum(when(col("l_returnflag") === "A", mu)).as("a_s"),
+          sum(when(col("l_returnflag") === "N", mu)).as("n_s"))
+      val w = Window.partitionBy(col("item")).orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("item"), col("m"), col("a_s"), col("n_s"),
+          sum(coalesce(col("a_s"), lit(0L))).over(w).as("ca"),
+          count(col("a_s")).over(w).as("na"),
+          sum(coalesce(col("n_s"), lit(0L))).over(w).as("cb"),
+          count(col("n_s")).over(w).as("nb"))
+        .select(col("item"), col("m"),
+          when(col("a_s").isNotNull, col("ca")).as("web_sales"),
+          when(col("n_s").isNotNull, col("cb")).as("store_sales"),
+          when(col("na") > 0, col("ca")).as("web_cumulative"),
+          when(col("nb") > 0, col("cb")).as("store_cumulative"))
+        .filter(col("web_cumulative") > col("store_cumulative"))
+        .orderBy(col("item"), col("m"))
+        .limit(100)
+    }),
+
+    // --- TPC-DS q89's monthly-deviation band over a category grid:
+    // monthly sales per (type, brand, nation) cell vs the cell's yearly
+    // monthly mean, keeping months >10% off the mean — ds24's
+    // integer-exact machinery (|s·nm − Σ|·10 > Σ·nm, no division) at
+    // q89's grain, with the template's OR-of-(category, class) gate on
+    // the item dim and the deviation-ordered LIMIT page. The order key
+    // is the one place a double appears — (s·nm − Σ) exact in
+    // DECIMAL(38,0) first, then a single ÷nm in IEEE double, identical
+    // cross-engine. Scale: gate + year band pushed to the scans, ONE
+    // shuffle to the constant-cardinality grid, windows partition over
+    // ≤12-month frames. Ref: /root/reference/benchmark/tpcds/
+    // query89.tpl ---
+    "ds37_monthly_deviation" -> ((s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val mu = (col("l_extendedprice").cast(DecimalType(28, 6)) *
+        lit(1000000)).cast("bigint")
+      val p = Tables.load(s, dir, "part")
+        .filter((col("p_type").isin("SMALL", "LARGE") &&
+            col("p_brand").isin("Brand#1", "Brand#3", "Brand#5")) ||
+          (col("p_type").isin("ECONOMY", "PROMO") &&
+            col("p_brand").isin("Brand#2", "Brand#4")))
+      val n = broadcast(Tables.load(s, dir, "nation"))
+      val g = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(Tables.load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("p_type"), col("p_brand"), col("n_name"),
+          month(col("l_shipdate")).as("mo"))
+        .agg(sum(mu).as("s"))
+      val wb = Window.partitionBy(col("p_type"), col("p_brand"),
+        col("n_name"))
+      g.select(col("p_type"), col("p_brand"), col("n_name"), col("mo"),
+          col("s"), sum(col("s")).over(wb).as("tot"),
+          count(lit(1)).over(wb).as("nm"))
+        .filter(abs(col("s").cast(D38) * col("nm") - col("tot").cast(D38)) *
+          lit(10L) > col("tot").cast(D38) * col("nm"))
+        .select(col("p_type"), col("p_brand"), col("n_name"), col("mo"),
+          col("s"), (col("tot").cast("double") / col("nm").cast("double"))
+            .as("avg_monthly"))
+        .orderBy(((col("s").cast(D38) * col("nm") - col("tot").cast(D38))
+            .cast("double") / col("nm").cast("double")).asc,
+          col("n_name"), col("p_type"), col("p_brand"), col("mo"))
+        .limit(100)
+    }),
+
+    // --- TPC-DS q70's region ranking with grouping sets: profit rolled
+    // up over the (nation, city) hierarchy restricted to the top-5
+    // nations, with GROUPING()-derived level and rank-within-parent.
+    // State ≈ nation (25 by spec), county ≈ the SSB city derivation
+    // (nation prefix + supplier-key digit — 250 values by
+    // construction), so every rollup level and every rank partition is
+    // BOUNDED: the grand total (1 row), the ≤5 nation subtotals, and
+    // ≤10 cities per nation. The top-5 gate is an aggregate-then-rank
+    // over the 25-nation grid joined back LEFT SEMI (never a collect).
+    // Profit = cents·(10⁴−disc_bp) micro-dollars — per-row exact BIGINT
+    // — summed in DECIMAL(38,0) because nation totals are
+    // corpus-proportional (the r13 ds22 overflow lesson).
+    // Ref: /root/reference/benchmark/tpcds/query70.tpl ---
+    "ds38_rank_rollup" -> ((s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val discBp = (col("l_discount").cast(DecimalType(18, 4)) *
+        lit(10000)).cast("bigint")
+      val base = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          concat(col("n_name"), lit("_"),
+            (col("s_suppkey") % 10).cast("string")).as("city"),
+          (cents * (lit(10000L) - discBp)).cast(D38).as("mu"))
+      val top5 = base.groupBy(col("n_name").as("tn"))
+        .agg(sum(col("mu")).as("p"))
+      // unpartitioned rank over the ≤25-row nation aggregate — bounded
+      // by the nation domain (the sanctioned exception)
+      val wr = Window.orderBy(col("p").desc, col("tn"))
+      val keep = top5.select(col("tn"), rank().over(wr).as("rnk"))
+        .filter(col("rnk") <= 5).select(col("tn"))
+      val grid = base.join(keep, col("n_name") === col("tn"), "left_semi")
+        .rollup(col("n_name"), col("city"))
+        .agg(sum(col("mu")).as("total_sum"),
+          grouping(col("n_name")).cast("int").as("gs"),
+          grouping(col("city")).cast("int").as("gc"))
+      val wp = Window.partitionBy(col("gs") + col("gc"),
+          when(col("gc") === 0, col("n_name")))
+        .orderBy(col("total_sum").desc, col("n_name"), col("city"))
+      grid.select(col("total_sum"), col("n_name").as("state"),
+          col("city").as("county"),
+          (col("gs") + col("gc")).as("lochierarchy"),
+          rank().over(wp).cast("int").as("rank_within_parent"))
+        .orderBy(col("lochierarchy").desc,
+          when(col("lochierarchy") === 0, col("state")),
+          col("rank_within_parent"), col("state"), col("county"))
+    }),
+
+    // --- TPC-DS q23's "frequent items × best customers" gate: total
+    // next-half-year sales restricted to items sold in ≥4 distinct
+    // orders last year AND customers whose lifetime spend exceeds half
+    // the best customer's. The template's three CTEs become three
+    // independent aggregates that re-enter as LEFT SEMI probes; the
+    // best-customer cut is the exact cross-multiplication
+    // cents·100 > max·50 in DECIMAL(38,0) (the ds31 convention — no
+    // percentile FP), where max arrives as a broadcast single-row
+    // global aggregate. Money = exact cents. Scale: three fact
+    // aggregations + one gated scan, every join an equi/semi probe.
+    // Ref: /root/reference/benchmark/tpcds/query23.tpl ---
+    "ds39_frequent_best" -> ((s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val li = Tables.load(s, dir, "lineitem")
+      val freq = li
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey").as("item"))
+        .agg(countDistinct(col("l_orderkey")).as("no"))
+        .filter(col("no") >= 4).select(col("item"))
+      val spend = li
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(sum(cents).cast("bigint").as("spent"))
+      val mx = spend.agg(max(col("spent")).as("m"))
+      val best = spend.crossJoin(broadcast(mx))
+        .filter(col("spent").cast(D38) * lit(100L) >
+          col("m").cast(D38) * lit(50L))
+        .select(col("cust"))
+      li.filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-07-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(freq, col("l_partkey") === col("item"), "left_semi")
+        .join(best, col("o_custkey") === col("cust"), "left_semi")
+        .agg(sum(cents).cast("bigint").as("total_cents"),
+          count(lit(1)).cast("bigint").as("n_lines"))
+    }),
+
+    // --- TPC-DS q34/q73's frequent-trip groups: orders ("store trips")
+    // whose line count falls in a band, then the customers with ≥2
+    // such trips. Two stacked HAVING aggregates — (order, customer)
+    // grain then customer grain — the per-trip count band can only be
+    // evaluated AFTER the first rollup, which is the template's point.
+    // All-integer, deterministic top-100 page.
+    // Ref: /root/reference/benchmark/tpcds/query34.tpl, query73.tpl ---
+    "ds40_trip_band" -> ((s, dir) => {
+      val trips = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(count(lit(1)).as("nl"))
+        .filter(col("nl").between(6, 7))
+      trips.groupBy(col("o_custkey").as("person"))
+        .agg(count(lit(1)).cast("bigint").as("n_trips"),
+          sum(col("nl")).cast("bigint").as("n_items"))
+        .filter(col("n_trips") >= 2)
+        .orderBy(col("n_trips").desc, col("person"))
+        .limit(100)
+    }),
+
+    // --- TPC-DS q20/q98's revenue share within class: per (type,
+    // brand), the 30-day revenue and its percentage of the type's
+    // total — the ratio-to-report window. The share divides two exact
+    // cent totals in IEEE double (identical expression both engines);
+    // the window partitions by p_type over the ≤|brands| aggregated
+    // grid (bounded frame). One pushed-range scan, one grid shuffle.
+    // Ref: /root/reference/benchmark/tpcds/query20.tpl, query98.tpl ---
+    "ds41_class_share" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val g = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-03-31").cast("timestamp"))
+        .join(Tables.load(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("p_brand"))
+        .agg(sum(cents).cast("bigint").as("rev"))
+      val w = Window.partitionBy(col("p_type"))
+      g.select(col("p_type"), col("p_brand"), col("rev"),
+          (col("rev").cast("double") * lit(100.0) /
+            sum(col("rev")).over(w).cast("double")).as("revenue_ratio"))
+        .orderBy(col("p_type"), col("revenue_ratio").desc, col("p_brand"))
+    }),
+
+    // --- TPC-DS q66's shipping pivot: per warehouse (≈ supplier
+    // nation), TWELVE monthly totals for each of two ship-mode sets
+    // (≈ returnflag N vs not-N) — 24 conditional sums fused into ONE
+    // aggregation over one pushed-range scan, where the template
+    // spells two UNIONed channel scans each with 24 CASE columns.
+    // Exact cents; 25-row output.
+    // Ref: /root/reference/benchmark/tpcds/query66.tpl ---
+    "ds42_ship_pivot" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val mo = month(col("l_shipdate"))
+      val aggs =
+        (1 to 12).map(m => sum(when(mo === m &&
+            col("l_returnflag") === "N", cents).otherwise(lit(0L)))
+          .cast("bigint").as(f"n_m$m%02d")) ++
+        (1 to 12).map(m => sum(when(mo === m &&
+            col("l_returnflag") =!= "N", cents).otherwise(lit(0L)))
+          .cast("bigint").as(f"r_m$m%02d"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("n_name"))
+    }),
+
+    // --- TPC-DS q15's zip-gate: quarterly revenue per customer city
+    // (zip ≈ the SSB city derivation), where a row qualifies through
+    // ANY of a city IN-list, a nation IN-list, or a price floor — the
+    // template's signature three-way OR mixing two DIM attributes with
+    // a fact MEASURE, so no branch can prune alone and the gate is a
+    // post-join row filter by construction. The date band is the only
+    // pushed predicate; one grid shuffle; exact cents.
+    // Ref: /root/reference/benchmark/tpcds/query15.tpl ---
+    "ds43_zip_gate" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val c = Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          concat(col("n_name"), lit("_"),
+            (col("c_custkey") % 10).cast("string")).as("city"),
+          col("n_name"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-04-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .filter(col("city").isin("NATION_3_7", "NATION_11_3",
+            "NATION_20_5") ||
+          col("n_name").isin("NATION_1", "NATION_7") ||
+          col("l_extendedprice") > 90000)
+        .groupBy(col("city"))
+        .agg(sum(cents).cast("bigint").as("rev_cents"),
+          count(lit(1)).cast("bigint").as("n"))
+        .orderBy(col("city"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1784,9 +2082,9 @@ object DsQueries {
     "ds34_am_pm_ratio" -> """
       WITH b AS (
         SELECT
-          CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END)
+          CAST(SUM(CASE WHEN EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) < 12 THEN 1 ELSE 0 END)
                AS BIGINT) AS am_cnt,
-          CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) >= 12 THEN 1 ELSE 0 END)
+          CAST(SUM(CASE WHEN EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) >= 12 THEN 1 ELSE 0 END)
                AS BIGINT) AS pm_cnt
         FROM events WHERE event_type IN ('view', 'click'))
       SELECT am_cnt, pm_cnt,
@@ -1808,5 +2106,204 @@ object DsQueries {
         CAST(SUM(d.disc_bp) AS BIGINT) AS sum_excess_bp
       FROM d JOIN avg_d a ON d.l_partkey = a.l_partkey
       WHERE CAST(d.disc_bp AS HUGEINT) * 10 * a.nl
-            > CAST(a.tot_bp AS HUGEINT) * 13""")
+            > CAST(a.tot_bp AS HUGEINT) * 13""",
+    "ds36_cumulative_compare" -> """
+      WITH a AS (
+        SELECT l_partkey AS item,
+          date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS m,
+          CAST(SUM(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6))
+              * 1000000 AS BIGINT))) OVER (PARTITION BY l_partkey
+            ORDER BY date_trunc('month', CAST(l_shipdate AS TIMESTAMP))
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cume
+        FROM lineitem
+        WHERE l_returnflag = 'A'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2),
+      b AS (
+        SELECT l_partkey AS item,
+          date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS m,
+          CAST(SUM(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6))
+              * 1000000 AS BIGINT))) OVER (PARTITION BY l_partkey
+            ORDER BY date_trunc('month', CAST(l_shipdate AS TIMESTAMP))
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cume
+        FROM lineitem
+        WHERE l_returnflag = 'N'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2)
+      SELECT item, CAST(m AS TIMESTAMP) AS m, web_sales, store_sales,
+        web_cumulative, store_cumulative
+      FROM (
+        SELECT item, m, web_sales, store_sales,
+          MAX(web_sales) OVER (PARTITION BY item ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS web_cumulative,
+          MAX(store_sales) OVER (PARTITION BY item ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS store_cumulative
+        FROM (
+          SELECT COALESCE(a.item, b.item) AS item,
+            COALESCE(a.m, b.m) AS m,
+            a.cume AS web_sales, b.cume AS store_sales
+          FROM a FULL OUTER JOIN b ON a.item = b.item AND a.m = b.m) x) y
+      WHERE web_cumulative > store_cumulative
+      ORDER BY item, m LIMIT 100""",
+    "ds37_monthly_deviation" -> """
+      SELECT p_type, p_brand, n_name, mo, s,
+        CAST(tot AS DOUBLE) / CAST(nm AS DOUBLE) AS avg_monthly
+      FROM (
+        SELECT p_type, p_brand, n_name, mo, s,
+          CAST(SUM(s) OVER (PARTITION BY p_type, p_brand, n_name)
+            AS BIGINT) AS tot,
+          COUNT(*) OVER (PARTITION BY p_type, p_brand, n_name) AS nm
+        FROM (
+          SELECT p_type, p_brand, n_name,
+            CAST(EXTRACT(month FROM CAST(l_shipdate AS TIMESTAMP)) AS INT)
+              AS mo,
+            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6)) * 1000000
+              AS BIGINT)) AS BIGINT) AS s
+          FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND ((p_type IN ('SMALL', 'LARGE')
+                  AND p_brand IN ('Brand#1', 'Brand#3', 'Brand#5'))
+              OR (p_type IN ('ECONOMY', 'PROMO')
+                  AND p_brand IN ('Brand#2', 'Brand#4')))
+          GROUP BY 1, 2, 3, 4) g) t
+      WHERE ABS(CAST(s AS HUGEINT) * nm - tot) * 10
+            > CAST(tot AS HUGEINT) * nm
+      ORDER BY CAST(CAST(s AS HUGEINT) * nm - tot AS DOUBLE)
+          / CAST(nm AS DOUBLE),
+        n_name, p_type, p_brand, mo
+      LIMIT 100""",
+    "ds38_rank_rollup" -> """
+      WITH base AS (
+        SELECT n_name,
+          n_name || '_' || CAST(s_suppkey % 10 AS VARCHAR) AS city,
+          CAST(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+              AS BIGINT) *
+            (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+              AS BIGINT)) AS DECIMAL(38,0)) AS mu
+        FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'),
+      top5 AS (
+        SELECT n_name FROM (
+          SELECT n_name,
+            RANK() OVER (ORDER BY SUM(mu) DESC, n_name) AS rnk
+          FROM base GROUP BY n_name) r
+        WHERE rnk <= 5)
+      SELECT CAST(SUM(mu) AS DECIMAL(38,0)) AS total_sum,
+        n_name AS state, city AS county,
+        CAST(GROUPING(n_name) + GROUPING(city) AS INT) AS lochierarchy,
+        CAST(RANK() OVER (
+          PARTITION BY GROUPING(n_name) + GROUPING(city),
+            CASE WHEN GROUPING(city) = 0 THEN n_name END
+          ORDER BY SUM(mu) DESC, n_name, city) AS INT)
+          AS rank_within_parent
+      FROM base
+      WHERE n_name IN (SELECT n_name FROM top5)
+      GROUP BY ROLLUP(n_name, city)
+      ORDER BY lochierarchy DESC,
+        CASE WHEN lochierarchy = 0 THEN state END,
+        rank_within_parent, state, county""",
+    "ds39_frequent_best" -> """
+      WITH freq AS (
+        SELECT l_partkey AS item
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1 HAVING COUNT(DISTINCT l_orderkey) >= 4),
+      spend AS (
+        SELECT o_custkey AS cust,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+            AS BIGINT)) AS BIGINT) AS spent
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1),
+      mx AS (SELECT MAX(spent) AS m FROM spend),
+      best AS (
+        SELECT cust FROM spend, mx
+        WHERE CAST(spent AS HUGEINT) * 100 > CAST(m AS HUGEINT) * 50),
+      gated AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+          AS BIGINT) AS cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1998-07-01'
+          AND l_partkey IN (SELECT item FROM freq)
+          AND o_custkey IN (SELECT cust FROM best))
+      SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+        CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM gated""",
+    "ds40_trip_band" -> """
+      WITH trips AS (
+        SELECT o_orderkey, o_custkey, COUNT(*) AS nl
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderpriority <> '5-LOW'
+        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 6 AND 7)
+      SELECT o_custkey AS person, CAST(COUNT(*) AS BIGINT) AS n_trips,
+        CAST(SUM(nl) AS BIGINT) AS n_items
+      FROM trips GROUP BY 1 HAVING COUNT(*) >= 2
+      ORDER BY n_trips DESC, person LIMIT 100""",
+    "ds41_class_share" -> """
+      WITH g AS (
+        SELECT p_type, p_brand,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+            AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l_shipdate < TIMESTAMP '1997-03-31'
+        GROUP BY 1, 2)
+      SELECT p_type, p_brand, rev,
+        CAST(rev AS DOUBLE) * 100.0
+          / CAST(CAST(SUM(rev) OVER (PARTITION BY p_type) AS BIGINT)
+                 AS DOUBLE) AS revenue_ratio
+      FROM g ORDER BY p_type, revenue_ratio DESC, p_brand""",
+    "ds42_ship_pivot" -> {
+      def arm(m: Int, n: Boolean): String = {
+        val flag = if (n) "l_returnflag = 'N'" else "l_returnflag <> 'N'"
+        val name = (if (n) "n_m" else "r_m") + f"$m%02d"
+        s"""CAST(SUM(CASE WHEN EXTRACT(month FROM
+           |          CAST(l_shipdate AS TIMESTAMP)) = $m AND $flag
+           |          THEN CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+           |               AS BIGINT) ELSE 0 END) AS BIGINT) AS $name"""
+          .stripMargin
+      }
+      val cols = ((1 to 12).map(arm(_, n = true)) ++
+        (1 to 12).map(arm(_, n = false))).mkString(",\n        ")
+      s"""
+      SELECT n_name,
+        $cols
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY n_name"""
+    },
+    "ds43_zip_gate" -> """
+      SELECT city, CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2))
+          * 100 AS BIGINT)) AS BIGINT) AS rev_cents,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN (SELECT c_custkey,
+                n_name || '_' || CAST(c_custkey % 10 AS VARCHAR) AS city,
+                n_name
+              FROM customer JOIN nation ON c_nationkey = n_nationkey) c
+          ON o_custkey = c.c_custkey
+      WHERE l_shipdate >= TIMESTAMP '1997-04-01'
+        AND l_shipdate < TIMESTAMP '1997-07-01'
+        AND (city IN ('NATION_3_7', 'NATION_11_3', 'NATION_20_5')
+          OR n_name IN ('NATION_1', 'NATION_7')
+          OR l_extendedprice > 90000)
+      GROUP BY city ORDER BY city""")
 }

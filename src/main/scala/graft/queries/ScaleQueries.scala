@@ -1060,7 +1060,7 @@ object ScaleQueries {
       GROUP BY 1 ORDER BY c DESC, k LIMIT 10""",
     "c37_user_phrase_minute" -> """
       SELECT user_id, CAST(props->>'k' AS BIGINT) AS k,
-        CAST(EXTRACT(minute FROM ts) AS INT) AS m,
+        CAST(EXTRACT(minute FROM CAST(ts AS TIMESTAMP)) AS INT) AS m,
         CAST(COUNT(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2, 3
       ORDER BY c DESC, user_id, k, m LIMIT 10""",

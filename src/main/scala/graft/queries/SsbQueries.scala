@@ -36,7 +36,12 @@ object SsbQueries {
     // Flight 1: date+measure-filtered revenue scan (SSB Q1.x)
     "sb1_discount_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .filter(year(col("l_shipdate")) === 1997)
+        // year(l_shipdate)=1997 spelled as the equivalent pushable
+        // timestamp range: year()/month() never reach PushedFilters, a
+        // bare range prunes row groups (repo convention; PlanGuardSpec
+        // pins the band alongside sb5/sb6).
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         .filter(col("l_discount").between(0.02, 0.04))
         .filter(col("l_quantity") < 25)
         .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
@@ -335,7 +340,8 @@ object SsbQueries {
           AS DOUBLE) AS revenue,
         COUNT(*) AS n
       FROM lineitem
-      WHERE EXTRACT(year FROM l_shipdate) = 1997
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
         AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 25""",
     "sb2_brand_revenue" -> """
       SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year, p_brand,

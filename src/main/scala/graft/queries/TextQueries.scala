@@ -183,6 +183,29 @@ object TextQueries {
         .orderBy(col("sz"))
     }),
 
+    // --- persisted MinHash-LSH dedup index (the last build-once gap in
+    // the LLM dedup stack, VERDICT r14 #4): the corpus's band
+    // signatures are built ONCE and persisted PARTITIONED BY
+    // (band, bucket); an incremental shard (every 20th doc, playing
+    // the "new arrivals" role) then dedups against the corpus by
+    // probing only its own buckets — corpus signatures are never
+    // recomputed and corpus TEXT is never re-read (PlanGuardSpec pins
+    // one documents scan + static PartitionFilters on the index).
+    // Signatures are the md5MinHash family, so the DuckDB oracle
+    // replays the exact same signatures, band hashes, and agreement
+    // fractions — full hash-exact, no literal snapshot needed ---
+    "d29_incremental_lsh" -> ((s, dir) => {
+      val all = docs(s, dir)
+      val corpus = all.filter(pmod(col("doc_id"), lit(20L)) =!= 0L)
+      val shard = all.filter(pmod(col("doc_id"), lit(20L)) === 0L)
+      val path = IndexCache.path("graft_lsh_index_v1", dir)
+      IndexCache.ensure(path) {
+        Dedup.buildLshIndex(corpus, "text", "doc_id", path) }
+      Dedup.queryLshIndex(s, path, shard, "text", "doc_id",
+          threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // --- canonical-keep: survivors after collapsing each cluster to its
     // min-id member (everything not in a pair survives untouched) ---
     "d15_canonical_keep" -> ((s, dir) => {
@@ -1680,6 +1703,38 @@ object TextQueries {
       label AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
       SELECT component, COUNT(*) AS n_docs, MAX(node) AS last_doc
       FROM label GROUP BY component ORDER BY component""",
+    "d29_incremental_lsh" -> """
+      WITH sh AS (
+        SELECT doc_id, list_distinct(
+          CASE WHEN len(toks) >= 3
+            THEN list_transform(range(1, len(toks) - 1),
+                                i -> array_to_string(toks[i:i+2], ' '))
+            ELSE [array_to_string(toks, ' ')] END) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents) x),
+      sig AS (
+        SELECT doc_id,
+          list_transform(range(0, 16), i ->
+            list_min(list_transform(sh, s ->
+              CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s),
+                   1, 15) AS BIGINT)))) AS sig
+        FROM sh),
+      bsig AS (
+        SELECT doc_id, sig,
+          list_transform(range(0, 8), b ->
+            CAST('0x' || substr(md5('b' || CAST(b AS VARCHAR) || ':' ||
+              array_to_string(list_transform(sig[b*2+1:b*2+2],
+                x -> CAST(x AS VARCHAR)), ',')), 1, 15) AS BIGINT)) AS bh
+        FROM sig)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
+             AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
+      FROM bsig a JOIN bsig b
+        ON a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+        AND len(list_filter(range(1, 9), j -> a.bh[j] = b.bh[j])) > 0
+      WHERE CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
+             AS DOUBLE) / CAST(16 AS DOUBLE) >= 0.5
+      ORDER BY a_id, b_id""",
     "d28_cluster_sizes" -> """
       WITH RECURSIVE edges AS (
         SELECT d1.doc_id AS src, d2.doc_id AS dst

@@ -16,29 +16,8 @@ object VectorQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** e17's per-JVM build-once registry (path → built). ConcurrentHashMap
-    * because its computeIfAbsent runs the mapping function AT MOST ONCE
-    * per key and blocks concurrent callers until it returns — Scala's
-    * TrieMap.getOrElseUpdate evaluates the by-name builder OUTSIDE the
-    * atomic insert, so two first callers could both run the overwrite
-    * build while one of them scans (ADVICE r13). */
-  private val sq8IndexBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, Unit]()
-
-  /** e18's per-JVM build-once registry — same contract as
-    * [[sq8IndexBuilt]]. */
-  private val ivfAdcIndexBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, Unit]()
-
-  /** Collision-free tmpdir key for a corpus dir: SHA-256 of the resolved
-    * absolute path (a 32-bit String.hashCode could silently alias two
-    * corpora onto one persisted index — ADVICE r13). */
-  private def corpusKey(dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
-    val d = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    d.take(16).map(b => f"$b%02x").mkString
-  }
+  // e17/e18 build-once registry + pid-scoped tmpdir keys live in
+  // [[IndexCache]] (shared with d29's persisted LSH index).
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- per-vector norms and dimensions (sanity + pruning stats) ---
@@ -266,16 +245,14 @@ object VectorQueries {
     // expression, so inline and persisted paths cannot diverge ---
     "e17_sq8_persisted" -> ((s, dir) => {
       val e = emb(s, dir)
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_sq8_index_v1_" + corpusKey(dir)).getPath
+      val path = IndexCache.path("graft_sq8_index_v1", dir)
       // build-once per JVM per corpus: suites run in parallel in one
       // JVM, and a concurrent overwrite-build racing another caller's
-      // index SCAN would be flaky. computeIfAbsent runs the build at
+      // index SCAN would be flaky. IndexCache.ensure runs the build at
       // most once and blocks other first callers until it completes.
       // The index is data-deterministic, so a skipped rebuild can never
       // go stale within a corpus; the v1 tag versions the disk format.
-      sq8IndexBuilt.computeIfAbsent(path,
-        _ => { Similarity.buildSq8Index(e, path); () })
+      IndexCache.ensure(path) { Similarity.buildSq8Index(e, path) }
       Similarity.querySq8Index(s, path, seedEmbeddings(e, 3), k = 8)
         .orderBy(col("q_id"), col("rnk"))
     }),
@@ -295,10 +272,9 @@ object VectorQueries {
       val e = emb(s, dir)
       val cbs = pqCodebooks(e)
       val qs = seedEmbeddings(e, 3)
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivfadc_index_v1_" + corpusKey(dir)).getPath
-      ivfAdcIndexBuilt.computeIfAbsent(path,
-        _ => { Similarity.buildIvfAdcIndex(e, path, cbs, nCells = 16); () })
+      val path = IndexCache.path("graft_ivfadc_index_v1", dir)
+      IndexCache.ensure(path) {
+        Similarity.buildIvfAdcIndex(e, path, cbs, nCells = 16) }
       Similarity.queryIvfAdcIndex(s, path, qs, cbs, k = 7, nProbe = 4,
         onLut = lut => graft.OracleLiterals.put("e18_lut",
           graft.OracleLiterals.valuesCte3L(

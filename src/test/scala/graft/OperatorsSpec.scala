@@ -191,6 +191,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L))) // unrelated
   }
 
+  test("persisted LSH index: shard probe finds the same pairs as the " +
+    "inline band join, and never misses identical docs") {
+    // shard = doc 2 (identical to 1) and doc 4 (unrelated); corpus =
+    // the rest. The probe must surface (2,1) with est 1.0 — identical
+    // signatures collide in every band — and must NOT pair 4 with 5.
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lsh_test").toString
+    val corpus = docs.filter($"doc_id".isin(1L, 3L, 5L))
+    val shard = docs.filter($"doc_id".isin(2L, 4L))
+    Dedup.buildLshIndex(corpus, "text", "doc_id", path)
+    val got = Dedup.queryLshIndex(spark, path, shard, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.contains((2L, 1L)) && got((2L, 1L)) == 1.0, got.toString)
+    assert(!got.contains((4L, 5L)), got.toString)
+    // incremental contract: a second probe with a DIFFERENT shard hits
+    // the same persisted index without a rebuild and stays consistent
+    val got2 = Dedup.queryLshIndex(spark, path,
+        docs.filter($"doc_id" === 2L), "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2.contains((2L, 1L)), got2.toString)
+  }
+
   test("simhash: identical docs share signatures; near-dups are close") {
     val sigs = Dedup.simHashSignatures(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
