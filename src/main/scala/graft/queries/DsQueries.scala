@@ -1410,6 +1410,55 @@ object DsQueries {
         .agg(sum(cents).cast("bigint").as("rev_cents"),
           count(lit(1)).cast("bigint").as("n"))
         .orderBy(col("city"))
+    }),
+
+    // --- TPC-DS q62/q99's shipping-lag report: line counts bucketed by
+    // days-between-order-and-ship (≤30/60/90/120/more) per priority —
+    // the template's five CASE buckets over a datediff, fused into one
+    // aggregation over one pushed-range scan. All-integer.
+    // Ref: /root/reference/benchmark/tpcds/query62.tpl, query99.tpl ---
+    "ds44_ship_lag" -> ((s, dir) => {
+      val lagDays = datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date"))
+      def bucket(name: String, cond: Column): Column =
+        sum(when(cond, 1L).otherwise(0L)).cast("bigint").as(name)
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), lagDays.as("lag_days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(bucket("d30", col("lag_days") <= 30),
+          bucket("d60", col("lag_days") > 30 && col("lag_days") <= 60),
+          bucket("d90", col("lag_days") > 60 && col("lag_days") <= 90),
+          bucket("d120", col("lag_days") > 90 && col("lag_days") <= 120),
+          bucket("dmore", col("lag_days") > 120))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // --- TPC-DS q43's day-of-week pivot: per supplier nation, seven
+    // weekday sales columns as conditional sums on one scan. Spark's
+    // dayofweek() is 1-based (Sunday=1) vs DuckDB's 0-based — the −1
+    // alignment is part of the oracle contract. Exact cents.
+    // Ref: /root/reference/benchmark/tpcds/query43.tpl ---
+    "ds45_dow_pivot" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val dow = dayofweek(col("l_shipdate")) - 1
+      val aggs = (0 to 6).map(d =>
+        sum(when(dow === d, cents).otherwise(lit(0L)))
+          .cast("bigint").as(s"dow$d"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("n_name"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2305,5 +2354,42 @@ object DsQueries {
         AND (city IN ('NATION_3_7', 'NATION_11_3', 'NATION_20_5')
           OR n_name IN ('NATION_1', 'NATION_7')
           OR l_extendedprice > 90000)
-      GROUP BY city ORDER BY city""")
+      GROUP BY city ORDER BY city""",
+    "ds44_ship_lag" -> """
+      SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+          AS d30,
+        CAST(SUM(CASE WHEN lag_days > 30 AND lag_days <= 60
+          THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        CAST(SUM(CASE WHEN lag_days > 60 AND lag_days <= 90
+          THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+        CAST(SUM(CASE WHEN lag_days > 90 AND lag_days <= 120
+          THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+        CAST(SUM(CASE WHEN lag_days > 120 THEN 1 ELSE 0 END) AS BIGINT)
+          AS dmore
+      FROM (
+        SELECT o_orderpriority,
+          datediff('day', CAST(o_orderdate AS TIMESTAMP),
+                   CAST(l_shipdate AS TIMESTAMP)) AS lag_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01') x
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "ds45_dow_pivot" -> {
+      val cols = (0 to 6).map(d =>
+        s"""CAST(SUM(CASE WHEN dayofweek(CAST(l_shipdate AS TIMESTAMP))
+           |          = $d
+           |          THEN CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+           |               AS BIGINT) ELSE 0 END) AS BIGINT) AS dow$d"""
+          .stripMargin).mkString(",\n        ")
+      s"""
+      SELECT n_name,
+        $cols
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY n_name"""
+    })
 }
