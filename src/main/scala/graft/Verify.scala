@@ -51,7 +51,17 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional third arg: substring filter over query names — dump only
+    // the matching subset (iteration aid; the driver always passes 2
+    // args and gets the full registry). With a filter active the
+    // literal-stash persist is skipped: a partial run must never
+    // overwrite the canonical snapshot with a stash that only the
+    // filtered queries warmed.
+    val (sfDir, outDir, filt) = args match {
+      case Array(a, b)    => (a, b, "")
+      case Array(a, b, f) => (a, b, f)
+      case _ => sys.error("usage: graft.Verify <sfDir> <outDir> [filter]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,17 +72,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val failed = SparkEntry.queries.toSeq.sortBy(_._1).filterNot {
-      case (name, fn) => dumpOne(spark, name, fn, sfDir, outDir)
-    }.map(_._1)
+    val failed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filt.isEmpty || name.contains(filt) }
+      .filterNot {
+        case (name, fn) => dumpOne(spark, name, fn, sfDir, outDir)
+      }.map(_._1)
     if (failed.nonEmpty)
       System.err.println(
         s"[verify] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     // Persist the now-warm literal stash BEFORE rendering: a later fresh
     // JVM (e.g. a harness that renders SparkEntry.oracleSql without
     // running queries) reads the snapshot instead of boundary-fragile
-    // in-SQL fallbacks (see graft.OracleLiterals).
-    OracleLiterals.persist(sfDir, extraDir = Some(outDir))
+    // in-SQL fallbacks (see graft.OracleLiterals). Skipped on filtered
+    // runs — a partial stash must never shadow the canonical snapshot.
+    if (filt.isEmpty) OracleLiterals.persist(sfDir, extraDir = Some(outDir))
     // Rendered AFTER the queries run above: oracle text may embed
     // driver-stashed literals (graft.OracleLiterals).
     writeOracleSql(Paths.get(s"$outDir/oracle_sql.json"))

@@ -638,4 +638,79 @@ class PlanGuardSpec extends SparkSpec {
       pushed.contains("LessThan(l_shipdate"),
       s"sb1 year band not pushed: $pushed")
   }
+
+  test("ds46-ds51: third round-15 batch keeps its scale shapes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def liScanCount(p: SparkPlan): Int = p.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("lineitem")) => s }.size
+    // ds46: the template's FIFTEEN scalar subqueries ride ONE lineitem
+    // scan — the fusion IS the 15x I/O claim
+    val ds46 = SparkEntry.queries("ds46_bucket_case")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(liScanCount(ds46) == 1,
+      s"ds46 must scan lineitem once, got ${liScanCount(ds46)}:\n$ds46")
+    // ds47: both years' pivots ride ONE scan with the two-year band
+    // pushed; the yoy self-join runs over ~50-row aggregated frames.
+    // (The plan has TWO lineitem scan NODES — one per join side — but
+    // both carry the pushed band; what's pinned is that neither scan
+    // lost its range.)
+    val ds47 = SparkEntry.queries("ds47_week_yoy_pivot")(spark, sf)
+      .queryExecution.sparkPlan
+    val pushed47 = ds47.collect { case s: FileSourceScanExec
+      if s.relation.location.rootPaths
+        .exists(_.toString.contains("lineitem")) =>
+      s.metadata.getOrElse("PushedFilters", "") }
+    assert(pushed47.nonEmpty &&
+      pushed47.forall(_.contains("GreaterThanOrEqual(l_shipdate")),
+      s"ds47 ship band must prune every lineitem scan: $pushed47")
+    // ds48: the correlated dim subquery is pre-gated on the dimension —
+    // the fact side joins a broadcast part list, never a per-row
+    // subquery, and the quarter band prunes the fact scan
+    val ds48qe = SparkEntry.queries("ds48_above_avg_parts")(spark, sf)
+      .queryExecution
+    val pushed48 = ds48qe.sparkPlan.collect { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "") }.mkString(";")
+    assert(pushed48.contains("GreaterThanOrEqual(l_shipdate"),
+      s"ds48 quarter band not pushed: $pushed48")
+    assert(unwrap(ds48qe.executedPlan).collect {
+      case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"ds48 must keep pure equi-joins")
+    // ds49: the chain join is a co-partitioned equi-join on
+    // (custkey, suppkey) with the date inequality as a residual —
+    // never a nested-loop — and both order arms prune on their bounds
+    val ds49qe = SparkEntry.queries("ds49_return_repurchase")(spark, sf)
+      .queryExecution
+    assert(unwrap(ds49qe.executedPlan).collect {
+      case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"ds49 chain must stay an equi-join with residual")
+    val pushed49 = ds49qe.sparkPlan.collect { case s: FileSourceScanExec
+      if s.relation.location.rootPaths
+        .exists(_.toString.contains("orders")) =>
+      s.metadata.getOrElse("PushedFilters", "") }
+    assert(pushed49.forall(_.contains("LessThan(o_orderdate")),
+      s"ds49 order-arm date bounds must prune both scans: $pushed49")
+    // ds50: the template's per-order EXISTS probes collapse into ONE
+    // per-order profile aggregation — one lineitem scan total
+    val ds50 = SparkEntry.queries("ds50_multi_supplier_split")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(liScanCount(ds50) == 1,
+      s"ds50 must scan lineitem once, got ${liScanCount(ds50)}:\n$ds50")
+    // ds51: the three-level rollup is ONE orders scan (grid width is
+    // group-cardinality bounded, never data bounded)
+    val ds51 = SparkEntry.queries("ds51_measure_rollup")(spark, sf)
+      .queryExecution.sparkPlan
+    val oScans = ds51.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("orders")) => s }
+    assert(oScans.size == 1,
+      s"ds51 must scan orders once, got ${oScans.size}:\n$ds51")
+  }
 }

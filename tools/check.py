@@ -97,7 +97,8 @@ def run_verify():
     cmd = (["java"] + ADD_OPENS +
            ["-cp", CP, "-Xmx8g", "-Dspark.ui.enabled=false",
             "-Dspark.sql.session.timeZone=UTC",
-            "graft.Verify", SF, OUT])
+            "graft.Verify", SF, OUT] +
+           ([FILT] if FILT else []))  # subset iteration: dump only matches
     r = subprocess.run(cmd, capture_output=True, text=True, env=env)
     for line in r.stderr.splitlines():
         if "[verify]" in line or "Exception" in line:
