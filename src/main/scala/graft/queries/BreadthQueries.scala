@@ -692,6 +692,114 @@ object BreadthQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // --- JOB's NOT LIKE + same-column LIKE-disjunction composite (1a's
+    // `mc.note NOT LIKE '%(as Metro-Goldwyn-Mayer Pictures)%' AND
+    // (mc.note LIKE '%(co-production)%' OR mc.note LIKE '%(presents)%')`
+    // — /root/reference/benchmark/job/1a.sql): a negated contains ANDed
+    // with an OR of two contains on the SAME dim column. All three
+    // translate to source filters — Not(StringContains) and
+    // Or(StringContains, StringContains) both push to the part scan
+    // (pinned in PlanGuardSpec), so the dim prunes before either join ---
+    "job24_not_like" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .filter(!col("p_name").contains("blue") &&
+          (col("p_name").contains("bolt") ||
+            col("p_name").contains("gear")))
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .agg(min(col("p_name")).as("first_part"),
+          min(col("o_orderdate")).as("earliest"),
+          count(lit(1)).cast("bigint").as("n"))
+    }),
+
+    // --- JOB's widest chain (29a joins SEVENTEEN relations —
+    // /root/reference/benchmark/job/29a.sql): eleven relations here —
+    // a linked fact-alias pair (the cc/ci double-fact spine), TWO part
+    // aliases (one point-equality like chn.name = 'Queen', one IN-list
+    // like ci.note IN (...)), and BOTH full dim arms customer->nation->
+    // region and supplier->nation->region with different region gates.
+    // Pure join-order stress: every predicate reaches its scan, every
+    // join stays equi, and AQE picks build sides across five
+    // differently-selective dims (pinned: 11 scans, no nested loop) ---
+    "job25_widest_chain" -> ((s, dir) => {
+      val l1 = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("N", "R"))
+        .select(col("l_orderkey").as("ok1"),
+          col("l_linenumber").as("ln1"), col("l_partkey").as("pk1"),
+          col("l_suppkey").as("sk1"))
+      val l2 = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok2"),
+          col("l_linenumber").as("ln2"), col("l_partkey").as("pk2"))
+      val p1 = Tables.load(s, dir, "part")
+        .filter(col("p_name") === "blue bolt")
+        .select(col("p_partkey").as("ppk1"))
+      val p2 = Tables.load(s, dir, "part")
+        .filter(col("p_type").isin("SMALL", "LARGE"))
+        .select(col("p_partkey").as("ppk2"), col("p_name").as("name2"))
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n1 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("nk1"), col("n_regionkey").as("rk1"))
+      val r1 = Tables.load(s, dir, "region")
+        .filter(col("r_name") === "EUROPE")
+        .select(col("r_regionkey").as("rrk1"))
+      val sup = Tables.load(s, dir, "supplier")
+      val n2 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("nk2"), col("n_regionkey").as("rk2"),
+          col("n_name").as("supp_nation"))
+      val r2 = Tables.load(s, dir, "region")
+        .filter(col("r_name").isin("ASIA", "AMERICA"))
+        .select(col("r_regionkey").as("rrk2"))
+      l1.join(p1, col("pk1") === col("ppk1"))
+        .join(l2, col("ok1") === col("ok2") && col("ln1") =!= col("ln2"))
+        .join(p2, col("pk2") === col("ppk2"))
+        .join(o, col("ok1") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n1, col("c_nationkey") === col("nk1"))
+        .join(r1, col("rk1") === col("rrk1"))
+        .join(sup, col("sk1") === col("s_suppkey"))
+        .join(n2, col("s_nationkey") === col("nk2"))
+        .join(r2, col("rk2") === col("rrk2"))
+        .agg(min(col("name2")).as("companion_part"),
+          min(col("c_name")).as("first_cust"),
+          min(col("supp_nation")).as("first_supp_nation"),
+          count(lit(1)).cast("bigint").as("n"))
+    }),
+
+    // --- JOB's double-bridge conjunction (the `t JOIN movie_keyword
+    // JOIN keyword AND t JOIN movie_companies JOIN company_name` spine
+    // of 2a/3a — /root/reference/benchmark/job/2a.sql): one fact gated
+    // by TWO independent many-to-many bridge probes (here: orders that
+    // contain a bolt-part line AND a NATION_3-supplier line — possibly
+    // different lines). Each probe is a LeftSemi join (pinned) — the
+    // bridge never multiplies the fact's row count, which is the whole
+    // point of semi-join planning on m:n bridges at 100 TB ---
+    "job26_double_bridge" -> ((s, dir) => {
+      val oc = (col("o_totalprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val l = Tables.load(s, dir, "lineitem")
+      val boltOrders = l.join(
+        Tables.load(s, dir, "part").filter(col("p_name").contains("bolt")),
+        col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("bk"))
+      val n3Orders = l.join(
+        Tables.load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_orderkey").as("nk"))
+      Tables.load(s, dir, "orders")
+        .join(boltOrders, col("o_orderkey") === col("bk"), "left_semi")
+        .join(n3Orders, col("o_orderkey") === col("nk"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(oc).cast("bigint").as("cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // --- JOB's string-RANGE predicate (33a's `mi_idx2.info < '3.0'` —
     // lexicographic inequality on a string dim column,
     // /root/reference/benchmark/job/33a.sql): both bounds push to the
@@ -1023,5 +1131,50 @@ object BreadthQueries {
         JOIN part ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
       WHERE p_name < 'cold' AND p_name >= 'blue'
-        AND s_acctbal > 20""")
+        AND s_acctbal > 20""",
+    "job24_not_like" -> """
+      SELECT MIN(p_name) AS first_part, MIN(o_orderdate) AS earliest,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name NOT LIKE '%blue%'
+        AND (p_name LIKE '%bolt%' OR p_name LIKE '%gear%')
+        AND o_orderpriority = '1-URGENT'""",
+    "job25_widest_chain" -> """
+      SELECT MIN(p2.p_name) AS companion_part,
+        MIN(c_name) AS first_cust,
+        MIN(n2.n_name) AS first_supp_nation,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem l1, lineitem l2, part p1, part p2, orders,
+        customer, nation n1, region r1, supplier, nation n2, region r2
+      WHERE l1.l_returnflag IN ('N', 'R')
+        AND p1.p_name = 'blue bolt'
+        AND l1.l_partkey = p1.p_partkey
+        AND l2.l_orderkey = l1.l_orderkey
+        AND l2.l_linenumber <> l1.l_linenumber
+        AND p2.p_type IN ('SMALL', 'LARGE')
+        AND l2.l_partkey = p2.p_partkey
+        AND l1.l_orderkey = o_orderkey
+        AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r1.r_regionkey
+        AND r1.r_name = 'EUROPE'
+        AND l1.l_suppkey = s_suppkey
+        AND s_nationkey = n2.n_nationkey
+        AND n2.n_regionkey = r2.r_regionkey
+        AND r2.r_name IN ('ASIA', 'AMERICA')""",
+    "job26_double_bridge" -> """
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100
+          AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem JOIN part
+            ON l_partkey = p_partkey
+          WHERE l_orderkey = o.o_orderkey AND p_name LIKE '%bolt%')
+        AND EXISTS (SELECT 1 FROM lineitem JOIN supplier
+            ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE l_orderkey = o.o_orderkey AND n_name = 'NATION_3')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 }

@@ -1540,13 +1540,15 @@ object DsQueries {
     }),
 
     // --- TPC-DS q6's above-category-average gate: parts priced strictly
-    // above 1.03x the average retail price of their own p_type (the
+    // above 1.005x the average retail price of their own p_type (the
     // template's correlated scalar subquery on the dimension; the
-    // multiplier is fitted to this corpus's uniform [900,1000] price
-    // band the way the template's 1.2 fits TPC-DS prices), then the
-    // count of distinct customers per nation who bought such parts in
-    // Q2-1997, HAVING >= 16. The 1.03x compare is pure integer cross-
-    // multiplication (price*cnt*100 > sum*103) — no float averages.
+    // multiplier is fitted to this corpus's price bands the way the
+    // template's 1.2 fits TPC-DS — the sf0.001 fixture spans only
+    // [900,920], so anything above ~1.01 empties the smoke scale),
+    // then the count of distinct customers per nation who bought such
+    // parts in Q2-1997, HAVING >= 2. The 1.005x compare is pure
+    // integer cross-multiplication (price*cnt*1000 > sum*1005) — no
+    // float averages.
     // The per-type stats live on the DIM (2k rows/SF), computed once
     // and joined back; the fact scan is joined to the pre-gated part
     // list, never to a correlated subquery.
@@ -1563,7 +1565,7 @@ object DsQueries {
         .agg(sum(col("pc")).cast("bigint").as("tsum"),
           count(lit(1)).cast("bigint").as("tcnt"))
       val gated = p.join(stats, "p_type")
-        .filter(col("pc") * col("tcnt") * 100 > col("tsum") * 103)
+        .filter(col("pc") * col("tcnt") * 1000 > col("tsum") * 1005)
         .select(col("p_partkey"))
       Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-04-01").cast("timestamp"))
@@ -1577,7 +1579,7 @@ object DsQueries {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(countDistinct(col("c_custkey")).cast("bigint").as("n_cust"))
-        .filter(col("n_cust") >= 16)
+        .filter(col("n_cust") >= 2)
         .orderBy(col("n_name"))
     }),
 
@@ -1694,6 +1696,76 @@ object DsQueries {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"), col("avg_price_cents"), col("avg_bal_cents"))
         .orderBy(col("nation"), col("segment"), col("priority"))
+    }),
+
+    // --- TPC-DS q45's zip-OR-membership gate: a row qualifies through a
+    // literal city IN-list OR through membership in an item SUBQUERY
+    // (`i_item_id IN (SELECT ...)`) — a disjunction of a local dim
+    // predicate and a semi-join, which can neither push nor plan as a
+    // plain semi-join. Spark-first: the membership arm becomes a
+    // LEFT join against the (tiny, dim-derived) gated key list with a
+    // null-test flag, so the OR is a row filter over pure equi-joins —
+    // the fact still never multiplies. Exact cents per nation.
+    // Ref: /root/reference/benchmark/tpcds/query45.tpl ---
+    "ds52_zip_or_items" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val gated = Tables.load(s, dir, "part")
+        .filter(col("p_size").isin(11, 17))
+        .select(col("p_partkey").as("gpk"))
+      val c = Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"),
+          concat(col("n_name"), lit("_"),
+            (col("c_custkey") % 10).cast("string")).as("city"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-07-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(gated, col("l_partkey") === col("gpk"), "left")
+        .filter(col("city").isin("NATION_2_4", "NATION_9_1",
+          "NATION_17_8") || col("gpk").isNotNull)
+        .groupBy(col("n_name"))
+        .agg(sum(cents).cast("bigint").as("rev_cents"),
+          count(lit(1)).cast("bigint").as("n"))
+        .orderBy(col("n_name"))
+    }),
+
+    // --- TPC-DS q83's triple-arm return compare: returned quantity per
+    // brand across THREE one-month windows, each arm's share of the
+    // three-arm total (the template's sr/cr/wr CTEs joined on item with
+    // `qty * 3.0 / total` shares). The three CTE scans fuse into ONE
+    // conditional-aggregation pass (pinned); the inner-join semantics
+    // (brand present in ALL three arms) become HAVING every arm > 0.
+    // Shares are exact-cents divided as DOUBLE at the end.
+    // Ref: /root/reference/benchmark/tpcds/query83.tpl ---
+    "ds53_return_windows" -> ((s, dir) => {
+      val qcents = (col("l_quantity").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      def arm(name: String, lo: String, hi: String): Column =
+        sum(when(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+          col("l_shipdate") < lit(hi).cast("timestamp"), qcents)
+          .otherwise(lit(0L))).cast("bigint").as(name)
+      val tot = (col("q1") + col("q2") + col("q3")).cast("double")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(arm("q1", "1997-03-01", "1997-04-01"),
+          arm("q2", "1997-05-01", "1997-06-01"),
+          arm("q3", "1997-07-01", "1997-08-01"))
+        .filter(col("q1") > 0 && col("q2") > 0 && col("q3") > 0)
+        .select(col("p_brand"), col("q1"), col("q2"), col("q3"),
+          (col("q1").cast("double") * 3.0 / tot).as("share1"),
+          (col("q2").cast("double") * 3.0 / tot).as("share2"),
+          (col("q3").cast("double") * 3.0 / tot).as("share3"))
+        .orderBy(col("p_brand"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2691,12 +2763,12 @@ object DsQueries {
         AND l_shipdate < TIMESTAMP '1997-07-01'
         AND CAST(CAST(p.p_retailprice AS DECIMAL(28,2)) * 100 AS BIGINT)
           * (SELECT COUNT(*) FROM part p2
-             WHERE p2.p_type = p.p_type) * 100
+             WHERE p2.p_type = p.p_type) * 1000
         > (SELECT CAST(SUM(CAST(CAST(p2.p_retailprice AS DECIMAL(28,2))
              * 100 AS BIGINT)) AS BIGINT) FROM part p2
-           WHERE p2.p_type = p.p_type) * 103
+           WHERE p2.p_type = p.p_type) * 1005
       GROUP BY n_name
-      HAVING COUNT(DISTINCT c_custkey) >= 16
+      HAVING COUNT(DISTINCT c_custkey) >= 2
       ORDER BY n_name""",
     "ds49_return_repurchase" -> """
       WITH ret AS (
@@ -2775,5 +2847,57 @@ object DsQueries {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
       GROUP BY ROLLUP (n_name, c_mktsegment, o_orderpriority)
-      ORDER BY nation, segment, priority""")
+      ORDER BY nation, segment, priority""",
+    "ds52_zip_or_items" -> """
+      SELECT n_name,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+          AS BIGINT)) AS BIGINT) AS rev_cents,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN (SELECT c_custkey, n_name,
+                n_name || '_' || CAST(c_custkey % 10 AS VARCHAR) AS city
+              FROM customer JOIN nation ON c_nationkey = n_nationkey) c
+          ON o_custkey = c.c_custkey
+      WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+        AND l_shipdate < TIMESTAMP '1997-10-01'
+        AND (city IN ('NATION_2_4', 'NATION_9_1', 'NATION_17_8')
+          OR l_partkey IN (SELECT p_partkey FROM part
+                           WHERE p_size IN (11, 17)))
+      GROUP BY n_name ORDER BY n_name""",
+    "ds53_return_windows" -> """
+      WITH a1 AS (
+        SELECT p_brand, CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,2))
+          * 100 AS BIGINT)) AS BIGINT) AS q1
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'R'
+          AND l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY p_brand),
+      a2 AS (
+        SELECT p_brand, CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,2))
+          * 100 AS BIGINT)) AS BIGINT) AS q2
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'R'
+          AND l_shipdate >= TIMESTAMP '1997-05-01'
+          AND l_shipdate < TIMESTAMP '1997-06-01'
+        GROUP BY p_brand),
+      a3 AS (
+        SELECT p_brand, CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,2))
+          * 100 AS BIGINT)) AS BIGINT) AS q3
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'R'
+          AND l_shipdate >= TIMESTAMP '1997-07-01'
+          AND l_shipdate < TIMESTAMP '1997-08-01'
+        GROUP BY p_brand)
+      SELECT a1.p_brand, q1, q2, q3,
+        CAST(q1 AS DOUBLE) * 3.0 / CAST(q1 + q2 + q3 AS DOUBLE)
+          AS share1,
+        CAST(q2 AS DOUBLE) * 3.0 / CAST(q1 + q2 + q3 AS DOUBLE)
+          AS share2,
+        CAST(q3 AS DOUBLE) * 3.0 / CAST(q1 + q2 + q3 AS DOUBLE)
+          AS share3
+      FROM a1 JOIN a2 ON a1.p_brand = a2.p_brand
+        JOIN a3 ON a1.p_brand = a3.p_brand
+      ORDER BY a1.p_brand""")
 }

@@ -713,4 +713,71 @@ class PlanGuardSpec extends SparkSpec {
     assert(oScans.size == 1,
       s"ds51 must scan orders once, got ${oScans.size}:\n$ds51")
   }
+
+  test("job24-job26/ds52/ds53: fourth round-15 batch keeps its shapes") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // job24: the NOT LIKE and the same-column LIKE-disjunction BOTH
+    // translate to source filters on the part scan
+    val j24 = SparkEntry.queries("job24_not_like")(spark, sf)
+      .queryExecution.sparkPlan
+    val pushed24 = j24.collect { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "") }.mkString(";")
+    assert(pushed24.contains("Not(StringContains(p_name,blue))"),
+      s"job24 NOT LIKE not pushed: $pushed24")
+    assert(pushed24.contains(
+      "Or(StringContains(p_name,bolt),StringContains(p_name,gear))"),
+      s"job24 LIKE disjunction not pushed: $pushed24")
+    // job25: eleven relations, all equi — the widest chain must never
+    // degrade to a nested loop, and every scan survives as its own
+    // relation (no accidental self-join collapse)
+    val j25qe = SparkEntry.queries("job25_widest_chain")(spark, sf)
+      .queryExecution
+    assert(unwrap(j25qe.executedPlan).collect {
+      case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"job25 must keep pure equi-joins")
+    val scans25 = j25qe.sparkPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(scans25.size == 11,
+      s"job25 must scan 11 relations, got ${scans25.size}")
+    // job26: both bridge probes plan as LeftSemi — the m:n bridges
+    // must never multiply the fact
+    val j26 = SparkEntry.queries("job26_double_bridge")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(j26.collect { case j: LJoin if j.joinType == LeftSemi => j }
+      .size == 2, s"job26 must plan two LeftSemi probes:\n$j26")
+    // ds52: the zip-OR-membership gate keeps equi-joins (the OR is a
+    // post-join filter; the membership arm is a left join, not a
+    // nested loop) and the quarter band prunes the fact
+    val ds52qe = SparkEntry.queries("ds52_zip_or_items")(spark, sf)
+      .queryExecution
+    assert(unwrap(ds52qe.executedPlan).collect {
+      case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"ds52 must keep pure equi-joins")
+    assert(ds52qe.sparkPlan.collect { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "") }.mkString
+      .contains("GreaterThanOrEqual(l_shipdate"),
+      s"ds52 quarter band must prune the fact scan")
+    // ds53: the template's three windowed CTE scans fuse into ONE
+    // lineitem pass with the envelope range + R-flag pushed
+    val ds53 = SparkEntry.queries("ds53_return_windows")(spark, sf)
+      .queryExecution.sparkPlan
+    val li53 = ds53.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("lineitem")) => s }
+    assert(li53.size == 1,
+      s"ds53 must scan lineitem once, got ${li53.size}:\n$ds53")
+    assert(ds53.collect { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "") }.mkString
+      .contains("EqualTo(l_returnflag,R)"),
+      s"ds53 R-flag must prune at the scan")
+  }
 }
