@@ -800,6 +800,56 @@ object BreadthQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // --- JOB's NOT-EXISTS-through-a-bridge (the complement of the
+    // 2a/3a bridge conjunction: movies with NO keyword/company match —
+    // the `mc.note IS NULL` family of 11a/11b taken through the m:n
+    // bridge): orders with NO promo-part line at all. The bridge probe
+    // (lineitem ⋈ part[PROMO]) plans as a LeftAnti against orders
+    // (pinned) — the anti side is aggregated-free and never multiplies
+    // the fact. Ref: /root/reference/benchmark/job/11a.sql (IS NULL
+    // arm), 2a.sql (bridge spine) ---
+    "job27_anti_bridge" -> ((s, dir) => {
+      val oc = (col("o_totalprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val promoOrders = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "part")
+          .filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("pk"))
+      Tables.load(s, dir, "orders")
+        .join(promoOrders, col("o_orderkey") === col("pk"), "left_anti")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(oc).cast("bigint").as("cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // --- JOB's TYPED-edge bridge (32a's movie_link ⋈ link_type with
+    // `lt.link IN (...)` — /root/reference/benchmark/job/32a.sql):
+    // the edge table carries a TYPE attribute that gates which edges
+    // count. Here the events stream is the typed edge: customers from
+    // a nation band whose stream contains a high-value 'purchase' edge
+    // AND an 'error' edge (two typed probes, both LeftSemi — the
+    // job26 double-bridge discipline on a second bridge family) ---
+    "job28_event_bridge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val bigBuy = ev.filter(col("event_type") === "purchase" &&
+        col("value") > 90).select(col("user_id").as("bk")).distinct()
+      val erred = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("ek")).distinct()
+      Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3",
+            "NATION_4", "NATION_5"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(bigBuy, col("c_custkey") === col("bk"), "left_semi")
+        .join(erred, col("c_custkey") === col("ek"), "left_semi")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).cast("bigint").as("n_cust"),
+          min(col("c_name")).as("first_cust"))
+        .orderBy(col("n_name"))
+    }),
+
     // --- JOB's string-RANGE predicate (33a's `mi_idx2.info < '3.0'` —
     // lexicographic inequality on a string dim column,
     // /root/reference/benchmark/job/33a.sql): both bounds push to the
@@ -1176,5 +1226,26 @@ object BreadthQueries {
             ON l_suppkey = s_suppkey
           JOIN nation ON s_nationkey = n_nationkey
           WHERE l_orderkey = o.o_orderkey AND n_name = 'NATION_3')
-      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "job27_anti_bridge" -> """
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100
+          AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem JOIN part
+            ON l_partkey = p_partkey
+          WHERE l_orderkey = o.o_orderkey AND p_type = 'PROMO')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "job28_event_bridge" -> """
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        MIN(c_name) AS first_cust
+      FROM customer c JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3',
+          'NATION_4', 'NATION_5')
+        AND EXISTS (SELECT 1 FROM events
+          WHERE user_id = c.c_custkey AND event_type = 'purchase'
+            AND value > 90)
+        AND EXISTS (SELECT 1 FROM events
+          WHERE user_id = c.c_custkey AND event_type = 'error')
+      GROUP BY n_name ORDER BY n_name""")
 }

@@ -1766,6 +1766,94 @@ object DsQueries {
           (col("q2").cast("double") * 3.0 / tot).as("share2"),
           (col("q3").cast("double") * 3.0 / tot).as("share3"))
         .orderBy(col("p_brand"))
+    }),
+
+    // --- TPC-DS q4/q74's cross-channel growth gate: per-customer year
+    // totals for two years x two channels (the ds22 priority-derived
+    // channel convention), keeping customers whose "web" growth ratio
+    // strictly exceeds their "store" growth ratio — the template's
+    // year_total CTE self-joined FOUR ways. Spark-first: ONE orders
+    // scan with four conditional sums per customer (pinned); the ratio
+    // compare is integer cross-multiplication (w98*s97 > s98*w97 on
+    // BIGINT cents — products < 2^63 by corpus bounds), so no float
+    // ratios anywhere. The oracle keeps the four-way self-join
+    // spelling as the equivalence proof.
+    // Ref: /root/reference/benchmark/tpcds/query4.tpl, query74.tpl ---
+    "ds54_growth_gate" -> ((s, dir) => {
+      val oc = (col("o_totalprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val chanS = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      def arm(name: String, yr: Int, st: Boolean): Column =
+        sum(when(year(col("o_orderdate")) === yr &&
+          (if (st) chanS else !chanS), oc).otherwise(lit(0L)))
+          .cast("bigint").as(name)
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey"))
+        .agg(arm("s97", 1997, st = true), arm("s98", 1998, st = true),
+          arm("w97", 1997, st = false), arm("w98", 1998, st = false))
+        .filter(col("s97") > 0 && col("w97") > 0 &&
+          col("s98") > 0 && col("w98") > 0)
+        .filter(col("w98") * col("s97") > col("s98") * col("w97"))
+        .orderBy(col("o_custkey"))
+        .limit(100)
+    }),
+
+    // --- TPC-DS q54's cohort spend histogram: customers who bought a
+    // PROMO-type part in March 1997 (the cohort semi-join), their
+    // TOTAL order spend over the following quarter, counted into
+    // $1000 revenue bands — the template's `segment = revenue/50`
+    // banding. The band is integral `div` on BIGINT cents (the repo's
+    // documented no-float-rounding convention); cohort membership is
+    // a LeftSemi (pinned) so the m:n purchase history never
+    // multiplies the spend scan.
+    // Ref: /root/reference/benchmark/tpcds/query54.tpl ---
+    "ds55_cohort_spend" -> ((s, dir) => {
+      val oc = (col("o_totalprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val cohort = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "part")
+          .filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck")).distinct()
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-04-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .join(cohort, col("o_custkey") === col("ck"), "left_semi")
+        .groupBy(col("o_custkey"))
+        .agg(sum(oc).cast("bigint").as("spend_cents"))
+        .select(expr("spend_cents div 100000").as("band"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).cast("bigint").as("n_cust"))
+        .orderBy(col("band"))
+    }),
+
+    // --- TPC-DS q84's lookup-chain projection: a pure dimension chain
+    // (customer -> nation -> region) with a concatenated display name
+    // and a COALESCE'd fallback — the template's customer_id ||
+    // coalesce(c_last_name,'') shape. No fact table at all: the whole
+    // query is broadcast-sized dim navigation with a band predicate
+    // and a paged ORDER BY. Ref:
+    // /root/reference/benchmark/tpcds/query84.tpl ---
+    "ds56_lookup_concat" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal").between(1000, 3000))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(", "),
+            coalesce(nullif(col("c_mktsegment"), lit("")), lit("NONE")),
+            lit(" ("), col("n_name"), lit(")")).as("customername"))
+        .orderBy(col("c_custkey"))
+        .limit(100)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2899,5 +2987,62 @@ object DsQueries {
           AS share3
       FROM a1 JOIN a2 ON a1.p_brand = a2.p_brand
         JOIN a3 ON a1.p_brand = a3.p_brand
-      ORDER BY a1.p_brand""")
+      ORDER BY a1.p_brand""",
+    "ds54_growth_gate" -> """
+      WITH yt AS (
+        SELECT o_custkey AS ck,
+          EXTRACT(year FROM CAST(o_orderdate AS TIMESTAMP)) AS yr,
+          CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 's' ELSE 'w' END AS chan,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100
+            AS BIGINT)) AS BIGINT) AS total
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY 1, 2, 3)
+      SELECT s97.ck AS o_custkey, s97.total AS s97, s98.total AS s98,
+        w97.total AS w97, w98.total AS w98
+      FROM yt s97
+        JOIN yt s98 ON s97.ck = s98.ck
+        JOIN yt w97 ON s97.ck = w97.ck
+        JOIN yt w98 ON s97.ck = w98.ck
+      WHERE s97.yr = 1997 AND s97.chan = 's'
+        AND s98.yr = 1998 AND s98.chan = 's'
+        AND w97.yr = 1997 AND w97.chan = 'w'
+        AND w98.yr = 1998 AND w98.chan = 'w'
+        AND s97.total > 0 AND s98.total > 0
+        AND w97.total > 0 AND w98.total > 0
+        AND w98.total * s97.total > s98.total * w97.total
+      ORDER BY o_custkey LIMIT 100""",
+    "ds55_cohort_spend" -> """
+      WITH cohort AS (
+        SELECT DISTINCT o_custkey AS ck
+        FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'),
+      spend AS (
+        SELECT o_custkey,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100
+            AS BIGINT)) AS BIGINT) AS spend_cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-04-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+          AND o_custkey IN (SELECT ck FROM cohort)
+        GROUP BY 1)
+      SELECT spend_cents // 100000 AS band,
+        CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM spend GROUP BY 1 ORDER BY 1""",
+    "ds56_lookup_concat" -> """
+      SELECT c_custkey,
+        c_name || ', ' || COALESCE(NULLIF(c_mktsegment, ''), 'NONE')
+          || ' (' || n_name || ')' AS customername
+      FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE c_acctbal BETWEEN 1000 AND 3000
+        AND r_name = 'EUROPE'
+      ORDER BY c_custkey LIMIT 100""")
 }

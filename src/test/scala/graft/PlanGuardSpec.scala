@@ -780,4 +780,42 @@ class PlanGuardSpec extends SparkSpec {
       .contains("EqualTo(l_returnflag,R)"),
       s"ds53 R-flag must prune at the scan")
   }
+
+  test("job27/job28/ds54/ds55: fifth round-15 batch keeps its shapes") {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // job27: the NOT-EXISTS bridge probe plans as a LeftAnti — never
+    // an outer join + filter over the padded stream
+    val j27 = SparkEntry.queries("job27_anti_bridge")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(j27.collect { case j: LJoin if j.joinType == LeftAnti => j }
+      .nonEmpty, s"job27 must plan as LeftAnti:\n$j27")
+    // job28: both typed-edge probes stay LeftSemi — the event stream
+    // (scale-proportional) never multiplies the customer side
+    val j28 = SparkEntry.queries("job28_event_bridge")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(j28.collect { case j: LJoin if j.joinType == LeftSemi => j }
+      .size == 2, s"job28 must plan two LeftSemi probes:\n$j28")
+    // ds54: the template's four-way year_total self-join fuses into
+    // ONE orders scan of conditional sums
+    val ds54 = SparkEntry.queries("ds54_growth_gate")(spark, sf)
+      .queryExecution.sparkPlan
+    val oScans54 = ds54.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("orders")) => s }
+    assert(oScans54.size == 1,
+      s"ds54 must scan orders once, got ${oScans54.size}:\n$ds54")
+    // ds55: cohort membership is a LeftSemi and the spend scan prunes
+    // on its quarter band
+    val ds55qe = SparkEntry.queries("ds55_cohort_spend")(spark, sf)
+      .queryExecution
+    assert(ds55qe.optimizedPlan.collect {
+      case j: LJoin if j.joinType == LeftSemi => j }.nonEmpty,
+      s"ds55 cohort must plan as LeftSemi:\n${ds55qe.optimizedPlan}")
+    assert(ds55qe.sparkPlan.collect { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "") }.mkString
+      .contains("GreaterThanOrEqual(o_orderdate"),
+      s"ds55 spend quarter must prune at the orders scan")
+  }
 }
