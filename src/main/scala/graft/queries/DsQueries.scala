@@ -1854,6 +1854,128 @@ object DsQueries {
             lit(" ("), col("n_name"), lit(")")).as("customername"))
         .orderBy(col("c_custkey"))
         .limit(100)
+    }),
+
+    // --- TPC-DS q5/q77/q80's channel profit-and-loss: per channel,
+    // gross sales MINUS return losses, rolled up to a grand total —
+    // the templates UNION ALL a positive sales stream and a negated
+    // returns stream per channel, then ROLLUP(channel). Spark-first:
+    // ONE lineitem scan (pinned) computes sales cents and return-loss
+    // cents as conditional sums per channel; the rollup grid is
+    // 2-channel bounded. Channels are the ds22 priority convention;
+    // profit stays BIGINT cents end to end.
+    // Ref: /root/reference/benchmark/tpcds/query5.tpl, query77.tpl,
+    // query80.tpl ---
+    "ds57_channel_pnl" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "store")
+            .otherwise("web").as("channel"),
+          cents.as("cents"), col("l_returnflag"))
+        .rollup(col("channel"))
+        .agg(
+          sum(when(col("l_returnflag") =!= "R", col("cents"))
+            .otherwise(lit(0L))).cast("bigint").as("sales_cents"),
+          sum(when(col("l_returnflag") === "R", col("cents"))
+            .otherwise(lit(0L))).cast("bigint").as("returns_cents"),
+          sum(when(col("l_returnflag") =!= "R", col("cents"))
+            .otherwise(-col("cents"))).cast("bigint").as("profit_cents"))
+        .select(coalesce(col("channel"), lit("TOTAL")).as("channel"),
+          col("sales_cents"), col("returns_cents"), col("profit_cents"))
+        .orderBy(col("channel"))
+    }),
+
+    // --- TPC-DS q28's six band-gated distinct-stats: per quantity
+    // band, the count AND the count of DISTINCT prices — the template
+    // cross-joins six single-band subqueries; Spark fuses them into
+    // ONE scan (pinned) whose multiple COUNT(DISTINCT CASE...) aggs
+    // plan through a single Expand (the engine's multi-distinct
+    // machinery, exercised nowhere else in the corpus).
+    // Ref: /root/reference/benchmark/tpcds/query28.tpl ---
+    "ds58_band_distinct" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val bands = Seq((0, 10), (10, 20), (20, 30), (30, 40), (40, 50))
+      val aggs = bands.zipWithIndex.flatMap { case ((lo, hi), i) =>
+        val in = col("l_quantity") > lo && col("l_quantity") <= hi
+        Seq(
+          sum(when(in, 1L).otherwise(0L)).cast("bigint").as(s"cnt${i + 1}"),
+          countDistinct(when(in, cents)).cast("bigint")
+            .as(s"ndist${i + 1}"))
+      }
+      Tables.load(s, dir, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+    }),
+
+    // --- TPC-DS q33/q56/q60's union-of-channel-aggregates: three
+    // windowed "channel" aggregates over a gated item list, UNION
+    // ALL'd and re-aggregated to a per-brand total. The template scans
+    // three channels separately; Spark-first fuses all three windows
+    // into ONE scan (pinned) — the union-then-reaggregate is
+    // algebraically a single conditional sum. The oracle keeps the
+    // literal UNION ALL spelling as the equivalence proof.
+    // Ref: /root/reference/benchmark/tpcds/query33.tpl, query56.tpl,
+    // query60.tpl ---
+    "ds59_union_reagg" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      def win(lo: String, hi: String): Column =
+        col("l_shipdate") >= lit(lo).cast("timestamp") &&
+          col("l_shipdate") < lit(hi).cast("timestamp")
+      val anyWin = win("1997-02-01", "1997-03-01") ||
+        win("1997-06-01", "1997-07-01") || win("1997-10-01", "1997-11-01")
+      Tables.load(s, dir, "lineitem")
+        .filter(anyWin)
+        .join(Tables.load(s, dir, "part")
+          .filter(col("p_type") === "SMALL"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(cents).cast("bigint").as("total_cents"))
+        .orderBy(col("total_cents").desc, col("p_brand"))
+    }),
+
+    // --- TPC-DS q46/q68/q79's city-change gate: orders where SOME
+    // line's supplier sits in a DIFFERENT nation than the customer —
+    // the templates' `current_addr.ca_city <> bought_city` inequality
+    // between two dimension arms of the same row. The inequality can
+    // only evaluate post-join (pinned: equi-joins with a residual
+    // filter); output is per-order amounts for the top mismatched
+    // orders. Ref: /root/reference/benchmark/tpcds/query46.tpl,
+    // query68.tpl, query79.tpl ---
+    "ds60_city_change" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val cn = Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("cnk"),
+            col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"), col("c_name"), col("cust_nation"))
+      val sn = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("snk"),
+            col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-05-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-06-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cn, col("o_custkey") === col("c_custkey"))
+        .join(sn, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("o_orderkey"), col("c_name"), col("cust_nation"))
+        .agg(count(lit(1)).cast("bigint").as("n_foreign_lines"),
+          sum(cents).cast("bigint").as("foreign_cents"))
+        .orderBy(col("foreign_cents").desc, col("o_orderkey"))
+        .limit(100)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -3044,5 +3166,84 @@ object DsQueries {
         JOIN region ON n_regionkey = r_regionkey
       WHERE c_acctbal BETWEEN 1000 AND 3000
         AND r_name = 'EUROPE'
-      ORDER BY c_custkey LIMIT 100""")
+      ORDER BY c_custkey LIMIT 100""",
+    "ds57_channel_pnl" -> """
+      WITH chan AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 'store' ELSE 'web' END AS channel,
+          CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+            AS cents,
+          l_returnflag
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'),
+      u AS (
+        SELECT channel, cents AS sales, 0 AS ret FROM chan
+        WHERE l_returnflag <> 'R'
+        UNION ALL
+        SELECT channel, 0, cents FROM chan WHERE l_returnflag = 'R')
+      SELECT COALESCE(channel, 'TOTAL') AS channel,
+        CAST(SUM(sales) AS BIGINT) AS sales_cents,
+        CAST(SUM(ret) AS BIGINT) AS returns_cents,
+        CAST(SUM(sales) - SUM(ret) AS BIGINT) AS profit_cents
+      FROM u GROUP BY ROLLUP (channel) ORDER BY channel""",
+    "ds58_band_distinct" -> {
+      // the template's literal cross-join of single-band subqueries
+      val bands = Seq((0, 10), (10, 20), (20, 30), (30, 40), (40, 50))
+      val subs = bands.zipWithIndex.map { case ((lo, hi), i) =>
+        s"""(SELECT CAST(COUNT(*) AS BIGINT) AS cnt${i + 1},
+           |   CAST(COUNT(DISTINCT CAST(CAST(l_extendedprice
+           |     AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT)
+           |     AS ndist${i + 1}
+           | FROM lineitem
+           | WHERE l_quantity > $lo AND l_quantity <= $hi) b${i + 1}"""
+          .stripMargin
+      }.mkString(",\n        ")
+      s"""
+      SELECT cnt1, ndist1, cnt2, ndist2, cnt3, ndist3, cnt4, ndist4,
+        cnt5, ndist5
+      FROM
+        $subs"""
+    },
+    "ds59_union_reagg" -> """
+      WITH u AS (
+        SELECT p_brand, CAST(CAST(l_extendedprice AS DECIMAL(28,2))
+          * 100 AS BIGINT) AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'SMALL'
+          AND l_shipdate >= TIMESTAMP '1997-02-01'
+          AND l_shipdate < TIMESTAMP '1997-03-01'
+        UNION ALL
+        SELECT p_brand, CAST(CAST(l_extendedprice AS DECIMAL(28,2))
+          * 100 AS BIGINT) AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'SMALL'
+          AND l_shipdate >= TIMESTAMP '1997-06-01'
+          AND l_shipdate < TIMESTAMP '1997-07-01'
+        UNION ALL
+        SELECT p_brand, CAST(CAST(l_extendedprice AS DECIMAL(28,2))
+          * 100 AS BIGINT) AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'SMALL'
+          AND l_shipdate >= TIMESTAMP '1997-10-01'
+          AND l_shipdate < TIMESTAMP '1997-11-01')
+      SELECT p_brand, CAST(SUM(cents) AS BIGINT) AS total_cents
+      FROM u GROUP BY p_brand
+      ORDER BY total_cents DESC, p_brand""",
+    "ds60_city_change" -> """
+      SELECT o_orderkey, c_name, cn.n_name AS cust_nation,
+        CAST(COUNT(*) AS BIGINT) AS n_foreign_lines,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+          AS BIGINT)) AS BIGINT) AS foreign_cents
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1997-05-01'
+        AND l_shipdate < TIMESTAMP '1997-06-01'
+        AND sn.n_name <> cn.n_name
+      GROUP BY o_orderkey, c_name, cn.n_name
+      ORDER BY foreign_cents DESC, o_orderkey LIMIT 100""")
 }

@@ -818,4 +818,48 @@ class PlanGuardSpec extends SparkSpec {
       .contains("GreaterThanOrEqual(o_orderdate"),
       s"ds55 spend quarter must prune at the orders scan")
   }
+
+  test("ds57-ds60: sixth round-15 batch keeps its scale shapes") {
+    import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def liScanCount(p: SparkPlan): Int = p.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("lineitem")) => s }.size
+    // ds57: the templates' UNION ALL of sales + negated returns per
+    // channel fuses into ONE lineitem scan of conditional sums
+    val ds57 = SparkEntry.queries("ds57_channel_pnl")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(liScanCount(ds57) == 1,
+      s"ds57 must scan lineitem once, got ${liScanCount(ds57)}:\n$ds57")
+    // ds58: the template's six cross-joined band subqueries fuse into
+    // ONE scan whose multi-COUNT(DISTINCT) plans through Expand
+    val ds58 = SparkEntry.queries("ds58_band_distinct")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(liScanCount(ds58) == 1,
+      s"ds58 must scan lineitem once, got ${liScanCount(ds58)}:\n$ds58")
+    assert(ds58.collect { case e: ExpandExec => e }.nonEmpty,
+      s"ds58 multi-distinct must plan through Expand:\n$ds58")
+    // ds59: the three unioned channel windows fuse into ONE scan
+    val ds59 = SparkEntry.queries("ds59_union_reagg")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(liScanCount(ds59) == 1,
+      s"ds59 must scan lineitem once, got ${liScanCount(ds59)}:\n$ds59")
+    // ds60: the dim-vs-dim inequality is a post-join residual over
+    // pure equi-joins, with the month band pruning the fact
+    val ds60qe = SparkEntry.queries("ds60_city_change")(spark, sf)
+      .queryExecution
+    assert(unwrap(ds60qe.executedPlan).collect {
+      case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"ds60 must keep pure equi-joins")
+    assert(ds60qe.sparkPlan.collect { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "") }.mkString
+      .contains("GreaterThanOrEqual(l_shipdate"),
+      s"ds60 month band must prune the fact scan")
+  }
 }
