@@ -26,12 +26,12 @@ object SnapshotGen {
     * that). OracleLiteralsResourceSpec pins the same equality. */
   val StashQueries: Seq[String] =
     Seq("d18_dsir_weights", "g3_bigram_xent", "ir1_bm25", "e12_pq_adc",
-        "e15_ivf_adc", "e18_ivf_adc_persisted")
+        "e15_ivf_adc", "e18_ivf_adc_persisted", "e19_adc_rerank")
 
   /** Every key those builds are expected to stash. */
   val StashKeys: Seq[String] =
     Seq("d18_w", "g3_lp", "bm25_idf", "e12_lut", "e15_lut", "e15_probes",
-        "e18_lut", "e18_probes")
+        "e18_lut", "e18_probes", "e19_lut", "e19_probes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -284,6 +284,50 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // --- ADC-shortlist + exact rerank (the FAISS IndexRefineFlat
+    // serving pattern, completing the e15/e18 ANN stack): the persisted
+    // IVF-ADC index produces a 20-candidate approximate shortlist per
+    // query (compressed codes only, statically cell-pruned — the e18
+    // plan), then EXACT cosine re-scores just those candidates by a
+    // KEY join against the float corpus, final top-5. The expensive
+    // exact scorer touches shortlist×queries rows (60 here), never the
+    // corpus — at a billion vectors the refine stage is a 60-row
+    // broadcast probe into a keyed scan, not a second brute-force pass.
+    // Cosine is the bit-identical e2 fold, so the oracle replays the
+    // whole two-stage pipeline exactly ---
+    "e19_adc_rerank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val cbs = pqCodebooks(e)
+      val qs = seedEmbeddings(e, 3)
+      val path = IndexCache.path("graft_ivfadc_index_v1", dir)
+      IndexCache.ensure(path) {
+        Similarity.buildIvfAdcIndex(e, path, cbs, nCells = 16) }
+      val shortlist = Similarity.queryIvfAdcIndex(s, path, qs, cbs,
+        k = 20, nProbe = 4,
+        onLut = lut => graft.OracleLiterals.put("e19_lut",
+          graft.OracleLiterals.valuesCte3L(
+            "lut", "q_id", "m", "code", "dq_micro", lut)),
+        onProbes = ps => graft.OracleLiterals.put("e19_probes",
+          graft.OracleLiterals.valuesCteL("probes", "q_id", "cell", ps)))
+        .select(col("q_id"), col("vec_id"))
+      val qemb = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = shortlist
+        .join(broadcast(qemb), Seq("q_id"))
+        .join(e.select(col("vec_id"), col("embedding").as("d_emb")),
+          Seq("vec_id"))
+        .withColumn("cos", graft.functions.VectorFunctions
+          .cosineAuto(s)(col("q_emb"), col("d_emb")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk").cast("int").as("rnk"),
+          col("vec_id"), col("cos"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // --- hybrid retrieval: BM25 top-20 (sparse) fused with brute-force
     // cosine top-20 (dense, query vectors = embeddings 0/1/2 standing in
     // for encoded query text) via reciprocal-rank fusion — the two-tower
@@ -501,6 +545,15 @@ object VectorQueries {
     * shared probe fold) returns the inline result — one oracle shape,
     * two key namespaces. */
   private def ivfAdcOracle(prefix: String, k: Int): String = s"""
+    ${ivfAdcCtes(prefix)}
+    SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, adist_micro
+    FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
+
+  /** The shared ADC pipeline CTE chain (codes → cells → probes → LUT →
+    * scored → ranked), ending OPEN so callers append their own final
+    * stage — e15/e18 cut the ranked list directly; e19 appends the
+    * exact-rerank stage. */
+  private def ivfAdcCtes(prefix: String): String = s"""
     WITH $pqCodesSql,
     cents16 AS (
       SELECT vec_id AS c_id, embedding AS c_emb
@@ -533,9 +586,26 @@ object VectorQueries {
       SELECT q_id, vec_id, adist_micro,
         ROW_NUMBER() OVER (PARTITION BY q_id
                            ORDER BY adist_micro ASC, vec_id ASC) AS rnk
-      FROM scored)
-    SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, adist_micro
-    FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
+      FROM scored)"""
+
+  /** e19: the ADC chain cut at a 20-candidate shortlist, then exact
+    * cosine rerank (same fold as e2) joined by key, final top-5. */
+  private def e19Oracle: String = s"""
+    ${ivfAdcCtes("e19")},
+    short AS (SELECT q_id, vec_id FROM ranked WHERE rnk <= 20),
+    rr AS (
+      SELECT s.q_id, s.vec_id,
+        ${cosSql("q.embedding", "d.embedding")} AS cos
+      FROM short s
+        JOIN embeddings q ON q.vec_id = s.q_id
+        JOIN embeddings d ON d.vec_id = s.vec_id),
+    rranked AS (
+      SELECT q_id, vec_id, cos,
+        ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM rr)
+    SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, cos
+    FROM rranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
   private def e5Oracle: String = s"""
     WITH cents AS (
@@ -767,6 +837,7 @@ object VectorQueries {
     // e18 = e15's search against the PERSISTED cell-partitioned code
     // index — same algebra, deeper cut (k=7), own literal namespace
     "e18_ivf_adc_persisted" -> ivfAdcOracle("e18", 7),
+    "e19_adc_rerank" -> e19Oracle,
     "e16_sq8_search" -> """
       WITH ex AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS pos,

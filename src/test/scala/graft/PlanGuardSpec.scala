@@ -862,4 +862,28 @@ class PlanGuardSpec extends SparkSpec {
       .contains("GreaterThanOrEqual(l_shipdate"),
       s"ds60 month band must prune the fact scan")
   }
+
+  test("e19's refine stage joins the corpus by KEY after a statically " +
+    "cell-pruned shortlist (never a second brute-force pass)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val e19 = SparkEntry.queries("e19_adc_rerank")(spark, sf)
+      .queryExecution.sparkPlan
+    val scans = e19.collect { case s: FileSourceScanExec => s }
+    // stage 1: the shortlist rides the persisted codes, statically
+    // cell-pruned (the e18 contract)
+    val idx = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("graft_ivfadc_index")))
+    assert(idx.nonEmpty && idx.forall(_.partitionFilters.nonEmpty),
+      s"e19 shortlist must scan statically-pruned index cells:\n$e19")
+    // stage 2: exactly two embeddings touches — the 3-row query-side
+    // scan (vec_id<3 pushed) and the keyed rerank probe; a third scan
+    // would mean the exact scorer re-entered the corpus
+    val corpus = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("embeddings")))
+    assert(corpus.size == 2,
+      s"e19 must touch embeddings exactly twice, got ${corpus.size}")
+    assert(corpus.exists(_.metadata.getOrElse("PushedFilters", "")
+      .contains("LessThan(vec_id,3)")),
+      s"e19 query-side scan must push vec_id<3")
+  }
 }
