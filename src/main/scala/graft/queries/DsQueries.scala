@@ -39,7 +39,8 @@ object DsQueries {
   private val D = DecimalType(28, 6)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // --- q36 shape: margin rollup with lochierarchy + rank in level ---
+    // --- q36 shape: margin rollup with lochierarchy + rank in level.
+    // Ref: /root/reference/benchmark/tpcds/query36.tpl, query86.tpl ---
     "ds1_margin_rollup" -> ((s, dir) => {
       val l = Tables.load(s, dir, "lineitem")
       val o = Tables.load(s, dir, "orders")
@@ -62,7 +63,8 @@ object DsQueries {
         .orderBy(col("lochierarchy").desc, col("o_orderpriority"), col("rk"))
     }),
 
-    // --- q67 shape: revenue rank within category, keep top-3 per brand ---
+    // --- q67 shape: revenue rank within category, keep top-3 per brand.
+    // Ref: /root/reference/benchmark/tpcds/query67.tpl ---
     "ds2_category_topk" -> ((s, dir) => {
       val l = Tables.load(s, dir, "lineitem")
       val p = Tables.load(s, dir, "part")
@@ -140,7 +142,8 @@ object DsQueries {
         .limit(10)
     }),
 
-    // --- q88 shape: the reference formulation is EIGHT scalar-count
+    // --- q88 shape (/root/reference/benchmark/tpcds/query88.tpl,
+    // query96.tpl): the reference formulation is EIGHT scalar-count
     // subqueries cross-joined into one row (one scan per band); the
     // Spark-first re-expression is a single conditional-aggregation
     // pass — one scan, zero joins, map-side combined, identical result.
@@ -243,7 +246,9 @@ object DsQueries {
         .orderBy(col("o_custkey"))
     }),
 
-    // --- q93 shape: returns-adjusted order quantities — per order, the
+    // --- q93 shape (/root/reference/benchmark/tpcds/query93.tpl,
+    // query50.tpl's sold-vs-returned lag family): returns-adjusted
+    // order quantities — per order, the
     // shipped quantity net of returned lines (l_returnflag = 'R'), top
     // 15 by net quantity. One conditional-aggregation scan (no join to
     // a returns table needed at this schema); exact DECIMAL sums so the
@@ -355,8 +360,9 @@ object DsQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
-    // --- TPC-DS q21's before/after pivot: per (warehouse, item) — here
-    // (supplier, part) — quantity shipped strictly before vs on-or-after
+    // --- TPC-DS q21's before/after pivot (query21.tpl; q37/q82's
+    // inventory-band family shares the grain): per (warehouse, item) —
+    // here (supplier, part) — quantity shipped strictly before vs on-or-after
     // a pivot date, kept only where both sides are non-zero and their
     // ratio sits in [2/3, 3/2]. The ratio gate is pure integer
     // cross-multiplication (2·qb ≤ 3·qa AND 2·qa ≤ 3·qb) — no division,
@@ -1976,6 +1982,162 @@ object DsQueries {
           sum(cents).cast("bigint").as("foreign_cents"))
         .orderBy(col("foreign_cents").desc, col("o_orderkey"))
         .limit(100)
+    }),
+
+    // --- TPC-DS q3/q42/q52/q55's brand-month report (the family's
+    // shared shape: one month gate, brand rollout, revenue order):
+    // December-1997 revenue per brand, top-10. One pushed-range scan,
+    // one grid shuffle, TakeOrderedAndProject presentation.
+    // Ref: /root/reference/benchmark/tpcds/query3.tpl, query42.tpl,
+    // query52.tpl, query55.tpl ---
+    "ds61_brand_month" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-12-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(cents).cast("bigint").as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("p_brand"))
+        .limit(10)
+    }),
+
+    // --- TPC-DS q53/q63's quarterly-deviation profile: per brand, how
+    // many 1997 months deviate more than ±10% from that brand's OWN
+    // quarterly mean (the templates' avg-over-quarter compare). The
+    // deviation gate is pure integer cross-multiplication
+    // (|3·m − q|·10 > q) over exact cents; output is the always-25-row
+    // per-brand profile, so result cardinality is scale-stable while
+    // the deviant-month count varies with sample noise as the
+    // templates intend. ONE scan; the window runs over the ≤300-row
+    // aggregated (brand, month) grid.
+    // Ref: /root/reference/benchmark/tpcds/query53.tpl, query63.tpl ---
+    "ds62_quarter_deviation" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val m = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          month(col("l_shipdate")).as("mo"),
+          quarter(col("l_shipdate")).as("qt"))
+        .agg(sum(cents).cast("bigint").as("mc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_brand"), col("qt"))
+      m.withColumn("qc", sum(col("mc")).over(w).cast("bigint"))
+        .withColumn("dev",
+          when(abs(col("mc") * 3 - col("qc")) * 10 > col("qc"), 1L)
+            .otherwise(0L))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("dev")).cast("bigint").as("n_deviant_months"),
+          sum(col("mc")).cast("bigint").as("total_cents"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // --- TPC-DS q7/q26's demographic averages: four avg measures per
+    // customer segment under a dim gate — exact integer sums divided
+    // as DOUBLE at the end (the ds51 discipline at a single grouping
+    // level). Ref: /root/reference/benchmark/tpcds/query7.tpl,
+    // query26.tpl ---
+    "ds63_segment_avgs" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val bps = (col("l_discount").cast(DecimalType(28, 4)) *
+        lit(10000)).cast("bigint")
+      val qcents = (col("l_quantity").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          (sum(qcents).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_qty_cents"),
+          (sum(cents).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_price_cents"),
+          (sum(bps).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_disc_bps"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // --- TPC-DS q96's time-band count: one scalar count under an
+    // hour-band + type + measure gate — on the events stream (the
+    // corpus's clock-bearing table). Single pushed-predicate scan,
+    // one row out. Ref: /root/reference/benchmark/tpcds/query96.tpl ---
+    "ds64_time_band_count" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(hour(col("t")).between(9, 11))
+        .filter(col("event_type") === "view")
+        .filter(col("value") > 50)
+        .agg(count(lit(1)).cast("bigint").as("n"))
+    }),
+
+    // --- TPC-DS q61's promotional-share ratio: promotional revenue
+    // over total revenue for one month as the templates' TWO scalar
+    // aggregates cross-joined; Spark fuses both into ONE conditional-
+    // aggregation scan (pinned), the oracle keeps the two-subquery
+    // spelling. Share = exact cents divided once in DOUBLE, ×100.
+    // Ref: /root/reference/benchmark/tpcds/query61.tpl ---
+    "ds65_promo_share" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-08-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", cents).otherwise(lit(0L)))
+            .cast("bigint").as("promo_cents"),
+          sum(cents).cast("bigint").as("total_cents"))
+        .select(col("promo_cents"), col("total_cents"),
+          (col("promo_cents").cast("double") * 100.0 /
+            col("total_cents").cast("double")).as("promo_pct"))
+    }),
+
+    // --- TPC-DS q8's zip-prefix ∩ preferred-customers gate: a nation
+    // qualifies through a computed name-prefix IN-list AND by having
+    // >= 2 preferred (high-balance) customers — the template's
+    // substr(zip,1,2) IN (...) INTERSECT preferred-customer zips, both
+    // conditions on the SAME grouping dim, then fact revenue per
+    // qualifying nation. The preferred-count is a dim-side aggregate
+    // joined back (never a correlated probe).
+    // Ref: /root/reference/benchmark/tpcds/query8.tpl ---
+    "ds66_zip_prefix_gate" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val pref = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000)
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).cast("bigint").as("n_pref"))
+        .filter(col("n_pref") >= 2)
+      val nat = Tables.load(s, dir, "nation")
+        .filter(substring(col("n_name"), 8, 1).isin("1", "2"))
+        .join(pref, col("n_nationkey") === col("nk"))
+        .select(col("n_nationkey"), col("n_name"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-04-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        // no broadcast hint: the qualifying-nation subtree aggregates
+        // the scale-proportional customer dim, so the ≤25-row build
+        // side is AQE's runtime call, not a plan-time promise
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents).cast("bigint").as("rev_cents"),
+          count(lit(1)).cast("bigint").as("n"))
+        .orderBy(col("n_name"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -3245,5 +3407,94 @@ object DsQueries {
         AND l_shipdate < TIMESTAMP '1997-06-01'
         AND sn.n_name <> cn.n_name
       GROUP BY o_orderkey, c_name, cn.n_name
-      ORDER BY foreign_cents DESC, o_orderkey LIMIT 100""")
+      ORDER BY foreign_cents DESC, o_orderkey LIMIT 100""",
+    "ds61_brand_month" -> """
+      SELECT p_brand,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+          AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-12-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY p_brand
+      ORDER BY rev_cents DESC, p_brand LIMIT 10""",
+    "ds62_quarter_deviation" -> """
+      WITH m AS (
+        SELECT p_brand,
+          EXTRACT(month FROM CAST(l_shipdate AS TIMESTAMP)) AS mo,
+          EXTRACT(quarter FROM CAST(l_shipdate AS TIMESTAMP)) AS qt,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+            AS BIGINT)) AS BIGINT) AS mc
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3),
+      q AS (
+        SELECT p_brand, mo, mc,
+          CAST(SUM(mc) OVER (PARTITION BY p_brand, qt) AS BIGINT) AS qc
+        FROM m)
+      SELECT p_brand,
+        CAST(SUM(CASE WHEN abs(mc * 3 - qc) * 10 > qc THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_deviant_months,
+        CAST(SUM(mc) AS BIGINT) AS total_cents
+      FROM q GROUP BY p_brand ORDER BY p_brand""",
+    "ds63_segment_avgs" -> """
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,2)) * 100
+          AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS avg_qty_cents,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+          AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS avg_price_cents,
+        CAST(SUM(CAST(CAST(l_discount AS DECIMAL(28,4)) * 10000
+          AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS avg_disc_bps
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "ds64_time_band_count" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) BETWEEN 9 AND 11
+        AND event_type = 'view' AND value > 50""",
+    "ds65_promo_share" -> """
+      SELECT promo_cents, total_cents,
+        CAST(promo_cents AS DOUBLE) * 100.0
+          / CAST(total_cents AS DOUBLE) AS promo_pct
+      FROM
+        (SELECT CAST(COALESCE(SUM(CAST(CAST(l_extendedprice
+             AS DECIMAL(28,2)) * 100 AS BIGINT)), 0) AS BIGINT)
+           AS promo_cents
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_type = 'PROMO'
+           AND l_shipdate >= TIMESTAMP '1997-08-01'
+           AND l_shipdate < TIMESTAMP '1997-09-01') a,
+        (SELECT CAST(SUM(CAST(CAST(l_extendedprice
+             AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS total_cents
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-08-01'
+           AND l_shipdate < TIMESTAMP '1997-09-01') b""",
+    "ds66_zip_prefix_gate" -> """
+      WITH pref AS (
+        SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_pref
+        FROM customer WHERE c_acctbal > 5000
+        GROUP BY 1 HAVING COUNT(*) >= 2),
+      nat AS (
+        SELECT n_nationkey, n_name
+        FROM nation JOIN pref ON n_nationkey = nk
+        WHERE substr(n_name, 8, 1) IN ('1', '2'))
+      SELECT n_name,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+          AS BIGINT)) AS BIGINT) AS rev_cents,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nat ON c_nationkey = n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1997-04-01'
+        AND l_shipdate < TIMESTAMP '1997-07-01'
+      GROUP BY n_name ORDER BY n_name""")
 }

@@ -886,4 +886,40 @@ class PlanGuardSpec extends SparkSpec {
       .contains("LessThan(vec_id,3)")),
       s"e19 query-side scan must push vec_id<3")
   }
+
+  test("ds61-ds66: seventh round-15 batch keeps its scale shapes") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec,
+      TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def liScanCount(p: SparkPlan): Int = p.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("lineitem")) => s }.size
+    // ds61: top-10 presentation must be TakeOrderedAndProject (never a
+    // global sort of the brand grid)
+    val ds61 = SparkEntry.queries("ds61_brand_month")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(ds61.collect { case t: TakeOrderedAndProjectExec => t }
+      .nonEmpty, s"ds61 top-10 must be TakeOrderedAndProject:\n$ds61")
+    // ds62: one scan; the quarter window runs over the aggregated grid
+    val ds62 = SparkEntry.queries("ds62_quarter_deviation")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(liScanCount(ds62) == 1,
+      s"ds62 must scan lineitem once, got ${liScanCount(ds62)}:\n$ds62")
+    // ds65: the template's two scalar subqueries fuse into ONE scan
+    val ds65 = SparkEntry.queries("ds65_promo_share")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(liScanCount(ds65) == 1,
+      s"ds65 must scan lineitem once, got ${liScanCount(ds65)}:\n$ds65")
+    // ds66: the two-condition dim gate joins back as equi-joins only
+    val ds66 = unwrap(SparkEntry.queries("ds66_zip_prefix_gate")(spark, sf)
+      .queryExecution.executedPlan)
+    assert(ds66.collect { case n: BroadcastNestedLoopJoinExec => n }
+      .isEmpty, s"ds66 must keep pure equi-joins")
+  }
 }
