@@ -360,8 +360,9 @@ object DsQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
-    // --- TPC-DS q21's before/after pivot (query21.tpl; q37/q82's
-    // inventory-band family shares the grain): per (warehouse, item) —
+    // --- TPC-DS q21's before/after pivot (query21.tpl; query37.tpl/
+    // query82.tpl's inventory-band family shares the grain): per
+    // (warehouse, item) —
     // here (supplier, part) — quantity shipped strictly before vs on-or-after
     // a pivot date, kept only where both sides are non-zero and their
     // ratio sits in [2/3, 3/2]. The ratio gate is pure integer
@@ -927,7 +928,8 @@ object DsQueries {
     // distinct active set UNIONed then re-DISTINCTed — each probe is an
     // equi-join on the bare key, no correlated per-row subquery
     // survives. Demographic rollup = one ≤|segments| aggregate.
-    // Ref: /root/reference/benchmark/tpcds/query10.tpl, query35.tpl ---
+    // Ref: /root/reference/benchmark/tpcds/query10.tpl, query35.tpl,
+    // query69.tpl (the NOT-EXISTS-arm variant of the same profile) ---
     "ds29_or_exists_profile" -> ((s, dir) => {
       val active = Tables.load(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
@@ -960,7 +962,8 @@ object DsQueries {
     // branch is scan-pushable (each needs the joined row), so the
     // filter sits post-join while the joins stay pure equi; amounts
     // ride per-row BIGINT cents. Ref: /root/reference/benchmark/tpcds/
-    // query13.tpl, query48.tpl ---
+    // query13.tpl, query48.tpl, query85.tpl (the returns-side
+    // triple-OR of the same conjunction-bundle signature) ---
     "ds30_demographic_bands" -> ((s, dir) => {
       val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
         lit(100)).cast("bigint")
@@ -1081,7 +1084,8 @@ object DsQueries {
     // --- TPC-DS q90's am/pm ratio: two time-band conditional counts in
     // ONE scan and a single BIGINT→double division — the template's two
     // scalar subqueries fused (the ds6 treatment applied to q90).
-    // Ref: /root/reference/benchmark/tpcds/query90.tpl ---
+    // Ref: /root/reference/benchmark/tpcds/query90.tpl; query71.tpl's
+    // hour-of-day breakdown rides the same derived-hour grain ---
     "ds34_am_pm_ratio" -> ((s, dir) => {
       graft.Tables.events(s, dir)
         .filter(col("event_type").isin("view", "click"))
@@ -1336,7 +1340,8 @@ object DsQueries {
     // cent totals in IEEE double (identical expression both engines);
     // the window partitions by p_type over the ≤|brands| aggregated
     // grid (bounded frame). One pushed-range scan, one grid shuffle.
-    // Ref: /root/reference/benchmark/tpcds/query20.tpl, query98.tpl ---
+    // Ref: /root/reference/benchmark/tpcds/query20.tpl, query98.tpl,
+    // query12.tpl (the family's web-channel twin) ---
     "ds41_class_share" -> ((s, dir) => {
       val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
         lit(100)).cast("bigint")
@@ -1600,7 +1605,8 @@ object DsQueries {
     // co-partitioned exchange with the date range as a residual —
     // never a cross product; per-(cust,supp) fan is bounded by
     // purchase frequency. Exact quantity cents per supplier nation.
-    // Ref: /root/reference/benchmark/tpcds/query29.tpl, query17.tpl ---
+    // Ref: /root/reference/benchmark/tpcds/query29.tpl, query17.tpl,
+    // query25.tpl (the net-profit member of the same chain family) ---
     "ds49_return_repurchase" -> ((s, dir) => {
       val qc = (c: Column) =>
         (c.cast(DecimalType(28, 2)) * lit(100)).cast("bigint")
@@ -1952,7 +1958,9 @@ object DsQueries {
     // between two dimension arms of the same row. The inequality can
     // only evaluate post-join (pinned: equi-joins with a residual
     // filter); output is per-order amounts for the top mismatched
-    // orders. Ref: /root/reference/benchmark/tpcds/query46.tpl,
+    // orders (query19.tpl's substr(ca_zip,1,5) <> s_zip is the same
+    // gate at brand grain).
+    // Ref: /root/reference/benchmark/tpcds/query19.tpl, query46.tpl,
     // query68.tpl, query79.tpl ---
     "ds60_city_change" -> ((s, dir) => {
       val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
@@ -2138,6 +2146,204 @@ object DsQueries {
         .agg(sum(cents).cast("bigint").as("rev_cents"),
           count(lit(1)).cast("bigint").as("n"))
         .orderBy(col("n_name"))
+    }),
+
+    // --- TPC-DS q64's cross-year self-join of an aggregated multi-join
+    // CTE: the template builds cross_sales (a ~10-dim join aggregated
+    // per item+year) and joins it to ITSELF on item with
+    // `cs2.cnt <= cs1.cnt` between the instances. Here the CTE is
+    // lineitem⋈orders⋈customer aggregated per (part, year); the
+    // cross-year join runs on the aggregated grain (item-bounded, not
+    // data-bounded) and the count gate is the template's inequality
+    // verbatim. Per-brand rollout, exact cents.
+    // Ref: /root/reference/benchmark/tpcds/query64.tpl ---
+    "ds67_cross_year_pairs" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val base = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_partkey").as("pk"),
+          year(col("l_shipdate")).as("yr"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"),
+          sum(cents).cast("bigint").as("rev"))
+      val y1 = base.filter(col("yr") === 1997)
+        .select(col("pk").as("pk1"), col("cnt").as("cnt1"),
+          col("rev").as("rev1"))
+      val y2 = base.filter(col("yr") === 1998)
+        .select(col("pk").as("pk2"), col("cnt").as("cnt2"),
+          col("rev").as("rev2"))
+      y1.join(y2, col("pk1") === col("pk2") && col("cnt2") <= col("cnt1"))
+        .join(Tables.load(s, dir, "part"),
+          col("pk1") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).cast("bigint").as("n_items"),
+          sum(col("rev1")).cast("bigint").as("rev97_cents"),
+          sum(col("rev2")).cast("bigint").as("rev98_cents"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // --- TPC-DS q40's netted before/after report: per warehouse (here
+    // supplier), sales value before vs after a pivot date, each NETTED
+    // of returns via the template's `COALESCE(cr_refunded_cash, 0)` on
+    // an OUTER join — returns aggregated at the (supplier, side) grain
+    // LEFT JOINed onto sales so suppliers with no returns in a window
+    // net against zero, not NULL.
+    // Ref: /root/reference/benchmark/tpcds/query40.tpl ---
+    "ds68_netted_pivot" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val win = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-05-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("l_suppkey"), col("l_returnflag"), cents.as("cents"),
+          (col("l_shipdate") < lit("1997-06-01").cast("timestamp"))
+            .as("before"))
+      val sales = win.groupBy(col("l_suppkey").as("sk"), col("before"))
+        .agg(sum(col("cents")).cast("bigint").as("gross"))
+      val rets = win.filter(col("l_returnflag") === "R")
+        .groupBy(col("l_suppkey").as("rk"), col("before").as("rb"))
+        .agg(sum(col("cents")).cast("bigint").as("ret"))
+      sales.join(rets,
+          col("sk") === col("rk") && col("before") === col("rb"), "left")
+        .select(col("sk"), col("before"),
+          (col("gross") - coalesce(col("ret"), lit(0L))).as("net"))
+        .groupBy(col("sk"))
+        .agg(sum(when(col("before"), col("net")).otherwise(lit(0L)))
+          .cast("bigint").as("before_net"),
+          sum(when(!col("before"), col("net")).otherwise(lit(0L)))
+            .cast("bigint").as("after_net"))
+        .join(Tables.load(s, dir, "supplier"),
+          col("sk") === col("s_suppkey"))
+        .select(col("s_name"), col("before_net"), col("after_net"))
+        .orderBy(col("s_name"))
+    }),
+
+    // --- TPC-DS q24's above-global-average pair gate: revenue per
+    // (customer, part) pair kept where it exceeds 5% of the average
+    // pair revenue over ALL pairs — a two-level aggregate compared
+    // against a global scalar of the first level. The 5% gate is pure
+    // integer cross-multiplication (rev·n·20 > total); the scalar
+    // (one row) cross-joins back. Output: qualifying-pair profile per
+    // nation. Ref: /root/reference/benchmark/tpcds/query24.tpl ---
+    "ds69_pair_gate" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val pairs = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+        .agg(sum(cents).cast("bigint").as("rev"))
+      val tot = pairs.agg(sum(col("rev")).cast("decimal(38,0)").as("t"),
+        count(lit(1)).cast("bigint").as("np"))
+      pairs.join(tot)
+        .filter(col("rev").cast("decimal(38,0)") * col("np") * 20 >
+          col("t"))
+        .join(Tables.load(s, dir, "customer"),
+          col("ck") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          sum(col("rev")).cast("bigint").as("qual_cents"))
+        .orderBy(col("n_name"))
+    }),
+
+    // --- TPC-DS q91's call-center loss report: returned value grouped
+    // by (center ≈ priority, month) under a customer-segment gate —
+    // the template's returns-loss management report. One pushed-flag
+    // scan, bounded grid out.
+    // Ref: /root/reference/benchmark/tpcds/query91.tpl ---
+    "ds70_return_loss" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "customer")
+          .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(sum(cents).cast("bigint").as("loss_cents"),
+          count(lit(1)).cast("bigint").as("n_returns"))
+        .orderBy(col("o_orderpriority"), col("mo"))
+    }),
+
+    // --- TPC-DS q78's returns-excluded year-over-year compare: sales
+    // lines whose (order, part) was EVER returned are dropped via the
+    // template's `LEFT JOIN returns ... WHERE wr_order_number IS NULL`
+    // — planned as a LeftAnti against the distinct returned keys
+    // (pinned; the job18/job27 discipline) — then per-part year totals
+    // joined across 1997/1998 with both-present semantics and a brand
+    // rollout with the yoy ratio as one DOUBLE division.
+    // Ref: /root/reference/benchmark/tpcds/query78.tpl ---
+    "ds71_anti_return_yoy" -> ((s, dir) => {
+      val qcents = (col("l_quantity").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val retKeys = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("rok"), col("l_partkey").as("rpk"))
+        .distinct()
+      val clean = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .join(retKeys, col("l_orderkey") === col("rok") &&
+          col("l_partkey") === col("rpk"), "left_anti")
+        .groupBy(col("l_partkey").as("pk"),
+          year(col("l_shipdate")).as("yr"))
+        .agg(sum(qcents).cast("bigint").as("qty"))
+      val y1 = clean.filter(col("yr") === 1997)
+        .select(col("pk").as("pk1"), col("qty").as("q1"))
+      val y2 = clean.filter(col("yr") === 1998)
+        .select(col("pk").as("pk2"), col("qty").as("q2"))
+      y1.join(y2, col("pk1") === col("pk2"))
+        .join(Tables.load(s, dir, "part"),
+          col("pk1") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("q1")).cast("bigint").as("qty97_cents"),
+          sum(col("q2")).cast("bigint").as("qty98_cents"))
+        .select(col("p_brand"), col("qty97_cents"), col("qty98_cents"),
+          (col("qty98_cents").cast("double") /
+            col("qty97_cents").cast("double")).as("yoy_ratio"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // --- TPC-DS q76's missing-dimension counts: lines whose part is
+    // NOT in the catalogued dimension subset (the template's
+    // "ws_ship_customer_sk IS NULL" class), counted per (channel,
+    // year). The miss probe is a LeftAnti by construction (the
+    // job18/job27 discipline — Catalyst has no left-join-IS-NULL →
+    // anti rewrite, so the plan states the anti directly and the
+    // ORACLE keeps the NOT-IN spelling); Spark fuses both channels
+    // into ONE scan with the channel as a group key.
+    // Ref: /root/reference/benchmark/tpcds/query76.tpl ---
+    "ds72_missing_dim" -> ((s, dir) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
+        lit(100)).cast("bigint")
+      val cat = Tables.load(s, dir, "part")
+        .filter(col("p_size") <= 45)
+        .select(col("p_partkey").as("cpk"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cat, col("l_partkey") === col("cpk"), "left_anti")
+        .groupBy(
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "store")
+            .otherwise("web").as("channel"),
+          year(col("l_shipdate")).as("yr"))
+        .agg(count(lit(1)).cast("bigint").as("n_missing"),
+          sum(cents).cast("bigint").as("cents"))
+        .orderBy(col("channel"), col("yr"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -3496,5 +3702,131 @@ object DsQueries {
         JOIN nat ON c_nationkey = n_nationkey
       WHERE l_shipdate >= TIMESTAMP '1997-04-01'
         AND l_shipdate < TIMESTAMP '1997-07-01'
-      GROUP BY n_name ORDER BY n_name""")
+      GROUP BY n_name ORDER BY n_name""",
+    "ds67_cross_year_pairs" -> """
+      WITH cross_sales AS (
+        SELECT l_partkey AS pk,
+          EXTRACT(year FROM CAST(l_shipdate AS TIMESTAMP)) AS yr,
+          CAST(COUNT(*) AS BIGINT) AS cnt,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+            AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+        GROUP BY 1, 2)
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(SUM(cs1.rev) AS BIGINT) AS rev97_cents,
+        CAST(SUM(cs2.rev) AS BIGINT) AS rev98_cents
+      FROM cross_sales cs1
+        JOIN cross_sales cs2
+          ON cs1.pk = cs2.pk AND cs2.cnt <= cs1.cnt
+        JOIN part ON cs1.pk = p_partkey
+      WHERE cs1.yr = 1997 AND cs2.yr = 1998
+      GROUP BY p_brand ORDER BY p_brand""",
+    "ds68_netted_pivot" -> """
+      WITH win AS (
+        SELECT l_suppkey, l_returnflag,
+          CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+            AS cents,
+          l_shipdate < TIMESTAMP '1997-06-01' AS before
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-05-01'
+          AND l_shipdate < TIMESTAMP '1997-07-01'),
+      sales AS (
+        SELECT l_suppkey AS sk, before,
+          CAST(SUM(cents) AS BIGINT) AS gross
+        FROM win GROUP BY 1, 2),
+      rets AS (
+        SELECT l_suppkey AS rk, before AS rb,
+          CAST(SUM(cents) AS BIGINT) AS ret
+        FROM win WHERE l_returnflag = 'R' GROUP BY 1, 2),
+      netted AS (
+        SELECT sk, before, gross - COALESCE(ret, 0) AS net
+        FROM sales LEFT JOIN rets ON sk = rk AND before = rb)
+      SELECT s_name,
+        CAST(SUM(CASE WHEN before THEN net ELSE 0 END) AS BIGINT)
+          AS before_net,
+        CAST(SUM(CASE WHEN NOT before THEN net ELSE 0 END) AS BIGINT)
+          AS after_net
+      FROM netted JOIN supplier ON sk = s_suppkey
+      GROUP BY s_name ORDER BY s_name""",
+    "ds69_pair_gate" -> """
+      WITH pairs AS (
+        SELECT o_custkey AS ck, l_partkey AS pk,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+            AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT CAST(SUM(rev) AS HUGEINT) AS t,
+          CAST(COUNT(*) AS BIGINT) AS np
+        FROM pairs)
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(rev) AS BIGINT) AS qual_cents
+      FROM pairs CROSS JOIN tot
+        JOIN customer ON ck = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(rev AS HUGEINT) * np * 20 > t
+      GROUP BY n_name ORDER BY n_name""",
+    "ds70_return_loss" -> """
+      SELECT o_orderpriority,
+        CAST(EXTRACT(month FROM CAST(o_orderdate AS TIMESTAMP)) AS INT)
+          AS mo,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+          AS BIGINT)) AS BIGINT) AS loss_cents,
+        CAST(COUNT(*) AS BIGINT) AS n_returns
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ds71_anti_return_yoy" -> """
+      WITH clean AS (
+        SELECT l_partkey AS pk,
+          EXTRACT(year FROM CAST(l_shipdate AS TIMESTAMP)) AS yr,
+          CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,2)) * 100
+            AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+          AND NOT EXISTS (SELECT 1 FROM lineitem r
+            WHERE r.l_returnflag = 'R'
+              AND r.l_orderkey = l.l_orderkey
+              AND r.l_partkey = l.l_partkey)
+        GROUP BY 1, 2)
+      SELECT p_brand,
+        CAST(SUM(y1.qty) AS BIGINT) AS qty97_cents,
+        CAST(SUM(y2.qty) AS BIGINT) AS qty98_cents,
+        CAST(CAST(SUM(y2.qty) AS BIGINT) AS DOUBLE)
+          / CAST(CAST(SUM(y1.qty) AS BIGINT) AS DOUBLE) AS yoy_ratio
+      FROM clean y1
+        JOIN clean y2 ON y1.pk = y2.pk
+        JOIN part ON y1.pk = p_partkey
+      WHERE y1.yr = 1997 AND y2.yr = 1998
+      GROUP BY p_brand ORDER BY p_brand""",
+    "ds72_missing_dim" -> """
+      WITH missing AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 'store' ELSE 'web' END AS channel,
+          CAST(EXTRACT(year FROM CAST(l_shipdate AS TIMESTAMP)) AS INT)
+            AS yr,
+          CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+            AS cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+          AND l_partkey NOT IN
+            (SELECT p_partkey FROM part WHERE p_size <= 45)),
+      u AS (
+        SELECT channel, yr, cents FROM missing WHERE channel = 'store'
+        UNION ALL
+        SELECT channel, yr, cents FROM missing WHERE channel = 'web')
+      SELECT channel, yr, CAST(COUNT(*) AS BIGINT) AS n_missing,
+        CAST(SUM(cents) AS BIGINT) AS cents
+      FROM u GROUP BY 1, 2 ORDER BY 1, 2""")
 }

@@ -922,4 +922,49 @@ class PlanGuardSpec extends SparkSpec {
     assert(ds66.collect { case n: BroadcastNestedLoopJoinExec => n }
       .isEmpty, s"ds66 must keep pure equi-joins")
   }
+
+  test("ds67-ds72: eighth round-15 batch keeps its scale shapes") {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // ds67: the cross-year self-join runs on the AGGREGATED grain —
+    // equi on the item key, never a nested loop
+    val ds67 = unwrap(SparkEntry.queries("ds67_cross_year_pairs")(
+      spark, sf).queryExecution.executedPlan)
+    assert(ds67.collect { case n: BroadcastNestedLoopJoinExec => n }
+      .isEmpty, s"ds67 must keep the aggregated self-join equi")
+    // ds68: the returns side must stay a true LeftOuter (the COALESCE
+    // netting consumes padded NULLs — the join must not be eliminated
+    // or flipped)
+    val ds68 = SparkEntry.queries("ds68_netted_pivot")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(ds68.collect { case j: LJoin if j.joinType == LeftOuter => j }
+      .nonEmpty, s"ds68 must keep a LeftOuter for the netting:\n$ds68")
+    // ds70: the returns flag prunes at the scan
+    val ds70 = SparkEntry.queries("ds70_return_loss")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(ds70.collect { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "") }.mkString
+      .contains("EqualTo(l_returnflag,R)"),
+      s"ds70 R-flag must prune at the scan")
+    // ds71: the template's LEFT-JOIN-IS-NULL returns exclusion plans
+    // as a LeftAnti (the job18/job27 discipline)
+    val ds71 = SparkEntry.queries("ds71_anti_return_yoy")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(ds71.collect { case j: LJoin if j.joinType == LeftAnti => j }
+      .nonEmpty, s"ds71 returns exclusion must plan as LeftAnti:\n$ds71")
+    // ds72: the missing-dimension probe (left join + IS NULL) is
+    // rewritten to a LeftAnti by the optimizer
+    val ds72 = SparkEntry.queries("ds72_missing_dim")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(ds72.collect { case j: LJoin if j.joinType == LeftAnti => j }
+      .nonEmpty, s"ds72 missing-dim probe must plan as LeftAnti:\n$ds72")
+  }
 }
