@@ -407,4 +407,48 @@ class RandomizedPropertySpec extends SparkSpec {
       assert(memberIds.subsetOf(got), s"seed=$seed: false negative!")
     }
   }
+
+  test("ds50's profile collapse == literal double-EXISTS on random " +
+    "order/line data") {
+    // the q16/q94/q95 rewrite: ONE per-order aggregation (count
+    // distinct suppliers + max return flag) must classify orders
+    // exactly like the template's correlated EXISTS probes
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(700 + seed)
+      val lines = (0 until 120).map { i =>
+        (r.nextInt(30).toLong, r.nextInt(6).toLong,
+          if (r.nextInt(4) == 0) "R" else "N") }
+      val orders = (0 until 30).map(_.toLong)
+      val lDf = lines.toDF("ok", "sk", "flag")
+      val prof = lDf.groupBy(col("ok"))
+        .agg(countDistinct(col("sk")).as("nsupp"),
+          max(when(col("flag") === "R", 1).otherwise(0)).as("hasRet"))
+        .filter(col("nsupp") >= 2)
+      val got = prof.select(col("ok"), col("hasRet"))
+        .as[(Long, Int)].collect().toMap
+      val want = orders.flatMap { ok =>
+        val ls = lines.filter(_._1 == ok)
+        val multi = ls.exists(a => ls.exists(b => a._2 != b._2))
+        if (!multi) None
+        else Some(ok -> (if (ls.exists(_._3 == "R")) 1 else 0))
+      }.toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("LeftAnti missing-dim probe == literal NOT IN on random keys") {
+    // the q76/q78 rewrite: anti-join against a key set must drop
+    // exactly the NOT-IN rows (null-free keys by construction)
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(800 + seed)
+      val facts = (0 until 100).map(i => (i.toLong, r.nextInt(40).toLong))
+      val dim = (0 until 40).map(_.toLong).filter(_ => r.nextBoolean())
+      val got = facts.toDF("id", "k")
+        .join(dim.toDF("dk"), col("k") === col("dk"), "left_anti")
+        .select("id").as[Long].collect().toSet
+      val want = facts.collect {
+        case (id, k) if !dim.contains(k) => id }.toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }
