@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Derive the per-corpus coverage counts from the source tree, so the
+SURVEY/README numbers are grep-derived facts rather than hand-maintained
+prose (they drifted twice before round 15 — README said 259/206 while
+the registry was 366).
+
+Counts reported:
+  registry        — query ids registered in SparkEntry (one `"<id>" ->`
+                    per entry across the queries maps)
+  tpcds_cited     — distinct /root/reference/benchmark/tpcds/queryN.tpl
+                    citations (98 of 99 as of r15; q72's inventory
+                    triple join has no 8-table analogue)
+  job_queries     — jobN query ids (family accounting lives in
+                    BreadthQueries' scaladoc: 33/33 families)
+  per_prefix      — registry ids bucketed by prefix family
+
+Usage: python3 tools/coverage.py [--json]
+"""
+import json, os, re, subprocess, sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+QDIR = os.path.join(REPO, "src/main/scala/graft/queries")
+
+
+def read_all():
+    out = []
+    for fn in sorted(os.listdir(QDIR)):
+        if fn.endswith(".scala"):
+            with open(os.path.join(QDIR, fn)) as f:
+                out.append(f.read())
+    return "\n".join(out)
+
+
+def registry_ids():
+    """Query ids as the driver sees them: render SparkEntry.queries'
+    key set would need a JVM; the static proxy is every `"<id>" ->`
+    key that appears in BOTH a queries map and (id-identically) at
+    most once — in practice ids are unique strings of [a-z0-9_]+
+    starting with a known family prefix and bound with `-> ((s`. """
+    src = read_all()
+    ids = set(re.findall(r'"([a-z][a-z0-9_]+)"\s*->\s*\(\(s\b', src))
+    # block-valued entries ( `-> {` ) — e.g. oracle-side only; queries
+    # are always lambdas, so the lambda-bound set IS the registry.
+    return sorted(ids)
+
+
+def main():
+    ids = registry_ids()
+    src = read_all()
+    tpcds = sorted(set(
+        int(m) for m in re.findall(r"query(\d+)\.tpl", src)))
+    jobq = sorted(set(i for i in ids if re.match(r"job\d+_", i)),
+                  key=lambda x: int(re.match(r"job(\d+)_", x).group(1)))
+    prefixes = {}
+    for i in ids:
+        p = re.match(r"([a-z]+)", i).group(1)
+        prefixes[p] = prefixes.get(p, 0) + 1
+    rep = {
+        "registry": len(ids),
+        "tpcds_cited": len(tpcds),
+        "tpcds_missing": [q for q in range(1, 100) if q not in tpcds],
+        "job_queries": len(jobq),
+        "per_prefix": dict(sorted(prefixes.items())),
+    }
+    if "--json" in sys.argv:
+        print(json.dumps(rep, indent=2))
+    else:
+        print(f"registry ids (static): {rep['registry']}")
+        print(f"tpcds templates cited: {rep['tpcds_cited']}/99 "
+              f"(missing: {rep['tpcds_missing']})")
+        print(f"job queries: {rep['job_queries']} "
+              "(33/33 families per BreadthQueries scaladoc)")
+        print("per prefix:", ", ".join(
+            f"{k}:{v}" for k, v in sorted(prefixes.items())))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
