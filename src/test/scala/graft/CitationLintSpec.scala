@@ -31,11 +31,20 @@ class CitationLintSpec extends AnyFunSuite {
     * reviewer actually reads, and where the r12 fabrication class would
     * hurt most (VERDICT r13 What's-wrong #4). Non-recursive: round
     * artifacts live at the root too, but they are all .json/.sbt except
-    * the *.md set we want. */
+    * the *.md set we want. EXTERNALLY-AUTHORED round artifacts (judge
+    * verdicts, driver advice/baseline/retrieval dumps) are excluded:
+    * this lint guards the BUILDER's provenance claims, and the builder
+    * cannot respell a judge's shell-brace shorthand like
+    * `bi-{3,15}.sql` (which the path regex truncates to a nonexistent
+    * `bi-` — the r16 false positive). */
+  private val externallyAuthored = Set("VERDICT.md", "ADVICE.md",
+    "BASELINE.md", "PAPERS.md", "SNIPPETS.md", "TESTDATA.md")
+
   private def rootMarkdown: Seq[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator.asScala
       .filter(p => p.toString.endsWith(".md"))
+      .filterNot(p => externallyAuthored.contains(p.getFileName.toString))
       .toSeq
   }
 

@@ -27,6 +27,18 @@ band EXCLUDES 1.0 is re-run alone at 2x the rounds (min 8) so a real
 single-query regression separates from the ~±25% 4-round noise floor;
 the focused band replaces the wide one in the artifact (kept under
 "coarse_*") and the summary prints which flags survived.
+
+r15 post-mortem (VERDICT r16 #2): the r15 focus pass measured NOTHING —
+the REF tree predated comma-list SPARK_GRAFT_ONLY support, silently ran
+ZERO queries per focused round, and "0 of 35 flags survive" was
+vacuously true. Three defenses now:
+  (1) run_bench FAILS if a bench run returns an empty per-query map;
+  (2) before the focus pass, the REF tree's comma-list capability is
+      PROBED with a tiny two-query run — no support -> per-flag
+      single-substring focused passes instead of one comma-joined pass;
+  (3) a flag only counts as CLEARED if it was actually measured
+      (n_paired_rounds >= frounds/2 AND band straddles 1.0); flags with
+      too little data are reported as "no_data", never as cleared.
 """
 import json, math, os, shutil, subprocess, sys
 
@@ -68,7 +80,7 @@ def build_ref():
     sh(["sbt", "-batch", "compile"], cwd=WORKTREE)
 
 
-def run_bench(tree, label, out, only=None):
+def run_bench(tree, label, out, only=None, allow_empty=False):
     cp = f"{tree}/target/scala-2.13/classes:/opt/spark/jars/*"
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=SF,
@@ -86,7 +98,32 @@ def run_bench(tree, label, out, only=None):
         print(r.stderr[-3000:])
         sys.exit(f"bench run {label} failed")
     with open(out) as f:
-        return json.load(f)["queries"]
+        qs = json.load(f)["queries"]
+    # Defense (1): an empty per-query map means the filter matched
+    # nothing (e.g. a REF tree that can't parse a comma-joined ONLY
+    # list) — in r15 this silently produced a vacuous focus pass.
+    if not qs and not allow_empty:
+        sys.exit(f"bench run {label} returned ZERO queries "
+                 f"(SPARK_GRAFT_ONLY={only!r} matched nothing on that "
+                 "tree) — refusing to treat an unmeasured run as data")
+    return qs
+
+
+def ref_supports_comma_only(sample_queries):
+    """Defense (2): probe whether the REF tree's Bench understands a
+    comma-joined SPARK_GRAFT_ONLY list (support landed r15 984aeb9; an
+    older REF treats the whole list as ONE substring and runs nothing).
+    One tiny run with two cheap query ids: comma support <=> both ids
+    appear in the result."""
+    if len(sample_queries) < 2:
+        return True  # a single flag needs no comma list anyway
+    pair = sample_queries[:2]
+    qs = run_bench(WORKTREE, "REF#comma-probe", "/tmp/ab_probe.json",
+                   only=",".join(pair), allow_empty=True)
+    ok = all(q in qs for q in pair)
+    print(f"[ab] REF comma-list SPARK_GRAFT_ONLY support: "
+          f"{'yes' if ok else 'NO — falling back to per-flag passes'}")
+    return ok
 
 
 def best(runs, q):
@@ -152,10 +189,27 @@ def main():
                 print(f"[ab] focus: {len(flags)} queries' bands exclude "
                       f"1.0 — re-running alone at {frounds} rounds: "
                       + ", ".join(flags))
-                fa, fb = interleave(frounds, "f", only=",".join(flags))
-                frows = compare(fa, fb)
+                if ref_supports_comma_only(flags):
+                    fa, fb = interleave(frounds, "f", only=",".join(flags))
+                    frows = compare(fa, fb)
+                else:
+                    # per-flag single-substring passes: slower (one
+                    # interleave per flag) but works on any REF tree
+                    frows = {}
+                    for q in flags:
+                        fa, fb = interleave(frounds, f"f_{q}_", only=q)
+                        frows.update({k: v for k, v in
+                                      compare(fa, fb).items() if k == q})
+                # Defense (3): split flags by whether the focused pass
+                # actually MEASURED them — a flag with fewer than half
+                # the focus rounds paired is "no_data", never "cleared".
+                measured = {q for q in flags
+                            if frows.get(q, {}).get("n_paired_rounds", 0)
+                            >= frounds / 2}
+                no_data = sorted(set(flags) - measured)
                 survivors = flagged({q: v for q, v in frows.items()
-                                     if q in flags})
+                                     if q in measured})
+                cleared = sorted(measured - set(survivors))
                 for q in flags:
                     if q in frows:
                         rows[q] = dict(frows[q],
@@ -164,10 +218,15 @@ def main():
                                        coarse_ratio_max=rows[q]["ratio_max"],
                                        focused=True)
                 focus_info = {"rounds": frounds, "flagged": flags,
-                              "confirmed": survivors}
+                              "confirmed": survivors,
+                              "cleared_by_measurement": cleared,
+                              "no_data": no_data}
                 print(f"[ab] focus: {len(survivors)} of {len(flags)} flags "
                       f"survive the {frounds}-round re-run"
-                      + (": " + ", ".join(survivors) if survivors else ""))
+                      + (": " + ", ".join(survivors) if survivors else "")
+                      + f"; {len(cleared)} cleared by measurement"
+                      + (f"; {len(no_data)} NO DATA (NOT cleared): "
+                         + ", ".join(no_data) if no_data else ""))
             else:
                 focus_info = {"rounds": 0, "flagged": [], "confirmed": []}
                 print("[ab] focus: no query's band excludes 1.0 — "
@@ -216,7 +275,13 @@ def main():
         print(f"[ab]   {q:28s} {r:6.2f}x  paired {band(v)}"
               + ("  (focused)" if v.get("focused") else ""))
     print(f"[ab] wrote {path}")
+    if focus_info and focus_info.get("no_data"):
+        print("[ab] WARNING: focus left flags UNMEASURED (no_data) — "
+              "this run does NOT clear them: "
+              + ", ".join(focus_info["no_data"]))
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -7,14 +7,23 @@ the registry was 366).
 Counts reported:
   registry        — query ids registered in SparkEntry (one `"<id>" ->`
                     per entry across the queries maps)
-  tpcds_cited     — distinct /root/reference/benchmark/tpcds/queryN.tpl
-                    citations (98 of 99 as of r15; q72's inventory
-                    triple join has no 8-table analogue)
+  tpcds_cited     — distinct query<N>.tpl citations pointing into
+                    /root/reference/benchmark/tpcds/ (98 of 99 as of
+                    r15; q72's inventory triple join has no direct
+                    8-table analogue — see ds73's proxy note)
   job_queries     — jobN query ids (family accounting lives in
                     BreadthQueries' scaladoc: 33/33 families)
   per_prefix      — registry ids bucketed by prefix family
 
-Usage: python3 tools/coverage.py [--json]
+Usage: python3 tools/coverage.py [--json] [--expect N] [--ids-file F]
+
+  --expect N    fail (exit 1) unless the static registry count equals N
+                — a checked-in cross-check against silent drops if an
+                entry is ever bound through a helper val or different
+                lambda formatting (ADVICE r15).
+  --ids-file F  newline-separated query ids as rendered by the JVM
+                (e.g. `ls <verify-outdir>` basenames); prints the
+                symmetric diff vs the static set and fails on mismatch.
 """
 import json, os, re, subprocess, sys
 
@@ -72,7 +81,27 @@ def main():
               "(33/33 families per BreadthQueries scaladoc)")
         print("per prefix:", ", ".join(
             f"{k}:{v}" for k, v in sorted(prefixes.items())))
-    return 0
+    rc = 0
+    if "--expect" in sys.argv:
+        want = int(sys.argv[sys.argv.index("--expect") + 1])
+        if len(ids) != want:
+            print(f"EXPECT MISMATCH: static registry {len(ids)} != "
+                  f"expected {want}", file=sys.stderr)
+            rc = 1
+    if "--ids-file" in sys.argv:
+        path = sys.argv[sys.argv.index("--ids-file") + 1]
+        with open(path) as f:
+            rendered = set(l.strip() for l in f if l.strip())
+        static = set(ids)
+        only_static = sorted(static - rendered)
+        only_jvm = sorted(rendered - static)
+        if only_static or only_jvm:
+            print(f"IDS MISMATCH: static-only={only_static} "
+                  f"jvm-only={only_jvm}", file=sys.stderr)
+            rc = 1
+        else:
+            print(f"ids-file cross-check OK ({len(rendered)} ids)")
+    return rc
 
 
 if __name__ == "__main__":
