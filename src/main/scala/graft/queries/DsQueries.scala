@@ -1252,17 +1252,24 @@ object DsQueries {
       val wr = Window.orderBy(col("p").desc, col("tn"))
       val keep = top5.select(col("tn"), rank().over(wr).as("rnk"))
         .filter(col("rnk") <= 5).select(col("tn"))
+      // Materialize lochierarchy + the parent partition key BEFORE the
+      // window (the ds1 convention) and COALESCE the NULL rollup keys to
+      // a sentinel (the ds51 discipline): no GROUPING() inside OVER and
+      // no engine-specific NULL rendering/ordering can affect the rank.
       val grid = base.join(keep, col("n_name") === col("tn"), "left_semi")
         .rollup(col("n_name"), col("city"))
         .agg(sum(col("mu")).as("total_sum"),
           grouping(col("n_name")).cast("int").as("gs"),
           grouping(col("city")).cast("int").as("gc"))
-      val wp = Window.partitionBy(col("gs") + col("gc"),
-          when(col("gc") === 0, col("n_name")))
-        .orderBy(col("total_sum").desc, col("n_name"), col("city"))
-      grid.select(col("total_sum"), col("n_name").as("state"),
-          col("city").as("county"),
+        .select(col("total_sum"),
+          coalesce(col("n_name"), lit("ALL")).as("state"),
+          coalesce(col("city"), lit("ALL")).as("county"),
           (col("gs") + col("gc")).as("lochierarchy"),
+          when(col("gc") === 0, col("n_name")).as("pk"))
+      val wp = Window.partitionBy(col("lochierarchy"), col("pk"))
+        .orderBy(col("total_sum").desc, col("state"), col("county"))
+      grid.select(col("total_sum"), col("state"), col("county"),
+          col("lochierarchy"),
           rank().over(wp).cast("int").as("rank_within_parent"))
         .orderBy(col("lochierarchy").desc,
           when(col("lochierarchy") === 0, col("state")),
@@ -1500,9 +1507,14 @@ object DsQueries {
       }
       val one = Tables.load(s, dir, "lineitem")
         .agg(aggs.head, aggs.tail: _*)
+      // Empty-band guard (ADVICE r15): 0/0 would be NaN here while the
+      // oracle's scalar subqueries return NULL on an empty band — emit
+      // NULL so the engines agree even if a fixture scale ever leaves a
+      // quantity band unpopulated.
       val buckets = bands.indices.map { i =>
-        when(col(s"cnt$i") > thresholds(i),
-          col(s"pc$i").cast("double") / col(s"cnt$i").cast("double"))
+        when(col(s"cnt$i") === 0L, lit(null).cast("double"))
+          .when(col(s"cnt$i") > thresholds(i),
+            col(s"pc$i").cast("double") / col(s"cnt$i").cast("double"))
           .otherwise(
             col(s"db$i").cast("double") / col(s"cnt$i").cast("double"))
           .as(s"bucket${i + 1}")
@@ -1662,15 +1674,19 @@ object DsQueries {
       Tables.load(s, dir, "orders")
         .join(prof, col("o_orderkey") === col("ok"))
         .filter(col("nsupp") >= 2)
+        // COALESCE to 0 (ADVICE r15): on an input where NO order has
+        // >= 2 distinct suppliers, SUM over empty input is NULL while
+        // the oracle's COUNT(*)/COALESCE arms return 0 — pin both
+        // engines to 0 on the empty qualifying set.
         .agg(
-          sum(when(col("has_ret") === 1, 1L).otherwise(0L))
-            .cast("bigint").as("n_ret"),
-          sum(when(col("has_ret") === 1, oc).otherwise(lit(0L)))
-            .cast("bigint").as("cents_ret"),
-          sum(when(col("has_ret") === 0, 1L).otherwise(0L))
-            .cast("bigint").as("n_clean"),
-          sum(when(col("has_ret") === 0, oc).otherwise(lit(0L)))
-            .cast("bigint").as("cents_clean"))
+          coalesce(sum(when(col("has_ret") === 1, 1L).otherwise(0L)),
+            lit(0L)).cast("bigint").as("n_ret"),
+          coalesce(sum(when(col("has_ret") === 1, oc).otherwise(lit(0L))),
+            lit(0L)).cast("bigint").as("cents_ret"),
+          coalesce(sum(when(col("has_ret") === 0, 1L).otherwise(0L)),
+            lit(0L)).cast("bigint").as("n_clean"),
+          coalesce(sum(when(col("has_ret") === 0, oc).otherwise(lit(0L))),
+            lit(0L)).cast("bigint").as("cents_clean"))
     }),
 
     // --- TPC-DS q18/q22/q27's multi-measure hierarchy rollup: average
@@ -2102,8 +2118,13 @@ object DsQueries {
         .filter(col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
         .join(Tables.load(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
+        // The oracle COALESCEs only the promo arm (its subquery can be
+        // empty under the p_type gate while the month has rows); mirror
+        // that exactly so an empty month yields (0, NULL, NULL) on both
+        // engines (ADVICE r15).
         .agg(
-          sum(when(col("p_type") === "PROMO", cents).otherwise(lit(0L)))
+          coalesce(sum(when(col("p_type") === "PROMO", cents)
+            .otherwise(lit(0L))), lit(0L))
             .cast("bigint").as("promo_cents"),
           sum(cents).cast("bigint").as("total_cents"))
         .select(col("promo_cents"), col("total_cents"),
@@ -2344,6 +2365,81 @@ object DsQueries {
         .agg(count(lit(1)).cast("bigint").as("n_missing"),
           sum(cents).cast("bigint").as("cents"))
         .orderBy(col("channel"), col("yr"))
+    }),
+
+    // --- TPC-DS q72's inventory-shortfall signature — the last
+    // uncited template: FACT (sale) x FACT-AT-MATCHING-WEEK (inventory
+    // position) x dims, with a cross-fact quantity inequality
+    // (on-hand < ordered), a late-shipment date gate (+5 days), two
+    // demographic gates, a LEFT-JOINed promotion arm split via CASE ON
+    // NULL, and a LEFT-JOINed returns probe. Corpus mapping: sale =
+    // lineitem+orders, inventory = events as daily warehouse positions
+    // (item = event_id mod 200 — the sf0.001 part domain, a fixed
+    // tracked-item subset valid at every scale; warehouse = user
+    // bucket, on-hand = value); the events clock (2024-01, ISO weeks
+    // 1..5) doesn't overlap the orders clock (1995-2001), so q72's
+    // d1.d_week_seq = d2.d_week_seq becomes WEEK-OF-YEAR SLOT equality
+    // — the same fact-to-fact week equi-join, on the alignment the
+    // synthetic clocks allow. Scale shape: both facts shuffle ONCE on
+    // the (item, week) join key with the quantity inequality as a
+    // residual filter (never a cross join); the year gate is a pushed
+    // timestamp range (the sb1 lesson — no year() in the scan); promo/
+    // returns are key-grain LEFT probes; output is a grouped
+    // TakeOrderedAndProject.
+    // Ref: /root/reference/benchmark/tpcds/query72.tpl ---
+    "ds73_inventory_shortfall" -> ((s, dir) => {
+      val inv = graft.Tables.events(s, dir)
+        .select(((col("event_id") % 200) + 1).as("ipk"),
+          weekofyear(col("t")).as("iwk"),
+          concat(lit("WH_"), (col("user_id") % 10).cast("string"))
+            .as("warehouse"),
+          col("value").as("on_hand"))
+      val building = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(col("c_custkey"))
+      val sales = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 5 DAYS"))
+        .filter(col("o_orderpriority")
+          .isin("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .join(building, col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"),
+          weekofyear(col("o_orderdate")).as("wk"))
+      val promo = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "PROMO")
+        .select(col("p_partkey").as("prk"))
+      val rets = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("rok"), col("l_partkey").as("rpk"))
+        .distinct()
+      sales
+        .join(inv, col("l_partkey") === col("ipk") &&
+          col("wk") === col("iwk") &&
+          col("on_hand") < col("l_quantity").cast("double") * 10)
+        .join(Tables.load(s, dir, "part")
+            .select(col("p_partkey"), col("p_name")),
+          col("l_partkey") === col("p_partkey"))
+        .join(promo, col("l_partkey") === col("prk"), "left")
+        .join(rets, col("l_orderkey") === col("rok") &&
+          col("l_partkey") === col("rpk"), "left")
+        .groupBy(col("p_name").as("item_desc"), col("warehouse"),
+          col("wk"))
+        .agg(
+          sum(when(col("prk").isNull, 1L).otherwise(0L))
+            .cast("bigint").as("no_promo"),
+          sum(when(col("prk").isNotNull, 1L).otherwise(0L))
+            .cast("bigint").as("promo"),
+          sum(when(col("rok").isNotNull, 1L).otherwise(0L))
+            .cast("bigint").as("returned"),
+          count(lit(1)).cast("bigint").as("total_cnt"))
+        .orderBy(col("total_cnt").desc, col("item_desc"),
+          col("warehouse"), col("wk"))
+        .limit(100)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -3134,18 +3230,22 @@ object DsQueries {
           SELECT n_name,
             RANK() OVER (ORDER BY SUM(mu) DESC, n_name) AS rnk
           FROM base GROUP BY n_name) r
-        WHERE rnk <= 5)
-      SELECT CAST(SUM(mu) AS DECIMAL(38,0)) AS total_sum,
-        n_name AS state, city AS county,
-        CAST(GROUPING(n_name) + GROUPING(city) AS INT) AS lochierarchy,
+        WHERE rnk <= 5),
+      agg AS (
+        SELECT CAST(SUM(mu) AS DECIMAL(38,0)) AS total_sum,
+          COALESCE(n_name, 'ALL') AS state,
+          COALESCE(city, 'ALL') AS county,
+          CAST(GROUPING(n_name) + GROUPING(city) AS INT) AS lochierarchy,
+          CASE WHEN GROUPING(city) = 0 THEN n_name END AS pk
+        FROM base
+        WHERE n_name IN (SELECT n_name FROM top5)
+        GROUP BY ROLLUP(n_name, city))
+      SELECT total_sum, state, county, lochierarchy,
         CAST(RANK() OVER (
-          PARTITION BY GROUPING(n_name) + GROUPING(city),
-            CASE WHEN GROUPING(city) = 0 THEN n_name END
-          ORDER BY SUM(mu) DESC, n_name, city) AS INT)
+          PARTITION BY lochierarchy, pk
+          ORDER BY total_sum DESC, state, county) AS INT)
           AS rank_within_parent
-      FROM base
-      WHERE n_name IN (SELECT n_name FROM top5)
-      GROUP BY ROLLUP(n_name, city)
+      FROM agg
       ORDER BY lochierarchy DESC,
         CASE WHEN lochierarchy = 0 THEN state END,
         rank_within_parent, state, county""",
@@ -3828,5 +3928,47 @@ object DsQueries {
         SELECT channel, yr, cents FROM missing WHERE channel = 'web')
       SELECT channel, yr, CAST(COUNT(*) AS BIGINT) AS n_missing,
         CAST(SUM(cents) AS BIGINT) AS cents
-      FROM u GROUP BY 1, 2 ORDER BY 1, 2""")
+      FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ds73_inventory_shortfall" -> """
+      WITH inv AS (
+        SELECT (event_id % 200) + 1 AS ipk,
+          CAST(weekofyear(ts) AS INT) AS iwk,
+          'WH_' || CAST(user_id % 10 AS VARCHAR) AS warehouse,
+          value AS on_hand
+        FROM events),
+      sales AS (
+        SELECT l_partkey, l_orderkey, l_quantity,
+          CAST(weekofyear(o_orderdate) AS INT) AS wk
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND CAST(l_shipdate AS TIMESTAMP) >
+              CAST(o_orderdate AS TIMESTAMP) + INTERVAL 5 DAY
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+          AND EXISTS (SELECT 1 FROM customer
+            WHERE c_custkey = o_custkey
+              AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE'))),
+      rets AS (
+        SELECT DISTINCT l_orderkey AS rok, l_partkey AS rpk
+        FROM lineitem WHERE l_returnflag = 'R')
+      SELECT p.p_name AS item_desc, i.warehouse, s.wk,
+        CAST(SUM(CASE WHEN pr.p_partkey IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS no_promo,
+        CAST(SUM(CASE WHEN pr.p_partkey IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS promo,
+        CAST(SUM(CASE WHEN r.rok IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS returned,
+        CAST(COUNT(*) AS BIGINT) AS total_cnt
+      FROM sales s
+        JOIN inv i ON i.ipk = s.l_partkey AND i.iwk = s.wk
+          AND i.on_hand < CAST(s.l_quantity AS DOUBLE) * 10
+        JOIN part p ON p.p_partkey = s.l_partkey
+        LEFT JOIN (SELECT p_partkey FROM part
+                   WHERE p_type = 'PROMO') pr
+          ON pr.p_partkey = s.l_partkey
+        LEFT JOIN rets r
+          ON r.rok = s.l_orderkey AND r.rpk = s.l_partkey
+      GROUP BY 1, 2, 3
+      ORDER BY total_cnt DESC, item_desc, warehouse, s.wk
+      LIMIT 100""")
 }
