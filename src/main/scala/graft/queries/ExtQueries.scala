@@ -461,7 +461,11 @@ object ExtQueries {
     // scan, the BI-query contract), so the fixpoint never visits a
     // disqualified node. Histogram per seed mktsegment: reachable pairs
     // within 3 hops, total shortest-path hops, distinct seeds.
-    // All-integer — hash-exact ---
+    // All-integer — hash-exact.
+    // Ref: /root/reference/benchmark/ldbc/bi-19.sql (interaction-
+    // weighted city-pair SP; the vertex gate here plays its
+    // city-restriction role) and /root/reference/benchmark/ldbc/
+    // bi-20.sql (knows-graph SP restricted to qualifying edges) ---
     "ldbc8_filtered_sp" -> ((s, dir) => {
       val active = Tables.load(s, dir, "customer")
         .filter(col("c_acctbal") > 0)
@@ -1387,6 +1391,248 @@ object ExtQueries {
           col("score").cast("int").as("score"))
         .orderBy(col("score").desc, col("person1"), col("person2"))
         .limit(100)
+    }),
+
+    // --- LDBC BI Q3 "popular topics in a country": forums whose
+    // MODERATOR lives in a given country, ranked by the count of their
+    // messages that carry a given tag class. Corpus mapping: forum ≈
+    // part (the ldbc23 convention), message ≈ lineitem in that forum,
+    // moderator ≈ the forum's lowest-keyed posting customer (a
+    // deterministic per-forum argmin — forums have no owner column in
+    // the 8-table corpus), tag-class gate ≈ the message's order is
+    // URGENT (rides the lineitem→orders equi-join, never a correlated
+    // probe), country ≈ nation region bucket (the ldbc25 precedent —
+    // wide enough to be non-empty at smoke scale). Scale shape: the
+    // per-forum moderator/created/message-count are forum-grain
+    // aggregates off ONE joined scan; the country gate probes the
+    // ~|part| aggregate (LeftSemi), never fact rows; top-20 is a
+    // TakeOrderedAndProject. Ref: /root/reference/benchmark/ldbc/
+    // bi-3.sql ---
+    "ldbc26_country_topic_forums" -> ((s, dir) => {
+      val lo = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val fstat = lo.groupBy(col("l_partkey").as("forum"))
+        .agg(min(col("o_custkey")).as("moderator"),
+          min(col("o_orderdate")).as("created"))
+      val tagged = lo
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("l_partkey").as("tforum"))
+        .agg(count(lit(1)).cast("bigint").as("message_count"))
+      val modLoc = Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_regionkey") === 3)
+        .select(col("c_custkey").as("moderator"))
+      fstat.join(tagged, col("forum") === col("tforum"))
+        .join(modLoc, Seq("moderator"), "left_semi")
+        .join(Tables.load(s, dir, "part")
+            .select(col("p_partkey").as("forum"),
+              col("p_name").as("title")),
+          Seq("forum"))
+        .select(col("forum"), col("title"), col("created"),
+          col("moderator"), col("message_count"))
+        .orderBy(col("message_count").desc, col("forum"))
+        .limit(20)
+    }),
+
+    // --- LDBC BI Q15 "trusted connection paths through forums created
+    // in a timeframe": weighted shortest paths over the knows graph
+    // where an edge's weight reflects how much its two persons actually
+    // interacted — replies between their messages inside forums created
+    // in the window (root-post reply = 10, comment reply = 5), mapped
+    // to trust cost 10/(w+10) exactly as bi-15's `path` CTE, here in
+    // exact integer MICRO-units (1e7 div (w+10)) so the min-plus
+    // fixpoint stays BIGINT/hash-exact. Corpus mapping: knows = the
+    // ldbc5 same-nation k+1..k+12 fan; forums/messages as ldbc23/26;
+    // reply = the established ok+1..ok+5 fan WITHIN a forum; root post
+    // = linenumber 1. Scale shape: the interaction weights aggregate
+    // to the (least, greatest) PAIR grain before ever touching the
+    // knows edges (a bounded equi-join — the mm CTE of bi-15);
+    // traversal is Graphs.minPlusDistances — per round one vertex-key
+    // equi-join + a map-side-combined (seed, node) min-aggregate —
+    // never path enumeration. Ref: /root/reference/benchmark/ldbc/
+    // bi-15.sql ---
+    "ldbc27_trusted_paths" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_nationkey").cast("bigint").as("nat"))
+      val lo = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("forum"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("o_custkey").as("creator"), col("o_orderdate"))
+      // forum creation = first message date; the qualifying window sits
+      // at the START of the data range because a 30-message forum's min
+      // date almost surely lands in the first weeks — a late window
+      // would select no forums and starve the mm weights
+      val myForums = lo.groupBy(col("forum"))
+        .agg(min(col("o_orderdate")).as("created"))
+        .filter(col("created") >= lit("1995-01-01").cast("timestamp"))
+        .filter(col("created") < lit("1995-03-01").cast("timestamp"))
+        .select(col("forum"))
+      val msgs = lo.join(myForums, Seq("forum"))
+      val replies = msgs
+        .select(col("forum"), col("ok"), col("ln"), col("creator"),
+          explode(sequence(col("ok") + 1, col("ok") + 5)).as("rok"))
+        .join(msgs.select(col("forum"), col("ok").as("rok"),
+          col("creator").as("rcreator")), Seq("forum", "rok"))
+      val mm = replies
+        .select(least(col("creator"), col("rcreator")).as("src"),
+          greatest(col("creator"), col("rcreator")).as("dst"),
+          when(col("ln") === 1, 10L).otherwise(5L).as("pts"))
+        .groupBy(col("src"), col("dst"))
+        .agg(sum(col("pts")).as("w"))
+      val cand = c.select(col("k").as("src"), col("nat"),
+        explode(sequence(col("k") + 1, col("k") + 12)).as("dst"))
+      val edges = cand
+        .join(c.select(col("k").as("dst"), col("nat")), Seq("dst", "nat"))
+        .join(mm, Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"),
+          expr("CAST(10000000 AS BIGINT) div " +
+            "(coalesce(w, CAST(0 AS BIGINT)) + 10)").as("w"))
+      val seeds = c.filter(col("k") % 25 === 3)
+        .select(col("k").as("node"))
+      val d = graft.operators.Graphs.minPlusDistances(seeds, edges,
+        rounds = 3)
+      d.filter(col("node") =!= col("seed"))
+        .join(c.select(col("k").as("seed"), col("nat")), Seq("seed"))
+        .groupBy(col("nat"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("dist")).cast("bigint").as("sum_trust"),
+          min(col("dist")).as("min_trust"),
+          max(col("dist")).as("max_trust"))
+        .orderBy(col("nat"))
+    }),
+
+    // --- LDBC BI Q16 "fake news detection": two per-person message
+    // counts over (tag, date)-gated subgraphs A and B, keeping only
+    // LOW-CONNECTIVITY posters (in-subgraph knows-degree <= limit —
+    // the fake-news signal), joined on person, top-20 by combined
+    // volume. Corpus mapping: subgraph A = URGENT orders of 1997-H1,
+    // subgraph B = HIGH orders of 1997-04..09; knows = the same-REGION
+    // k+1..k+12 fan (denser than the nation fan so the degree cap
+    // genuinely bites); degree counts DISTINCT in-subgraph neighbors
+    // via two semi-gated equi-joins — bi-16's LEFT JOIN + HAVING spelt
+    // as aggregate-then-filter. Scale shape: each subgraph is one
+    // pushed-band scan aggregated to person grain before any graph
+    // work; the degree probe joins person-grain frames only.
+    // Ref: /root/reference/benchmark/ldbc/bi-16.sql ---
+    "ldbc28_fake_news" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("n_regionkey").cast("bigint").as("reg"))
+      val cand = c.select(col("k").as("src"), col("reg"),
+        explode(sequence(col("k") + 1, col("k") + 12)).as("dst"))
+      val edges = cand
+        .join(c.select(col("k").as("dst"), col("reg")), Seq("dst", "reg"))
+        .select(col("src"), col("dst"))
+      def sub(prio: String, lo0: String, hi: String): DataFrame =
+        Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority") === prio)
+          .filter(col("o_orderdate") >= lit(lo0).cast("timestamp"))
+          .filter(col("o_orderdate") < lit(hi).cast("timestamp"))
+          .groupBy(col("o_custkey").cast("bigint").as("person"))
+          .agg(count(lit(1)).cast("bigint").as("cm"))
+      def lowDeg(subg: DataFrame): DataFrame = {
+        val persons = subg.select(col("person"))
+        val deg = edges
+          .join(persons.select(col("person").as("src")), Seq("src"))
+          .join(persons.select(col("person").as("dst")), Seq("dst"))
+          .groupBy(col("src").as("person"))
+          .agg(countDistinct(col("dst")).as("deg"))
+        subg.join(deg, Seq("person"), "left")
+          .filter(coalesce(col("deg"), lit(0L)) <= 1)
+          .select(col("person"), col("cm"))
+      }
+      // half-year windows: a one-month gate leaves the A∩B person
+      // intersection EMPTY at the sf0.001 smoke scale (150 customers)
+      val a = lowDeg(sub("1-URGENT", "1997-01-01", "1997-07-01"))
+        .withColumnRenamed("cm", "message_count_a")
+      val b = lowDeg(sub("2-HIGH", "1997-04-01", "1997-10-01"))
+        .withColumnRenamed("cm", "message_count_b")
+      a.join(b, Seq("person"))
+        .orderBy((col("message_count_a") + col("message_count_b")).desc,
+          col("person"))
+        .limit(20)
+    }),
+
+    // --- LDBC BI Q17 "information propagation analysis": for each
+    // person1, count DISTINCT later messages (message2, in a DIFFERENT
+    // forum, past a delta) whose creator belongs to one of person1's
+    // forums, that drew a comment from another member of that same
+    // forum — while person1 is NOT a member of message2's forum (the
+    // out-of-echo-chamber propagation signal). Corpus mapping: tagged
+    // messages = lineitems of size-17 parts (tag ≈ p_size), forum =
+    // the part, creator/date via orders, comment = the ok+1..ok+5
+    // reply fan, membership = distinct (forum, person) posting pairs
+    // (ldbc23), delta = 4 days on the order-date clock. Scale shape:
+    // bi-17's quadratic message1 x message2 self-join collapses to the
+    // (person1, forum1, min_date) PROFILE grain first (the ds50
+    // trick); every probe after that is an equi-join through
+    // membership or the bounded reply fan — membership fan per person
+    // bounds the pair candidates, so no cross join survives; the
+    // NOT-member gate is a LeftAnti on (person1, forum2).
+    // Ref: /root/reference/benchmark/ldbc/bi-17.sql ---
+    "ldbc29_info_propagation" -> ((s, dir) => {
+      val lo = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val membership = lo
+        .select(col("l_partkey").as("forum"), col("o_custkey").as("person"))
+        .distinct()
+      val tagged = lo
+        .join(Tables.load(s, dir, "part")
+            .filter(col("p_size") === 17)
+            .select(col("p_partkey").as("l_partkey")),
+          Seq("l_partkey"), "left_semi")
+        .select(col("l_partkey").as("forum"),
+          col("l_orderkey").as("ok"),
+          col("o_custkey").as("creator"), col("o_orderdate").as("d"))
+      val prof = tagged.groupBy(col("creator").as("person1"),
+          col("forum").as("forum1"))
+        .agg(min(col("d")).as("m1d"))
+      // message2 candidates keyed by the forum1 they could propagate
+      // into: creator3 must be a member of forum1 (equi-link through
+      // membership — the move that kills bi-17's cross join)
+      val m2f1 = tagged
+        .select(col("forum").as("forum2"), col("ok").as("ok2"),
+          col("creator").as("person3"), col("d").as("d2"))
+        .join(membership.select(col("person").as("person3"),
+          col("forum").as("forum1")), Seq("person3"))
+        .filter(col("forum1") =!= col("forum2"))
+      // comment gate per (ok2, forum1): some reply to ok2 whose creator
+      // is a member of forum1 and is not person3
+      val replies = lo
+        .select(col("l_orderkey").as("rok"),
+          col("o_custkey").as("person2"))
+        .distinct()
+      val commentOk = m2f1
+        .select(col("ok2"), col("forum1"), col("person3")).distinct()
+        .select(col("ok2"), col("forum1"), col("person3"),
+          explode(sequence(col("ok2") + 1, col("ok2") + 5)).as("rok"))
+        .join(replies, Seq("rok"))
+        .filter(col("person2") =!= col("person3"))
+        .join(membership.select(col("person").as("person2"),
+          col("forum").as("forum1")), Seq("person2", "forum1"))
+        .select(col("ok2"), col("forum1")).distinct()
+      val gated = m2f1
+        .join(commentOk, Seq("ok2", "forum1"), "left_semi")
+        .join(prof, Seq("forum1"))
+        .filter(col("d2") > col("m1d") + expr("INTERVAL 4 DAYS"))
+        .filter(col("person1") =!= col("person3"))
+      gated
+        .join(membership.select(col("person").as("person1"),
+          col("forum").as("forum2")), Seq("person1", "forum2"),
+          "left_anti")
+        .groupBy(col("person1"))
+        .agg(countDistinct(col("ok2"), col("forum2")).cast("bigint")
+          .as("message_count"))
+        .orderBy(col("message_count").desc, col("person1"))
+        .limit(10)
     })
   )
 
@@ -2193,6 +2439,171 @@ object ExtQueries {
              l_extendedprice * (1.0 - l_discount) AS net
       FROM lineitem
       ORDER BY l_orderkey, l_linenumber, net
-      LIMIT 200"""
+      LIMIT 200""",
+    "ldbc26_country_topic_forums" -> """
+      WITH lo AS (
+        SELECT l_partkey, o_custkey, o_orderdate, o_orderpriority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      fstat AS (
+        SELECT l_partkey AS forum, MIN(o_custkey) AS moderator,
+          MIN(CAST(o_orderdate AS TIMESTAMP)) AS created
+        FROM lo GROUP BY 1),
+      tagged AS (
+        SELECT l_partkey AS forum,
+          CAST(COUNT(*) AS BIGINT) AS message_count
+        FROM lo WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+      SELECT f.forum, p_name AS title, f.created, f.moderator,
+        t.message_count
+      FROM fstat f
+        JOIN tagged t ON f.forum = t.forum
+        JOIN part ON p_partkey = f.forum
+      WHERE EXISTS (SELECT 1 FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey = f.moderator AND n_regionkey = 3)
+      ORDER BY message_count DESC, f.forum LIMIT 20""",
+    "ldbc27_trusted_paths" -> """
+      WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                        CAST(c_nationkey AS BIGINT) AS nat
+                 FROM customer),
+      lo AS (
+        SELECT l_partkey AS forum, l_orderkey AS ok,
+          l_linenumber AS ln, o_custkey AS creator,
+          CAST(o_orderdate AS TIMESTAMP) AS od
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      myforums AS (
+        SELECT forum FROM lo GROUP BY forum
+        HAVING MIN(od) >= TIMESTAMP '1995-01-01'
+           AND MIN(od) < TIMESTAMP '1995-03-01'),
+      msgs AS (SELECT lo.* FROM lo JOIN myforums USING (forum)),
+      mm AS (
+        SELECT least(m1.creator, m2.creator) AS src,
+          greatest(m1.creator, m2.creator) AS dst,
+          CAST(SUM(CASE WHEN m1.ln = 1 THEN 10 ELSE 5 END) AS BIGINT)
+            AS w
+        FROM msgs m1 JOIN msgs m2
+          ON m1.forum = m2.forum
+         AND m2.ok BETWEEN m1.ok + 1 AND m1.ok + 5
+        GROUP BY 1, 2),
+      e0 AS (
+        SELECT k AS src, nat, unnest(generate_series(k + 1, k + 12))
+          AS dst
+        FROM c),
+      edges AS (
+        SELECT e0.src, e0.dst,
+          CAST(10000000 AS BIGINT) // (COALESCE(mm.w, 0) + 10) AS w
+        FROM e0 JOIN c t ON e0.dst = t.k AND e0.nat = t.nat
+          LEFT JOIN mm ON mm.src = e0.src AND mm.dst = e0.dst),
+      d0 AS (SELECT k AS seed, k AS node, CAST(0 AS BIGINT) AS dist
+             FROM c WHERE k % 25 = 3),
+      d1 AS (SELECT seed, node, MIN(dist) AS dist FROM (
+               SELECT seed, node, dist FROM d0
+               UNION ALL
+               SELECT d0.seed, e.dst AS node, d0.dist + e.w AS dist
+               FROM d0 JOIN edges e ON d0.node = e.src)
+             GROUP BY seed, node),
+      d2 AS (SELECT seed, node, MIN(dist) AS dist FROM (
+               SELECT seed, node, dist FROM d1
+               UNION ALL
+               SELECT d1.seed, e.dst AS node, d1.dist + e.w AS dist
+               FROM d1 JOIN edges e ON d1.node = e.src)
+             GROUP BY seed, node),
+      d3 AS (SELECT seed, node, MIN(dist) AS dist FROM (
+               SELECT seed, node, dist FROM d2
+               UNION ALL
+               SELECT d2.seed, e.dst AS node, d2.dist + e.w AS dist
+               FROM d2 JOIN edges e ON d2.node = e.src)
+             GROUP BY seed, node)
+      SELECT nat, COUNT(*) AS n_pairs,
+        CAST(SUM(dist) AS BIGINT) AS sum_trust,
+        MIN(dist) AS min_trust, MAX(dist) AS max_trust
+      FROM d3 JOIN c ON d3.seed = c.k
+      WHERE node <> seed
+      GROUP BY nat ORDER BY nat""",
+    "ldbc28_fake_news" -> """
+      WITH c AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+          CAST(n_regionkey AS BIGINT) AS reg
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      e0 AS (
+        SELECT k AS src, reg, unnest(generate_series(k + 1, k + 12))
+          AS dst
+        FROM c),
+      edges AS (
+        SELECT e0.src, e0.dst
+        FROM e0 JOIN c t ON e0.dst = t.k AND e0.reg = t.reg),
+      suba AS (
+        SELECT CAST(o_custkey AS BIGINT) AS person,
+          CAST(COUNT(*) AS BIGINT) AS cm
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY 1),
+      dega AS (
+        SELECT e.src AS person, COUNT(DISTINCT e.dst) AS deg
+        FROM edges e JOIN suba s1 ON e.src = s1.person
+          JOIN suba s2 ON e.dst = s2.person
+        GROUP BY 1),
+      persona AS (
+        SELECT s.person, s.cm
+        FROM suba s LEFT JOIN dega d ON s.person = d.person
+        WHERE COALESCE(d.deg, 0) <= 1),
+      subb AS (
+        SELECT CAST(o_custkey AS BIGINT) AS person,
+          CAST(COUNT(*) AS BIGINT) AS cm
+        FROM orders WHERE o_orderpriority = '2-HIGH'
+          AND o_orderdate >= TIMESTAMP '1997-04-01'
+          AND o_orderdate < TIMESTAMP '1997-10-01'
+        GROUP BY 1),
+      degb AS (
+        SELECT e.src AS person, COUNT(DISTINCT e.dst) AS deg
+        FROM edges e JOIN subb s1 ON e.src = s1.person
+          JOIN subb s2 ON e.dst = s2.person
+        GROUP BY 1),
+      personb AS (
+        SELECT s.person, s.cm
+        FROM subb s LEFT JOIN degb d ON s.person = d.person
+        WHERE COALESCE(d.deg, 0) <= 1)
+      SELECT a.person, a.cm AS message_count_a, b.cm AS message_count_b
+      FROM persona a JOIN personb b ON a.person = b.person
+      ORDER BY a.cm + b.cm DESC, a.person LIMIT 20""",
+    "ldbc29_info_propagation" -> """
+      WITH lo AS (
+        SELECT l_partkey AS forum, l_orderkey AS ok,
+          o_custkey AS person, CAST(o_orderdate AS TIMESTAMP) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      membership AS (SELECT DISTINCT forum, person FROM lo),
+      tagged AS (
+        SELECT lo.forum, lo.ok, lo.person AS creator, lo.d
+        FROM lo WHERE EXISTS (SELECT 1 FROM part
+          WHERE p_partkey = lo.forum AND p_size = 17)),
+      prof AS (
+        SELECT creator AS person1, forum AS forum1, MIN(d) AS m1d
+        FROM tagged GROUP BY 1, 2),
+      m2f1 AS (
+        SELECT t.forum AS forum2, t.ok AS ok2, t.creator AS person3,
+          t.d AS d2, m.forum AS forum1
+        FROM tagged t JOIN membership m ON m.person = t.creator
+        WHERE m.forum <> t.forum),
+      replies AS (SELECT DISTINCT ok AS rok, person AS person2 FROM lo),
+      comment_ok AS (
+        SELECT DISTINCT x.ok2, x.forum1
+        FROM (SELECT DISTINCT ok2, forum1, person3 FROM m2f1) x
+          JOIN replies r ON r.rok BETWEEN x.ok2 + 1 AND x.ok2 + 5
+            AND r.person2 <> x.person3
+          JOIN membership m ON m.person = r.person2
+            AND m.forum = x.forum1),
+      gated AS (
+        SELECT g.forum2, g.ok2, g.person3, p.person1
+        FROM m2f1 g
+          JOIN comment_ok co ON co.ok2 = g.ok2 AND co.forum1 = g.forum1
+          JOIN prof p ON p.forum1 = g.forum1
+        WHERE g.d2 > p.m1d + INTERVAL 4 DAY
+          AND p.person1 <> g.person3)
+      SELECT person1,
+        CAST(COUNT(DISTINCT (ok2, forum2)) AS BIGINT) AS message_count
+      FROM gated g
+      WHERE NOT EXISTS (SELECT 1 FROM membership m
+        WHERE m.person = g.person1 AND m.forum = g.forum2)
+      GROUP BY 1 ORDER BY message_count DESC, person1 LIMIT 10"""
   )
 }
