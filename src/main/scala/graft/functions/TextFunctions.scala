@@ -148,20 +148,30 @@ object TextFunctions {
         i => array_min(transform(sh, s => xxhash64(s, i))))
     }
 
-  /** Oracle-reproducible MinHash: hash family i is the first 60 bits of
-    * md5(i || ':' || shingle) — md5 being the one hash both engines
-    * share (cf. [[md5Bits60]], the d7 SimHash precedent), so a DuckDB
-    * oracle can replay the exact signature digit-for-digit. ~3× the
-    * cost of the xxhash64 [[minHash]] (use that one when the consumer
-    * doesn't need cross-engine replay). Shingles are de-duplicated
-    * inside the bind so the min runs over the set, matching the
-    * Jaccard estimator's definition. */
-  def md5MinHash(shinglesCol: Column, k: Int): Column =
-    bind(array_distinct(shinglesCol)) { sh =>
+  /** Oracle-reproducible MinHash: each DISTINCT shingle is md5-hashed
+    * ONCE ([[md5Bits60]], reduced mod P = 2^31-1 — md5 being the one
+    * hash both engines share, the d7 SimHash precedent), and component
+    * i is the min over shingles of the affine permutation
+    * h_i(b) = ((2i+1)·b + i·1013904223) mod P — the textbook universal
+    * family, replayable verbatim in a DuckDB oracle with plain BIGINT
+    * arithmetic (max intermediate ~(2k−1)·2^31, far below overflow).
+    *
+    * The r15 spelling hashed every shingle k TIMES (md5(i||':'||s)),
+    * which made the d29 index build md5-bound: k=16 meant 16 md5 calls
+    * per shingle where one suffices (VERDICT r16 next-round #7). Use
+    * the xxhash64 [[minHash]] when the consumer doesn't need
+    * cross-engine replay. Shingles are de-duplicated inside the bind
+    * so the min runs over the set, matching the Jaccard estimator's
+    * definition. */
+  def md5MinHash(shinglesCol: Column, k: Int): Column = {
+    val P = 2147483647L
+    bind(transform(array_distinct(shinglesCol),
+        s => pmod(md5Bits60(s), lit(P)))) { bs =>
       transform(sequence(lit(0), lit(k - 1)),
-        i => array_min(transform(sh,
-          s => md5Bits60(concat(i.cast("string"), lit(":"), s)))))
+        i => array_min(transform(bs,
+          b => pmod((i * 2 + 1) * b + i * lit(1013904223L), lit(P)))))
     }
+  }
 
   /** Per-band bucket hashes of an [[md5MinHash]] signature: band b
     * hashes its `rows` consecutive components ('b<b>:' prefix +

@@ -198,11 +198,22 @@ object TextQueries {
       val all = docs(s, dir)
       val corpus = all.filter(pmod(col("doc_id"), lit(20L)) =!= 0L)
       val shard = all.filter(pmod(col("doc_id"), lit(20L)) === 0L)
-      val path = IndexCache.path("graft_lsh_index_v1", dir)
+      // v2: the r16 one-md5-per-shingle signature family — a stale v1
+      // index (per-component md5 signatures) would silently mismatch
+      // the new shard signatures, so the family bump rides the name
+      val path = IndexCache.path("graft_lsh_index_v2", dir)
       IndexCache.ensure(path) {
-        Dedup.buildLshIndex(corpus, "text", "doc_id", path) }
+        val t0 = System.nanoTime()
+        Dedup.buildLshIndex(corpus, "text", "doc_id", path,
+          nBuckets = 4)
+        System.err.println(
+          f"[d29] index build ${(System.nanoTime() - t0) / 1e9}%.2f s") }
+      // nBuckets=4 (32 directories): the dynamic-partition write's
+      // fixed per-directory cost dominates the single-shot build at
+      // smoke scale (VERDICT r16 #7); at deployment scale raise it —
+      // the probe plan (static PartitionFilters) is shape-identical
       Dedup.queryLshIndex(s, path, shard, "text", "doc_id",
-          threshold = 0.5)
+          threshold = 0.5, nBuckets = 4)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -1715,10 +1726,13 @@ object TextQueries {
       sig AS (
         SELECT doc_id,
           list_transform(range(0, 16), i ->
-            list_min(list_transform(sh, s ->
-              CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s),
-                   1, 15) AS BIGINT)))) AS sig
-        FROM sh),
+            list_min(list_transform(bs, b ->
+              ((2*i + 1) * b + i * 1013904223) % 2147483647))) AS sig
+        FROM (SELECT doc_id,
+                list_transform(sh, s ->
+                  CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                    % 2147483647) AS bs
+              FROM sh) y),
       bsig AS (
         SELECT doc_id, sig,
           list_transform(range(0, 8), b ->
