@@ -967,4 +967,40 @@ class PlanGuardSpec extends SparkSpec {
     assert(ds72.collect { case j: LJoin if j.joinType == LeftAnti => j }
       .nonEmpty, s"ds72 missing-dim probe must plan as LeftAnti:\n$ds72")
   }
+
+  test("r16 batch (ds73, ldbc26-29) keeps equi-join scale shapes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // ds73: the q72 signature's two facts meet on an (item, week) EQUI
+    // key with the on-hand < ordered inequality as a residual — a
+    // cross join here would be quadratic in both facts at 100 TB —
+    // and the year gate reaches the orders scan as a pushed timestamp
+    // range (the sb1 lesson)
+    val ds73qe = SparkEntry.queries("ds73_inventory_shortfall")(spark, sf)
+      .queryExecution
+    assert(ds73qe.sparkPlan.collect {
+      case n: BroadcastNestedLoopJoinExec => n
+      case c: CartesianProductExec => c }.isEmpty,
+      s"ds73 fact-fact week join must stay an equi join")
+    val pushed73 = ds73qe.sparkPlan.collect { case s: FileSourceScanExec
+      if s.relation.location.rootPaths
+        .exists(_.toString.contains("orders")) =>
+      s.metadata.getOrElse("PushedFilters", "") }.mkString(";")
+    assert(pushed73.contains("GreaterThanOrEqual(o_orderdate") &&
+      pushed73.contains("LessThan(o_orderdate"),
+      s"ds73 year band not pushed to the orders scan: $pushed73")
+    // ldbc26-29: the BI shapes must never degrade to a cross join —
+    // bi-17's textbook spelling IS a quadratic message self-join, and
+    // the profile-grain rewrite only counts if the planner keeps every
+    // probe an equi/semi/anti join
+    for (q <- Seq("ldbc26_country_topic_forums", "ldbc27_trusted_paths",
+                  "ldbc28_fake_news", "ldbc29_info_propagation")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      assert(p.collect {
+        case n: BroadcastNestedLoopJoinExec => n
+        case c: CartesianProductExec => c }.isEmpty,
+        s"$q must contain no cartesian/nested-loop join:\n$p")
+    }
+  }
 }
