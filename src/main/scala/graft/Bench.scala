@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * Profiling hooks (local dev, driver never sets them):
   *   SPARK_GRAFT_ONLY=s1[,s2…] — run only queries whose name contains any
   *                               of the comma-separated substrings
+  *   SPARK_GRAFT_EXCLUDE=s1[,…]— drop queries whose name contains any of
+  *                               the substrings (applied after ONLY; the
+  *                               r16 d2-vs-d29 suite-order experiments
+  *                               needed "everything except X", which ONLY
+  *                               cannot express — "d2" is a substring of
+  *                               "d29")
   *   SPARK_GRAFT_EXPLAIN=1     — print the formatted physical plan per query
   *   SPARK_GRAFT_REPEAT=n      — time best-of-n runs (default 1)
   */
@@ -48,9 +54,12 @@ object Bench {
       SparkEntry.queries.get("d1_exact_dedup").foreach(_(spark, sfDir).count())
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     val onlySubs = only.toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    val exclSubs = sys.env.get("SPARK_GRAFT_EXCLUDE").toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) =>
         onlySubs.isEmpty || onlySubs.exists(n.contains) }
+      .filterNot { case (n, _) => exclSubs.exists(n.contains) }
     val results = selected.map { case (name, fn) =>
       if (explain) {
         try fn(spark, sfDir).explain("formatted")
