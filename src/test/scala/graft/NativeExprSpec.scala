@@ -95,4 +95,38 @@ class NativeExprSpec extends SparkSpec {
     assert(df.select(call_function("graft_cosine", col("a"), col("b")))
       .as[Double].head() == 1.0)
   }
+
+  test("md5MinHash matches an independent plain-Scala reference " +
+    "(pins the r16 one-md5-per-shingle oracle recipe)") {
+    import graft.functions.TextFunctions
+    // reference implementation straight from the documented recipe:
+    // shingle -> md5 -> first 15 hex chars -> BIGINT mod P, component
+    // i = min over shingles of ((2i+1)*b + i*1013904223) mod P
+    val P = 2147483647L
+    def refSig(text: String, n: Int, k: Int): Seq[Long] = {
+      val toks = text.trim.split("\\s+").toSeq
+      val shingles =
+        (if (toks.size >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+         else Seq(toks.mkString(" "))).distinct
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bs = shingles.map { sh =>
+        val hex = md.digest(sh.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(15)
+        java.lang.Long.parseLong(hex, 16) % P
+      }
+      (0 until k).map(i => bs.map(b => ((2L * i + 1) * b + i * 1013904223L) % P).min)
+    }
+    val rows = Tables.load(spark, sf, "documents").limit(40)
+      .select(col("doc_id"),
+        TextFunctions.md5MinHash(
+          TextFunctions.wordShingles(col("text"), 3), 16).as("sig"),
+        col("text"))
+      .collect()
+    for (r <- rows) {
+      val got = r.getSeq[Long](1)
+      val want = refSig(r.getString(2), 3, 16)
+      assert(got == want,
+        s"doc ${r.getLong(0)}: spark=$got ref=$want")
+    }
+  }
 }
