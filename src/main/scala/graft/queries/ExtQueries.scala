@@ -2598,12 +2598,17 @@ object ExtQueries {
           JOIN comment_ok co ON co.ok2 = g.ok2 AND co.forum1 = g.forum1
           JOIN prof p ON p.forum1 = g.forum1
         WHERE g.d2 > p.m1d + INTERVAL 4 DAY
-          AND p.person1 <> g.person3)
-      SELECT person1,
-        CAST(COUNT(DISTINCT (ok2, forum2)) AS BIGINT) AS message_count
-      FROM gated g
-      WHERE NOT EXISTS (SELECT 1 FROM membership m
-        WHERE m.person = g.person1 AND m.forum = g.forum2)
+          AND p.person1 <> g.person3),
+      -- tuple-distinct spelled as DISTINCT-then-COUNT(*): the registry
+      -- has no driver-proven precedent for COUNT(DISTINCT (a, b)) and
+      -- exotic bindings are exactly the ds38 failure class
+      survivors AS (
+        SELECT DISTINCT person1, ok2, forum2
+        FROM gated g
+        WHERE NOT EXISTS (SELECT 1 FROM membership m
+          WHERE m.person = g.person1 AND m.forum = g.forum2))
+      SELECT person1, CAST(COUNT(*) AS BIGINT) AS message_count
+      FROM survivors
       GROUP BY 1 ORDER BY message_count DESC, person1 LIMIT 10"""
   )
 }
