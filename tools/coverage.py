@@ -91,7 +91,11 @@ def main():
     if "--ids-file" in sys.argv:
         path = sys.argv[sys.argv.index("--ids-file") + 1]
         with open(path) as f:
-            rendered = set(l.strip() for l in f if l.strip())
+            # a Verify outdir listing carries non-query sidecars
+            # (oracle_sql.json, oracle_literals.b64) — keep only
+            # query-id-shaped names
+            rendered = set(l.strip() for l in f
+                           if re.fullmatch(r"[a-z][a-z0-9_]+", l.strip()))
         static = set(ids)
         only_static = sorted(static - rendered)
         only_jvm = sorted(rendered - static)
