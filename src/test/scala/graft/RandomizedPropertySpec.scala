@@ -451,4 +451,35 @@ class RandomizedPropertySpec extends SparkSpec {
       assert(got == want, s"seed=$seed")
     }
   }
+  test("minPlusDistances == in-memory k-round Bellman-Ford relaxation " +
+    "on random weighted graphs (the ldbc5/ldbc27 kernel)") {
+    import graft.operators.Graphs
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(4200 + seed)
+      val n = 30
+      val edges = (0 until 80).map { _ =>
+        (r.nextInt(n).toLong, r.nextInt(n).toLong,
+          (1 + r.nextInt(9)).toLong)
+      }.filter { case (a, b, _) => a != b }.distinct
+      val seeds = (0L until n.toLong).filter(_ % 7 == 1)
+      val rounds = 3
+      val got = Graphs.minPlusDistances(
+          seeds.toDF("node"),
+          edges.toDF("src", "dst", "w"), rounds)
+        .as[(Long, Long, Long)].collect()
+        .map { case (sd, nd, d) => (sd, nd) -> d }.toMap
+      // reference: k synchronous min-plus rounds over a dense map
+      val want = scala.collection.mutable.Map[(Long, Long), Long]()
+      for (sd <- seeds) want((sd, sd)) = 0L
+      for (_ <- 0 until rounds) {
+        val snapshot = want.toMap
+        for (((sd, nd), d) <- snapshot; (a, b, w) <- edges if a == nd) {
+          val cand = d + w
+          if (cand < want.getOrElse((sd, b), Long.MaxValue))
+            want((sd, b)) = cand
+        }
+      }
+      assert(got == want.toMap, s"seed=$seed")
+    }
+  }
 }
