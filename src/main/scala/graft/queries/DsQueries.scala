@@ -1227,6 +1227,14 @@ object DsQueries {
     // Profit = cents·(10⁴−disc_bp) micro-dollars — per-row exact BIGINT
     // — summed in DECIMAL(38,0) because nation totals are
     // corpus-proportional (the r13 ds22 overflow lesson).
+    // r17: the ORACLE is respelled so it contains ONLY constructs the
+    // driver's DuckDB has proven green elsewhere — the top5 aggregate is
+    // materialized in a CTE before its window (no aggregate inside
+    // OVER's ORDER BY at GROUP-BY level, the r15/r16 exotic-binding
+    // class) and ROLLUP becomes a UNION ALL of the three plain GROUP
+    // BYs with literal lochierarchy. The Spark side below is unchanged:
+    // rollup IS the operator under test; the oracle only needs to be
+    // equivalent, not symmetrical.
     // Ref: /root/reference/benchmark/tpcds/query70.tpl ---
     "ds38_rank_rollup" -> ((s, dir) => {
       val D38 = DecimalType(38, 0)
@@ -3225,21 +3233,33 @@ object DsQueries {
           JOIN nation ON s_nationkey = n_nationkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'),
+      p5 AS (
+        SELECT n_name, CAST(SUM(mu) AS DECIMAL(38,0)) AS p
+        FROM base GROUP BY n_name),
       top5 AS (
         SELECT n_name FROM (
           SELECT n_name,
-            RANK() OVER (ORDER BY SUM(mu) DESC, n_name) AS rnk
-          FROM base GROUP BY n_name) r
+            RANK() OVER (ORDER BY p DESC, n_name) AS rnk
+          FROM p5) r
         WHERE rnk <= 5),
+      kept AS (
+        SELECT n_name, city, mu FROM base
+        WHERE n_name IN (SELECT n_name FROM top5)),
       agg AS (
         SELECT CAST(SUM(mu) AS DECIMAL(38,0)) AS total_sum,
-          COALESCE(n_name, 'ALL') AS state,
-          COALESCE(city, 'ALL') AS county,
-          CAST(GROUPING(n_name) + GROUPING(city) AS INT) AS lochierarchy,
-          CASE WHEN GROUPING(city) = 0 THEN n_name END AS pk
-        FROM base
-        WHERE n_name IN (SELECT n_name FROM top5)
-        GROUP BY ROLLUP(n_name, city))
+          n_name AS state, city AS county,
+          CAST(0 AS INT) AS lochierarchy, n_name AS pk
+        FROM kept GROUP BY n_name, city
+        UNION ALL
+        SELECT CAST(SUM(mu) AS DECIMAL(38,0)) AS total_sum,
+          n_name AS state, 'ALL' AS county,
+          CAST(1 AS INT) AS lochierarchy, CAST(NULL AS VARCHAR) AS pk
+        FROM kept GROUP BY n_name
+        UNION ALL
+        SELECT CAST(SUM(mu) AS DECIMAL(38,0)) AS total_sum,
+          'ALL' AS state, 'ALL' AS county,
+          CAST(2 AS INT) AS lochierarchy, CAST(NULL AS VARCHAR) AS pk
+        FROM kept)
       SELECT total_sum, state, county, lochierarchy,
         CAST(RANK() OVER (
           PARTITION BY lochierarchy, pk
@@ -3932,7 +3952,7 @@ object DsQueries {
     "ds73_inventory_shortfall" -> """
       WITH inv AS (
         SELECT (event_id % 200) + 1 AS ipk,
-          CAST(weekofyear(ts) AS INT) AS iwk,
+          CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS INT) AS iwk,
           'WH_' || CAST(user_id % 10 AS VARCHAR) AS warehouse,
           value AS on_hand
         FROM events),

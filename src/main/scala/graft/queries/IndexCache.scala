@@ -13,9 +13,19 @@ object IndexCache {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, Unit]()
 
-  /** Run `build` exactly once per JVM for `path`, then return. */
-  def ensure(path: String)(build: => Unit): Unit =
-    built.computeIfAbsent(path, _ => { build; () })
+  /** Run `build` exactly once per JVM for `path`, then return. Every
+    * build logs its wall-clock split to stderr (`[tag] index build N s`)
+    * so a driver bench headline dominated by a one-off index build is
+    * self-explaining from the BENCH tail — the d29 pattern, generalized
+    * (VERDICT r16 #6). Serve-side cost is then the query's remainder. */
+  def ensure(path: String, tag: String = "index")(build: => Unit): Unit =
+    built.computeIfAbsent(path, _ => {
+      val t0 = System.nanoTime()
+      build
+      System.err.println(
+        f"[$tag] index build ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      ()
+    })
 
   /** Tmpdir location for a persisted index over the corpus at `dir`:
     * `prefix` + collision-free corpus key. The key is the SHA-256 of
@@ -27,10 +37,44 @@ object IndexCache {
     * r14 — a latent flake whenever bench/verify runs overlap).
     * Pid-scoping makes the on-disk lifetime match the registry's, at
     * the cost of one rebuild per process — exactly the per-JVM
-    * build-once contract already claimed. */
-  def path(prefix: String, dir: String): String =
+    * build-once contract already claimed.
+    *
+    * Pid-scoping also means every exited JVM strands its directories,
+    * and a signature-family bump (lsh v1→v2, r16) strands the whole
+    * old family (ADVICE r16) — so each `path` call first sweeps the
+    * prefix's sibling directories whose owning JVM is dead (any
+    * version: a dead pid's directory is unreachable by construction).
+    * Directories owned by LIVE other JVMs are never touched, so a
+    * concurrent bench/verify at an older HEAD keeps its index. */
+  def path(prefix: String, dir: String): String = {
+    built.computeIfAbsent("sweep:" + prefix, _ => sweepStale(prefix))
     new java.io.File(sys.props("java.io.tmpdir"),
       prefix + "_" + corpusKey(dir)).getPath
+  }
+
+  /** Delete tmpdir siblings of `prefix` (same family stem, any
+    * version suffix) owned by a pid that no longer exists. Names
+    * without a parseable `_p<pid>` tail are left alone. */
+  private def sweepStale(prefix: String): Unit = {
+    val stem = prefix.replaceAll("_v\\d+$", "")
+    val me = ProcessHandle.current().pid()
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach { f =>
+        val n = f.getName
+        val pid = "_p(\\d+)$".r.findFirstMatchIn(n)
+          .flatMap(m => m.group(1).toLongOption)
+        val dead = pid.exists(p =>
+          p != me && !ProcessHandle.of(p).isPresent)
+        if (n.startsWith(stem + "_") && dead) deleteRec(f)
+      }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteRec)
+    f.delete(); ()
+  }
 
   private def corpusKey(dir: String): String = {
     val abs = new java.io.File(dir).getAbsolutePath

@@ -202,12 +202,9 @@ object TextQueries {
       // index (per-component md5 signatures) would silently mismatch
       // the new shard signatures, so the family bump rides the name
       val path = IndexCache.path("graft_lsh_index_v2", dir)
-      IndexCache.ensure(path) {
-        val t0 = System.nanoTime()
+      IndexCache.ensure(path, "d29") {
         Dedup.buildLshIndex(corpus, "text", "doc_id", path,
-          nBuckets = 4)
-        System.err.println(
-          f"[d29] index build ${(System.nanoTime() - t0) / 1e9}%.2f s") }
+          nBuckets = 4) }
       // nBuckets=4 (32 directories): the dynamic-partition write's
       // fixed per-directory cost dominates the single-shot build at
       // smoke scale (VERDICT r16 #7); at deployment scale raise it —

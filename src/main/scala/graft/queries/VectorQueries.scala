@@ -252,7 +252,7 @@ object VectorQueries {
       // most once and blocks other first callers until it completes.
       // The index is data-deterministic, so a skipped rebuild can never
       // go stale within a corpus; the v1 tag versions the disk format.
-      IndexCache.ensure(path) { Similarity.buildSq8Index(e, path) }
+      IndexCache.ensure(path, "e17") { Similarity.buildSq8Index(e, path) }
       Similarity.querySq8Index(s, path, seedEmbeddings(e, 3), k = 8)
         .orderBy(col("q_id"), col("rnk"))
     }),
@@ -273,7 +273,7 @@ object VectorQueries {
       val cbs = pqCodebooks(e)
       val qs = seedEmbeddings(e, 3)
       val path = IndexCache.path("graft_ivfadc_index_v1", dir)
-      IndexCache.ensure(path) {
+      IndexCache.ensure(path, "e18") {
         Similarity.buildIvfAdcIndex(e, path, cbs, nCells = 16) }
       Similarity.queryIvfAdcIndex(s, path, qs, cbs, k = 7, nProbe = 4,
         onLut = lut => graft.OracleLiterals.put("e18_lut",
@@ -301,7 +301,7 @@ object VectorQueries {
       val cbs = pqCodebooks(e)
       val qs = seedEmbeddings(e, 3)
       val path = IndexCache.path("graft_ivfadc_index_v1", dir)
-      IndexCache.ensure(path) {
+      IndexCache.ensure(path, "e19") {
         Similarity.buildIvfAdcIndex(e, path, cbs, nCells = 16) }
       val shortlist = Similarity.queryIvfAdcIndex(s, path, qs, cbs,
         k = 20, nProbe = 4,

@@ -287,6 +287,53 @@ class ReviewRegressionSpec extends SparkSpec {
       .count() == 1)
   }
 
+  // ---- round-17 pins ----
+
+  test("ldbc29 persistBase variant returns the default plan's rows") {
+    // the 100 TB deployment switch (VERDICT r16 #7) must be a pure
+    // physical choice: same rows, same order, flag on or off
+    val sfd = "/root/testdata/sf0.001"
+    val run = SparkEntry.queries("ldbc29_info_propagation")
+    val base = run(spark, sfd).collect().toSeq
+    spark.conf.set("spark.graft.ldbc29.persistBase", "true")
+    try {
+      val persisted = run(spark, sfd).collect().toSeq
+      assert(persisted == base)
+    } finally {
+      spark.conf.unset("spark.graft.ldbc29.persistBase")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("IndexCache.path sweeps dead-owner siblings, keeps live ones") {
+    // ADVICE r16: superseded/orphaned index directories leaked in
+    // tmpdir forever. The sweep must remove any same-family directory
+    // (old OR current version) whose owning pid is gone, and never
+    // touch this JVM's own directories or names without a pid tail.
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val me = ProcessHandle.current().pid()
+    def mk(name: String): java.io.File = {
+      val d = new java.io.File(tmp, name)
+      d.mkdirs()
+      Files.write(d.toPath.resolve("part-0"), Array[Byte](1))
+      d
+    }
+    val deadOld = mk("graft_swtest_index_v1_aaaa_p999999999")
+    val deadNew = mk("graft_swtest_index_v2_bbbb_p999999998")
+    val mine = mk(s"graft_swtest_index_v2_cccc_p$me")
+    val noPid = mk("graft_swtest_index_v2_manual")
+    try {
+      queries.IndexCache.path("graft_swtest_index_v2", sf)
+      assert(!deadOld.exists(), "superseded dead-pid dir must be swept")
+      assert(!deadNew.exists(), "orphaned same-version dir must be swept")
+      assert(mine.exists(), "this JVM's directory must survive")
+      assert(noPid.exists(), "names without a pid tail must survive")
+    } finally Seq(deadOld, deadNew, mine, noPid).foreach { d =>
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(_.delete()); d.delete()
+    }
+  }
+
   test("resampleFill tolerates source columns named like struct fields") {
     // regression: the per-bucket struct used the raw value-field name
     // "v", so an ORD column literally named "v" produced duplicate

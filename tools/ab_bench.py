@@ -19,6 +19,14 @@ point estimate (VERDICT r13 What's-wrong #3).
 Usage: python3 tools/ab_bench.py [--focus] [REF=HEAD^]
                                  [SF_DIR=/root/testdata/sf0.01]
                                  [ROUNDS=4] [ONLY_FILTER]
+       python3 tools/ab_bench.py --driver-files BENCH_rA.json BENCH_rB.json
+
+--driver-files (VERDICT r16 #4): no JVMs — pair two of the DRIVER's
+single-shot BENCH_r*.json artifacts and print the shared-key ratio
+table, with sub-second keys flagged as JIT/startup-dominated (their
+single-shot swing is up to 7x on this infrastructure — BASELINE.md
+"Bench variance"). This is round-open triage only; a ratio here is a
+HYPOTHESIS. The interleaved A/B below remains the method of record.
 Writes target/ab_bench.json: per-query {a, b, ratio, ratio_min, ratio_max}
 + geomean summary with bounds. Ratio > 1 means HEAD is slower than REF.
 
@@ -45,9 +53,18 @@ import json, math, os, shutil, subprocess, sys
 _args = sys.argv[1:]
 FOCUS = "--focus" in _args
 _args = [a for a in _args if a != "--focus"]
+DRIVER_FILES = None
+if "--driver-files" in _args:
+    i = _args.index("--driver-files")
+    if len(_args) < i + 3:
+        sys.exit("ab_bench: --driver-files takes exactly two BENCH json "
+                 "paths (older first, newer second)")
+    DRIVER_FILES = (_args[i + 1], _args[i + 2])
+    _args = _args[:i] + _args[i + 3:]
 for a in _args:
     if a.startswith("-"):
-        sys.exit(f"ab_bench: unknown flag {a!r} (only --focus is accepted)")
+        sys.exit(f"ab_bench: unknown flag {a!r} "
+                 "(--focus and --driver-files are accepted)")
 REF = _args[0] if len(_args) > 0 else "HEAD^"
 SF = _args[1] if len(_args) > 1 else "/root/testdata/sf0.01"
 ROUNDS = int(_args[2]) if len(_args) > 2 else 4
@@ -109,21 +126,79 @@ def run_bench(tree, label, out, only=None, allow_empty=False):
     return qs
 
 
-def ref_supports_comma_only(sample_queries):
+def ref_supports_comma_only(n_flags, probe_ids):
     """Defense (2): probe whether the REF tree's Bench understands a
     comma-joined SPARK_GRAFT_ONLY list (support landed r15 984aeb9; an
     older REF treats the whole list as ONE substring and runs nothing).
-    One tiny run with two cheap query ids: comma support <=> both ids
-    appear in the result."""
-    if len(sample_queries) < 2:
+    One tiny run with two CHEAP query ids taken from the coarse pass —
+    the flags themselves are by definition the slow/regressed queries,
+    so probing with flags[:2] could cost two expensive runs when any
+    known-fast id answers the same capability question (ADVICE r16)."""
+    if n_flags < 2:
         return True  # a single flag needs no comma list anyway
-    pair = sample_queries[:2]
     qs = run_bench(WORKTREE, "REF#comma-probe", "/tmp/ab_probe.json",
-                   only=",".join(pair), allow_empty=True)
-    ok = all(q in qs for q in pair)
-    print(f"[ab] REF comma-list SPARK_GRAFT_ONLY support: "
+                   only=",".join(probe_ids), allow_empty=True)
+    ok = all(q in qs for q in probe_ids)
+    print(f"[ab] REF comma-list SPARK_GRAFT_ONLY support "
+          f"(probed with {', '.join(probe_ids)}): "
           f"{'yes' if ok else 'NO — falling back to per-flag passes'}")
     return ok
+
+
+def driver_files_mode(path_a, path_b):
+    """Round-open triage of two DRIVER single-shot BENCH artifacts (no
+    JVMs launched): the shared-key ratio table, geomeans over all keys
+    and over the >=1 s subset, with sub-second keys flagged — at those
+    timings JIT/startup dominates and a single shot swings up to 7x
+    (BENCH_r16's e15/e12/ir4/x8 cluster vs the r16 judge re-run). A
+    ratio printed here is a HYPOTHESIS for the interleaved A/B, not a
+    finding."""
+    def load(p):
+        """Accept either a raw graft.Bench artifact ({"queries": ...})
+        or the driver's BENCH_r*.json wrapper, whose bench line lives
+        under "parsed" (and whose "queries" map is already truncated to
+        the slowest ~63 keys — enough for triage, and exactly the keys
+        the judge pairs)."""
+        with open(p) as f:
+            d = json.load(f)
+        qs = d.get("queries") or d.get("parsed", {}).get("queries")
+        if not qs and "tail" in d:
+            # oldest wrappers: recover the bench line from the log tail
+            t = d["tail"]
+            i = t.rfind('{"metric"')
+            if i >= 0:
+                try:
+                    qs = json.loads(t[i:].splitlines()[0]).get("queries")
+                except ValueError:
+                    qs = None
+        if not qs:
+            sys.exit(f"ab_bench: {p} carries no 'queries' map")
+        return qs
+    qa, qb = load(path_a), load(path_b)
+    shared = sorted(k for k in qa
+                    if k in qb and qa[k] > 0 and qb[k] > 0)
+    if not shared:
+        sys.exit("ab_bench: the two files share no measured keys")
+    rows = [(qb[k] / qa[k], qa[k], qb[k], k) for k in shared]
+    slow = [r for r in rows if min(r[1], r[2]) >= 1.0]
+    g_all = geo([r[0] for r in rows])
+    g_slow = geo([r[0] for r in slow])
+    print(f"[ab] driver files: A={path_a} B={path_b}, "
+          f"{len(shared)} shared keys (single-shot each side)")
+    print(f"[ab] geomean B/A = {g_all:.3f} over all shared keys; "
+          + (f"{g_slow:.3f} over the {len(slow)} keys >=1 s on both "
+             "sides" if g_slow else "no keys >=1 s on both sides")
+          + " — sub-second keys are JIT-dominated, read them as noise")
+    notable = [r for r in rows if r[0] >= 1.5 or r[0] <= 1 / 1.5]
+    for ratio, a, b, k in sorted(notable, reverse=True):
+        jit = "  [sub-second: JIT-dominated]" if min(a, b) < 1.0 else ""
+        print(f"[ab]   {k:28s} {ratio:6.2f}x  A={a:7.2f}s B={b:7.2f}s{jit}")
+    if not notable:
+        print("[ab]   no shared key moved beyond 1.5x in either direction")
+    sub = [r for r in notable if min(r[1], r[2]) >= 1.0]
+    print(f"[ab] {len(notable)} keys beyond 1.5x; {len(sub)} of them "
+          ">=1 s on both sides (the only ones worth an interleaved A/B)")
+    return 0
 
 
 def best(runs, q):
@@ -174,6 +249,8 @@ def flagged(rows):
 
 
 def main():
+    if DRIVER_FILES is not None:
+        return driver_files_mode(*DRIVER_FILES)
     print(f"[ab] HEAD tree={REPO} vs REF={REF}, sf={SF}, rounds={ROUNDS}"
           + (" focus=on" if FOCUS else ""))
     sh(["sbt", "-batch", "compile"], cwd=REPO)
@@ -189,7 +266,12 @@ def main():
                 print(f"[ab] focus: {len(flags)} queries' bands exclude "
                       f"1.0 — re-running alone at {frounds} rounds: "
                       + ", ".join(flags))
-                if ref_supports_comma_only(flags):
+                # cheapest two coarse-measured ids (REF-side best time)
+                # answer the capability question at minimal cost
+                cheap = sorted((q for q in rows
+                                if rows[q]["a"] is not None),
+                               key=lambda q: rows[q]["a"])[:2]
+                if ref_supports_comma_only(len(flags), cheap):
                     fa, fb = interleave(frounds, "f", only=",".join(flags))
                     frows = compare(fa, fb)
                 else:

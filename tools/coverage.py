@@ -81,15 +81,32 @@ def main():
               "(33/33 families per BreadthQueries scaladoc)")
         print("per prefix:", ", ".join(
             f"{k}:{v}" for k, v in sorted(prefixes.items())))
+    # Flag values are read positionally, so a missing or malformed value
+    # must die with usage, not an IndexError/ValueError traceback
+    # (ADVICE r16).
+    def _flag_value(flag):
+        idx = sys.argv.index(flag)
+        if idx + 1 >= len(sys.argv):
+            print(f"usage: {flag} <value> (no value given)",
+                  file=sys.stderr)
+            sys.exit(2)
+        return sys.argv[idx + 1]
+
     rc = 0
     if "--expect" in sys.argv:
-        want = int(sys.argv[sys.argv.index("--expect") + 1])
+        raw = _flag_value("--expect")
+        try:
+            want = int(raw)
+        except ValueError:
+            print(f"usage: --expect takes an integer (got {raw!r})",
+                  file=sys.stderr)
+            sys.exit(2)
         if len(ids) != want:
             print(f"EXPECT MISMATCH: static registry {len(ids)} != "
                   f"expected {want}", file=sys.stderr)
             rc = 1
     if "--ids-file" in sys.argv:
-        path = sys.argv[sys.argv.index("--ids-file") + 1]
+        path = _flag_value("--ids-file")
         with open(path) as f:
             # a Verify outdir listing carries non-query sidecars
             # (oracle_sql.json, oracle_literals.b64) — keep only
