@@ -479,7 +479,14 @@ class Connection:
 
     def __init__(self, spark: SparkSession, root=None):
         self.spark = spark
-        root = root or os.path.join("/tmp", f"graft_py_{os.getpid()}")
+        if root is None:
+            # auto-generated scratch roots clean themselves up at
+            # interpreter exit (the Scala side's graft.TmpDirs contract;
+            # caller-supplied roots are the caller's to manage)
+            import atexit
+            import shutil
+            root = os.path.join("/tmp", f"graft_py_{os.getpid()}")
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
         jvm = spark.sparkContext._jvm
         self._jsession = jvm.graft.api.GraftSession.apply(
             spark._jsparkSession, root)

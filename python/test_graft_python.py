@@ -337,8 +337,10 @@ class GraftPythonSurface(unittest.TestCase):
             self.conn.execute("DROP TABLE arrt")
 
     def test_cursor_copy_to_from(self):
+        import shutil
         import tempfile
         out = tempfile.mkdtemp(prefix="graft_copy_py")
+        self.addCleanup(shutil.rmtree, out, ignore_errors=True)
         cur = self.conn.cursor()
         cur.execute("CREATE TABLE cpy (id BIGINT, name STRING)")
         try:

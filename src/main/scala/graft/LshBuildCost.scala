@@ -40,13 +40,14 @@ object LshBuildCost {
     val results = cfgs.map { nb =>
       val dirs = 8 * nb
       val times = (1 to 2).map { i =>
-        val out = java.nio.file.Files
-          .createTempDirectory(s"lsh_cost_${nb}_").toString
+        val out = TmpDirs.create(s"lsh_cost_${nb}_")
         val t0 = System.nanoTime()
         graft.operators.Dedup.buildLshIndex(corpus, "text", "doc_id",
           out, nBuckets = nb)
         val dt = (System.nanoTime() - t0) / 1e9
-        deleteRec(new java.io.File(out))
+        // eager delete keeps disk bounded across configs (the exit
+        // hook would otherwise hold every built index until JVM end)
+        TmpDirs.deleteRec(new java.io.File(out))
         println(f"nBuckets=$nb%4d dirs=$dirs%5d run$i build=$dt%6.2f s")
         dt
       }
@@ -60,11 +61,5 @@ object LshBuildCost {
         + f"=> $perDir%.1f ms/directory marginal")
     }
     spark.stop()
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      .foreach(deleteRec)
-    f.delete(); ()
   }
 }

@@ -13,13 +13,13 @@ object Demo {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("wh").toString)
+        graft.TmpDirs.create("wh"))
       .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
     val g = GraftSession(spark,
-      java.nio.file.Files.createTempDirectory("graft_demo").toString)
+      graft.TmpDirs.create("graft_demo"))
 
     // fixed tables + constraints
     g.createTable("parent", StructType(Seq(StructField("id", LongType))))
@@ -54,7 +54,7 @@ object Demo {
       "SELECT sum(qty) AS s FROM items").collect()(0).getLong(0))
 
     // multi-format ingest round-trip
-    val tmp = java.nio.file.Files.createTempDirectory("ingest").toString
+    val tmp = graft.TmpDirs.create("ingest")
     val sample = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
     graft.sources.Ingest.writeJson(sample, s"$tmp/j")
     graft.sources.Ingest.writeOrc(sample, s"$tmp/o")
@@ -107,7 +107,7 @@ object Demo {
     g.compactSmall("items")
 
     // COPY export/import through the router (PG/DuckDB idiom)
-    val copyDir = java.nio.file.Files.createTempDirectory("demo_copy")
+    val copyDir = graft.TmpDirs.createPath("demo_copy")
     g.execute(s"COPY items TO '$copyDir/items_out' (FORMAT parquet)").show()
     g.execute("CREATE TABLE items_back (id BIGINT, qty BIGINT)")
     g.execute(s"COPY items_back FROM '$copyDir/items_out'")

@@ -32,7 +32,7 @@ object ExtQueries {
     // a cycle (0 →+5→ 5 → … → 20 → 0 mod 25), UNION semantics, so the
     // dedup fixpoint must terminate on the cycle ---
     "x10_recursive_sql" -> ((s, dir) => {
-      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val g = GraftSession(s, graft.TmpDirs.create("graft_q"))
       val edges = Tables.load(s, dir, "nation")
         .select(col("n_nationkey").cast("bigint").as("src"),
           ((col("n_nationkey") + 5) % 25).cast("bigint").as("dst"))
@@ -228,7 +228,7 @@ object ExtQueries {
 
     // --- UPDATE ... RETURNING through the session write path ---
     "x2_update_returning" -> ((s, dir) => {
-      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val g = GraftSession(s, graft.TmpDirs.create("graft_q"))
       // only the columns the statement touches ride through the write path
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal"))
@@ -243,7 +243,7 @@ object ExtQueries {
 
     // --- DELETE ... RETURNING ---
     "x3_delete_returning" -> ((s, dir) => {
-      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val g = GraftSession(s, graft.TmpDirs.create("graft_q"))
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"))
       g.createTable("d", d.schema)
@@ -257,7 +257,7 @@ object ExtQueries {
     // the SQL router end-to-end (reference test_returning.cpp; the
     // RETURNING list references the FROM source's column) ---
     "x8_sql_update_from" -> ((s, dir) => {
-      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val g = GraftSession(s, graft.TmpDirs.create("graft_q"))
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal"))
       g.createTable("c", cust.schema)
@@ -276,7 +276,7 @@ object ExtQueries {
     // --- DELETE FROM ... USING ... WHERE ... RETURNING through the SQL
     // router; the RETURNING list references the USING source's column ---
     "x9_sql_delete_using" -> ((s, dir) => {
-      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val g = GraftSession(s, graft.TmpDirs.create("graft_q"))
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"))
       g.createTable("d", d.schema)
@@ -305,7 +305,7 @@ object ExtQueries {
     // --- dynamic (computing) table + jsonb SQL through the session:
     // documents materialize columns on insert, PG operators query them ---
     "x6_dynamic_jsonb" -> ((s, dir) => {
-      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val g = GraftSession(s, graft.TmpDirs.create("graft_q"))
       g.createDynamicTable("docs")
       g.insert("docs", Tables.load(s, dir, "events")
         .filter(col("event_id") < 500)
@@ -318,7 +318,7 @@ object ExtQueries {
 
     // --- SQL macro (CREATE FUNCTION → textual expansion at plan time) ---
     "x7_sql_macro" -> ((s, dir) => {
-      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val g = GraftSession(s, graft.TmpDirs.create("graft_q"))
       Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       g.execute(
         "CREATE MACRO net_price(p, d) AS p * (1.0 - d)")
@@ -1080,7 +1080,7 @@ object ExtQueries {
     // counter's contract, checked on values not just monotonicity ---
     "x12_sequences" -> ((s, dir) => {
       import s.implicits._
-      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val g = GraftSession(s, graft.TmpDirs.create("graft_q"))
       g.execute("CREATE SEQUENCE ids START 100 INCREMENT 7")
       val n = Tables.load(s, dir, "nation").orderBy(col("n_nationkey"))
         .select(col("n_nationkey").cast("bigint"), col("n_name"))
@@ -1098,7 +1098,7 @@ object ExtQueries {
     // content is a pure function of the source rows that plain SQL
     // reproduces ---
     "x13_alter_lifecycle" -> ((s, dir) => {
-      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val g = GraftSession(s, graft.TmpDirs.create("graft_q"))
       val c = Tables.load(s, dir, "customer")
         .filter(col("c_custkey") < 100)
         .select(col("c_custkey").as("k"), col("c_name").as("name"),
@@ -1117,7 +1117,7 @@ object ExtQueries {
     // cascades into their lineitems; the surviving child content is the
     // anti-join the oracle spells directly ---
     "x14_fk_cascade" -> ((s, dir) => {
-      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val g = GraftSession(s, graft.TmpDirs.create("graft_q"))
       val o = Tables.load(s, dir, "orders")
         .filter(col("o_orderkey") < 2000)
         .select(col("o_orderkey").as("id"), col("o_orderpriority").as("prio"))
@@ -1140,7 +1140,7 @@ object ExtQueries {
     // mergeable-partials path), and the refreshed content equals the
     // full-recompute SQL the oracle runs ---
     "x15_matview_refresh" -> ((s, dir) => {
-      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val g = GraftSession(s, graft.TmpDirs.create("graft_q"))
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
       g.createTable("base", d.schema)
@@ -1157,8 +1157,8 @@ object ExtQueries {
     // exported to parquet, re-ingested into a declared table, and
     // aggregated — proving the export/import path loses nothing ---
     "x16_copy_roundtrip" -> ((s, dir) => {
-      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
-      val out = Files.createTempDirectory("graft_copy").toString
+      val g = GraftSession(s, graft.TmpDirs.create("graft_q"))
+      val out = graft.TmpDirs.create("graft_copy")
       val p = Tables.load(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
       g.createTable("src", p.schema)
@@ -1179,7 +1179,7 @@ object ExtQueries {
     // query over the clustered layout must return exactly what plain SQL
     // returns on the raw rows — the index changes I/O, never results ---
     "x17_index_scan" -> ((s, dir) => {
-      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val g = GraftSession(s, graft.TmpDirs.create("graft_q"))
       val c = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
       g.createTable("c", c.schema)
@@ -1198,7 +1198,7 @@ object ExtQueries {
     // membership CHECK (SURVEY §1.2); valid inserts land, the final
     // grouped content equals plain SQL over the source rows ---
     "x18_enum_check" -> ((s, dir) => {
-      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val g = GraftSession(s, graft.TmpDirs.create("graft_q"))
       g.execute("CREATE TYPE prio AS ENUM ('1-URGENT', '2-HIGH', " +
         "'3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')")
       g.execute("CREATE TABLE op (o_orderkey BIGINT, p prio)")
@@ -1217,7 +1217,7 @@ object ExtQueries {
     // exercising the INSERT arm; the oracle recomputes the post-merge
     // table state in plain SQL. ---
     "x11_merge_upsert" -> ((s, dir) => {
-      val g = GraftSession(s, Files.createTempDirectory("graft_q").toString)
+      val g = GraftSession(s, graft.TmpDirs.create("graft_q"))
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal"))
       g.createTable("c", cust.schema)

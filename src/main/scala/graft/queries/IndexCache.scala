@@ -48,8 +48,12 @@ object IndexCache {
     * concurrent bench/verify at an older HEAD keeps its index. */
   def path(prefix: String, dir: String): String = {
     built.computeIfAbsent("sweep:" + prefix, _ => sweepStale(prefix))
-    new java.io.File(sys.props("java.io.tmpdir"),
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
       prefix + "_" + corpusKey(dir)).getPath
+    // primary cleanup: this JVM removes its own indexes at exit (the
+    // dead-pid sweep above remains the backstop for crashed JVMs)
+    graft.TmpDirs.register(java.nio.file.Paths.get(p))
+    p
   }
 
   /** Delete tmpdir siblings of `prefix` (same family stem, any
@@ -66,14 +70,8 @@ object IndexCache {
           .flatMap(m => m.group(1).toLongOption)
         val dead = pid.exists(p =>
           p != me && !ProcessHandle.of(p).isPresent)
-        if (n.startsWith(stem + "_") && dead) deleteRec(f)
+        if (n.startsWith(stem + "_") && dead) graft.TmpDirs.deleteRec(f)
       }
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      .foreach(deleteRec)
-    f.delete(); ()
   }
 
   private def corpusKey(dir: String): String = {

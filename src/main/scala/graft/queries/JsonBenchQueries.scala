@@ -54,7 +54,7 @@ object JsonBenchQueries {
     cache.getOrElseUpdate((s, dir), ingest(s, dir))
 
   private def ingest(s: SparkSession, dir: String): GraftSession = {
-    val g = GraftSession(s, Files.createTempDirectory("graft_jb").toString)
+    val g = GraftSession(s, graft.TmpDirs.create("graft_jb"))
     val lines = graft.Tables.events(s, dir).select(to_json(struct(
       concat(lit("did:plc:"), col("user_id")).as("did"),
       unix_micros(col("t")).as("time_us"),

@@ -12,7 +12,7 @@ class ArtifactGuardSpec extends SparkSpec {
     (_, _) => throw new RuntimeException("deliberately broken query")
 
   test("Verify.dumpOne writes a sentinel error parquet when a query throws") {
-    val out = java.nio.file.Files.createTempDirectory("verify_guard").toString
+    val out = graft.TmpDirs.create("verify_guard")
     val ok = Verify.dumpOne(spark, "broken_query", boom, "/nonexistent", out)
     assert(!ok)
     val sentinel = spark.read.parquet(s"$out/broken_query")
@@ -22,7 +22,7 @@ class ArtifactGuardSpec extends SparkSpec {
   }
 
   test("Verify.dumpOne writes the real result when the query succeeds") {
-    val out = java.nio.file.Files.createTempDirectory("verify_guard").toString
+    val out = graft.TmpDirs.create("verify_guard")
     val good: (SparkSession, String) => DataFrame =
       (s, _) => { import s.implicits._; Seq((1L, "a")).toDF("k", "v") }
     assert(Verify.dumpOne(spark, "fine_query", good, "/nonexistent", out))

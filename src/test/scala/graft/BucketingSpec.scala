@@ -30,7 +30,7 @@ class BucketingSpec extends SparkSpec {
 
   test("registerUdaf exposes a typed Aggregator to SQL") {
     val g = GraftSession(spark,
-      java.nio.file.Files.createTempDirectory("graft").toString)
+      graft.TmpDirs.create("graft"))
     val range = new Aggregator[Double, (Double, Double), Double] {
       def zero = (Double.MaxValue, Double.MinValue)
       def reduce(b: (Double, Double), a: Double) =
@@ -55,7 +55,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("writeClustered yields disjoint per-file key ranges (skippable)") {
-    val out = java.nio.file.Files.createTempDirectory("graft_clu").toString
+    val out = graft.TmpDirs.create("graft_clu")
     graft.sources.Ingest.writeClustered(
       Tables.load(spark, sf, "lineitem"), out, Seq("l_orderkey"),
       numFiles = 4)

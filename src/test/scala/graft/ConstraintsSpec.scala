@@ -12,7 +12,7 @@ class ConstraintsSpec extends SparkSpec {
   import spark.implicits._
 
   private def sessionWithParentChild(): GraftSession = {
-    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    val g = GraftSession(spark, graft.TmpDirs.create("graft"))
     g.createTable("parent", StructType(Seq(StructField("id", LongType))))
     g.createTable("child", StructType(Seq(
       StructField("id", LongType), StructField("pid", LongType))))
@@ -21,7 +21,7 @@ class ConstraintsSpec extends SparkSpec {
   }
 
   test("CHECK constraint rejects violating inserts") {
-    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    val g = GraftSession(spark, graft.TmpDirs.create("graft"))
     g.createTable("t", StructType(Seq(StructField("v", LongType))))
     g.addCheckConstraint("t", "v_positive", "v > 0")
     g.insert("t", Seq(1L, 2L).toDF("v"))
@@ -62,7 +62,7 @@ class ConstraintsSpec extends SparkSpec {
     g.truncateTable("child")
     assert(g.table("child").count() == 0)
     // a self-referential FK does not block: all rows vanish together
-    val g2 = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    val g2 = GraftSession(spark, graft.TmpDirs.create("graft"))
     g2.createTable("tree", StructType(Seq(
       StructField("id", LongType), StructField("up", LongType))))
     g2.addForeignKey("tree", "up", "tree", "id", g2.Cascade)
@@ -83,7 +83,7 @@ class ConstraintsSpec extends SparkSpec {
 
   test("self-referential FK CASCADE deletes the transitive closure in one rewrite") {
     // org-chart shape: 1 <- 2 <- 3 <- 4, plus an unrelated 10 <- 11
-    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    val g = GraftSession(spark, graft.TmpDirs.create("graft"))
     g.createTable("emp", StructType(Seq(
       StructField("id", LongType), StructField("mgr", LongType))))
     g.insert("emp", Seq((1L, null.asInstanceOf[java.lang.Long]),
@@ -101,7 +101,7 @@ class ConstraintsSpec extends SparkSpec {
   }
 
   test("self-referential FK RESTRICT blocks only when survivors still reference") {
-    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    val g = GraftSession(spark, graft.TmpDirs.create("graft"))
     g.createTable("emp", StructType(Seq(
       StructField("id", LongType), StructField("mgr", LongType))))
     g.insert("emp", Seq((1L, null.asInstanceOf[java.lang.Long]),
@@ -114,7 +114,7 @@ class ConstraintsSpec extends SparkSpec {
   }
 
   test("self-referential FK SET NULL orphans surviving children") {
-    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    val g = GraftSession(spark, graft.TmpDirs.create("graft"))
     g.createTable("emp", StructType(Seq(
       StructField("id", LongType), StructField("mgr", LongType))))
     g.insert("emp", Seq((1L, null.asInstanceOf[java.lang.Long]),
@@ -128,7 +128,7 @@ class ConstraintsSpec extends SparkSpec {
   }
 
   test("CASCADE over 1e5 keys runs join-based (no driver literal list)") {
-    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    val g = GraftSession(spark, graft.TmpDirs.create("graft"))
     g.createTable("parent", StructType(Seq(StructField("id", LongType))))
     g.createTable("child", StructType(Seq(
       StructField("id", LongType), StructField("pid", LongType))))
@@ -144,7 +144,7 @@ class ConstraintsSpec extends SparkSpec {
   }
 
   test("FK insert check works against a parent AQE will not broadcast") {
-    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    val g = GraftSession(spark, graft.TmpDirs.create("graft"))
     g.createTable("parent", StructType(Seq(StructField("id", LongType))))
     g.createTable("child", StructType(Seq(
       StructField("id", LongType), StructField("pid", LongType))))
@@ -166,7 +166,7 @@ class ConstraintsSpec extends SparkSpec {
   }
 
   test("dropTable drops dependent views transitively; refresh does not") {
-    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    val g = GraftSession(spark, graft.TmpDirs.create("graft"))
     g.createTable("base", StructType(Seq(StructField("v", LongType))))
     g.insert("base", Seq(1L, 2L, 3L).toDF("v"))
     g.createView("v1", "SELECT v * 10 AS w FROM base")
@@ -196,7 +196,7 @@ class ConstraintsSpec extends SparkSpec {
     // mgr and mentor are both LONG: a positional union of the per-FK
     // semi-joins would put one column's values under the other's name and
     // delete the wrong transitive closure
-    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    val g = GraftSession(spark, graft.TmpDirs.create("graft"))
     g.createTable("emp", StructType(Seq(
       StructField("id", LongType), StructField("mgr", LongType),
       StructField("mentor", LongType))))
@@ -226,7 +226,7 @@ class ConstraintsSpec extends SparkSpec {
   }
 
   test("FK CASCADE cycle across two tables fails fast, not FileNotFound") {
-    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    val g = GraftSession(spark, graft.TmpDirs.create("graft"))
     g.createTable("a", StructType(Seq(
       StructField("id", LongType), StructField("bref", LongType))))
     g.createTable("b", StructType(Seq(
@@ -242,7 +242,7 @@ class ConstraintsSpec extends SparkSpec {
   }
 
   test("DELETE RETURNING stays lazy and survives the directory swap") {
-    val g = GraftSession(spark, Files.createTempDirectory("graft").toString)
+    val g = GraftSession(spark, graft.TmpDirs.create("graft"))
     g.createTable("t", StructType(Seq(StructField("v", LongType))))
     g.insert("t", spark.range(1000).select(col("id").as("v")))
     val ret = g.delete("t", col("v") < 100)
@@ -266,7 +266,7 @@ class ConstraintsSpec extends SparkSpec {
 
   test("pruned DML keeps rename resolution for untouched batches") {
     import scala.jdk.CollectionConverters._
-    val root = Files.createTempDirectory("graft").toString
+    val root = graft.TmpDirs.create("graft")
     val g = GraftSession(spark, root)
     g.createTable("rt", StructType(Seq(
       StructField("k", LongType), StructField("v", LongType))))
@@ -296,7 +296,7 @@ class ConstraintsSpec extends SparkSpec {
 
   test("selective UPDATE/DELETE rewrite only batches containing matches") {
     import scala.jdk.CollectionConverters._
-    val root = Files.createTempDirectory("graft").toString
+    val root = graft.TmpDirs.create("graft")
     val g = GraftSession(spark, root)
     g.createTable("pt", StructType(Seq(
       StructField("k", LongType), StructField("v", LongType))))

@@ -12,7 +12,7 @@ class GraftSessionSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshSession(): GraftSession =
-    GraftSession(spark, Files.createTempDirectory("graft").toString)
+    GraftSession(spark, graft.TmpDirs.create("graft"))
 
   test("dynamic schema basic flow: columns appear per insert") {
     val g = freshSession()
@@ -134,7 +134,7 @@ class GraftSessionSpec extends SparkSpec {
   }
 
   test("metadata survives a fresh session over the same root") {
-    val root = Files.createTempDirectory("graft").toString
+    val root = graft.TmpDirs.create("graft")
     val g1 = GraftSession(spark, root)
     g1.createDynamicTable("t")
     g1.insert("t", Seq((1, "a")).toDF("_id", "x"))
@@ -145,7 +145,7 @@ class GraftSessionSpec extends SparkSpec {
 
   test("compactSmall folds only the small-batch tail") {
     import scala.jdk.CollectionConverters._
-    val root = Files.createTempDirectory("graft").toString
+    val root = graft.TmpDirs.create("graft")
     val g = GraftSession(spark, root)
     g.createTable("ct", StructType(Seq(StructField("k", LongType))))
     g.insert("ct", spark.range(5000).select(col("id").as("k"))) // large
@@ -172,7 +172,7 @@ class GraftSessionSpec extends SparkSpec {
 
   test("insert auto-compacts above the batch-count threshold") {
     import scala.jdk.CollectionConverters._
-    val root = Files.createTempDirectory("graft").toString
+    val root = graft.TmpDirs.create("graft")
     val g = GraftSession(spark, root)
     g.autoCompactThreshold = 8
     g.createTable("ac", StructType(Seq(StructField("k", LongType))))

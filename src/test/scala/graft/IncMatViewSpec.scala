@@ -10,7 +10,7 @@ class IncMatViewSpec extends SparkSpec {
   import spark.implicits._
 
   private def g = GraftSession(spark,
-    Files.createTempDirectory("graft_inc").toString)
+    graft.TmpDirs.create("graft_inc"))
 
   private def docs(s: GraftSession): Seq[(String, Long, Long)] =
     s.table("mv").orderBy(col("lang")).collect()
@@ -142,7 +142,7 @@ class IncMatViewSpec extends SparkSpec {
   }
 
   test("fold log and seen-set persist: refresh stays incremental across restart") {
-    val root = Files.createTempDirectory("graft_inc_rs").toString
+    val root = graft.TmpDirs.create("graft_inc_rs")
     val s1 = GraftSession(spark, root)
     s1.execute("CREATE TABLE base (lang STRING, n_chars BIGINT)")
     s1.execute("INSERT INTO base VALUES ('en', 1)")
@@ -184,7 +184,7 @@ class IncMatViewSpec extends SparkSpec {
     // into them would silently mix two count definitions. Loading a
     // version-markerless spec with a non-* count column must rebuild
     // once, then upgrade the file so later refreshes stay incremental.
-    val root = Files.createTempDirectory("graft_inc_v1").toString
+    val root = graft.TmpDirs.create("graft_inc_v1")
     val s1 = GraftSession(spark, root)
     s1.execute("CREATE TABLE base (lang STRING, n_chars BIGINT)")
     s1.execute("INSERT INTO base VALUES ('en', 10), ('en', NULL)")

@@ -20,7 +20,7 @@ class IndexSpec extends SparkSpec {
       }
 
   test("compact clusters an indexed table into disjoint key ranges") {
-    val root = Files.createTempDirectory("graft_ix").toString
+    val root = graft.TmpDirs.create("graft_ix")
     val s = GraftSession(spark, root)
     s.execute("CREATE TABLE t (id BIGINT, v STRING)")
     s.execute("CREATE INDEX t_id ON t (id)")
@@ -74,7 +74,7 @@ class IndexSpec extends SparkSpec {
   }
 
   test("clustered layout SKIPS row groups at read time (vs unclustered)") {
-    val root = Files.createTempDirectory("graft_ix3").toString
+    val root = graft.TmpDirs.create("graft_ix3")
     val s = GraftSession(spark, root)
     s.execute("CREATE TABLE t (id BIGINT, v STRING)")
     s.execute("CREATE INDEX t_id ON t (id)")
@@ -95,7 +95,7 @@ class IndexSpec extends SparkSpec {
       val cl = new java.io.File(s"$root/t/data").listFiles()
         .filter(_.getName.startsWith("batch_")).head
       // unclustered control: same rows, random 8-way layout
-      val un = Files.createTempDirectory("graft_ix3u")
+      val un = graft.TmpDirs.createPath("graft_ix3u")
         .resolve("t").toString
       rows.repartition(8).write.parquet(un)
       (cl, un)
@@ -138,7 +138,7 @@ class IndexSpec extends SparkSpec {
   }
 
   test("index persists across restarts and keeps clustering compactions") {
-    val root = Files.createTempDirectory("graft_ix2").toString
+    val root = graft.TmpDirs.create("graft_ix2")
     val s1 = GraftSession(spark, root)
     s1.execute("CREATE TABLE t (id BIGINT, v STRING)")
     s1.execute("CREATE INDEX t_id ON t (id)")

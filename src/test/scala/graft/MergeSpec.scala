@@ -12,7 +12,7 @@ class MergeSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh() =
-    GraftSession(spark, Files.createTempDirectory("graft_merge").toString)
+    GraftSession(spark, graft.TmpDirs.create("graft_merge"))
 
   private def seed(g: GraftSession): Unit = {
     val t = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))

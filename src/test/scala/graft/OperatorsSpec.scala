@@ -196,8 +196,7 @@ class DedupSpec extends SparkSpec {
     // shard = doc 2 (identical to 1) and doc 4 (unrelated); corpus =
     // the rest. The probe must surface (2,1) with est 1.0 — identical
     // signatures collide in every band — and must NOT pair 4 with 5.
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_lsh_test").toString
+    val path = graft.TmpDirs.create("graft_lsh_test")
     val corpus = docs.filter($"doc_id".isin(1L, 3L, 5L))
     val shard = docs.filter($"doc_id".isin(2L, 4L))
     Dedup.buildLshIndex(corpus, "text", "doc_id", path)
@@ -358,7 +357,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("persisted SQ8 index: build once, query matches one-shot sq8TopK") {
-    val path = java.nio.file.Files.createTempDirectory("sq8_idx").toString
+    val path = graft.TmpDirs.create("sq8_idx")
     Similarity.buildSq8Index(emb, path)
     val qs = emb.orderBy(col("vec_id")).limit(2)
       .collect().toSeq.map(r => (r.getLong(0),
@@ -378,7 +377,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("persisted IVF index: build once, query matches one-shot ivfKnn") {
-    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val path = graft.TmpDirs.create("ivf_idx")
     Similarity.buildIvfIndex(emb, path, nCells = 16)
     val q = emb.filter(col("vec_id") < 2)
     val fromIndex = Similarity.queryIvfIndex(spark, path, q, k = 4)
@@ -457,7 +456,7 @@ class SimilaritySpec extends SparkSpec {
       (0L, Seq(0f, 0f)), (1L, Seq(0.4f, 0.4f)),
       (2L, Seq(10f, 10f)), (3L, Seq(10.4f, 10.4f)))
       .toDF("vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("ivftrained").toString
+    val dir = graft.TmpDirs.create("ivftrained")
     Similarity.buildIvfIndexTrained(df, dir, nCells = 2, rounds = 3)
     // `cell` is a partition column — its read-back type is inferred from
     // the directory names (INT here), so compare via Number

@@ -14,7 +14,7 @@ class RestartSpec extends SparkSpec {
   import spark.implicits._
 
   test("tables, views, sequences and inc matviews survive a restart") {
-    val root = Files.createTempDirectory("graft_restart").toString
+    val root = graft.TmpDirs.create("graft_restart")
     val s1 = GraftSession(spark, root)
     s1.execute("CREATE TABLE t (id BIGINT, lang STRING)")
     s1.execute("INSERT INTO t VALUES (1, 'en'), (2, 'de'), (3, 'en')")

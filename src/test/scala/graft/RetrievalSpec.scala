@@ -53,7 +53,7 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("persisted index: build once, query matches one-shot bm25TopK") {
-    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val dir = graft.TmpDirs.create("bm25idx")
     Retrieval.buildBm25Index(docs, "text", "doc_id", dir)
     val qs = Seq("q1" -> Seq("apple", "banana"), "q2" -> Seq("durian"))
     val fromIndex = Retrieval.queryBm25Index(spark, dir, qs, k = 3)
@@ -156,7 +156,7 @@ class RetrievalSpec extends SparkSpec {
     val corpus = Seq(
       (1L, "a b c a b c"), (2L, "a c b"), (3L, "x a b c y"))
       .toDF("doc_id", "text")
-    val path = java.nio.file.Files.createTempDirectory("graft_pidx").toString
+    val path = graft.TmpDirs.create("graft_pidx")
     Retrieval.buildPositionalIndex(corpus, "text", "doc_id", path)
     val fromIdx = Retrieval.queryPhraseIndex(spark, path, Seq("a", "b", "c"))
     val oneShot = Retrieval.phraseOccurrences(corpus, "text", "doc_id",

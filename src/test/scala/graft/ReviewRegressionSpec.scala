@@ -11,7 +11,7 @@ class ReviewRegressionSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshSession(): GraftSession =
-    GraftSession(spark, Files.createTempDirectory("graft").toString)
+    GraftSession(spark, graft.TmpDirs.create("graft"))
 
   test("UPDATE evaluates WHERE and SET against the pre-update row") {
     val g = freshSession()
@@ -79,7 +79,7 @@ class ReviewRegressionSpec extends SparkSpec {
   }
 
   test("constraints survive a fresh session over the same root") {
-    val root = Files.createTempDirectory("graft").toString
+    val root = graft.TmpDirs.create("graft")
     val g1 = GraftSession(spark, root)
     g1.createTable("p", StructType(Seq(StructField("id", LongType))))
     g1.createTable("c", StructType(Seq(StructField("id", LongType),
@@ -100,7 +100,7 @@ class ReviewRegressionSpec extends SparkSpec {
   }
 
   test("views survive a fresh session over the same root") {
-    val root = Files.createTempDirectory("graft").toString
+    val root = graft.TmpDirs.create("graft")
     val g1 = GraftSession(spark, root)
     g1.createTable("b", StructType(Seq(StructField("v", LongType))))
     g1.insert("b", Seq(1L, 2L).toDF("v"))

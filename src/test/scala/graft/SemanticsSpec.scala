@@ -142,7 +142,7 @@ class SemanticsSpec extends SparkSpec {
   }
 
   test("ingest round-trips: json / csv / orc") {
-    val dir = Files.createTempDirectory("ingest").toString
+    val dir = graft.TmpDirs.create("ingest")
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
     Ingest.writeJson(df, s"$dir/j"); Ingest.writeCsv(df, s"$dir/c")
     Ingest.writeOrc(df, s"$dir/o")
@@ -157,7 +157,7 @@ class SemanticsSpec extends SparkSpec {
   }
 
   test("partitioned layout prunes directories at planning time") {
-    val dir = Files.createTempDirectory("ingest_part").toString
+    val dir = graft.TmpDirs.create("ingest_part")
     val df = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     Ingest.writePartitioned(df, s"$dir/docs", Seq("lang"))

@@ -10,7 +10,7 @@ class SqlRouterSpec extends SparkSpec {
   import spark.implicits._
 
   private def g = GraftSession(spark,
-    Files.createTempDirectory("graft").toString)
+    graft.TmpDirs.create("graft"))
 
   test("full SQL lifecycle: create, insert, update, delete, select") {
     val s = g
@@ -436,7 +436,7 @@ class SqlRouterSpec extends SparkSpec {
 
   test("COPY TO / COPY FROM round-trips tables and query results") {
     val s = g
-    val out = Files.createTempDirectory("graft_copy")
+    val out = graft.TmpDirs.createPath("graft_copy")
     s.execute("CREATE TABLE src (id BIGINT, name STRING)")
     s.execute("INSERT INTO src (id, name) VALUES (1, 'a'), (2, 'b'), (3, 'c')")
 
@@ -471,7 +471,7 @@ class SqlRouterSpec extends SparkSpec {
     // parquet COPY runs the write job(s) only, csv COPY runs the same
     // write plus a count-read job, so parquet must run strictly fewer.
     val s = g
-    val out = Files.createTempDirectory("graft_copy_meta")
+    val out = graft.TmpDirs.createPath("graft_copy_meta")
     s.execute("CREATE TABLE msrc (id BIGINT)")
     s.execute("INSERT INTO msrc VALUES (1), (2), (3)")
     s.execute("INSERT INTO msrc VALUES (4), (5)")

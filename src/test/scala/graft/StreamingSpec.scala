@@ -190,7 +190,7 @@ class StreamingSpec extends SparkSpec {
     import graft.api.GraftSession.{MergeInsert, MergeUpdate, MergeWhen}
     implicit val sqlCtx = spark.sqlContext
     val g = GraftSession(spark,
-      Files.createTempDirectory("graft_stream_merge").toString)
+      graft.TmpDirs.create("graft_stream_merge"))
     g.execute("CREATE TABLE tally (user_id BIGINT, total DOUBLE, n BIGINT)")
     val mem = MemoryStream[Event]
     // the streaming-materialized-upsert pattern: aggregate the micro-batch,
@@ -231,7 +231,7 @@ class StreamingSpec extends SparkSpec {
     import java.nio.file.Files
     import graft.api.GraftSession
     val g = GraftSession(spark,
-      Files.createTempDirectory("graft_once").toString)
+      graft.TmpDirs.create("graft_once"))
     g.execute("CREATE TABLE landed (id BIGINT)")
     val b0 = Seq(1L, 2L).toDF("id")
     val b1 = Seq(3L).toDF("id")
@@ -250,7 +250,7 @@ class StreamingSpec extends SparkSpec {
     import java.nio.file.Files
     import graft.api.GraftSession
     val g = GraftSession(spark,
-      Files.createTempDirectory("graft_once2").toString)
+      graft.TmpDirs.create("graft_once2"))
     g.execute("CREATE TABLE landed (id BIGINT)")
     val qa = "query-a"; val qb = "query-b"
     // epoch ids are per-query (both number from 0): the same epoch id
@@ -273,7 +273,7 @@ class StreamingSpec extends SparkSpec {
     import java.nio.file.Files
     import graft.api.GraftSession
     val g = GraftSession(spark,
-      Files.createTempDirectory("graft_race").toString)
+      graft.TmpDirs.create("graft_race"))
     g.execute("CREATE TABLE landed (id BIGINT)")
     val epochs = 12
     def run(qid: String, base: Long): Thread = {
@@ -304,7 +304,7 @@ class StreamingSpec extends SparkSpec {
     import java.nio.file.Files
     import graft.api.GraftSession
     val g = GraftSession(spark,
-      Files.createTempDirectory("graft_crashwin").toString)
+      graft.TmpDirs.create("graft_crashwin"))
     g.execute("CREATE TABLE landed (id BIGINT)")
     val b0 = Seq(1L, 2L).toDF("id")
     g.insert("landed", b0) // the "crashed" delivery: data, no log entry
@@ -321,7 +321,7 @@ class StreamingSpec extends SparkSpec {
     import java.nio.file.{Files, Paths}
     import graft.api.GraftSession
     val g = GraftSession(spark,
-      Files.createTempDirectory("graft_legacy").toString)
+      graft.TmpDirs.create("graft_legacy"))
     g.execute("CREATE TABLE landed (id BIGINT)")
     Files.writeString(
       Paths.get(g.root, "landed", "_stream_commits"), "0\n1\n")
@@ -339,7 +339,7 @@ class StreamingSpec extends SparkSpec {
     import graft.api.GraftSession
     implicit val sqlCtx = spark.sqlContext
     val g = GraftSession(spark,
-      Files.createTempDirectory("graft_stream_imv").toString)
+      graft.TmpDirs.create("graft_stream_imv"))
     g.execute("CREATE TABLE ev (event_type STRING, value DOUBLE)")
     g.createIncrementalMatView("evagg", "ev", Seq("event_type"),
       Seq(("count", "*", "n"), ("sum", "value", "total")))

@@ -118,7 +118,7 @@ class ZOrderSpec extends SparkSpec {
   }
 
   test("composite index Z-orders: row groups skip on EITHER dimension") {
-    val root = Files.createTempDirectory("graft_zx").toString
+    val root = graft.TmpDirs.create("graft_zx")
     val s = GraftSession(spark, root)
     s.execute("CREATE TABLE t (a BIGINT, b BIGINT, v STRING)")
     s.execute("CREATE INDEX t_ab ON t (a, b)")
@@ -140,7 +140,7 @@ class ZOrderSpec extends SparkSpec {
       val z = new java.io.File(s"$root/t/data").listFiles()
         .filter(_.getName.startsWith("batch_")).head
       // control: the lexicographic layout the OLD composite path produced
-      val lex = Files.createTempDirectory("graft_zxl").resolve("t").toString
+      val lex = graft.TmpDirs.createPath("graft_zxl").resolve("t").toString
       rows.repartitionByRange(col("a"), col("b"))
         .sortWithinPartitions(col("a"), col("b")).write.parquet(lex)
       (z, new java.io.File(lex))
