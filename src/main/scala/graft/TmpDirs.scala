@@ -19,16 +19,49 @@ object TmpDirs {
 
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      created.forEach(p => deleteRec(p.toFile))
+      created.forEach { p =>
+        // one entry's failure must not silently abandon the rest —
+        // report and keep sweeping
+        try deleteRec(p.toFile)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[tmpdirs] cleanup failed for $p: $e")
+        }
+      }
     }, "graft-tmpdir-cleanup"))
   }
 
   /** Create a self-cleaning temp directory; returns its String path. */
   def create(prefix: String): String = createPath(prefix).toString
 
-  /** Create a self-cleaning temp directory as a `Path`. */
-  def createPath(prefix: String): java.nio.file.Path =
-    register(java.nio.file.Files.createTempDirectory(prefix))
+  /** Create a self-cleaning temp directory as a `Path`. Names embed a
+    * `_gtmp_p<pid>_` marker so a directory stranded by an ABNORMAL
+    * exit (kill -9, JVM halt mid-hook — the exit hook never ran) is
+    * swept by the next JVM's first create() instead of leaking
+    * forever. The marker string is unique to this registry, so the
+    * sweep can never touch a foreign tmpdir entry. */
+  def createPath(prefix: String): java.nio.file.Path = {
+    sweepDead
+    register(java.nio.file.Files.createTempDirectory(
+      prefix + "_gtmp_p" + ProcessHandle.current().pid() + "_"))
+  }
+
+  /** Once per JVM: delete tmpdir entries carrying the marker of a pid
+    * that no longer exists (never this JVM's, never a live JVM's). */
+  private lazy val sweepDead: Unit = sweepDeadNow()
+
+  private[graft] def sweepDeadNow(): Unit = {
+    val marker = "_gtmp_p(\\d+)_".r
+    val me = ProcessHandle.current().pid()
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach { f =>
+        val dead = marker.findFirstMatchIn(f.getName)
+          .flatMap(m => m.group(1).toLongOption)
+          .exists(p => p != me && !ProcessHandle.of(p).isPresent)
+        if (dead) deleteRec(f)
+      }
+  }
 
   /** Register an existing (or future) path for deletion at JVM exit. */
   def register(p: java.nio.file.Path): java.nio.file.Path = {
@@ -39,6 +72,15 @@ object TmpDirs {
   private[graft] def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
       .foreach(deleteRec)
-    f.delete(); ()
+    if (!f.delete() && f.exists()) {
+      // a sidecar can appear between the listing and the rmdir (e.g. a
+      // LocalFileSystem .crc written by a racing shutdown hook) — one
+      // relist-and-retry covers it; a still-failing path stays for the
+      // dead-pid sweep rather than looping at JVM exit
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRec)
+      f.delete()
+    }
+    ()
   }
 }

@@ -334,6 +334,34 @@ class ReviewRegressionSpec extends SparkSpec {
     }
   }
 
+  test("TmpDirs dead-pid sweep removes crash remnants, keeps the rest") {
+    // a kill -9 strands scratch dirs with the exit hook never run; the
+    // _gtmp_p<pid>_ marker lets the NEXT JVM sweep them. Live-pid and
+    // marker-less names must never be touched.
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val me = ProcessHandle.current().pid()
+    def mk(name: String): java.io.File = {
+      val d = new java.io.File(tmp, name)
+      d.mkdirs()
+      Files.write(d.toPath.resolve("f"), Array[Byte](1))
+      d
+    }
+    val dead = mk("swt2_gtmp_p999999996_x")
+    val mine = mk(s"swt2_gtmp_p${me}_x")
+    val unmarked = mk("swt2_p999999996_x")
+    try {
+      graft.TmpDirs.sweepDeadNow()
+      assert(!dead.exists(), "dead-pid marker dir must be swept")
+      assert(mine.exists(), "this JVM's marker dir must survive")
+      assert(unmarked.exists(), "marker-less names must never be touched")
+      val p = graft.TmpDirs.createPath("swt2live")
+      assert(p.getFileName.toString.contains(s"_gtmp_p${me}_"))
+    } finally Seq(dead, mine, unmarked).foreach { d =>
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(_.delete()); d.delete()
+    }
+  }
+
   test("resampleFill tolerates source columns named like struct fields") {
     // regression: the per-bucket struct used the raw value-field name
     // "v", so an ORD column literally named "v" produced duplicate
