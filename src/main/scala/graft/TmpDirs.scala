@@ -54,7 +54,11 @@ object TmpDirs {
     val marker = "_gtmp_p(\\d+)_".r
     val me = ProcessHandle.current().pid()
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+    // Prefix-scoped listing (ADVICE r17): only entries that can carry
+    // the marker are even considered, so the sweep is O(our entries)
+    // on a shared-host tmpdir, not O(all entries).
+    Option(tmp.listFiles((_, name) => name.contains("_gtmp_p")))
+      .getOrElse(Array.empty[java.io.File])
       .foreach { f =>
         val dead = marker.findFirstMatchIn(f.getName)
           .flatMap(m => m.group(1).toLongOption)
@@ -70,15 +74,23 @@ object TmpDirs {
   }
 
   private[graft] def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      .foreach(deleteRec)
+    // NEVER traverse through a symlink (ADVICE r17, medium): the sweep
+    // also runs over shared-/tmp dirs this process did not create, and
+    // a planted symlink inside a marker-named dir must be unlinked as
+    // an ENTRY, not followed into its target. File.listFiles follows
+    // links, so gate the recursion on the link check.
+    val isLink = java.nio.file.Files.isSymbolicLink(f.toPath)
+    if (!isLink)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRec)
     if (!f.delete() && f.exists()) {
       // a sidecar can appear between the listing and the rmdir (e.g. a
       // LocalFileSystem .crc written by a racing shutdown hook) — one
       // relist-and-retry covers it; a still-failing path stays for the
       // dead-pid sweep rather than looping at JVM exit
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        .foreach(deleteRec)
+      if (!isLink)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .foreach(deleteRec)
       f.delete()
     }
     ()

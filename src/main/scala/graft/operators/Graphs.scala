@@ -9,6 +9,28 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Optional lineage truncation for the bounded-round kernels (VERDICT
+    * r17 Next #5). The three kernels below unroll ≤12–16 rounds of
+    * join+aggregate into ONE declarative plan — right for the smoke
+    * regime (Catalyst sees the whole pipeline; nothing is forced to
+    * materialize), but at cluster scale with wide frontiers the
+    * analyzed-plan size and scheduler overhead grow per round.
+    * `spark.graft.graph.checkpointEvery=k` (default off) materializes
+    * the iterate every k rounds via `localCheckpoint` — the exact
+    * [[RecursiveCte]] `i % 8 == 7` discipline, exposed as a deployment
+    * knob. Results are row-identical either way (spec-pinned); a
+    * malformed or non-positive value degrades to off. */
+  private def truncateEvery(df: DataFrame): Option[Int] =
+    df.sparkSession.conf.getOption("spark.graft.graph.checkpointEvery")
+      .flatMap(_.toIntOption).filter(_ > 0)
+
+  private def maybeTruncate(df: DataFrame, round: Int,
+                            every: Option[Int]): DataFrame =
+    every match {
+      case Some(k) if (round + 1) % k == 0 => df.localCheckpoint()
+      case _ => df
+    }
+
   /** PageRank power iteration with damping 0.85, computed entirely in
     * BIGINT so the result is bit-identical on any engine and any
     * partitioning — no floating point anywhere. The standard recurrence
@@ -50,6 +72,7 @@ object Graphs {
         " PageRank")
     val de = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src"))
+    val every = truncateEvery(nodes)
     var p = nodes.select(col("node"), lit(seed).as("p"))
     for (i <- 0 until iters) {
       val tele = Math.multiplyExact(
@@ -58,10 +81,12 @@ object Graphs {
       val sums = p.join(de, col("node") === col("src"))
         .select(col("dst"), expr("p div d").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
-      p = nodes.select(col("node"))
-        .join(sums, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(tele) + lit(17L) * coalesce(col("s"), lit(0L))).as("p"))
+      p = maybeTruncate(
+        nodes.select(col("node"))
+          .join(sums, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(tele) + lit(17L) * coalesce(col("s"), lit(0L))).as("p")),
+        i, every)
     }
     p
   }
@@ -83,14 +108,18 @@ object Graphs {
     * Output: (seed, node, dist), including (seed, seed, 0). */
   def minPlusDistances(seeds: DataFrame, edges: DataFrame,
                        rounds: Int): DataFrame = {
+    val every = truncateEvery(seeds)
     var d = seeds.select(col("node").as("seed"), col("node"),
       lit(0L).as("dist"))
-    for (_ <- 0 until rounds) {
+    for (r <- 0 until rounds) {
       val relaxed = d.join(edges, col("node") === col("src"))
         .select(col("seed"), col("dst").as("node"),
           (col("dist") + col("w")).as("dist"))
-      d = d.unionByName(relaxed)
-        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+      d = maybeTruncate(
+        d.unionByName(relaxed)
+          .groupBy(col("seed"), col("node"))
+          .agg(min(col("dist")).as("dist")),
+        r, every)
     }
     d
   }
@@ -121,8 +150,9 @@ object Graphs {
     require(rounds >= 0 && rounds <= 16,
       s"labelPropagation: rounds=$rounds — bounded synchronous rounds " +
         "only (each round adds a join+aggregate stage to the plan)")
+    val every = truncateEvery(nodes)
     var lab = nodes.select(col("node"), col("node").as("lab"))
-    for (_ <- 0 until rounds) {
+    for (r <- 0 until rounds) {
       val neigh = undirected
         .join(lab.select(col("node").as("w"), col("lab")), Seq("w"))
         .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("c"))
@@ -131,8 +161,11 @@ object Graphs {
         .agg(max(struct(col("c").as("c"),
           (lit(0L) - col("lab")).as("nl"))).as("m"))
         .select(col("v"), (lit(0L) - col("m.nl")).as("newlab"))
-      lab = lab.join(pick, col("node") === col("v"), "left")
-        .select(col("node"), coalesce(col("newlab"), col("lab")).as("lab"))
+      lab = maybeTruncate(
+        lab.join(pick, col("node") === col("v"), "left")
+          .select(col("node"),
+            coalesce(col("newlab"), col("lab")).as("lab")),
+        r, every)
     }
     lab
   }

@@ -1593,9 +1593,15 @@ object ExtQueries {
       // materialize the projected base ONCE and share it. The conf
       // spells that variant without changing the driver-gated default;
       // MEMORY_AND_DISK because at deployment the frame outgrows heap.
+      // Safe parse (ADVICE r17): a malformed value degrades to the
+      // default path instead of throwing at plan-build time. The
+      // persisted base is intentionally never unpersisted here: the
+      // flag targets one-corpus-per-JVM deployments (the Verify/Bench
+      // shape); a multi-corpus long-lived driver should manage the
+      // cache externally or leave the flag off.
       val lo =
         if (s.conf.getOption("spark.graft.ldbc29.persistBase")
-            .exists(_.toBoolean))
+            .exists(_.equalsIgnoreCase("true")))
           loProj.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else loProj

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.api.GraftSession
@@ -292,12 +293,12 @@ class ReviewRegressionSpec extends SparkSpec {
   test("ldbc29 persistBase variant returns the default plan's rows") {
     // the 100 TB deployment switch (VERDICT r16 #7) must be a pure
     // physical choice: same rows, same order, flag on or off
-    val sfd = "/root/testdata/sf0.001"
+    // (ADVICE r17: use the spec-wide `sf` fixture like every sibling)
     val run = SparkEntry.queries("ldbc29_info_propagation")
-    val base = run(spark, sfd).collect().toSeq
+    val base = run(spark, sf).collect().toSeq
     spark.conf.set("spark.graft.ldbc29.persistBase", "true")
     try {
-      val persisted = run(spark, sfd).collect().toSeq
+      val persisted = run(spark, sf).collect().toSeq
       assert(persisted == base)
     } finally {
       spark.conf.unset("spark.graft.ldbc29.persistBase")
@@ -360,6 +361,59 @@ class ReviewRegressionSpec extends SparkSpec {
       Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
         .foreach(_.delete()); d.delete()
     }
+  }
+
+  // ---- round-18 pins ----
+
+  test("deleteRec unlinks symlinks without following them") {
+    // ADVICE r17 (medium): the dead-pid sweep deletes shared-/tmp dirs
+    // this process did not create; a planted symlink inside one must be
+    // removed as an ENTRY — its target's contents must survive.
+    val tmp = Files.createTempDirectory("swt3").toFile
+    val target = new java.io.File(tmp, "target"); target.mkdirs()
+    val precious = new java.io.File(target, "precious.txt")
+    Files.write(precious.toPath, Array[Byte](42))
+    val victim = new java.io.File(tmp, "victim_gtmp_p999999995_x")
+    victim.mkdirs()
+    Files.createSymbolicLink(
+      victim.toPath.resolve("link"), target.toPath)
+    try {
+      graft.TmpDirs.deleteRec(victim)
+      assert(!victim.exists(), "marker dir (and its link entry) removed")
+      assert(precious.exists(), "symlink target contents must survive")
+    } finally graft.TmpDirs.deleteRec(tmp)
+  }
+
+  test("graph kernels: checkpointEvery truncation is row-identical") {
+    // spark.graft.graph.checkpointEvery must be a pure physical choice
+    // (VERDICT r17 Next #5): the exact RecursiveCte lineage-truncation
+    // discipline, behind a conf, with identical results flag on or off.
+    val nodes = (1L to 8L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L)).toDF("src", "dst")
+    val wedges = edges.select(col("src"), col("dst"),
+      (col("src") + col("dst")).as("w"))
+    val und = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+      .select(col("src").as("v"), col("dst").as("w"))
+    def all(): (Seq[Row], Seq[Row], Seq[Row]) = (
+      graft.operators.Graphs.pageRankInt(nodes, edges, iters = 6)
+        .orderBy("node").collect().toSeq,
+      graft.operators.Graphs.minPlusDistances(nodes.limit(2), wedges,
+        rounds = 7).orderBy("seed", "node").collect().toSeq,
+      graft.operators.Graphs.labelPropagation(nodes, und, rounds = 5)
+        .orderBy("node").collect().toSeq)
+    val (pr0, mp0, lp0) = all()
+    spark.conf.set("spark.graft.graph.checkpointEvery", "2")
+    try {
+      val (pr1, mp1, lp1) = all()
+      assert(pr1 == pr0); assert(mp1 == mp0); assert(lp1 == lp0)
+    } finally spark.conf.unset("spark.graft.graph.checkpointEvery")
+    // malformed values degrade to off, never throw
+    spark.conf.set("spark.graft.graph.checkpointEvery", "yes")
+    try assert(graft.operators.Graphs
+      .pageRankInt(nodes, edges, iters = 2).count() == 8)
+    finally spark.conf.unset("spark.graft.graph.checkpointEvery")
   }
 
   test("resampleFill tolerates source columns named like struct fields") {

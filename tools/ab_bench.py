@@ -136,6 +136,14 @@ def ref_supports_comma_only(n_flags, probe_ids):
     known-fast id answers the same capability question (ADVICE r16)."""
     if n_flags < 2:
         return True  # a single flag needs no comma list anyway
+    if len(probe_ids) < 2:
+        # ADVICE r17: with one probe id no comma is exercised (the pass
+        # would be vacuous) and with zero the empty ONLY could run the
+        # FULL bench — in either case the capability is unproven, so
+        # take the always-correct per-flag path instead of guessing.
+        print("[ab] REF comma-list probe skipped (fewer than 2 coarse "
+              "REF timings available) — falling back to per-flag passes")
+        return False
     qs = run_bench(WORKTREE, "REF#comma-probe", "/tmp/ab_probe.json",
                    only=",".join(probe_ids), allow_empty=True)
     ok = all(q in qs for q in probe_ids)
