@@ -104,8 +104,13 @@ object VectorQueries {
     // (Σ|a−c|², the convergence/elbow statistic) against the e7-style
     // seed centroids (first 4 vectors — collected as O(k·dim) driver
     // metadata, same bound as every centroid path). Every cell appears,
-    // empty ones as (cell, 0, 0.000000). The distance chain is IEEE-exact
-    // dot folds rounded once to 6 dp riding as DECIMAL — hash-exact ---
+    // empty ones as (cell, 0, 0). The distance chain is IEEE-exact dot
+    // folds rounded once to 6 dp riding as DECIMAL inside the operator;
+    // the QUERY presents the sum as exact BIGINT micro-units (×10⁶) —
+    // r18: e9 was the registry's last raw-decimal output column, and
+    // decimal rendering is parquet-read-path-dependent (the ds38 driver
+    // lesson, PLANS.md §ds38); inertia_micro is integral so every read
+    // path prints the same string ---
     "e9_kmeans_inertia" -> ((s, dir) => {
       val e = emb(s, dir)
       val cents: Seq[Seq[Double]] = e.orderBy(col("vec_id")).limit(4)
@@ -116,6 +121,9 @@ object VectorQueries {
             s"embedding values must be numeric, got ${x.getClass.getName}")
         }.toSeq)
       Similarity.quantizationError(e, cents)
+        .select(col("cell"), col("n_members"),
+          (col("inertia") * lit(1000000L)).cast("bigint")
+            .as("inertia_micro"))
     }),
 
     // --- SemDeDup: cluster-confined semantic dedup (Abbas et al. 2023)
@@ -700,10 +708,10 @@ object VectorQueries {
       FROM asg WHERE r = 1),
     agg AS (
       SELECT cell, COUNT(*) AS n_members,
-        CAST(SUM(err) AS DECIMAL(38,6)) AS inertia
+        CAST(SUM(err) * 1000000 AS BIGINT) AS inertia_micro
       FROM per GROUP BY cell)
     SELECT c.c_id AS cell, COALESCE(a.n_members, 0) AS n_members,
-      COALESCE(a.inertia, CAST(0 AS DECIMAL(38,6))) AS inertia
+      COALESCE(a.inertia_micro, 0) AS inertia_micro
     FROM cents c LEFT JOIN agg a ON c.c_id = a.cell
     ORDER BY cell"""
 
