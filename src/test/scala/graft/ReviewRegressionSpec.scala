@@ -416,6 +416,48 @@ class ReviewRegressionSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.graph.checkpointEvery")
   }
 
+  test("ds38a-f diagnostics decompose ds38 exactly") {
+    // The r18 driver-as-debugger probes only localize the ds38 driver
+    // divergence if each one really is a stage of the main query — a
+    // drifted probe would mislead the one CORRECTNESS evaluation the
+    // round gets. Pin the recomposition:
+    def run(n: String) = SparkEntry.queries(n)(spark, sf).collect()
+    val main = run("ds38_rank_rollup")
+    assert(main.nonEmpty)
+    // (1) level-0 grid (c) + upper levels (d) = the main 3-level grid
+    val c = run("ds38c_level0_grid")
+      .map(r => (r.getString(0), r.getString(1), 0, r.getLong(2)))
+    val d = run("ds38d_upper_levels")
+      .map(r => (r.getString(0), r.getString(1), r.getInt(3), r.getLong(2)))
+    val mainGrid = main
+      .map(r => (r.getString(1), r.getString(2), r.getInt(3), r.getLong(0)))
+      .toSet
+    assert((c ++ d).toSet == mainGrid)
+    // (2) e's rank_within_parent matches main's on every grid key
+    //     (e differs from ds38 ONLY in presentation + final ordering)
+    val e = run("ds38e_rank_plain_order")
+      .map(r => ((r.getInt(3), r.getString(1), r.getString(2)),
+        r.getInt(4))).toMap
+    main.foreach { r =>
+      assert(e((r.getInt(3), r.getString(1), r.getString(2)))
+        == r.getInt(4)) }
+    // (3) b's top-5 nations are exactly the level-1 states
+    val b5 = run("ds38b_top5").map(_.getString(0)).toSet
+    assert(b5 == main.filter(_.getInt(3) == 1).map(_.getString(1)).toSet)
+    // (4) f carries c's rows with the SAME totals, decimal-presented
+    val f = run("ds38f_decimal_probe")
+      .map(r => (r.getString(0), r.getString(1),
+        r.getDecimal(2).longValueExact)).toSet
+    assert(f == c.map(t => (t._1, t._2, t._4)).toSet)
+    // (5) a's ungated per-nation sum_mu, restricted to the top-5 set,
+    //     re-adds to the level-2 grand total
+    val aSum = run("ds38a_base_profile")
+      .filter(r => b5.contains(r.getString(0)))
+      .map(_.getLong(3)).sum
+    val grand = main.filter(_.getInt(3) == 2).map(_.getLong(0)).sum
+    assert(aSum == grand)
+  }
+
   test("resampleFill tolerates source columns named like struct fields") {
     // regression: the per-bucket struct used the raw value-field name
     // "v", so an ORD column literally named "v" produced duplicate
