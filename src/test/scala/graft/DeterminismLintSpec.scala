@@ -98,6 +98,33 @@ class DeterminismLintSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("no query presents a DECIMAL output column (read-path invariant)") {
+    // r18 (PLANS.md §ds38): a decimal OUTPUT column renders differently
+    // by parquet read path (DuckDB fetchdf() -> float64 "...900.0" vs
+    // fetchall()/pyarrow -> Decimal "...900"), so a remote hash compare
+    // whose two sides read differently can fail on values a typed local
+    // compare proves equal. Decimals are for ACCUMULATION; present
+    // money/measures as BIGINT micro-units or DOUBLE. The one sanctioned
+    // exception is the ds38f probe, which carries a decimal on purpose
+    // to detect exactly this mechanism at the driver.
+    val allowed = Set("ds38f_decimal_probe")
+    val offenders = scala.collection.mutable.Buffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => allowed(n) }
+      .foreach { case (name, fn) =>
+        val decs =
+          try fn(spark, sf).schema.fields.collect {
+            case f if f.dataType.isInstanceOf[
+              org.apache.spark.sql.types.DecimalType] => f.name
+          }.toSeq
+          catch { case e: Throwable => Seq(s"(failed to build: $e)") }
+        decs.foreach(c => offenders += s"$name: output column $c")
+      }
+    assert(offenders.isEmpty,
+      "decimal output columns are read-path-fragile — present as BIGINT " +
+        "micro-units or DOUBLE:\n" + offenders.mkString("\n"))
+  }
+
   test("the lint catches a seeded round(ln)->DECIMAL regression") {
     import spark.implicits._
     val df = Seq((1L, 4.0)).toDF("id", "x")
