@@ -109,6 +109,13 @@ object Graphs {
   def minPlusDistances(seeds: DataFrame, edges: DataFrame,
                        rounds: Int): DataFrame = {
     val every = truncateEvery(seeds)
+    // the iterate is referenced twice per round (relax + union), so the
+    // analyzed plan grows 2^rounds without truncation — measured at
+    // 20k nodes by round 10 (PLANS.md r18); more rounds need the knob
+    require(rounds >= 0 && (rounds <= 16 || every.exists(_ <= 8)),
+      s"minPlusDistances: rounds=$rounds — the analyzed plan doubles " +
+        "per round; beyond 16 rounds set " +
+        "spark.graft.graph.checkpointEvery (<= 8) to truncate lineage")
     var d = seeds.select(col("node").as("seed"), col("node"),
       lit(0L).as("dist"))
     for (r <- 0 until rounds) {
@@ -147,10 +154,14 @@ object Graphs {
     * `rounds` synchronous rounds. */
   def labelPropagation(nodes: DataFrame, undirected: DataFrame,
                        rounds: Int): DataFrame = {
-    require(rounds >= 0 && rounds <= 16,
-      s"labelPropagation: rounds=$rounds — bounded synchronous rounds " +
-        "only (each round adds a join+aggregate stage to the plan)")
     val every = truncateEvery(nodes)
+    // same 2^rounds plan growth as minPlusDistances (the iterate feeds
+    // both the neighbor join and the carry join) — measured in
+    // PLANS.md r18; the 16-round ceiling lifts only under truncation
+    require(rounds >= 0 && (rounds <= 16 || every.exists(_ <= 8)),
+      s"labelPropagation: rounds=$rounds — the analyzed plan doubles " +
+        "per round; beyond 16 rounds set " +
+        "spark.graft.graph.checkpointEvery (<= 8) to truncate lineage")
     var lab = nodes.select(col("node"), col("node").as("lab"))
     for (r <- 0 until rounds) {
       val neigh = undirected

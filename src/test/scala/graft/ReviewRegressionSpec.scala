@@ -414,6 +414,19 @@ class ReviewRegressionSpec extends SparkSpec {
     try assert(graft.operators.Graphs
       .pageRankInt(nodes, edges, iters = 2).count() == 8)
     finally spark.conf.unset("spark.graft.graph.checkpointEvery")
+    // the 16-round ceiling exists because the analyzed plan doubles per
+    // round (PLANS.md r18) — it lifts only under truncation
+    intercept[IllegalArgumentException] {
+      graft.operators.Graphs.minPlusDistances(nodes.limit(2), wedges, 17)
+    }
+    spark.conf.set("spark.graft.graph.checkpointEvery", "4")
+    try {
+      assert(graft.operators.Graphs
+        .minPlusDistances(nodes.limit(1), wedges, rounds = 17)
+        .count() == 8)
+      assert(graft.operators.Graphs
+        .labelPropagation(nodes, und, rounds = 17).count() == 8)
+    } finally spark.conf.unset("spark.graft.graph.checkpointEvery")
   }
 
   test("ds38a-f diagnostics decompose ds38 exactly") {
