@@ -10,16 +10,23 @@ import org.apache.spark.sql.functions._
 object Graphs {
 
   /** Optional lineage truncation for the bounded-round kernels (VERDICT
-    * r17 Next #5). The three kernels below unroll ≤12–16 rounds of
-    * join+aggregate into ONE declarative plan — right for the smoke
-    * regime (Catalyst sees the whole pipeline; nothing is forced to
-    * materialize), but at cluster scale with wide frontiers the
-    * analyzed-plan size and scheduler overhead grow per round.
-    * `spark.graft.graph.checkpointEvery=k` (default off) materializes
-    * the iterate every k rounds via `localCheckpoint` — the exact
-    * [[RecursiveCte]] `i % 8 == 7` discipline, exposed as a deployment
-    * knob. Results are row-identical either way (spec-pinned); a
-    * malformed or non-positive value degrades to off. */
+    * r17 Next #5). The LPA/min-plus iterate feeds TWO consumers per
+    * round (neighbor/relax join + carry/union), so the analyzed plan
+    * grows 2^rounds without truncation — measured at 20k nodes by
+    * round 10 (PLANS.md r18). `spark.graft.graph.checkpointEvery=k`
+    * (default off) truncates the iterate's lineage every k rounds,
+    * capping each segment at the same ceiling the knobless 16-round
+    * bound enforces. Results are row-identical either way
+    * (spec-pinned); a malformed or non-positive value degrades to off.
+    *
+    * Truncation is LAZY (no jobs at plan-build time — schema
+    * inspection and explain stay side-effect-free) and picks the
+    * mechanism by session config: with `SparkContext.setCheckpointDir`
+    * set it uses a RELIABLE checkpoint (survives executor loss — the
+    * right mode for the cluster regime this knob targets, where
+    * `localCheckpoint`'s executor-local blocks would make the job
+    * unrecoverable under decommissioning); otherwise executor-local
+    * checkpoint, the single-host smoke-regime default. */
   private def truncateEvery(df: DataFrame): Option[Int] =
     df.sparkSession.conf.getOption("spark.graft.graph.checkpointEvery")
       .flatMap(_.toIntOption).filter(_ > 0)
@@ -27,9 +34,17 @@ object Graphs {
   private def maybeTruncate(df: DataFrame, round: Int,
                             every: Option[Int]): DataFrame =
     every match {
-      case Some(k) if (round + 1) % k == 0 => df.localCheckpoint()
+      case Some(k) if (round + 1) % k == 0 =>
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(eager = false)
+        else df.localCheckpoint(eager = false)
       case _ => df
     }
+
+  /** rounds > 16 are allowed only when truncation keeps every segment
+    * within the measured 2^16 ceiling (any active cadence ≤ 16). */
+  private def roundsOk(rounds: Int, every: Option[Int]): Boolean =
+    rounds >= 0 && (rounds <= 16 || every.exists(_ <= 16))
 
   /** PageRank power iteration with damping 0.85, computed entirely in
     * BIGINT so the result is bit-identical on any engine and any
@@ -111,11 +126,14 @@ object Graphs {
     val every = truncateEvery(seeds)
     // the iterate is referenced twice per round (relax + union), so the
     // analyzed plan grows 2^rounds without truncation — measured at
-    // 20k nodes by round 10 (PLANS.md r18); more rounds need the knob
-    require(rounds >= 0 && (rounds <= 16 || every.exists(_ <= 8)),
+    // 20k nodes by round 10 (PLANS.md r18). The cap is new in r18:
+    // before it, rounds > 16 didn't fail, it HUNG the analyzer
+    // (minutes at 16, ~2^rounds beyond) — failing loudly with the
+    // remedy beats that.
+    require(roundsOk(rounds, every),
       s"minPlusDistances: rounds=$rounds — the analyzed plan doubles " +
         "per round; beyond 16 rounds set " +
-        "spark.graft.graph.checkpointEvery (<= 8) to truncate lineage")
+        "spark.graft.graph.checkpointEvery (<= 16) to truncate lineage")
     var d = seeds.select(col("node").as("seed"), col("node"),
       lit(0L).as("dist"))
     for (r <- 0 until rounds) {
@@ -158,10 +176,10 @@ object Graphs {
     // same 2^rounds plan growth as minPlusDistances (the iterate feeds
     // both the neighbor join and the carry join) — measured in
     // PLANS.md r18; the 16-round ceiling lifts only under truncation
-    require(rounds >= 0 && (rounds <= 16 || every.exists(_ <= 8)),
+    require(roundsOk(rounds, every),
       s"labelPropagation: rounds=$rounds — the analyzed plan doubles " +
         "per round; beyond 16 rounds set " +
-        "spark.graft.graph.checkpointEvery (<= 8) to truncate lineage")
+        "spark.graft.graph.checkpointEvery (<= 16) to truncate lineage")
     var lab = nodes.select(col("node"), col("node").as("lab"))
     for (r <- 0 until rounds) {
       val neigh = undirected

@@ -3453,16 +3453,17 @@ object DsQueries {
       GROUP BY n_name, city
       ORDER BY state, county""",
     "ds38d_upper_levels" -> s"""
+      WITH kept AS ($Ds38KeptSql)
       SELECT state, county, total_b, lochierarchy FROM (
         SELECT n_name AS state, 'ALL' AS county,
           CAST(SUM(mu) AS BIGINT) AS total_b,
           CAST(1 AS INT) AS lochierarchy
-        FROM ($Ds38KeptSql) k GROUP BY n_name
+        FROM kept GROUP BY n_name
         UNION ALL
         SELECT 'ALL' AS state, 'ALL' AS county,
           CAST(SUM(mu) AS BIGINT) AS total_b,
           CAST(2 AS INT) AS lochierarchy
-        FROM ($Ds38KeptSql) k2) u
+        FROM kept) u
       ORDER BY lochierarchy, state""",
     "ds38e_rank_plain_order" -> s"""
       WITH kept AS ($Ds38KeptSql),

@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   */
 class DeterminismLintSpec extends SparkSpec {
 
+  /** Every registry query built ONCE and shared by both registry-wide
+    * sweeps below — building is not free (x-family queries go through
+    * the GraftSession write path), so the two lints must not each pay
+    * a full pass. */
+  private lazy val builtQueries
+      : Seq[(String, Either[Throwable, org.apache.spark.sql.DataFrame])] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (try Right(fn(spark, sf))
+               catch { case e: Throwable => Left(e) })
+    }
+
   import org.apache.spark.sql.catalyst.expressions.{
     Log, Logarithm, Log2, Log10, Log1p, Exp, Expm1, Pow,
     Sin, Cos, Tan, Sinh, Cosh, Tanh, Asin, Acos, Atan, Atan2}
@@ -85,12 +96,13 @@ class DeterminismLintSpec extends SparkSpec {
   test("no oracle-checked query rounds an in-plan transcendental into DECIMAL") {
     val offenders = scala.collection.mutable.Buffer[String]()
     val oracleKeys = SparkEntry.oracleSql.keySet
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    builtQueries
       .filter { case (n, _) => oracleKeys(n) }
-      .foreach { case (name, fn) =>
-        val found =
-          try lint(fn(spark, sf))
-          catch { case e: Throwable => Seq(s"(failed to build: $e)") }
+      .foreach { case (name, built) =>
+        val found = built match {
+          case Right(df) => lint(df)
+          case Left(e) => Seq(s"(failed to build: $e)")
+        }
         found.foreach(f => offenders +=
           s"$name: $f — use the OracleLiterals literal-injection pattern " +
             "(driver-side model, identical DECIMAL literals in plan+oracle)")
@@ -109,15 +121,16 @@ class DeterminismLintSpec extends SparkSpec {
     // to detect exactly this mechanism at the driver.
     val allowed = Set("ds38f_decimal_probe")
     val offenders = scala.collection.mutable.Buffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    builtQueries
       .filterNot { case (n, _) => allowed(n) }
-      .foreach { case (name, fn) =>
-        val decs =
-          try fn(spark, sf).schema.fields.collect {
+      .foreach { case (name, built) =>
+        val decs = built match {
+          case Right(df) => df.schema.fields.collect {
             case f if f.dataType.isInstanceOf[
               org.apache.spark.sql.types.DecimalType] => f.name
           }.toSeq
-          catch { case e: Throwable => Seq(s"(failed to build: $e)") }
+          case Left(e) => Seq(s"(failed to build: $e)")
+        }
         decs.foreach(c => offenders += s"$name: output column $c")
       }
     assert(offenders.isEmpty,
