@@ -74,24 +74,49 @@ object TmpDirs {
   }
 
   private[graft] def deleteRec(f: java.io.File): Unit = {
-    // NEVER traverse through a symlink (ADVICE r17, medium): the sweep
-    // also runs over shared-/tmp dirs this process did not create, and
-    // a planted symlink inside a marker-named dir must be unlinked as
-    // an ENTRY, not followed into its target. File.listFiles follows
-    // links, so gate the recursion on the link check.
-    val isLink = java.nio.file.Files.isSymbolicLink(f.toPath)
-    if (!isLink)
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        .foreach(deleteRec)
-    if (!f.delete() && f.exists()) {
-      // a sidecar can appear between the listing and the rmdir (e.g. a
-      // LocalFileSystem .crc written by a racing shutdown hook) — one
-      // relist-and-retry covers it; a still-failing path stays for the
-      // dead-pid sweep rather than looping at JVM exit
-      if (!isLink)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          .foreach(deleteRec)
-      f.delete()
+    // NEVER traverse through a symlink (ADVICE r17, hardened r19): the
+    // sweep also runs over shared-/tmp dirs this process did not
+    // create, and a planted symlink inside a marker-named dir must be
+    // unlinked as an ENTRY, not followed into its target. r19 (ADVICE):
+    // the old isSymbolicLink-then-listFiles guard was TOCTOU-racy (an
+    // entry swapped dir→link between check and traversal was still
+    // followed) and its exists()-gated retry skipped dangling links.
+    // Files.walkFileTree does not follow links at all — a link is
+    // visited as a FILE (its own attributes) and unlinked — so the
+    // no-traversal guarantee holds per-entry at visit time, and
+    // visitFileFailed still unlinks entries whose attributes can't be
+    // read (dangling links).
+    import java.nio.file.{FileVisitResult, Files, LinkOption, Path,
+      SimpleFileVisitor}
+    def sweep(): Unit = {
+      val root = f.toPath
+      if (Files.notExists(root, LinkOption.NOFOLLOW_LINKS)) return
+      Files.walkFileTree(root, new SimpleFileVisitor[Path] {
+        private def rm(p: Path): FileVisitResult = {
+          try Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () } // keep sweeping
+          FileVisitResult.CONTINUE
+        }
+        override def visitFile(
+            p: Path,
+            a: java.nio.file.attribute.BasicFileAttributes) = rm(p)
+        override def visitFileFailed(p: Path, e: java.io.IOException) =
+          rm(p)
+        override def postVisitDirectory(p: Path, e: java.io.IOException) =
+          rm(p)
+      })
+      ()
+    }
+    try sweep()
+    catch { case _: java.io.IOException => () }
+    // a sidecar can appear between a directory's listing and its rmdir
+    // (e.g. a LocalFileSystem .crc written by a racing shutdown hook) —
+    // one retry pass covers it; a still-failing path stays for the
+    // dead-pid sweep rather than looping at JVM exit
+    if (java.nio.file.Files.exists(f.toPath,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      try sweep()
+      catch { case _: java.io.IOException => () }
     }
     ()
   }

@@ -19,14 +19,33 @@ object Graphs {
     * bound enforces. Results are row-identical either way
     * (spec-pinned); a malformed or non-positive value degrades to off.
     *
-    * Truncation is LAZY (no jobs at plan-build time — schema
-    * inspection and explain stay side-effect-free) and picks the
-    * mechanism by session config: with `SparkContext.setCheckpointDir`
+    * Truncation requests `eager = false`, but note (ADVICE r18): with
+    * AQE enabled (the default, and what this repo's plan tests assert)
+    * even a non-eager `checkpoint`/`localCheckpoint` RUNS JOBS at
+    * DataFrame-BUILD time — `AdaptiveSparkPlanExec.doExecute`
+    * materializes every upstream shuffle stage when the checkpoint RDD
+    * is created. So with the knob set, merely building a kernel
+    * DataFrame executes the truncated segments, and schema
+    * inspection/explain are no longer side-effect-free; leave the knob
+    * off (the default) for pure plan inspection. The mechanism is
+    * picked by session config: with `SparkContext.setCheckpointDir`
     * set it uses a RELIABLE checkpoint (survives executor loss — the
     * right mode for the cluster regime this knob targets, where
     * `localCheckpoint`'s executor-local blocks would make the job
     * unrecoverable under decommissioning); otherwise executor-local
-    * checkpoint, the single-host smoke-regime default. */
+    * checkpoint, the single-host smoke-regime default.
+    *
+    * Reliable-mode operational notes (ADVICE r18): (1) Spark does NOT
+    * delete reliable checkpoint files when the DataFrame is GC'd unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — size the
+    * checkpoint dir for rounds/k snapshots per run, or set that conf /
+    * sweep the dir between runs; (2) writing a non-eager reliable
+    * checkpoint of an unpersisted segment recomputes that segment once
+    * at write time — deliberate here: a persist-before-checkpoint would
+    * trade the one recompute for a pinned cache entry per truncated
+    * segment that outlives the kernel call (this helper hands back a
+    * plain DataFrame and has no unpersist point), and the truncated
+    * segments are each ≤ k rounds of joins by construction. */
   private def truncateEvery(df: DataFrame): Option[Int] =
     df.sparkSession.conf.getOption("spark.graft.graph.checkpointEvery")
       .flatMap(_.toIntOption).filter(_ > 0)
@@ -80,7 +99,10 @@ object Graphs {
     // mode — so overflow is an ERROR, not silent wraparound. The iters
     // bound rejects configurations whose teleport constant alone cannot
     // fit; dense hubs can still hit the (loud) executor limit earlier —
-    // switch to a double-precision PageRank beyond that.
+    // switch to a double-precision PageRank beyond that. The same bound
+    // also caps analyzer cost: this iterate feeds ONE consumer per
+    // round, so the plan grows LINEARLY (unlike the 2^rounds LPA/
+    // min-plus shape), and 12 rounds is far inside the measured budget.
     require(iters >= 0 && iters <= 12,
       s"pageRankInt: iters=$iters overflows the 20^i Long teleport" +
         " scaling (max 12); use fewer iterations or a floating-point" +

@@ -38,11 +38,11 @@ import graft.Tables
 object DsQueries {
   private val D = DecimalType(28, 6)
 
-  /** ds38's 1997 per-row money profile — the EXACT recipe the main
-    * ds38_rank_rollup query uses (cents, discount basis points, and the
-    * mu = cents·(10⁴−bp) micro-dollar product in DECIMAL(38,0)) —
-    * factored out so the ds38a–f driver diagnostics probe the very same
-    * expressions, not a re-derivation. */
+  /** ds38's 1997 per-row money profile — cents, discount basis points,
+    * and the mu = cents·(10⁴−bp) micro-dollar product in DECIMAL(38,0).
+    * (The r18 ds38a–f driver diagnostics that shared these expressions
+    * were removed in r19 after confirming the decimal read-path
+    * mechanism; ledger in PLANS.md §ds38.) */
   private def ds38Rows(s: SparkSession, dir: String): DataFrame = {
     val D38 = DecimalType(38, 0)
     val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) *
@@ -63,38 +63,7 @@ object DsQueries {
         (cents * (lit(10000L) - discBp)).cast(D38).as("mu"))
   }
 
-  /** Oracle-side twin of [[ds38Rows]]: the exact per-row money profile
-    * the main ds38 oracle's `base` CTE computes, as a self-contained
-    * SELECT for the ds38a–f diagnostic oracles to embed. */
-  private val Ds38RowsSql: String = """
-      SELECT n_name,
-        n_name || '_' || CAST(s_suppkey % 10 AS VARCHAR) AS city,
-        CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS c,
-        CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS b,
-        CAST(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
-            AS BIGINT) *
-          (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
-            AS BIGINT)) AS DECIMAL(38,0)) AS mu
-      FROM lineitem
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation ON s_nationkey = n_nationkey
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate < TIMESTAMP '1998-01-01'"""
-
-  /** Oracle-side twin of [[ds38Kept]]: the base rows gated to the top-5
-    * nations, exactly as the main ds38 oracle's `kept` CTE. */
-  private val Ds38KeptSql: String = s"""
-      SELECT bb.* FROM ($Ds38RowsSql) bb
-      WHERE n_name IN (
-        SELECT n_name FROM (
-          SELECT n_name, RANK() OVER (ORDER BY p DESC, n_name) AS rnk
-          FROM (
-            SELECT n_name, CAST(SUM(mu) AS DECIMAL(38,0)) AS p
-            FROM ($Ds38RowsSql) g GROUP BY n_name) p5) r
-        WHERE rnk <= 5)"""
-
-  /** ds38's top-5-nation gated rows (base LEFT SEMI top5), shared by the
-    * ds38c/d/e/f diagnostics. */
+  /** ds38's top-5-nation gated rows (base LEFT SEMI top5). */
   private def ds38Kept(s: SparkSession, dir: String): DataFrame = {
     val base = ds38Rows(s, dir)
     val top5 = base.groupBy(col("n_name").as("tn"))
@@ -1265,11 +1234,13 @@ object DsQueries {
         .join(n, col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("p_type"), col("p_brand"), col("n_name"),
           month(col("l_shipdate")).as("mo"))
-        .agg(sum(mu).as("s"))
+        // accumulate in DECIMAL(38,0); present via the guarded cast so
+        // an over-SF1k total raises instead of wrapping (Present scaladoc)
+        .agg(Present.bigintExact(sum(mu.cast(D38)), "ds37.s").as("s"))
       val wb = Window.partitionBy(col("p_type"), col("p_brand"),
         col("n_name"))
       g.select(col("p_type"), col("p_brand"), col("n_name"), col("mo"),
-          col("s"), sum(col("s")).over(wb).as("tot"),
+          col("s"), sum(col("s").cast(D38)).over(wb).as("tot"),
           count(lit(1)).over(wb).as("nm"))
         .filter(abs(col("s").cast(D38) * col("nm") - col("tot").cast(D38)) *
           lit(10L) > col("tot").cast(D38) * col("nm"))
@@ -1321,13 +1292,16 @@ object DsQueries {
     //       CAST(NULL AS VARCHAR) for rollup levels 1–2 — it was the
     //       registry's only NULL-literal window partition key; nations
     //       are never named '*', so partitions are unchanged.
-    // The ds38a–f stage diagnostics below localize any residual driver
-    // divergence in one evaluation; remove them once ds38 is green.
+    // r19: the TEMPORARY ds38a–f stage diagnostics did their job in one
+    // driver evaluation (ds38 green + f red = the predicted read-path
+    // signature) and were removed per their exit contract; the durable
+    // protections are the registry-wide zero-decimal-output lint and the
+    // PLANS.md §ds38 ledger.
     // Ref: /root/reference/benchmark/tpcds/query70.tpl ---
     "ds38_rank_rollup" -> ((s, dir) => {
-      // base/top-5 gate factored into ds38Rows/ds38Kept (shared with the
-      // ds38a–f diagnostics; the top-5 rank is the sanctioned
-      // unpartitioned window over the ≤25-row nation aggregate).
+      // base/top-5 gate factored into ds38Rows/ds38Kept (the top-5 rank
+      // is the sanctioned unpartitioned window over the ≤25-row nation
+      // aggregate).
       // Materialize lochierarchy + the parent partition key BEFORE the
       // window (the ds1 convention) and COALESCE the NULL rollup keys to
       // a sentinel (the ds51 discipline): no GROUPING() inside OVER and
@@ -1344,101 +1318,15 @@ object DsQueries {
           when(col("gc") === 0, col("n_name")).otherwise(lit("*")).as("pk"))
       val wp = Window.partitionBy(col("lochierarchy"), col("pk"))
         .orderBy(col("total_sum").desc, col("state"), col("county"))
-      grid.select(col("total_sum").cast("bigint").as("total_sum"),
+      grid.select(
+          Present.bigintExact(col("total_sum"), "ds38.total_sum")
+            .as("total_sum"),
           col("state"), col("county"),
           col("lochierarchy"),
           rank().over(wp).cast("int").as("rank_within_parent"))
         .orderBy(col("lochierarchy").desc,
           when(col("lochierarchy") === 0, col("state")),
           col("rank_within_parent"), col("state"), col("county"))
-    }),
-
-    // --- ds38a–f: DRIVER-AS-DEBUGGER stage decomposition of ds38
-    // (r17 verdict Next #1). ds38 hash-failed at the round driver for
-    // three consecutive rounds (r15–r17) while passing exact positional
-    // compare locally for three independent judges; every SQL-construct
-    // hypothesis is eliminated (PLANS.md §ds38 ledger). These six probes
-    // each isolate ONE stage/construct of ds38 so CORRECTNESS_r18's
-    // green/red pattern localizes the divergence in a single driver
-    // evaluation:
-    //   a RED            → base values (money recipe / join / filter)
-    //   a green, b RED   → the 25-row top-5 nation rank
-    //   b green, c RED   → semi-join gate / (nation, city) grouping
-    //   c green, d RED   → rollup subtotal/grand levels
-    //   d green, f RED   → raw DECIMAL(38,0) output hashing (the r18
-    //                      presentation hypothesis — f is the only probe
-    //                      that emits a decimal column)
-    //   f green, e RED   → rank-within-parent window
-    //   all green, ds38 RED → the final CASE ordering (the one construct
-    //                      e deliberately omits)
-    // TEMPORARY: delete a–f (queries + oracles) once ds38 is green.
-    "ds38a_base_profile" -> ((s, dir) => {
-      val prof = ds38Rows(s, dir)
-      prof.groupBy(col("n_name"))
-        .agg(sum(col("c")).as("sum_cents"),
-          sum(col("b")).as("sum_disc_bp"),
-          sum(col("mu")).cast("bigint").as("sum_mu"),
-          count(lit(1)).as("n"))
-        .orderBy(col("n_name"))
-    }),
-    "ds38b_top5" -> ((s, dir) => {
-      val p5 = ds38Rows(s, dir).groupBy(col("n_name"))
-        .agg(sum(col("mu")).as("p"))
-      val wr = Window.orderBy(col("p").desc, col("n_name"))
-      p5.select(col("n_name"), rank().over(wr).cast("int").as("rnk"),
-          col("p").cast("bigint").as("p_b"))
-        .filter(col("rnk") <= 5)
-        .orderBy(col("rnk"))
-    }),
-    "ds38c_level0_grid" -> ((s, dir) => {
-      ds38Kept(s, dir).groupBy(col("n_name"), col("city"))
-        .agg(sum(col("mu")).cast("bigint").as("total_b"))
-        .select(col("n_name").as("state"), col("city").as("county"),
-          col("total_b"))
-        .orderBy(col("state"), col("county"))
-    }),
-    "ds38d_upper_levels" -> ((s, dir) => {
-      val kept = ds38Kept(s, dir)
-      val lvl1 = kept.groupBy(col("n_name"))
-        .agg(sum(col("mu")).cast("bigint").as("total_b"))
-        .select(col("n_name").as("state"), lit("ALL").as("county"),
-          col("total_b"), lit(1).as("lochierarchy"))
-      val lvl2 = kept
-        .agg(sum(col("mu")).cast("bigint").as("total_b"))
-        .select(lit("ALL").as("state"), lit("ALL").as("county"),
-          col("total_b"), lit(2).as("lochierarchy"))
-      lvl1.unionAll(lvl2)
-        .orderBy(col("lochierarchy"), col("state"))
-    }),
-    "ds38e_rank_plain_order" -> ((s, dir) => {
-      val kept = ds38Kept(s, dir)
-      val lvl0 = kept.groupBy(col("n_name"), col("city"))
-        .agg(sum(col("mu")).as("ts"))
-        .select(col("ts"), col("n_name").as("state"),
-          col("city").as("county"), lit(0).as("lochierarchy"),
-          col("n_name").as("pk"))
-      val lvl1 = kept.groupBy(col("n_name"))
-        .agg(sum(col("mu")).as("ts"))
-        .select(col("ts"), col("n_name").as("state"),
-          lit("ALL").as("county"), lit(1).as("lochierarchy"),
-          lit("*").as("pk"))
-      val lvl2 = kept.agg(sum(col("mu")).as("ts"))
-        .select(col("ts"), lit("ALL").as("state"), lit("ALL").as("county"),
-          lit(2).as("lochierarchy"), lit("*").as("pk"))
-      val agg = lvl0.unionAll(lvl1).unionAll(lvl2)
-      val wp = Window.partitionBy(col("lochierarchy"), col("pk"))
-        .orderBy(col("ts").desc, col("state"), col("county"))
-      agg.select(col("ts").cast("bigint").as("total_b"), col("state"),
-          col("county"), col("lochierarchy"),
-          rank().over(wp).cast("int").as("rank_within_parent"))
-        .orderBy(col("lochierarchy"), col("state"), col("county"))
-    }),
-    "ds38f_decimal_probe" -> ((s, dir) => {
-      ds38Kept(s, dir).groupBy(col("n_name"), col("city"))
-        .agg(sum(col("mu")).as("total_sum"))
-        .select(col("n_name").as("state"), col("city").as("county"),
-          col("total_sum"))
-        .orderBy(col("state"), col("county"))
     }),
 
     // --- TPC-DS q23's "frequent items × best customers" gate: total
@@ -1467,7 +1355,8 @@ object DsQueries {
         .join(Tables.load(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("cust"))
-        .agg(sum(cents).cast("bigint").as("spent"))
+        .agg(Present.bigintExact(sum(cents.cast(D38)), "ds39.spent")
+          .as("spent"))
       val mx = spend.agg(max(col("spent")).as("m"))
       val best = spend.crossJoin(broadcast(mx))
         .filter(col("spent").cast(D38) * lit(100L) >
@@ -1479,7 +1368,8 @@ object DsQueries {
           col("l_orderkey") === col("o_orderkey"))
         .join(freq, col("l_partkey") === col("item"), "left_semi")
         .join(best, col("o_custkey") === col("cust"), "left_semi")
-        .agg(sum(cents).cast("bigint").as("total_cents"),
+        .agg(Present.bigintExact(sum(cents.cast(D38)), "ds39.total_cents")
+            .as("total_cents"),
           count(lit(1)).cast("bigint").as("n_lines"))
     }),
 
@@ -3427,73 +3317,6 @@ object DsQueries {
       ORDER BY lochierarchy DESC,
         CASE WHEN lochierarchy = 0 THEN state END,
         rank_within_parent, state, county""",
-    "ds38a_base_profile" -> s"""
-      SELECT n_name,
-        CAST(SUM(c) AS BIGINT) AS sum_cents,
-        CAST(SUM(b) AS BIGINT) AS sum_disc_bp,
-        CAST(SUM(mu) AS BIGINT) AS sum_mu,
-        CAST(COUNT(*) AS BIGINT) AS n
-      FROM ($Ds38RowsSql) t
-      GROUP BY n_name
-      ORDER BY n_name""",
-    "ds38b_top5" -> s"""
-      WITH p5 AS (
-        SELECT n_name, CAST(SUM(mu) AS DECIMAL(38,0)) AS p
-        FROM ($Ds38RowsSql) t GROUP BY n_name)
-      SELECT n_name, CAST(rnk AS INT) AS rnk, CAST(p AS BIGINT) AS p_b
-      FROM (
-        SELECT n_name, p, RANK() OVER (ORDER BY p DESC, n_name) AS rnk
-        FROM p5) r
-      WHERE rnk <= 5
-      ORDER BY rnk""",
-    "ds38c_level0_grid" -> s"""
-      SELECT n_name AS state, city AS county,
-        CAST(SUM(mu) AS BIGINT) AS total_b
-      FROM ($Ds38KeptSql) k
-      GROUP BY n_name, city
-      ORDER BY state, county""",
-    "ds38d_upper_levels" -> s"""
-      WITH kept AS ($Ds38KeptSql)
-      SELECT state, county, total_b, lochierarchy FROM (
-        SELECT n_name AS state, 'ALL' AS county,
-          CAST(SUM(mu) AS BIGINT) AS total_b,
-          CAST(1 AS INT) AS lochierarchy
-        FROM kept GROUP BY n_name
-        UNION ALL
-        SELECT 'ALL' AS state, 'ALL' AS county,
-          CAST(SUM(mu) AS BIGINT) AS total_b,
-          CAST(2 AS INT) AS lochierarchy
-        FROM kept) u
-      ORDER BY lochierarchy, state""",
-    "ds38e_rank_plain_order" -> s"""
-      WITH kept AS ($Ds38KeptSql),
-      agg AS (
-        SELECT CAST(SUM(mu) AS DECIMAL(38,0)) AS ts,
-          n_name AS state, city AS county,
-          CAST(0 AS INT) AS lochierarchy, n_name AS pk
-        FROM kept GROUP BY n_name, city
-        UNION ALL
-        SELECT CAST(SUM(mu) AS DECIMAL(38,0)) AS ts,
-          n_name AS state, 'ALL' AS county,
-          CAST(1 AS INT) AS lochierarchy, '*' AS pk
-        FROM kept GROUP BY n_name
-        UNION ALL
-        SELECT CAST(SUM(mu) AS DECIMAL(38,0)) AS ts,
-          'ALL' AS state, 'ALL' AS county,
-          CAST(2 AS INT) AS lochierarchy, '*' AS pk
-        FROM kept)
-      SELECT CAST(ts AS BIGINT) AS total_b, state, county, lochierarchy,
-        CAST(RANK() OVER (
-          PARTITION BY lochierarchy, pk
-          ORDER BY ts DESC, state, county) AS INT) AS rank_within_parent
-      FROM agg
-      ORDER BY lochierarchy, state, county""",
-    "ds38f_decimal_probe" -> s"""
-      SELECT n_name AS state, city AS county,
-        CAST(SUM(mu) AS DECIMAL(38,0)) AS total_sum
-      FROM ($Ds38KeptSql) k
-      GROUP BY n_name, city
-      ORDER BY state, county""",
     "ds39_frequent_best" -> """
       WITH freq AS (
         SELECT l_partkey AS item

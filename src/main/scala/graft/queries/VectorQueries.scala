@@ -122,8 +122,8 @@ object VectorQueries {
         }.toSeq)
       Similarity.quantizationError(e, cents)
         .select(col("cell"), col("n_members"),
-          (col("inertia") * lit(1000000L)).cast("bigint")
-            .as("inertia_micro"))
+          Present.bigintExact(col("inertia") * lit(1000000L),
+            "e9.inertia_micro").as("inertia_micro"))
     }),
 
     // --- SemDeDup: cluster-confined semantic dedup (Abbas et al. 2023)
@@ -707,8 +707,13 @@ object VectorQueries {
       SELECT cell, CAST(round(anorm + d, 6) AS DECIMAL(28,6)) AS err
       FROM asg WHERE r = 1),
     agg AS (
+      -- scale per-row BEFORE summing: err*1e6 is integer-valued
+      -- DECIMAL so the per-row BIGINT cast is exact, and DuckDB sums
+      -- BIGINT in HUGEINT — SUM(err)*1000000 would need DECIMAL width
+      -- > 38 and fall back to float64, exact only under 2^53
       SELECT cell, COUNT(*) AS n_members,
-        CAST(SUM(err) * 1000000 AS BIGINT) AS inertia_micro
+        CAST(SUM(CAST(err * 1000000 AS BIGINT)) AS BIGINT)
+          AS inertia_micro
       FROM per GROUP BY cell)
     SELECT c.c_id AS cell, COALESCE(a.n_members, 0) AS n_members,
       COALESCE(a.inertia_micro, 0) AS inertia_micro

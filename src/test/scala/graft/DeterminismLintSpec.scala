@@ -117,12 +117,12 @@ class DeterminismLintSpec extends SparkSpec {
     // whose two sides read differently can fail on values a typed local
     // compare proves equal. Decimals are for ACCUMULATION; present
     // money/measures as BIGINT micro-units or DOUBLE. The one sanctioned
-    // exception is the ds38f probe, which carries a decimal on purpose
-    // to detect exactly this mechanism at the driver.
-    val allowed = Set("ds38f_decimal_probe")
+    // exception was the r18 ds38f probe, which carried a decimal on
+    // purpose to detect exactly this mechanism at the driver; with the
+    // mechanism confirmed and the probe removed (r19), the invariant
+    // holds registry-wide with no exceptions.
     val offenders = scala.collection.mutable.Buffer[String]()
     builtQueries
-      .filterNot { case (n, _) => allowed(n) }
       .foreach { case (name, built) =>
         val decs = built match {
           case Right(df) => df.schema.fields.collect {

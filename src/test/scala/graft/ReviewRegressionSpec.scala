@@ -384,6 +384,23 @@ class ReviewRegressionSpec extends SparkSpec {
     } finally graft.TmpDirs.deleteRec(tmp)
   }
 
+  test("deleteRec removes dangling symlink entries") {
+    // ADVICE r18: the old exists()-gated retry skipped entries whose
+    // target is gone (File.exists follows the link); the walkFileTree
+    // sweep unlinks them via visitFile/visitFileFailed.
+    val tmp = Files.createTempDirectory("swt4").toFile
+    val victim = new java.io.File(tmp, "victim_gtmp_p999999994_x")
+    victim.mkdirs()
+    Files.createSymbolicLink(victim.toPath.resolve("dangling"),
+      tmp.toPath.resolve("no-such-target"))
+    try {
+      graft.TmpDirs.deleteRec(victim)
+      assert(!Files.exists(victim.toPath,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS),
+        "dir containing a dangling link must still be removed")
+    } finally graft.TmpDirs.deleteRec(tmp)
+  }
+
   test("graph kernels: checkpointEvery truncation is row-identical") {
     // spark.graft.graph.checkpointEvery must be a pure physical choice
     // (VERDICT r17 Next #5): the exact RecursiveCte lineage-truncation
@@ -429,46 +446,62 @@ class ReviewRegressionSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.graph.checkpointEvery")
   }
 
-  test("ds38a-f diagnostics decompose ds38 exactly") {
-    // The r18 driver-as-debugger probes only localize the ds38 driver
-    // divergence if each one really is a stage of the main query — a
-    // drifted probe would mislead the one CORRECTNESS evaluation the
-    // round gets. Pin the recomposition:
-    def run(n: String) = SparkEntry.queries(n)(spark, sf).collect()
-    val main = run("ds38_rank_rollup")
-    assert(main.nonEmpty)
-    // (1) level-0 grid (c) + upper levels (d) = the main 3-level grid
-    val c = run("ds38c_level0_grid")
-      .map(r => (r.getString(0), r.getString(1), 0, r.getLong(2)))
-    val d = run("ds38d_upper_levels")
-      .map(r => (r.getString(0), r.getString(1), r.getInt(3), r.getLong(2)))
-    val mainGrid = main
-      .map(r => (r.getString(1), r.getString(2), r.getInt(3), r.getLong(0)))
-      .toSet
-    assert((c ++ d).toSet == mainGrid)
-    // (2) e's rank_within_parent matches main's on every grid key
-    //     (e differs from ds38 ONLY in presentation + final ordering)
-    val e = run("ds38e_rank_plain_order")
-      .map(r => ((r.getInt(3), r.getString(1), r.getString(2)),
-        r.getInt(4))).toMap
-    main.foreach { r =>
-      assert(e((r.getInt(3), r.getString(1), r.getString(2)))
-        == r.getInt(4)) }
-    // (3) b's top-5 nations are exactly the level-1 states
-    val b5 = run("ds38b_top5").map(_.getString(0)).toSet
-    assert(b5 == main.filter(_.getInt(3) == 1).map(_.getString(1)).toSet)
-    // (4) f carries c's rows with the SAME totals, decimal-presented
-    val f = run("ds38f_decimal_probe")
-      .map(r => (r.getString(0), r.getString(1),
-        r.getDecimal(2).longValueExact)).toSet
-    assert(f == c.map(t => (t._1, t._2, t._4)).toSet)
-    // (5) a's ungated per-nation sum_mu, restricted to the top-5 set,
-    //     re-adds to the level-2 grand total
-    val aSum = run("ds38a_base_profile")
-      .filter(r => b5.contains(r.getString(0)))
-      .map(_.getLong(3)).sum
-    val grand = main.filter(_.getInt(3) == 2).map(_.getLong(0)).sum
-    assert(aSum == grand)
+  // ---- round-19 pins ----
+
+  test("micro-unit BIGINT presentation fails loudly past the ceiling") {
+    // VERDICT r18 Next #3 / ADVICE: the ds37/ds38/ds39/e9 convention
+    // presents money as BIGINT micro-units, documented to hold to ~SF1k;
+    // past it, non-ANSI CAST(decimal AS BIGINT) silently NULLs while
+    // DuckDB aborts — wrong rows here, loud abort there. Present
+    // .bigintExact must (a) present in-range values exactly, (b) raise
+    // with the remedy REGARDLESS of the ANSI conf.
+    val over = java.math.BigDecimal.valueOf(Long.MaxValue)
+      .add(java.math.BigDecimal.ONE) // 2^63, one past the ceiling
+    val inRange = Seq(Long.MaxValue.toString, "-42", null)
+      .toDF("v").select(col("v").cast("decimal(38,0)").as("d"))
+    assert(inRange
+      .select(graft.queries.Present.bigintExact(col("d"), "spec").as("b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .toSet == Set(Some(Long.MaxValue), Some(-42L), None))
+    val overDf = Seq(over.toPlainString).toDF("v")
+      .select(col("v").cast("decimal(38,0)").as("d"))
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    for (ansi <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.ansi.enabled", ansi)
+      try {
+        // the trap being closed: under non-ANSI, the plain cast
+        // silently WRAPS the over-range value (2^63 -> Long.MinValue)
+        if (ansi == "false") {
+          val r = overDf.select(col("d").cast("bigint")).collect().head
+          assert(r.isNullAt(0) || r.getLong(0) == Long.MinValue,
+            "expected the silent non-ANSI wrap/NULL this guard closes")
+        }
+        val e = intercept[Throwable] {
+          overDf.select(graft.queries.Present
+            .bigintExact(col("d"), "spec.site").as("b")).collect()
+        }
+        assert(msgChain(e).contains("micro-unit presentation"),
+          s"ansi=$ansi: expected the guard's remedy message, " +
+            s"got: ${msgChain(e)}")
+      } finally spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
+  test("pageRankInt rejects iteration counts past its Long budget") {
+    // VERDICT r18 Next #5 asked for an iters cap on pageRankInt; the
+    // cap has existed since r8 (iters <= 12, overflow-driven — tighter
+    // than the plan-growth bound, since this iterate's plan grows
+    // LINEARLY per round). Pin it so it can't silently disappear.
+    val nodes = (1L to 3L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Graphs.pageRankInt(nodes, edges, iters = 13)
+    }
+    assert(e.getMessage.contains("max 12"))
+    assert(graft.operators.Graphs.pageRankInt(nodes, edges, iters = 0)
+      .count() == 3)
   }
 
   test("resampleFill tolerates source columns named like struct fields") {

@@ -9,8 +9,20 @@ row counts, and values (exact for ints/strings; exact-or-report for
 doubles). Strictly stricter than the driver's hash compare — if this
 passes, the driver's gate passes.
 
-Usage: python3 tools/check.py [--render-first] [--no-resource] \
+Usage: python3 tools/check.py [--render-first] [--no-resource] [--asym] \
            [sf_dir] [out_dir] [filter]
+
+--asym additionally replays the ASYMMETRIC read-path compare that burned
+r15–r17 on ds38 (PLANS.md §ds38): the same-connection typed compare
+below structurally cancels engine-specific value conversions, but a
+driver that reads the Spark parquet via one path (fetchall/pyarrow:
+DECIMAL(38,0) stays Decimal -> "...900") and the oracle via another
+(fetchdf(): float64 -> "...900.0") sees different STRINGS for equal
+values. --asym renders the Spark side via fetchall and the oracle via
+fetchdf and compares the renderings, so that failure class is locally
+reproducible forever. It self-tests first: a seeded DECIMAL(38,0) probe
+must go red and its BIGINT twin green, or the run aborts (the local
+duckdb no longer reproduces the mechanism).
 
 --render-first pins render-order independence (the CORRECTNESS_r09
 failure mode): it renders ALL oracle SQL in a FRESH JVM — no query has
@@ -29,7 +41,7 @@ driver's render classpath demonstrably lacked the resource).
 import json, math, subprocess, sys, glob, os
 
 USAGE = ("usage: python3 tools/check.py [--render-first] [--no-resource] "
-         "[sf_dir] [out_dir] [filter]")
+         "[--asym] [sf_dir] [out_dir] [filter]")
 
 # Reject unknown flags instead of binding them to positionals: `check.py
 # --help` used to launch a full Spark Verify against a dir literally named
@@ -39,17 +51,18 @@ if any(a in ("--help", "-h") for a in sys.argv[1:]):
     print(USAGE)
     print(__doc__)
     sys.exit(0)
+FLAGS = ("--render-first", "--no-resource", "--asym")
 unknown = [a for a in sys.argv[1:]
-           if a.startswith("-") and a not in ("--render-first", "--no-resource")]
+           if a.startswith("-") and a not in FLAGS]
 if unknown:
     print(f"check.py: unknown flag(s): {', '.join(unknown)}")
     print(USAGE)
     sys.exit(2)
 
-args = [a for a in sys.argv[1:]
-        if a not in ("--render-first", "--no-resource")]
+args = [a for a in sys.argv[1:] if a not in FLAGS]
 RENDER_FIRST = "--render-first" in sys.argv[1:]
 NO_RESOURCE = "--no-resource" in sys.argv[1:]
+ASYM = "--asym" in sys.argv[1:]
 # --no-resource only has meaning for the cold render; alone it would be a
 # silent no-op that reports green without testing anything — imply the mode
 # it parameterizes instead.
@@ -154,6 +167,87 @@ def render_cold():
           "missing-literal markers")
     return cold
 
+def _render_asym(v):
+    """One value, rendered the way a stringify-then-hash harness would.
+    No numeric normalization — preserving the decimal-vs-float64
+    asymmetry is the point. Temporal values ARE normalized (DATE arrives
+    as datetime.date via fetchall but datetime64-midnight via fetchdf —
+    a dtype-container difference, not a value-rendering one)."""
+    import datetime as _dt
+    if v is None:
+        return "NULL"
+    try:
+        import pandas as pd
+        if not isinstance(v, (list, tuple, dict, bytes, bytearray)) \
+                and pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, _dt.datetime):      # incl. pd.Timestamp
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat() + " 00:00:00"
+    if hasattr(v, "tolist"):             # numpy array/scalar containers
+        v = v.tolist()
+    return str(v)
+
+def _asym_diff(srows, sn, con, sql):
+    """Asymmetric compare: `srows` came from fetchall() (the Spark
+    parquet side); the oracle is re-read through fetchdf() so its
+    values take the pandas read path (DECIMAL(38,0) -> float64). One
+    deliberate normalization: a NULL-bearing BIGINT oracle column
+    float64-promotes under fetchdf ("42" vs "42.0" for plain integers)
+    — 18 rounds of driver green on nullable-BIGINT outputs prove the
+    driver's compare does NOT diverge there, so int-vs-integral-float
+    pairs render as the int. Decimal-vs-float pairs do NOT normalize:
+    that is the ds38 mechanism under test.
+    Returns None or (row, col, spark_str, oracle_str)."""
+    df = con.execute(sql).fetchdf()
+    df = df[list(sn)]
+    orows = list(df.itertuples(index=False, name=None))
+    if len(orows) != len(srows):
+        return (-1, "(rowcount)", str(len(srows)), str(len(orows)))
+    for i, (sr, orr) in enumerate(zip(srows, orows)):
+        for j, (a, b) in enumerate(zip(sr, orr)):
+            sa, sb = _render_asym(a), _render_asym(b)
+            if sa == sb:
+                continue
+            if isinstance(a, int) and not isinstance(a, bool) \
+                    and isinstance(b, float) and not math.isnan(b) \
+                    and b.is_integer() and str(a) == str(int(b)):
+                continue  # nullable-BIGINT float64 promotion (see above)
+            return (i, sn[j], sa, sb)
+    return None
+
+def asym_selftest(con):
+    """--asym is only trustworthy if the local duckdb reproduces the
+    mechanism: a seeded DECIMAL(38,0) output must go red under the
+    asymmetric compare and its BIGINT twin must stay green."""
+    import tempfile
+    d = tempfile.mkdtemp(prefix="graft_asym_probe_")
+    probes = [
+        ("decimal", "SELECT CAST(3916693500500 AS DECIMAL(38,0)) AS v",
+         True),
+        ("bigint", "SELECT CAST(3916693500500 AS BIGINT) AS v", False),
+    ]
+    for tag, q, expect_red in probes:
+        p = f"{d}/{tag}.parquet"
+        con.execute(f"COPY ({q}) TO '{p}' (FORMAT PARQUET)")
+        srows = con.execute(
+            f"SELECT * FROM read_parquet('{p}')").fetchall()
+        bad = _asym_diff(srows, ["v"], con, q)
+        if expect_red and bad is None:
+            print("asym: SELFTEST FAILED — the seeded DECIMAL(38,0) "
+                  "probe did not go red: this duckdb no longer renders "
+                  "fetchdf decimals as float64, so --asym cannot "
+                  "reproduce the read-path failure class here")
+            sys.exit(1)
+        if not expect_red and bad is not None:
+            print(f"asym: SELFTEST FAILED — the BIGINT twin went red "
+                  f"({bad!r}): the renderer itself is broken")
+            sys.exit(1)
+    print("asym: selftest OK — seeded decimal probe red, bigint twin green")
+
 def compare(oracle_path):
     import duckdb
     con = duckdb.connect()
@@ -161,6 +255,8 @@ def compare(oracle_path):
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     oracle = json.load(open(oracle_path))
+    if ASYM:
+        asym_selftest(con)
     results = sorted(d for d in glob.glob(f"{OUT}/*") if os.path.isdir(d))
     npass = nfail = nrows_only = 0
     for rdir in results:
@@ -245,9 +341,21 @@ def compare(oracle_path):
             extra = f" relerr={rel:.2e}" if rel is not None else ""
             print(f"FAIL {name}: row {i} col {cname}: spark={a!r} oracle={b!r}{extra}")
             nfail += 1
-        else:
-            npass += 1
-            print(f"PASS  {name}: {len(srows)} rows")
+            continue
+        if ASYM:
+            try:
+                abad = _asym_diff(srows, sn, con, oracle[name])
+            except Exception as e:
+                abad = (-1, "(asym error)", "", str(e)[:200])
+            if abad:
+                i, cname, sa, sb = abad
+                print(f"ASYM-FAIL {name}: row {i} col {cname}: "
+                      f"spark-render={sa!r} oracle-render={sb!r} "
+                      "(typed compare passed — read-path-fragile output)")
+                nfail += 1
+                continue
+        npass += 1
+        print(f"PASS  {name}: {len(srows)} rows")
     print(f"\n== {npass} pass, {nrows_only} rows-only, {nfail} fail ==")
     sys.exit(1 if nfail else 0)
 
