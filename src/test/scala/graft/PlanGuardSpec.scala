@@ -453,6 +453,35 @@ class PlanGuardSpec extends SparkSpec {
       pushed)
   }
 
+  test("ds37/ds39: the guarded BIGINT presentation is plan-neutral " +
+    "(scans stay narrow, date bands pushed)") {
+    // r19: Present.bigintExact wrapped these queries' money
+    // presentations in a raise_error CASE. The guard must live ONLY in
+    // the final dozens-of-rows projection — if it (or the DECIMAL(38,0)
+    // re-accumulation that feeds it) ever widened a scan or blocked the
+    // shipdate pushdown, the corpus-shaped read would pay for a
+    // presentation-layer check at 100 TB.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    for (q <- Seq("ds37_monthly_deviation", "ds39_frequent_best")) {
+      val phys = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val lineitemScans = phys.collect {
+        case s: FileSourceScanExec if s.metadata.getOrElse("Location", "")
+          .contains("lineitem") => s }
+      assert(lineitemScans.nonEmpty, s"$q: expected lineitem scans")
+      lineitemScans.foreach { s =>
+        assert(s.requiredSchema.fields.length <= 4,
+          s"$q: lineitem scan must stay <=4 columns, got " +
+            s.requiredSchema.fieldNames.mkString(","))
+      }
+      // the dated arm's band must still prune at its scan (ds39's
+      // lifetime-spend arm is legitimately unbanded, so: at least one)
+      val pushed = lineitemScans.map(
+        _.metadata.getOrElse("PushedFilters", "")).mkString(";")
+      assert(pushed.contains("GreaterThanOrEqual(l_shipdate"),
+        s"$q: shipdate band must prune at a scan: $pushed")
+    }
+  }
+
   test("job8/ds24/ds25/e18: round-14 additions keep their scale shapes") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
