@@ -366,17 +366,34 @@ object Dedup {
     */
   def dropBoilerplateSegments(df: DataFrame, textCol: String, idCol: String,
                               width: Int = 3, maxDocFreq: Int = 3): DataFrame = {
+    // Parallelism + single-evaluation barrier (the minHashLsh repartition
+    // idiom; guide §2.4/§2.5): `segs` feeds TWO consumers (the docfreq
+    // count and the reassembly rollup), and without a barrier each one
+    // re-runs scan → tokenize → explode — fused onto the scan, which for
+    // a low-split source (one file / one row group, this corpus) is ONE
+    // task. Hash-repartitioning the raw (id, text) pair on the id key
+    // makes both consumers read one ReusedExchange at full parallelism,
+    // and the id partitioning is preserved through Project/Generate/
+    // BroadcastJoin, so the final groupBy(id) needs NO further exchange —
+    // net exchanges are unchanged while the text work fans out. The
+    // tokenized array is projected ONCE behind the explode instead of
+    // being re-derived per reference inside the generator expression
+    // (interpreted HOF evaluation does not CSE across subtrees).
+    val spread = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
     val words = graft.functions.TextFunctions.cleanTokens(col(textCol))
+    val w = col("__w")
     // sequence(0, -1) would step downward, so guard empty/null docs; the
     // outer explode keeps them as a single null-segment row so no input
     // row ever silently disappears from the output
-    val nSegs = floor((size(words) + lit(width - 1)) / lit(width)).cast("int")
-    val segArr = when(size(words) > 0,
+    val nSegs = floor((size(w) + lit(width - 1)) / lit(width)).cast("int")
+    val segArr = when(size(w) > 0,
       transform(sequence(lit(0), nSegs - 1),
-        i => array_join(slice(words, i * width + 1, lit(width)), " ")))
+        i => array_join(slice(w, i * width + 1, lit(width)), " ")))
       .otherwise(array().cast("array<string>"))
-    val segs = df.select(col(idCol),
-      posexplode_outer(segArr).as(Seq("seg_idx", "seg")))
+    val segs = spread.select(col(idCol), words.as("__w"))
+      .select(col(idCol),
+        posexplode_outer(segArr).as(Seq("seg_idx", "seg")))
     val boiler = segs.filter(col("seg").isNotNull)
       .groupBy(col("seg"))
       .agg(countDistinct(col(idCol)).as("docfreq"))
@@ -418,12 +435,20 @@ object Dedup {
     * (0,0) — no input row ever silently disappears). */
   def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
                     width: Int = 5): DataFrame = {
+    // Same barrier as [[dropBoilerplateSegments]]: `spans` feeds THREE
+    // consumers (docfreq, the semi-join mark, the per-doc total), each of
+    // which would otherwise re-run the single-task scan+tokenize+explode;
+    // the id partitioning also makes both per-doc rollups exchange-free.
+    val spread = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
     val words = graft.functions.TextFunctions.cleanTokens(col(textCol))
-    val spanArr = when(size(words) >= width,
-      transform(sequence(lit(1), size(words) - lit(width - 1)),
-        i => array_join(slice(words, i, lit(width)), " ")))
+    val w = col("__w")
+    val spanArr = when(size(w) >= width,
+      transform(sequence(lit(1), size(w) - lit(width - 1)),
+        i => array_join(slice(w, i, lit(width)), " ")))
       .otherwise(array().cast("array<string>"))
-    val spans = df.select(col(idCol), explode(spanArr).as("span"))
+    val spans = spread.select(col(idCol), words.as("__w"))
+      .select(col(idCol), explode(spanArr).as("span"))
     val dup = spans.groupBy(col("span"))
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= 2)

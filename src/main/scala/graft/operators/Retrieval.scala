@@ -34,10 +34,18 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** (doc_id, ws, dl): the tokenized corpus — one narrow projection. */
+  /** (doc_id, ws, dl): the tokenized corpus. The repartition is the
+    * parallelism + single-evaluation barrier (the minHashLsh idiom,
+    * guide §2.4/§2.5): the tokenized frame feeds several consumers
+    * (postings explode, df/stats aggregates), each of which would
+    * otherwise re-run scan→tokenize fused onto the scan — one task on a
+    * low-split source — while the doc_id partitioning makes the
+    * (doc_id, term) postings aggregate exchange-free. */
   private def tokenize(docs: DataFrame, textCol: String,
                        idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    docs.select(col(idCol).as("doc_id"), col(textCol))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
         graft.functions.TextFunctions.cleanTokens(col(textCol)).as("ws"))
       .select(col("doc_id"), col("ws"),
         size(col("ws")).cast("bigint").as("dl"))

@@ -23,7 +23,13 @@ object TextQueries {
   private def docLogits(s: SparkSession, dir: String): DataFrame = {
     val wExpr = pmod(col("bk") * lit(2654435761L), lit(1000003L)) -
       lit(500001L)
+    // repartition = parallelism barrier (the minHashLsh idiom, guide
+    // §2.5): tokenize+explode+hash otherwise fuse onto the scan — one
+    // task on a low-split source — and the id partitioning makes BOTH
+    // downstream groupBys exchange-free (doc_id ⊆ each grouping key).
     docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(cleanTokens(col("text"))).as("tok"))
       .select(col("doc_id"),
         pmod(md5Bits60(col("tok")), lit(256L)).as("bk"))
@@ -424,7 +430,14 @@ object TextQueries {
     "g3_bigram_xent" -> ((s, dir) => {
       import s.implicits._
       val B = 512L
+      // repartition = parallelism barrier (guide §2.5): the bigram
+      // explode+hash feeds TWO consumers (the model aggregate collected
+      // below and the scoring rollup) and would otherwise run twice,
+      // single-task, fused onto the scan; doc_id partitioning also makes
+      // the scoring groupBy(doc_id, bk) + groupBy(doc_id) exchange-free.
       val base = docs(s, dir)
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
         .select(col("doc_id"), cleanTokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= 2)
       val occ = base.select(col("doc_id"), explode(expr(
