@@ -50,7 +50,16 @@ object Dedup {
         call_function("graft_minhash",
           wordShingles(col(textCol), shingleSize), lit(k))
       else minHash(wordShingles(col(textCol), shingleSize), k)
-    val sig = df.select(col(idCol).as("id"), sigExpr.as("sig"))
+    // Two exchanges on purpose: the FIRST spreads the raw (id, text)
+    // pair so the shingle+minhash work (k hashes per shingle — the
+    // operator's dominant CPU) runs at full parallelism instead of fused
+    // onto a low-split scan (guide §2.5 input skew); the SECOND is the
+    // materialization barrier described above, which must sit ABOVE the
+    // signature projection to keep CollapseProject from inlining it.
+    // The first carries text bytes, the second k longs per doc.
+    val sig = graft.Spread.by(df.select(col(idCol).as("id"), col(textCol)),
+        col("id"))
+      .select(col("id"), sigExpr.as("sig"))
       .repartition(col("id"))
     val banded = sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -84,8 +93,16 @@ object Dedup {
                          bands: Int = 16, rows: Int = 2,
                          threshold: Double = 0.8,
                          shingleSize: Int = 3): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+    // Same barrier split as [[minHashLsh]]: the exact-shingle frame feeds
+    // BOTH verification join sides, so without it the scan + shingling
+    // runs twice, single-task on a low-split source; the spread exchange
+    // parallelizes the shingling, the id barrier makes the two join
+    // sides share one ReusedExchange.
+    val docs = graft.Spread.by(df.select(col(idCol).as("id"), col(textCol)),
+        col("id"))
+      .select(col("id"),
+        array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+      .repartition(col("id"))
     val cands = minHashLsh(df, textCol, idCol, bands, rows,
       threshold = 0.0, shingleSize = shingleSize)
     cands
@@ -119,8 +136,13 @@ object Dedup {
     val k = bands * rows
     // repartition = materialization barrier (see minHashLsh): without
     // it the signature tree is inlined into the band explode and
-    // re-evaluated bands× per row
-    val sig = corpus.select(col(idCol).as("id"),
+    // re-evaluated bands× per row. The extra spread exchange below the
+    // signature projection parallelizes the shingle+minhash CPU on
+    // low-split sources (guide §2.5) — same two-exchange split as
+    // minHashLsh, raw text first, k longs per doc second.
+    val sig = graft.Spread.by(
+        corpus.select(col(idCol).as("id"), col(textCol)), col("id"))
+      .select(col("id"),
         md5MinHash(wordShingles(col(textCol), shingleSize), k).as("sig"))
       .repartition(col("id"))
     sig.select(col("id"), col("sig"),
@@ -270,6 +292,14 @@ object Dedup {
       .union(edges.select(col(dstCol).cast("long").as("node"),
         col(srcCol).cast("long").as("nbr")))
       .distinct()
+      // scanned AND joined on `node` every round: distinct() leaves the
+      // frame hash-partitioned on (node, nbr), which does NOT satisfy the
+      // per-round join's node clustering — so without this repartition
+      // the adjacency (the big side: 2 rows per edge) re-shuffles every
+      // round. Partitioning it on the join key once before materializing
+      // removes that per-round exchange outright (guide §2.4);
+      // localCheckpoint preserves the partitioning across rounds.
+      .transform(graft.Spread.by(_, col("node")))
       .localCheckpoint() // scanned every round — materialize once
     // initial label = min(self, neighbors) — folds what would otherwise
     // be the whole first propagation round into the node-list aggregate
@@ -379,8 +409,8 @@ object Dedup {
     // tokenized array is projected ONCE behind the explode instead of
     // being re-derived per reference inside the generator expression
     // (interpreted HOF evaluation does not CSE across subtrees).
-    val spread = df.select(col(idCol), col(textCol))
-      .repartition(col(idCol))
+    val spread = graft.Spread.by(df.select(col(idCol), col(textCol)),
+      col(idCol))
     val words = graft.functions.TextFunctions.cleanTokens(col(textCol))
     val w = col("__w")
     // sequence(0, -1) would step downward, so guard empty/null docs; the
@@ -439,8 +469,8 @@ object Dedup {
     // consumers (docfreq, the semi-join mark, the per-doc total), each of
     // which would otherwise re-run the single-task scan+tokenize+explode;
     // the id partitioning also makes both per-doc rollups exchange-free.
-    val spread = df.select(col(idCol), col(textCol))
-      .repartition(col(idCol))
+    val spread = graft.Spread.by(df.select(col(idCol), col(textCol)),
+      col(idCol))
     val words = graft.functions.TextFunctions.cleanTokens(col(textCol))
     val w = col("__w")
     val spanArr = when(size(w) >= width,

@@ -43,8 +43,8 @@ object Retrieval {
     * (doc_id, term) postings aggregate exchange-free. */
   private def tokenize(docs: DataFrame, textCol: String,
                        idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), col(textCol))
-      .repartition(col("doc_id"))
+    graft.Spread.by(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        col("doc_id"))
       .select(col("doc_id"),
         graft.functions.TextFunctions.cleanTokens(col(textCol)).as("ws"))
       .select(col("doc_id"), col("ws"),

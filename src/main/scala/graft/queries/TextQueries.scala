@@ -27,9 +27,8 @@ object TextQueries {
     // §2.5): tokenize+explode+hash otherwise fuse onto the scan — one
     // task on a low-split source — and the id partitioning makes BOTH
     // downstream groupBys exchange-free (doc_id ⊆ each grouping key).
-    docs(s, dir)
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
+    graft.Spread.by(docs(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), explode(cleanTokens(col("text"))).as("tok"))
       .select(col("doc_id"),
         pmod(md5Bits60(col("tok")), lit(256L)).as("bk"))
@@ -435,9 +434,8 @@ object TextQueries {
       // below and the scoring rollup) and would otherwise run twice,
       // single-task, fused onto the scan; doc_id partitioning also makes
       // the scoring groupBy(doc_id, bk) + groupBy(doc_id) exchange-free.
-      val base = docs(s, dir)
-        .select(col("doc_id"), col("text"))
-        .repartition(col("doc_id"))
+      val base = graft.Spread.by(
+          docs(s, dir).select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"), cleanTokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= 2)
       val occ = base.select(col("doc_id"), explode(expr(

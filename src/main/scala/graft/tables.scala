@@ -4,6 +4,23 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
+/** Shared physical-layout helpers for the operator library. */
+object Spread {
+  /** Hash-repartition on `key` at the session's configured shuffle
+    * parallelism, with the partition count PINNED (passing it explicitly
+    * opts the exchange out of AQE partition coalescing). The coalescer
+    * sizes partitions by shuffle BYTES, but the operators using this
+    * barrier put heavy per-row CPU (regex tokenize, shingle+minhash,
+    * per-dim explodes) ABOVE the exchange — on their small-bytes/high-CPU
+    * frames AQE folds the shuffle back to one or two tasks and the work
+    * runs serial. The count stays conf-driven (spark.sql.shuffle.
+    * partitions), so cluster deployments scale it with the cluster, and
+    * low-core local runs stay at their core count. */
+  def by(df: DataFrame, key: Column): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, key)
+}
+
 /** Table loading helpers shared by SparkEntry / Verify / Bench / tests.
   *
   * All driver test tables are single parquet files under a scale-factor
