@@ -64,9 +64,13 @@ object ExtQueries {
       // (dst, nat) — hash-joinable at any scale
       val cand = c.select(col("k").as("src"), col("nat"),
         explode(array(col("k") + 1, col("k") + 10)).as("dst"))
+      // materialized once (r19): every fixpoint round is its own action,
+      // so an un-checkpointed projection re-runs scan+explode+join per
+      // round
       val edges = cand
         .join(c.select(col("k").as("dst"), col("nat")), Seq("dst", "nat"))
         .select(col("src"), col("dst"))
+        .localCheckpoint()
       val seeds = c.filter(col("k") % 100 === 1)
         .select(col("k").as("seed"), col("nat"))
       val reach = RecursiveCte.fixpoint(
@@ -173,9 +177,15 @@ object ExtQueries {
       // every hop and the per-hop decay is visible
       val cand = c.select(col("k").as("src"), col("nat"),
         explode(sequence(col("k") + 1, col("k") + 20)).as("dst"))
+      // materialized once (r19): every fixpoint round is its own action,
+      // so an un-checkpointed projection re-runs scan+explode+join per
+      // round — the pageRankInt scaladoc's "persist edges externally"
+      // advice, applied. The fixpoint already executes at build time, so
+      // this adds no new build-time side effect class.
       val edges = cand
         .join(c.select(col("k").as("dst"), col("nat")), Seq("dst", "nat"))
         .select(col("src"), col("dst"))
+        .localCheckpoint()
       val seeds = c.filter(col("k") % 20 === 1)
         .select(col("k").as("seed"))
       val reach = RecursiveCte.fixpoint(
@@ -474,10 +484,13 @@ object ExtQueries {
           col("c_mktsegment").as("seg"))
       val cand = active.select(col("k").as("src"), col("nat"),
         explode(sequence(col("k") + 1, col("k") + 12)).as("dst"))
+      // materialized once — see ldbc3: per-round actions re-derive an
+      // un-checkpointed projection
       val edges = cand
         .join(active.select(col("k").as("dst"), col("nat")),
           Seq("dst", "nat"))
         .select(col("src"), col("dst"))
+        .localCheckpoint()
       val seeds = active.filter(col("k") % 25 === 1)
         .select(col("k").as("seed"), col("seg"))
       val reach = RecursiveCte.fixpoint(
@@ -1582,6 +1595,12 @@ object ExtQueries {
       // lineitem⋈orders frame; projecting once keeps each re-scan's
       // pushed ReadSchema at 2–4 columns (the measured-2×-faster
       // alternative to a ReusedExchange barrier — PLANS.md r16).
+      // r19 re-audit: a pinned-spread barrier here (one 4-column shuffle
+      // + five ReusedExchange reads, Spread.by so AQE cannot coalesce
+      // it) was re-measured against this default now that pinning
+      // exists — 8-round paired A/B read 1.11x (band [0.65, 1.41]):
+      // the r16 verdict stands, per-consumer pruned re-scans win at
+      // smoke scale, so the default is unchanged.
       val loProj = Tables.load(s, dir, "lineitem")
         .join(Tables.load(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
