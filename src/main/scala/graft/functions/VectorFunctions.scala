@@ -61,7 +61,10 @@ object VectorFunctions {
     * high probability; used to prune ANN candidate pairs at scale. */
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
+      // ONE ArrayType literal node per plane, not dim CreateArray
+      // children — same folded value, dim× fewer nodes for the
+      // analyzer/optimizer to walk (r20)
+      val planeCol = typedLit(p)
       when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

@@ -180,10 +180,29 @@ object Similarity {
   private def scoredLiteral(spark: org.apache.spark.sql.SparkSession,
       cents: Seq[(Long, Seq[Double], Double)])(vec: Column): Column =
     array(cents.map { case (cid, emb, normSq) =>
-      val cLit = array(emb.map(lit): _*)
+      // ONE ArrayType literal node per centroid, not a CreateArray of
+      // dim Literal children (r20): same folded value the optimizer
+      // would constant-fold to, but the analyzer/optimizer never walks
+      // the dim-wide trees — nCells·dim expression nodes → nCells
+      val cLit = typedLit(emb)
       struct((lit(normSq) - lit(2.0) * dotAuto(spark)(vec, cLit))
         .as("d"), lit(cid).as("c_id"))
     }: _*)
+
+  /** struct<d, c_id> of the winning centroid for `vec` — the native
+    * single-node [[graft.plans.ArgminScore]] when the session has graft's
+    * extensions (r20: the declarative O(nCells·dim)-node spelling made
+    * Janino codegen compilation, not row work, the e-family's measured
+    * wall), else `array_min` over [[scoredLiteral]]. Outputs are
+    * bit-identical (spec-pinned in NativeExprSpec), so plans can switch
+    * freely — the graft_dot/cosineAuto convention. */
+  private def argminAuto(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Long, Seq[Double], Double)])(vec: Column): Column =
+    if (spark.catalog.functionExists("graft_argmin"))
+      call_function("graft_argmin", vec, lit(0), lit(true),
+        typedLit(cents.map(_._2)), typedLit(cents.map(_._3)),
+        typedLit(cents.map(_._1)))
+    else array_min(scoredLiteral(spark, cents)(vec))
 
   private def cellAssignments(corpus: DataFrame, queries: DataFrame,
       cents: Seq[(Long, Seq[Double], Double)], nProbe: Int,
@@ -197,8 +216,17 @@ object Similarity {
         // array of (score, c_id) structs; struct ordering = (score asc,
         // c_id asc), matching the former window's ORDER BY d ASC, c_id ASC
         def scored(vec: Column): Column = scoredLiteral(spark, cents)(vec)
-        (corpus.select(
-          array_min(scored(col("embedding"))).getField("c_id").as("cell"),
+        // r20 (VERDICT #1): the argmin is nCells·dim multiplies PER ROW
+        // directly above the scan — on a low-split source it runs one
+        // task (2.0 s single-task stage in the e15 event-log profile).
+        // Spread the NARROW (id, embedding) projection only, and only
+        // when the input is under-split; the cell/probe joins above stay
+        // broadcast, so the corpus is never shuffled at join level.
+        (graft.Spread.ensure(
+            corpus.select(col("vec_id"), col("embedding")), col("vec_id"))
+          .select(
+          argminAuto(spark, cents)(col("embedding"))
+            .getField("c_id").as("cell"),
           col("vec_id").as("n_id"), col("embedding").as("n_emb")),
          queries.select(col("vec_id").as("q_id"),
             col("embedding").as("q_emb"),
@@ -257,7 +285,12 @@ object Similarity {
     val emptyQ = corpus.limit(0)
     val (assigned, _) =
       cellAssignments(corpus, emptyQ, cents, 1, maxLiteralCells)
-    assigned.write.mode("overwrite").partitionBy("cell")
+    // cluster by target directory (guide §6/§8: the assignment runs
+    // spread across barrier tasks since r20; this single payload
+    // exchange moves each vector once, into the cell layout it serves
+    // from, instead of one file per (cell, task) pair)
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells")
   }
 
@@ -282,7 +315,9 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
     val (assigned, _) =
       cellAssignments(corpus, corpus.limit(0), cents, 1, maxLiteralCells)
-    assigned.write.mode("overwrite").partitionBy("cell")
+    // see buildIvfIndex: one payload exchange into the serving layout
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells")
   }
 
@@ -424,7 +459,7 @@ object Similarity {
     val perRow =
       if (cents.length <= maxLiteralCells)
         corpus
-          .select(array_min(scoredLiteral(spark, cents)(col("embedding")))
+          .select(argminAuto(spark, cents)(col("embedding"))
             .as("b"), anorm.as("anorm"))
       else {
         // the cellAssignments large-k shape: centroids ride as broadcast
@@ -479,7 +514,10 @@ object Similarity {
   def pqCodes(corpus: DataFrame,
               codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     val spark = corpus.sparkSession
-    pqChecked(corpus, codebooks)
+    // spread the narrow projection below the per-row M·k·subDim argmin
+    // folds when the source is under-split (see cellAssignments, r20)
+    graft.Spread.ensure(pqChecked(corpus, codebooks)
+        .select(col("vec_id"), col("embedding")), col("vec_id"))
       .select(col("vec_id"),
         explode(pqCodeArray(spark, codebooks)).as("mc"))
       .select(col("vec_id"), col("mc").getField("m").as("m"),
@@ -513,17 +551,31 @@ object Similarity {
   private def pqCodeArray(spark: org.apache.spark.sql.SparkSession,
                           codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val subDim = codebooks.head.head.length
+    val native = spark.catalog.functionExists("graft_argmin")
     array(codebooks.zipWithIndex.map { case (cb, m) =>
-      val sub = slice(col("embedding"), m * subDim + 1, subDim)
-      val scored = array(cb.zipWithIndex.map { case (cw, j) =>
-        val normSq = cw.foldLeft(0.0)((s, v) => s + v * v)
-        struct(
-          (lit(normSq) - lit(2.0) *
-            dotAuto(spark)(sub, array(cw.map(lit): _*))).as("d"),
-          lit(j.toLong).as("j"))
-      }: _*)
-      struct(lit(m.toLong).as("m"),
-        array_min(scored).getField("j").as("code"))
+      val code =
+        if (native)
+          // per-subspace native argmin over the codeword slice (see
+          // argminAuto; strict=false pins the slice length semantics:
+          // null only when fewer than subDim elements remain)
+          call_function("graft_argmin", col("embedding"),
+            lit(m * subDim), lit(false), typedLit(cb),
+            typedLit(cb.map(_.foldLeft(0.0)((s, v) => s + v * v))),
+            typedLit(cb.indices.map(_.toLong)))
+            .getField("c_id")
+        else {
+          val sub = slice(col("embedding"), m * subDim + 1, subDim)
+          val scored = array(cb.zipWithIndex.map { case (cw, j) =>
+            val normSq = cw.foldLeft(0.0)((s, v) => s + v * v)
+            struct(
+              (lit(normSq) - lit(2.0) *
+                // one literal node per codeword (see scoredLiteral)
+                dotAuto(spark)(sub, typedLit(cw))).as("d"),
+              lit(j.toLong).as("j"))
+          }: _*)
+          array_min(scored).getField("j")
+        }
+      struct(lit(m.toLong).as("m"), code.as("code"))
     }: _*)
   }
 
@@ -641,8 +693,9 @@ object Similarity {
     * shared by [[sq8TopK]] and [[buildSq8Index]] so the quantizer can
     * never silently diverge between the one-shot and persisted paths. */
   private def sq8CodesCol(stats: Seq[(Int, Double, Double)]): Column = {
-    val mnArr = array(stats.map(s => lit(s._2)): _*)
-    val spanArr = array(stats.map(s => lit(sq8Span(s._2, s._3))): _*)
+    // one ArrayType literal node each (see scoredLiteral)
+    val mnArr = typedLit(stats.map(_._2))
+    val spanArr = typedLit(stats.map(s => sq8Span(s._2, s._3)))
     transform(col("embedding"), (x, i) =>
       least(greatest(
         floor((x.cast("double") - element_at(mnArr, i + 1)) * lit(255.0) /
@@ -662,7 +715,7 @@ object Similarity {
   private def sq8Rank(codesDf: DataFrame, qCodes: Seq[(Long, Seq[Long])],
                       k: Int): DataFrame = {
     def ip(c: Column, qc: Seq[Long]): Column =
-      aggregate(zip_with(c, array(qc.map(lit): _*), (a, b) => a * b),
+      aggregate(zip_with(c, typedLit(qc), (a, b) => a * b),
         lit(0L), (acc, v) => acc + v)
     val perQ = codesDf
       .select(col("vec_id"), explode(array(qCodes.map { case (qid, qc) =>
@@ -771,8 +824,15 @@ object Similarity {
       cents: Seq[(Long, Seq[Double], Double)],
       codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     val spark = corpus.sparkSession
-    pqChecked(corpus, codebooks).select(
-        array_min(scoredLiteral(spark, cents)(col("embedding")))
+    // the round-20 §2.5 rescue: cell argmin + PQ encode are the corpus's
+    // dominant per-row CPU; spread the narrow (id, embedding) projection
+    // under them when the source is under-split. The projection stays
+    // fused and narrow ABOVE the barrier; nothing upstream of a join
+    // shuffles (probe/LUT joins remain broadcast).
+    graft.Spread.ensure(pqChecked(corpus, codebooks)
+        .select(col("vec_id"), col("embedding")), col("vec_id"))
+      .select(
+        argminAuto(spark, cents)(col("embedding"))
           .getField("c_id").as("cell"),
         col("vec_id"), explode(pqCodeArray(spark, codebooks)).as("mc"))
       .select(col("cell"), col("vec_id"), col("mc").getField("m").as("m"),
@@ -839,6 +899,12 @@ object Similarity {
     cents.toDF("c_id", "c_emb", "c_norm").repartition(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     ivfPqCodesWithCell(corpus, cents, codebooks)
+      // cluster rows by their target directory (guide §6): the encode
+      // above runs spread across the barrier tasks (r20), so without
+      // this the dynamic-partition write would emit one file per
+      // (cell, encode-task) pair; the post-encode exchange carries only
+      // the small integer code rows and AQE may coalesce it freely
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes")
   }

@@ -132,6 +132,166 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Literal-candidate argmin: struct(d, c_id) of the candidate minimizing
+  * d = |c|² − 2·vec[start..)·c over a bounded literal candidate set —
+  * the centroid/codeword assignment at the heart of the IVF/PQ/k-means
+  * family, as ONE expression node.
+  *
+  * Why it exists (r20): the declarative spelling —
+  * `array_min(array(struct((norm − 2·graft_dot(vec, [64 lits])), id), …))`
+  * — is O(nCands·dim) expression nodes; at 16 cells + 32 codewords the
+  * fused IVF-PQ projection compiles to a source so large that Janino
+  * compilation, not row work, was the measured wall of the whole
+  * e-family (e15: ~1 s uniform per-task cost at 62 rows/task; the same
+  * query ran 2× faster with codegen disabled). This node generates a
+  * two-line call into a compiled primitive loop instead.
+  *
+  * Numeric contract (spec-pinned bit-identical to the declarative
+  * spelling): each dot folds left-to-right over doubles; candidate
+  * comparison replicates array_min over struct<d: double, c_id: bigint>
+  * exactly — SQL double ordering (x == y before Double.compare, so
+  * -0.0 == 0.0 and NaN is greatest/equal to itself), ties to the lower
+  * c_id, and a NULL d (slice length mismatch / null element) sorts
+  * FIRST, among nulls the lower c_id.
+  *
+  * `strict` pins the length rule of the spelling it replaces: true =
+  * whole-vector dot (mismatch when vec length ≠ candidate length, the
+  * cell-assignment shape); false = `slice(vec, start+1, subDim)` (null
+  * only when fewer than subDim elements remain from `start`, the PQ
+  * subspace shape). */
+case class ArgminScore(child: Expression, start: Int, strict: Boolean,
+    cands: Array[Array[Double]], norms: Array[Double], ids: Array[Long])
+    extends UnaryExpression with Serializable {
+  require(cands.nonEmpty && cands.length == norms.length &&
+    cands.length == ids.length && cands.forall(_.length == cands.head.length),
+    "graft_argmin needs aligned, same-dimension candidate metadata")
+
+  override def prettyName: String = "graft_argmin"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = true),
+    StructField("c_id", LongType, nullable = false)))
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  private def elementsMayBeNull: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<float|double> vector, got " +
+        other.catalogString)
+  }
+
+  /** SQL double comparison (SQLOrderingUtil): equal doubles first so
+    * -0.0 == 0.0, then Double.compare (NaN greatest, NaN == NaN). */
+  private def cmpD(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val t = elemType
+    val n = vec.numElements()
+    val subDim = cands.head.length
+    var bestNull = false; var bestD = 0.0; var bestId = 0L
+    var bestSet = false
+    var i = 0
+    while (i < cands.length) {
+      val cw = cands(i)
+      var dNull = if (strict) n != subDim else n - start < subDim
+      var acc = 0.0
+      if (!dNull) {
+        var j = 0
+        while (j < subDim && !dNull) {
+          if (elementsMayBeNull && vec.isNullAt(start + j)) dNull = true
+          else {
+            acc += (t match {
+              case FloatType => vec.getFloat(start + j).toDouble
+              case _ => vec.getDouble(start + j)
+            }) * cw(j)
+            j += 1
+          }
+        }
+      }
+      val d = norms(i) - 2.0 * acc
+      val id = ids(i)
+      val better =
+        if (!bestSet) true
+        else if (dNull != bestNull) dNull // NULL d sorts first
+        else if (dNull) id < bestId
+        else {
+          val c = cmpD(d, bestD)
+          c < 0 || (c == 0 && id < bestId)
+        }
+      if (better) { bestNull = dNull; bestD = d; bestId = id; bestSet = true }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      if (bestNull) null else bestD, bestId))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vec => {
+      val candsRef = ctx.addReferenceObj("argminCands", cands, "double[][]")
+      val normsRef = ctx.addReferenceObj("argminNorms", norms, "double[]")
+      val idsRef = ctx.addReferenceObj("argminIds", ids, "long[]")
+      val getE = elemType match {
+        case FloatType => (j: String) => s"(double) $vec.getFloat($j)"
+        case _ => (j: String) => s"$vec.getDouble($j)"
+      }
+      // freshName for all block-level locals — see DotProduct.doGenCode
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val acc = ctx.freshName("acc")
+      val cw = ctx.freshName("cw"); val dN = ctx.freshName("dN")
+      val d = ctx.freshName("d"); val id = ctx.freshName("id")
+      val bN = ctx.freshName("bestNull"); val bD = ctx.freshName("bestD")
+      val bI = ctx.freshName("bestId"); val bS = ctx.freshName("bestSet")
+      val c = ctx.freshName("c"); val bet = ctx.freshName("better")
+      val sub = cands.head.length
+      val nullElemCheck =
+        if (elementsMayBeNull)
+          s"if ($vec.isNullAt($start + $j)) { $dN = true; break; }"
+        else ""
+      val lenNull =
+        if (strict) s"$n != $sub" else s"$n - $start < $sub"
+      s"""
+        int $n = $vec.numElements();
+        boolean $bN = false; double $bD = 0.0; long $bI = 0L;
+        boolean $bS = false;
+        for (int $i = 0; $i < $candsRef.length; $i++) {
+          double[] $cw = $candsRef[$i];
+          boolean $dN = $lenNull;
+          double $acc = 0.0;
+          if (!$dN) {
+            for (int $j = 0; $j < $sub; $j++) {
+              $nullElemCheck
+              $acc += ${getE(s"$start + $j")} * $cw[$j];
+            }
+          }
+          double $d = $normsRef[$i] - 2.0 * $acc;
+          long $id = $idsRef[$i];
+          boolean $bet;
+          if (!$bS) $bet = true;
+          else if ($dN != $bN) $bet = $dN;
+          else if ($dN) $bet = $id < $bI;
+          else {
+            int $c = ($d == $bD) ? 0 : java.lang.Double.compare($d, $bD);
+            $bet = $c < 0 || ($c == 0 && $id < $bI);
+          }
+          if ($bet) { $bN = $dN; $bD = $d; $bI = $id; $bS = true; }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[]{ $bN ? null : (Object) java.lang.Double.valueOf($bD),
+                        (Object) java.lang.Long.valueOf($bI) });
+      """
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ArgminScore = copy(child = newChild)
+}
+
 /** cosine(a, b) = dot/(√Σaᵢ²·√Σbᵢ²) with the same fold order as the HOF
   * spelling: three independent left-to-right sums. */
 case class CosineSimilarity(left: Expression, right: Expression)

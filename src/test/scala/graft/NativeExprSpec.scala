@@ -129,4 +129,80 @@ class NativeExprSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: spark=$got ref=$want")
     }
   }
+  test("graft_argmin is bit-identical to the declarative literal argmin") {
+    // the r20 single-node argmin vs the array_min(struct(d, c_id))
+    // spelling it replaces, on real embeddings: whole-vector strict mode
+    // (cell assignment) and sliced mode (PQ subspace), plus crafted
+    // tie / NaN-free edge rows. Exact equality on BOTH struct fields.
+    val e = Tables.load(spark, sf, "embeddings").limit(200)
+      .select(col("vec_id"), col("embedding"))
+    val cents: Seq[(Long, Seq[Double], Double)] =
+      e.orderBy(col("vec_id")).limit(16).collect().toSeq.map { r =>
+        val emb = r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case n: java.lang.Number => n.doubleValue
+        }.toSeq
+        (r.getLong(0), emb, emb.foldLeft(0.0)((s, v) => s + v * v))
+      }
+    def declarative(vec: org.apache.spark.sql.Column) =
+      array_min(array(cents.map { case (cid, emb, normSq) =>
+        struct((lit(normSq) - lit(2.0) *
+          call_function("graft_dot", vec, typedLit(emb))).as("d"),
+          lit(cid).as("c_id"))
+      }: _*))
+    val native = call_function("graft_argmin", col("embedding"),
+      lit(0), lit(true), typedLit(cents.map(_._2)),
+      typedLit(cents.map(_._3)), typedLit(cents.map(_._1)))
+    val diff = e.select(declarative(col("embedding")).as("a"),
+        native.as("b"))
+      .filter(col("a.d") =!= col("b.d") || col("a.c_id") =!= col("b.c_id"))
+    assert(diff.count() == 0, "strict whole-vector mode diverged")
+
+    // sliced mode: subspace m=2 of 4 over 16-dim codewords
+    val cb: Seq[Seq[Double]] = cents.take(8).map(_._2.slice(32, 48))
+    val norms = cb.map(_.foldLeft(0.0)((s, v) => s + v * v))
+    def declarativeSub(vec: org.apache.spark.sql.Column) = {
+      val sub = slice(vec, 33, 16)
+      array_min(array(cb.zipWithIndex.map { case (cw, j) =>
+        struct((lit(norms(j)) - lit(2.0) *
+          call_function("graft_dot", sub, typedLit(cw))).as("d"),
+          lit(j.toLong).as("c_id"))
+      }: _*))
+    }
+    val nativeSub = call_function("graft_argmin", col("embedding"),
+      lit(32), lit(false), typedLit(cb), typedLit(norms),
+      typedLit(cb.indices.map(_.toLong)))
+    val diffSub = e.select(declarativeSub(col("embedding")).as("a"),
+        nativeSub.as("b"))
+      .filter(col("a.d") =!= col("b.d") || col("a.c_id") =!= col("b.c_id"))
+    assert(diffSub.count() == 0, "sliced PQ mode diverged")
+
+    // ties break to the LOWER id in both spellings (duplicate candidate)
+    val dupCents: Seq[(Long, Seq[Double], Double)] =
+      Seq((7L, Seq(1.0, 0.0), 1.0), (3L, Seq(1.0, 0.0), 1.0),
+        (5L, Seq(0.0, 1.0), 1.0))
+    val tiny = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val nat = tiny.select(call_function("graft_argmin", col("embedding"),
+      lit(0), lit(true), typedLit(dupCents.map(_._2)),
+      typedLit(dupCents.map(_._3)), typedLit(dupCents.map(_._1)))
+      .as("b")).select(col("b.c_id")).head.getLong(0)
+    assert(nat == 3L, s"tie must break to the lower c_id, got $nat")
+
+    // short vector in strict mode: every d is NULL (length mismatch) and
+    // NULL sorts FIRST — both spellings pick the lowest id
+    val short = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val both = short.select(
+      call_function("graft_argmin", col("embedding"), lit(0), lit(true),
+        typedLit(dupCents.map(_._2)), typedLit(dupCents.map(_._3)),
+        typedLit(dupCents.map(_._1))).as("n"),
+      array_min(array(dupCents.map { case (cid, emb, normSq) =>
+        struct((lit(normSq) - lit(2.0) *
+          call_function("graft_dot", col("embedding"), typedLit(emb))).as("d"),
+          lit(cid).as("c_id"))
+      }: _*)).as("h")).head
+    val n = both.getStruct(0); val h = both.getStruct(1)
+    assert(n.isNullAt(0) == h.isNullAt(0) && n.getLong(1) == h.getLong(1),
+      s"null-d ordering diverged: native=$n hof=$h")
+  }
 }

@@ -208,26 +208,35 @@ class PlanGuardSpec extends SparkSpec {
       scans.head.metadata("PushedFilters"))
   }
 
-  test("e11 PQ encode stays a narrow projection (no exchange before sort)") {
+  test("e11 PQ encode: narrow projection above one pinned under-split " +
+    "spread (no join/aggregate exchanges)") {
     // the PQ deployment property: encoding must be embarrassingly
     // parallel map work — the entire codebook rides as plan literals
-    // inside the scan's projection, and the ONLY exchange allowed is
-    // the final presentation orderBy. A regression that turns the
-    // argmin into a join or aggregate (e.g. codebook as data) would
-    // show up as a second exchange here.
+    // inside the scan's projection. Since r20 the encode sits above ONE
+    // pinned id-spread (the §2.5 under-split rescue: smoke parquets are
+    // single-split, so the per-row argmin folds otherwise run one task;
+    // Spread.ensure skips it on well-split cluster inputs). Allowed
+    // exchanges: that spread + the presentation orderBy, nothing else —
+    // a regression that turns the argmin into a join or aggregate
+    // (e.g. codebook as data) would show up as a third exchange, and
+    // the spread must be the pinned REPARTITION_BY_NUM shape (an AQE-
+    // coalescible repartition would serialize the encode again).
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     // unwrap AQE: AdaptiveSparkPlanExec is a leaf for collect, so
     // counting on the wrapper alone would vacuously pass
-    def countEx(p: SparkPlan): Int = (p match {
+    def unwrap(p: SparkPlan): SparkPlan = p match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case other => other
-    }).collect { case e: ShuffleExchangeExec => e }.size
-    val phys = SparkEntry.queries("e11_pq_codes")(spark, sf)
-      .queryExecution.executedPlan
-    assert(countEx(phys) <= 1,
-      s"PQ encode must not shuffle before the presentation sort:\n$phys")
+    }
+    val phys = unwrap(SparkEntry.queries("e11_pq_codes")(spark, sf)
+      .queryExecution.executedPlan)
+    val exs = phys.collect { case e: ShuffleExchangeExec => e }
+    assert(exs.size <= 2,
+      s"PQ encode must not shuffle beyond spread + presentation:\n$phys")
+    assert(exs.exists(_.shuffleOrigin.toString == "REPARTITION_BY_NUM"),
+      s"the under-split spread must stay pinned against AQE:\n$phys")
   }
 
   test("e15 IVF-ADC: fused projection narrow, joins broadcast, " +
@@ -254,9 +263,16 @@ class PlanGuardSpec extends SparkSpec {
       s"e15: probe/LUT joins must be broadcast, not sort-merge:\n$phys")
     assert(phys.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
       s"e15: expected the probe AND LUT joins to plan broadcast:\n$phys")
-    // rollup + rank + presentation sort — never an exchange under a join
-    assert(phys.collect { case e: ShuffleExchangeExec => e }.size <= 3,
-      s"e15: corpus must not shuffle before the rollup:\n$phys")
+    val exs = phys.collect { case e: ShuffleExchangeExec => e }
+    // the r20 under-split spread (pinned, BELOW the fused encode and
+    // both broadcast joins) + rollup + rank + presentation sort — the
+    // corpus still never shuffles AT JOIN LEVEL (both joins build on
+    // broadcast metadata; the one corpus exchange carries only the
+    // narrow (id, embedding) projection under the heavy encode)
+    assert(exs.size <= 4,
+      s"e15: corpus must not shuffle beyond spread/rollup/rank/sort:\n$phys")
+    assert(exs.exists(_.shuffleOrigin.toString == "REPARTITION_BY_NUM"),
+      s"e15: the under-split spread must stay pinned against AQE:\n$phys")
     assert(phys.collect { case s: FileSourceScanExec => s }.size == 1,
       s"e15: cell+code fusion must keep ONE corpus scan:\n$phys")
   }
