@@ -45,19 +45,24 @@ object Dedup {
     // sides, re-evaluating it bands× per row (HOFs are interpreted, no CSE)
     // — measured 50× slower. The identical Exchange on both self-join
     // sides becomes a ReusedExchange, so signatures are computed once.
+    // the text column rides under an internal alias so a caller whose
+    // text column is literally named "id" (with a different idCol)
+    // cannot make the projection ambiguous (ADVICE r19)
     val sigExpr =
       if (df.sparkSession.catalog.functionExists("graft_minhash"))
         call_function("graft_minhash",
-          wordShingles(col(textCol), shingleSize), lit(k))
-      else minHash(wordShingles(col(textCol), shingleSize), k)
+          wordShingles(col("__txt"), shingleSize), lit(k))
+      else minHash(wordShingles(col("__txt"), shingleSize), k)
     // Two exchanges on purpose: the FIRST spreads the raw (id, text)
     // pair so the shingle+minhash work (k hashes per shingle — the
     // operator's dominant CPU) runs at full parallelism instead of fused
-    // onto a low-split scan (guide §2.5 input skew); the SECOND is the
+    // onto a low-split scan (guide §2.5 input skew; gated on the input
+    // actually being under-split since r20); the SECOND is the
     // materialization barrier described above, which must sit ABOVE the
     // signature projection to keep CollapseProject from inlining it.
     // The first carries text bytes, the second k longs per doc.
-    val sig = graft.Spread.by(df.select(col(idCol).as("id"), col(textCol)),
+    val sig = graft.Spread.ensure(
+        df.select(col(idCol).as("id"), col(textCol).as("__txt")),
         col("id"))
       .select(col("id"), sigExpr.as("sig"))
       .repartition(col("id"))
@@ -98,10 +103,12 @@ object Dedup {
     // runs twice, single-task on a low-split source; the spread exchange
     // parallelizes the shingling, the id barrier makes the two join
     // sides share one ReusedExchange.
-    val docs = graft.Spread.by(df.select(col(idCol).as("id"), col(textCol)),
+    // "__txt" alias: see minHashLsh (ADVICE r19 ambiguity guard)
+    val docs = graft.Spread.ensure(
+        df.select(col(idCol).as("id"), col(textCol).as("__txt")),
         col("id"))
       .select(col("id"),
-        array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+        array_distinct(wordShingles(col("__txt"), shingleSize)).as("sh"))
       .repartition(col("id"))
     val cands = minHashLsh(df, textCol, idCol, bands, rows,
       threshold = 0.0, shingleSize = shingleSize)
@@ -140,10 +147,12 @@ object Dedup {
     // signature projection parallelizes the shingle+minhash CPU on
     // low-split sources (guide §2.5) — same two-exchange split as
     // minHashLsh, raw text first, k longs per doc second.
-    val sig = graft.Spread.by(
-        corpus.select(col(idCol).as("id"), col(textCol)), col("id"))
+    // "__txt" alias: see minHashLsh (ADVICE r19 ambiguity guard)
+    val sig = graft.Spread.ensure(
+        corpus.select(col(idCol).as("id"), col(textCol).as("__txt")),
+        col("id"))
       .select(col("id"),
-        md5MinHash(wordShingles(col(textCol), shingleSize), k).as("sig"))
+        md5MinHash(wordShingles(col("__txt"), shingleSize), k).as("sig"))
       .repartition(col("id"))
     sig.select(col("id"), col("sig"),
         posexplode(md5BandHashes(col("sig"), bands, rows))
@@ -300,16 +309,30 @@ object Dedup {
       // removes that per-round exchange outright (guide §2.4);
       // localCheckpoint preserves the partitioning across rounds.
       .transform(graft.Spread.by(_, col("node")))
-      .localCheckpoint() // scanned every round — materialize once
+      // scanned every round — materialize once; reliable-aware since
+      // r20 (VERDICT r19 #3): local blocks on a single host, a RELIABLE
+      // checkpoint when a checkpoint dir is set (cluster regime)
+      .transform(graft.Materialize.once(_))
+    // Convergence statistic observed DURING each round's materializing
+    // checkpoint action (r20, VERDICT r19 #4): labels are monotonically
+    // non-increasing, so an unchanged Σcomponent means fixpoint — and
+    // riding it as an observe metric removes the separate one-job-per-
+    // round aggregate the loop used to pay. Empty label sets sum to 0.
+    def checkpointSummed(l: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = l.observe(obs,
+        sum(col("component").cast(DecimalType(38, 0))).as("s"))
+        .localCheckpoint()
+      (ck, obs.get("s") match {
+        case d: java.math.BigDecimal => d
+        case null => java.math.BigDecimal.ZERO
+        case other => sys.error(s"observed label sum came back as $other")
+      })
+    }
     // initial label = min(self, neighbors) — folds what would otherwise
     // be the whole first propagation round into the node-list aggregate
-    var labels = adj.groupBy(col("node"))
-      .agg(least(col("node"), min(col("nbr"))).as("component"))
-      .localCheckpoint()
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("component").cast(DecimalType(38, 0))))
-        .head.getDecimal(0)
-    var prev = labelSum(labels)
+    var (labels, prev) = checkpointSummed(adj.groupBy(col("node"))
+      .agg(least(col("node"), min(col("nbr"))).as("component")))
     var i = 0
     var converged = false
     while (i < maxIterations && !converged) {
@@ -323,13 +346,11 @@ object Dedup {
       // O(diameter), at the cost of one extra equi-join per round
       val parents = minNext.select(col("node").as("p_node"),
         col("component").as("p_comp"))
-      val next = minNext
+      val (next, cur) = checkpointSummed(minNext
         .join(parents, col("component") === col("p_node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("p_comp"), col("component")))
-            .as("component"))
-        .localCheckpoint(false)
-      val cur = labelSum(next)
+            .as("component")))
       converged = cur.compareTo(prev) == 0
       labels = next
       prev = cur

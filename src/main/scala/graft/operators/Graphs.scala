@@ -53,10 +53,10 @@ object Graphs {
   private def maybeTruncate(df: DataFrame, round: Int,
                             every: Option[Int]): DataFrame =
     every match {
+      // shared reliable-aware mode selection (r20): same semantics as
+      // the inline checkpointDir dispatch this used to spell out
       case Some(k) if (round + 1) % k == 0 =>
-        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          df.checkpoint(eager = false)
-        else df.localCheckpoint(eager = false)
+        graft.Materialize.once(df, eager = false)
       case _ => df
     }
 

