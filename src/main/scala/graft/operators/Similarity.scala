@@ -216,15 +216,15 @@ object Similarity {
         // array of (score, c_id) structs; struct ordering = (score asc,
         // c_id asc), matching the former window's ORDER BY d ASC, c_id ASC
         def scored(vec: Column): Column = scoredLiteral(spark, cents)(vec)
-        // r20 (VERDICT #1): the argmin is nCells·dim multiplies PER ROW
-        // directly above the scan — on a low-split source it runs one
-        // task (2.0 s single-task stage in the e15 event-log profile).
-        // Spread the NARROW (id, embedding) projection only, and only
-        // when the input is under-split; the cell/probe joins above stay
-        // broadcast, so the corpus is never shuffled at join level.
-        (graft.Spread.ensure(
-            corpus.select(col("vec_id"), col("embedding")), col("vec_id"))
-          .select(
+        // r20: a Spread.ensure barrier under this argmin was tried and
+        // REVERTED — with the native graft_argmin the per-row work is no
+        // longer heavy enough to buy back its exchange (focused 8-round
+        // paired A/B: e7 1.19x [1.19, 1.60], e8 1.23x [1.14, 1.64] —
+        // bands exclude 1.0 — while e5's 0.56x win came from the argmin
+        // itself). The fused IVF-PQ encode (ivfPqCodesWithCell) keeps
+        // its spread: 3x the per-row work and a band that excludes 1.0
+        // the other way (e15 0.46x).
+        (corpus.select(
           argminAuto(spark, cents)(col("embedding"))
             .getField("c_id").as("cell"),
           col("vec_id").as("n_id"), col("embedding").as("n_emb")),
